@@ -1,0 +1,101 @@
+"""Registry wiring ``__spark_entry__.queries()`` / ``oracle_sql()``.
+
+Every implemented operator registers here with a Spark callable and
+(whenever SQL-expressible) a DuckDB oracle SQL string over the same parquet
+tables. The driver cross-checks row-count + schema + order-insensitive
+value hash at sf=0.01 — so:
+
+- every computed column is aliased identically in Spark and SQL;
+- float aggregates are ``round()``-ed identically on both sides so
+  summation-order differences between engines can't flip the value hash.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator: add a (spark_fn, oracle_sql) pair to the registry."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QueryDef(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return wrap
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame (parquet scan).
+
+    ``events.parquet`` carries nanosecond timestamps, which Spark's parquet
+    reader rejects; read them as long (legacy conf) and convert to
+    microsecond timestamps (integer div — double division would lose
+    precision past 2^53). DuckDB's TIMESTAMP_NS → TIMESTAMP cast truncates
+    identically, so oracles use ``ts::TIMESTAMP``.
+    """
+    from pyspark.sql import functions as F
+
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def fround(col, digits: int):
+    """Engine-portable rounding: floor(x*10^d + 0.5)/10^d.
+
+    Spark's round() goes through Java BigDecimal (decimal-string HALF_UP)
+    while DuckDB rounds via float multiply — they disagree on exact .xx5
+    doubles (e.g. 37081.645). This formula is the same IEEE op sequence on
+    both engines, so equal inputs give bit-equal outputs. Pair with
+    :func:`sql_fround` in the oracle.
+    """
+    from pyspark.sql import functions as F
+
+    scale = 10 ** digits
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
+def sql_fround(expr: str, digits: int) -> str:
+    """DuckDB-side twin of :func:`fround`."""
+    scale = 10 ** digits
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def load_all() -> None:
+    """Import every query module so registration side effects run."""
+    from randas_spark.queries import (  # noqa: F401
+        reference,
+        relational,
+        llm,
+        streaming_q,
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    load_all()
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    load_all()
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
