@@ -1,0 +1,110 @@
+"""Temporal join operators: as-of join and time-bucketed range join.
+
+Spark has no native ASOF JOIN (the reference has no joins at all —
+SURVEY.md §2.12). The classic naive formulation (non-equi join + argmax)
+explodes to |L|×|R| pairs per key before filtering; at 100 TB that's the
+difference between a join and an outage. Both operators here avoid pair
+explosion by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__side__"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.ts <= left.ts`` (direction="backward"; "forward" = earliest
+    right row with ``right.ts >= left.ts``), matched within the ``on`` key.
+
+    Implementation: union both sides tagged, one window per key ordered by
+    (ts, side), and ``last(payload, ignorenulls=True)`` carries the right
+    payload forward onto left rows. Right rows sort before left rows at
+    equal ts, so an exact-ts match counts (<=), mirroring DuckDB ASOF.
+
+    Scale: ONE hash shuffle on the key + an in-partition sort — the same
+    cost as a regular sort-merge join, with no intermediate pair blow-up.
+    Rows per key stay linear; skewed keys are handled by AQE like any
+    window. Ties at identical (key, ts) on the right side are broken by
+    window order (undefined among exact duplicates — callers needing total
+    determinism should dedup or add a tiebreak column to ``ts`` ordering).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    payload = [c for c in right.columns if c not in (on, ts)]
+    left_only = [c for c in left.columns if c not in (on, ts)]
+
+    l2 = left.withColumn(_SIDE, F.lit(1))
+    for c in payload:
+        l2 = l2.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    r2 = right.withColumn(_SIDE, F.lit(0))
+    for c in left_only:
+        r2 = r2.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    cols = [on, ts, _SIDE, *left_only, *payload]
+    u = l2.select(cols).unionByName(r2.select(cols))
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col(ts).asc(), F.col(_SIDE).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in payload]
+    else:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col(ts).desc(), F.col(_SIDE).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in payload]
+
+    out = u.select(on, ts, _SIDE, *left_only, *carried)
+    return out.filter(F.col(_SIDE) == 1).drop(_SIDE)
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower: Column,
+    upper: Column,
+    bucket_seconds: int,
+    on: str | None = None,
+) -> DataFrame:
+    """Range join ``right_ts BETWEEN lower AND upper`` without (or with) an
+    equi key, bucketized so Spark gets an equi-join condition.
+
+    Each left row joins buckets [floor(lower/b) .. floor(upper/b)] via a
+    compact explode; the exact range predicate filters post-join. Choose
+    ``bucket_seconds`` ≈ the typical window width so each row lands in
+    O(1) buckets. Turns a BroadcastNestedLoopJoin (cartesian — unusable at
+    scale) into a hash join on (key, bucket).
+    """
+    b = F.lit(bucket_seconds)
+    lo_b = F.floor(F.unix_micros(lower) / (b * 1_000_000))
+    hi_b = F.floor(F.unix_micros(upper) / (b * 1_000_000))
+    l2 = left.withColumn("__bucket__", F.explode(F.sequence(lo_b, hi_b))).withColumn(
+        "__lo__", lower
+    ).withColumn("__hi__", upper)
+    r2 = right.withColumn(
+        "__bucket__", F.floor(F.unix_micros(F.col(right_ts)) / (bucket_seconds * 1_000_000))
+    )
+    cond = (l2["__bucket__"] == r2["__bucket__"]) & (
+        (F.col(right_ts) >= F.col("__lo__")) & (F.col(right_ts) <= F.col("__hi__"))
+    )
+    if on is not None:
+        cond = cond & (l2[on] == r2[on])
+    joined = l2.join(r2, cond, "inner")
+    return joined.drop("__bucket__", "__lo__", "__hi__")

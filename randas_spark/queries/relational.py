@@ -1,1 +1,807 @@
-"""Placeholder — populated in this round."""
+"""Full relational layer — absent from the reference (SURVEY.md §2.12),
+required by the north star: joins of every type, grouped aggregation with
+rollup/cube/grouping sets, window functions, sorts/top-k, set ops,
+distinct, exact+approximate aggregates, pivot, as-of/range joins, and
+sessionization.
+
+All pure DataFrame-API compositions — Catalyst chooses broadcast vs
+sort-merge vs shuffled-hash; AQE re-plans at runtime. Scale notes sit on
+each query. Rounding uses the engine-portable fround/sql_fround pair.
+
+Determinism discipline for the oracle hash: every top-k / limit query
+carries a full tiebreak ordering; window orderings include a unique key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from randas_spark.queries import fround, register, sql_fround, t
+
+# --------------------------------------------------------------------------
+# TPC-H-style multi-join analytics (adapted to the testdata schema)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q03_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_fround('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join → group → top-10.
+
+    Scale: customer(filtered) is tiny relative to lineitem → Catalyst/AQE
+    broadcast it into the orders join; only the orders⋈lineitem join
+    shuffles, on the join key. Top-10 is TakeOrderedAndProject (no global
+    sort materialization).
+    """
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q05_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           {sql_fround('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with a region→nation dimension chain.
+
+    Scale: region/nation/supplier are classic broadcast dimensions —
+    explicitly hinted so no shuffle happens for them even before AQE kicks
+    in; the only repartition-shuffles are on o_custkey and l_orderkey.
+    """
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "q06_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_fround("coalesce(sum(l_extendedprice * l_discount), 0.0)", 2)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate.
+
+    Scale: all four predicates push into the parquet scan (PushedFilters) —
+    with min/max row-group stats this reads a fraction of the file; no
+    shuffle at all beyond the single-row final aggregate.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            fround(
+                F.coalesce(F.sum(F.col("l_extendedprice") * F.col("l_discount")), F.lit(0.0)),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {sql_fround('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top customers by returned-item revenue."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Join types (SURVEY.md §2.12 row 1)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rel_join_orders_customer",
+    oracle=f"""
+    SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+           {sql_fround("coalesce(sum(o_totalprice), 0.0)", 2)} AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def rel_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + grouped agg: per-customer order rollup, keeping
+    order-less customers. Shuffles both sides on the key once; the agg
+    reuses that partitioning (no second shuffle)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            fround(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "rel_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def rel_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with at least one big order.
+    Semi-join never duplicates left rows — cheaper than join+distinct."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "rel_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def rel_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no orders at all."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "rel_join_full_outer",
+    oracle="""
+    SELECT coalesce(a.k, b.k) AS k, a.n_cust, b.n_supp
+    FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) a
+    FULL OUTER JOIN (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) b
+    ON a.k = b.k
+    """,
+)
+def rel_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two pre-aggregated sides (customer vs supplier
+    counts per nation) — nulls mark nation keys present on one side only."""
+    c = t(spark, sf_dir, "customer").groupBy(F.col("c_nationkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s = t(spark, sf_dir, "supplier").groupBy(F.col("s_nationkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        c.join(s, "k", "full_outer")
+        .select(F.col("k"), "n_cust", "n_supp")
+    )
+
+
+@register(
+    "rel_join_broadcast_chain",
+    oracle="""
+    SELECT r_name, count(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def rel_join_broadcast_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hint on the dimension side: zero shuffle for the
+    join itself (BroadcastHashJoin) — the pattern every dim join at 100 TB
+    should compile to."""
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+@register(
+    "rel_join_cross",
+    oracle="""
+    SELECT r.r_name, s.s_suppkey
+    FROM region r CROSS JOIN supplier s
+    """,
+)
+def rel_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS join (small×small only — |region|×|supplier|). Guarded use:
+    cross joins of big tables are a scale bug, not an operator."""
+    r = t(spark, sf_dir, "region").select("r_name")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey")
+    return r.crossJoin(s)
+
+
+# --------------------------------------------------------------------------
+# Grouped aggregation: rollup / cube / grouping sets / pivot
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rel_rollup_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_fround('sum(l_quantity)', 2)} AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rel_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals (flag, flag+status, grand total).
+    Spark expands grouping sets inside a single hash aggregate — one pass,
+    one shuffle."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(fround(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "rel_cube_agg",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {sql_fround('sum(o_totalprice)', 2)} AS sum_price, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def rel_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping-set combinations in one aggregate."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(fround(F.sum("o_totalprice"), 2).alias("sum_price"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "rel_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_fround('sum(l_extendedprice)', 2)} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — via Spark SQL (the DF API has no direct
+    grouping-sets method; SQL and DF compile to the same plan)."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_fround('sum(l_extendedprice)', 2)} AS sum_price
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "rel_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_fround("coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0.0)", 2)} AS qty_O,
+           {sql_fround("coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0.0)", 2)} AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: linestatus → columns. Explicit value list so Spark skips the
+    extra distinct-values job (important at scale)."""
+    pv = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+    )
+    return pv.select(
+        "l_returnflag",
+        fround(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_O"),
+        fround(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_F"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rel_window_topk_per_group",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal, rk FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rk
+        FROM customer
+    ) WHERE rk <= 3
+    """,
+)
+def rel_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group: row_number over (partition, order) — the canonical
+    scalable top-k (partial top-k pushed below the shuffle by Spark's
+    WindowGroupLimit). Unique-key tiebreak keeps it deterministic."""
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "rel_window_rank_dense",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice,
+           rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk,
+           dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS drnk
+    FROM part
+    """,
+)
+def rel_window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank in one window (single sort per partition)."""
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), "p_partkey")
+    return (
+        t(spark, sf_dir, "part")
+        .select("p_brand", "p_partkey", "p_retailprice")
+        .withColumn("rnk", F.rank().over(w).cast("long"))
+        .withColumn("drnk", F.dense_rank().over(w).cast("long"))
+    )
+
+
+@register(
+    "rel_window_running_sum",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           {sql_fround('''sum(o_totalprice) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''', 2)} AS running_spend
+    FROM orders
+    """,
+)
+def rel_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer — frame ROWS UNBOUNDED PRECEDING..CURRENT.
+    One shuffle on the partition key, sort within partitions."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .withColumn("running_spend", fround(F.sum("o_totalprice").over(w), 2))
+        .drop("o_totalprice")
+    )
+
+
+@register(
+    "rel_window_lag_lead",
+    oracle=f"""
+    SELECT user_id, event_id, ts,
+           {sql_fround('value - lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id)', 2)} AS delta_prev,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value, event_type FROM events)
+    """,
+)
+def rel_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics over per-user event streams."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        fround(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set ops / distinct / exact + approx aggregates
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rel_union_distinct",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+    UNION
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def rel_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): big spenders ∪ high balances."""
+    a = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    b = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return a.union(b).distinct()
+
+
+@register(
+    "rel_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def rel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): customers with both finished and open orders."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@register(
+    "rel_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def rel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customer keys never appearing in orders."""
+    a = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    b = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b).distinct()
+
+
+@register(
+    "rel_distinct_multi",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def rel_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a composite key — partial-aggregate dedup before the
+    shuffle, so only unique pairs travel."""
+    return t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "rel_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def rel_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT DISTINCT per group (expand+two-phase agg in Spark)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register("rel_approx_count_distinct", oracle=None)
+def rel_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB path for distinct
+    cardinality: constant memory per group vs exact's expand. No SQL oracle
+    (engine-specific sketch); pytest asserts relative error < 5% vs exact."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
+    )
+
+
+@register(
+    "rel_percentiles_exact",
+    oracle=f"""
+    SELECT o_orderstatus,
+           {sql_fround('quantile_cont(o_totalprice, 0.25)', 4)} AS p25,
+           {sql_fround('quantile_cont(o_totalprice, 0.50)', 4)} AS p50,
+           {sql_fround('quantile_cont(o_totalprice, 0.75)', 4)} AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def rel_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        fround(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        fround(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+        fround(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+    )
+
+
+@register("rel_percentile_approx", oracle=None)
+def rel_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch) — mergeable, single-pass,
+    bounded memory: the scale path for quantiles. pytest bounds its error
+    against the exact percentile."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_median"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar function coverage (SURVEY.md §2.10 — the reference has none;
+# our engine exposes pyspark.sql.functions; oracle checks a representative set)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rel_scalar_functions",
+    oracle=f"""
+    SELECT o_orderkey,
+           lower(o_orderpriority)                          AS pri_lower,
+           substring(o_orderpriority, 1, 1)                AS pri_code,
+           length(o_orderpriority)                         AS pri_len,
+           concat(o_orderstatus, '-', o_orderpriority)     AS status_pri,
+           year(o_orderdate)                               AS order_year,
+           month(o_orderdate)                              AS order_month,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
+           datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch_start,
+           abs(o_totalprice - 100000.0)                    AS price_dist,
+           {sql_fround('sqrt(o_totalprice)', 6)}           AS price_sqrt,
+           {sql_fround('ln(o_totalprice)', 6)}             AS price_ln
+    FROM orders
+    """,
+)
+def rel_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative scalar-function sweep: string / date / math — all
+    JVM-side built-ins inside one whole-stage-codegen projection."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.lower("o_orderpriority").alias("pri_lower"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+        # DuckDB's length/year/month/datediff yield BIGINT; cast Spark's
+        # int results to long so the oracle schema compare can't trip.
+        F.length("o_orderpriority").cast("long").alias("pri_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_pri"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("price_dist"),
+        fround(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+        fround(F.log("o_totalprice"), 6).alias("price_ln"),
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join / range join / sessionization (operators Spark lacks natively)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rel_asof_join",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts, r.value AS last_view_value
+    FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN
+         (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events WHERE event_type = 'view') r
+    ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via randas_spark.operators.joins.asof_join — union+window,
+    one shuffle on the key, no pair explosion (see that module for the
+    scale analysis). Oracle: DuckDB's native ASOF JOIN."""
+    from randas_spark.operators.joins import asof_join
+
+    e = t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("last_view_value")
+    )
+    return asof_join(left, right, on="user_id", ts="ts").select(
+        "event_id", "user_id", "ts", "last_view_value"
+    )
+
+
+@register(
+    "rel_range_join",
+    oracle="""
+    SELECT a.event_id AS signup_event, count(b.event_id) AS n_follow_5min
+    FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events WHERE event_type = 'signup') a
+    LEFT JOIN (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events) b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.event_id
+    """,
+)
+def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: follow-up events within 5 minutes of each signup.
+
+    Scale: the equi-key (user_id) carries the shuffle; the range predicate
+    is evaluated post-join inside the hash join — NOT a cartesian. Without
+    an equi-key one would bucketize time (randas_spark.operators.joins
+    range-bucket helper)."""
+    e = t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event"), F.col("user_id"), F.col("ts").alias("a_ts")
+    )
+    b = e.select(F.col("event_id").alias("b_event"), F.col("user_id"), F.col("ts").alias("b_ts"))
+    return (
+        a.join(
+            b,
+            (a.user_id == b.user_id)
+            & (F.col("b_ts") > F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")),
+            "left",
+        )
+        .groupBy("signup_event")
+        .agg(F.count("b_event").alias("n_follow_5min"))
+    )
+
+
+@register(
+    "rel_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
+               CASE WHEN epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP)) OVER w > 1800000000
+                    OR lag(ts::TIMESTAMP) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id, sess_id, count(*) AS n_events,
+           min(ts) AS sess_start, max(ts) AS sess_end,
+           {sql_fround('sum(value)', 2)} AS sess_value
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap): lag → gap flag →
+    running sum = session id → per-session aggregate. Two windows + one agg
+    over the same (user_id) partitioning — Spark reuses the exchange.
+    (Streaming twin: session_window in streaming_q.py.)"""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(micros - F.lag(micros).over(w) > 1_800_000_000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn("sess_id", F.sum("new_sess").over(w2))
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("sess_start"),
+        F.max("ts").alias("sess_end"),
+        fround(F.sum("value"), 2).alias("sess_value"),
+    )
