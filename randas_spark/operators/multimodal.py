@@ -1,0 +1,84 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched mapInPandas stages.
+
+The container has no decode libraries (PIL/ffmpeg/etc.), so the decode
+kernel itself is STUBBED — `decode_image` raises NotImplementedError
+unless `fake=True`, which substitutes a deterministic fake decoder. The
+Spark-side plumbing is real and tested: schema (binary + metadata struct),
+partition-sized Arrow batches, UDF signatures, and the feature-extract
+output shape are exactly what a real decoder would plug into.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema of the feature-extract stage.
+FEATURE_SCHEMA = (
+    "doc_id long, modality string, n_bytes long, checksum long, feature array<double>"
+)
+
+
+def attach_fake_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Simulate a multimodal corpus: derive a binary payload (utf-8 bytes)
+    + metadata struct from the documents table. In a real pipeline this
+    column comes straight from parquet/webdataset ingest."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.length(F.col(text_col)).cast("long").alias("n_bytes"),
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes, fake: bool = False) -> list[float]:
+    """Decode kernel. Real decode needs an image library absent from this
+    container — STUB: raises unless fake=True, where it returns a
+    deterministic 8-dim byte-histogram-ish feature."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires an imaging library not present in this "
+            "container; run with fake=True for the deterministic stub"
+        )
+    h = hashlib.md5(payload).digest()
+    return [b / 255.0 for b in h[:8]]
+
+
+def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Arrow delivers column batches per partition; the kernel loops a batch
+    at a time (vector-friendly), emits one feature row per input. This is
+    the canonical shape for decode / resize / frame-sample stages: swap
+    the kernel, keep the plumbing.
+
+    Scale: embarrassingly parallel map — no shuffle; batch size bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch so executor memory is
+    payload-size-safe.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_image(p, fake=fake) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": [m["mime"].split("/")[0] for m in pdf["meta"]],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "checksum": [zlib.crc32(p) for p in pdf["payload"]],
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=FEATURE_SCHEMA)

@@ -53,6 +53,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    # Spark 4 defaults to ANSI mode; the engine's parity semantics (silent
+    # numeric coercion, wraparound minhash multiplies) need it off. Set at
+    # runtime so queries behave identically on the driver's own session.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))

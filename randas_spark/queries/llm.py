@@ -1,1 +1,283 @@
-"""Placeholder — populated in this round."""
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal — over the documents/embeddings tables (FIXTURES.md §B).
+
+Oracle policy: deterministic built-in-math operators (exact dedup, ngram
+Jaccard, cosine knn, text metrics) carry full DuckDB oracles built from
+the sql_* twins in randas_spark.functions. Hash-seeded operators
+(MinHash-LSH, SimHash, hyperplane LSH) have no cross-engine oracle —
+pytest verifies them against the exact variants (recall / subset bounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from randas_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_metrics,
+    quality_score,
+    sql_fingerprint,
+    sql_lang_id,
+    sql_quality_parts,
+    sql_quality_score,
+    sql_token_count_bpe_ish,
+    token_count_bpe_ish,
+)
+from randas_spark.functions.vectors import cosine, sql_cosine
+from randas_spark.queries import fround, register, sql_fround, t
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@register(
+    "llm_dedup_exact",
+    oracle=f"""
+    SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM (SELECT doc_id, {sql_fingerprint('text')} AS fp FROM documents)
+    GROUP BY fp
+    HAVING count(*) >= 1
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups via normalized-md5 fingerprint + hash groupBy
+    (operators/dedup.exact_dedup_groups, threshold relaxed to >=1 so the
+    oracle check is non-trivial even when the corpus has no exact dups)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") >= 1)
+    )
+
+
+@register(
+    "llm_dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(lower(text), ' ')) - 4, 1)),
+            i -> array_to_string(string_split(lower(text), ' ')[i:i+4], ' ')))) AS s
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+    """,
+)
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard near-dup pairs (>= 0.6) via shingle equi-join —
+    ground truth for the MinHash variant (operators/dedup.ngram_jaccard_pairs)."""
+    from randas_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=5, threshold=0.6
+    )
+
+
+@register("llm_dedup_minhash_lsh", oracle=None)
+def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup pairs, exact-Jaccard verified
+    (operators/dedup.minhash_lsh_pairs; 64 perms × 16 bands). No SQL
+    oracle (xxhash64 seeds are engine-specific); pytest checks recall
+    against llm_dedup_ngram_jaccard."""
+    from randas_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", num_perm=64, bands=16, threshold=0.6
+    )
+
+
+@register("llm_dedup_simhash", oracle=None)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3) via pigeonhole banding
+    (operators/dedup.simhash_near_pairs). Pandas-UDF fingerprint;
+    pytest property-checks hamming symmetry and self-distance."""
+    from randas_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "llm_dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {sql_cosine('a.embedding', 'b.embedding')} AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ({sql_cosine('a.embedding', 'b.embedding')}) >= 0.35
+    """,
+)
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= threshold over all pairs.
+    Cosine is a left-fold double expression on BOTH engines →
+    bit-identical scores, no rounding slack (functions/vectors.py).
+    Threshold 0.35 because the synthetic embeddings are near-orthogonal
+    (max pairwise cosine ≈ 0.51) — a real corpus would use ~0.9.
+    Bucketed variant: llm_knn_lsh."""
+    from randas_spark.operators.dedup import embedding_near_pairs
+
+    return embedding_near_pairs(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.35
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@register(
+    "llm_knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT qid, c.vec_id AS cid,
+               {sql_cosine('qv', 'c.embedding')} AS cos
+        FROM embeddings c CROSS JOIN q
+        WHERE qid <> c.vec_id
+    )
+    SELECT qid, cid, cos, rk FROM (
+        SELECT qid, cid, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        FROM scored
+    ) WHERE rk <= 10
+    """,
+)
+def llm_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors against the corpus —
+    broadcast queries, codegen cosine, windowed top-k
+    (operators/similarity.knn_bruteforce)."""
+    from randas_spark.operators.similarity import knn_bruteforce
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return knn_bruteforce(queries, emb, "vec_id", "vec_id", "embedding", top_k=10)
+
+
+@register("llm_knn_lsh", oracle=None)
+def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH buckets (4 planes →
+    16 buckets) — the scale path (operators/similarity.knn_lsh). pytest
+    bounds recall vs llm_knn_bruteforce."""
+    from randas_spark.operators.similarity import knn_lsh
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return knn_lsh(queries, emb, "vec_id", "vec_id", "embedding", dim=64, top_k=10, n_planes=4)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "llm_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           {sql_quality_parts('text')['n_tokens']}  AS n_tokens,
+           {sql_fround(sql_quality_parts('text')['mean_word_len'], 6)}   AS mean_word_len,
+           {sql_fround(sql_quality_parts('text')['stopword_ratio'], 6)}  AS stopword_ratio,
+           {sql_fround(sql_quality_parts('text')['alpha_ratio'], 6)}     AS alpha_ratio,
+           {sql_fround(sql_quality_score('text'), 6)}                    AS quality
+    FROM documents
+    """,
+)
+def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metrics + composite score per document — pure codegen
+    expressions (functions/text.quality_*)."""
+    d = t(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    return d.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        fround(m["mean_word_len"], 6).alias("mean_word_len"),
+        fround(m["stopword_ratio"], 6).alias("stopword_ratio"),
+        fround(m["alpha_ratio"], 6).alias("alpha_ratio"),
+        fround(quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+@register(
+    "llm_langid",
+    oracle=f"""
+    SELECT lang_pred, count(*) AS n_docs FROM (
+        SELECT {sql_lang_id('text')} AS lang_pred FROM documents
+    ) GROUP BY lang_pred
+    """,
+)
+def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword marker argmax, fixed tiebreak) —
+    distribution over the corpus (functions/text.lang_id)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "llm_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+           {sql_token_count_bpe_ish('text')} AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace words + BPE-ish subword estimate
+    (functions/text.token_count_bpe_ish)."""
+    from randas_spark.functions.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_words"),
+        token_count_bpe_ish(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
+@register(
+    "llm_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {sql_fingerprint('text')} AS fp, lang, source
+    FROM documents
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text
+    (functions/text.fingerprint)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"), "lang", "source")
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+@register("llm_multimodal_features", oracle=None)
+def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through the real mapInPandas
+    plumbing with the deterministic fake decode kernel
+    (operators/multimodal.extract_features; real decode is stubbed —
+    no imaging libs in this container)."""
+    from randas_spark.operators.multimodal import attach_fake_payload, extract_features
+
+    d = t(spark, sf_dir, "documents")
+    return extract_features(attach_fake_payload(d, "doc_id", "text"), fake=True)
