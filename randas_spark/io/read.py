@@ -1,0 +1,127 @@
+"""Readers (reference: /root/reference/src/io/read.rs).
+
+Mapping (SURVEY.md §2.2):
+
+- read_csv    → spark.read.csv with delimiter/encoding/header/inferSchema.
+  The reference's rayon 1000-record chunking (read.rs:117) IS Spark's
+  input-split parallelism, distributed and memory-bounded instead of
+  whole-file-in-RAM (read.rs:96-98).
+- read_json   → spark.read.json + recursive struct flatten with
+  underscore-joined names and array explode, reproducing flatten_json
+  (read.rs:143-184) as plan transformations (select/explode), not row code.
+- read_excel  → driver-side pandas.read_excel → createDataFrame (xlsx is
+  inherently a small single file; no distributed reader needed).
+- read_sql    → sqlite3 driver-side for the reference's SQLite case
+  (read.rs:246-290); on a cluster, spark.read.jdbc is the same call shape.
+- read_parquet→ the engine's native serialized form (replaces bincode).
+
+All readers return RandasFrame (index discipline applied on ingest).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from randas_spark.frame import RandasFrame
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    delimiter: str = ",",
+    encoding: str = "UTF-8",
+    header: bool = True,
+) -> RandasFrame:
+    """CSV with type inference (i64 → f64 → string, empty → null — the
+    reference's infer_data_type ladder read.rs:130-140 matches Spark's
+    inferSchema). Distributed split-parallel scan."""
+    df = (
+        spark.read.option("delimiter", delimiter)
+        .option("encoding", encoding)
+        .option("header", str(header).lower())
+        .option("inferSchema", "true")
+        .csv(path)
+    )
+    return RandasFrame(df)
+
+
+def flatten_struct_df(df: DataFrame, sep: str = "_") -> DataFrame:
+    """Recursively flatten structs into `parent_child` scalar columns and
+    explode arrays into extra records — the reference's flatten_json
+    semantics (read.rs:143-184: objects recurse with joined keys, arrays
+    append one record per element).
+
+    Pure plan rewriting: each level is a select/explode; Catalyst fuses
+    the cascade into one projection. Terminates because every pass strictly
+    reduces nesting depth.
+    """
+    while True:
+        array_cols = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, T.ArrayType)
+        ]
+        if array_cols:
+            # explode one array at a time (outer: keep rows with empty arrays)
+            c = array_cols[0]
+            others = [n for n in df.columns if n != c]
+            df = df.select(*others, F.explode_outer(c).alias(c))
+            continue
+        struct_cols = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, T.StructType)
+        ]
+        if not struct_cols:
+            return df
+        exprs: list[Any] = []
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.StructType):
+                for sub in f.dataType.fields:
+                    exprs.append(F.col(f"{f.name}.{sub.name}").alias(f"{f.name}{sep}{sub.name}"))
+            else:
+                exprs.append(F.col(f.name))
+        df = df.select(*exprs)
+
+
+def read_json(spark: SparkSession, path: str, multiline: bool = True) -> RandasFrame:
+    """JSON document(s) → flattened frame (read_json_to_dataframe,
+    read.rs:235-244). Nested objects become underscore-joined columns,
+    arrays explode into extra records, missing keys null-pad (Spark's
+    schema union gives the null-padding for free)."""
+    df = spark.read.option("multiLine", str(multiline).lower()).json(path)
+    return RandasFrame(flatten_struct_df(df))
+
+
+def read_excel(
+    spark: SparkSession, path: str, sheet: str | None = None
+) -> RandasFrame:
+    """Excel via driver-side pandas (calamine equivalent, read.rs:18-67):
+    first sheet by default, row 1 = header. Gated: openpyxl may be absent
+    in this container → clear ImportError."""
+    import pandas as pd
+
+    try:
+        pdf = pd.read_excel(path, sheet_name=sheet or 0)
+    except ImportError as ex:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "read_excel needs an excel engine (openpyxl); not present in this container"
+        ) from ex
+    return RandasFrame(spark.createDataFrame(pdf))
+
+
+def read_sql(spark: SparkSession, conn, query: str) -> RandasFrame:
+    """Run SQL on a DB-API connection (sqlite3 — the reference bundles
+    SQLite, read.rs:246-290) and materialize the result set. Cluster-scale
+    twin: spark.read.format('jdbc').option('query', ...)."""
+    cur = conn.execute(query)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    data: dict[str, list] = {c: [r[i] for r in rows] for i, c in enumerate(cols)}
+    return RandasFrame.new(spark, data, cols)
+
+
+def read_parquet(spark: SparkSession, path: str) -> RandasFrame:
+    """Native deserialization (replaces the reference's bincode pickle,
+    dataframe.rs:775-781)."""
+    return RandasFrame.read_from_file(spark, path)

@@ -1,0 +1,73 @@
+"""Writers (reference: /root/reference/src/io/write.rs).
+
+Mapping (SURVEY.md §2.3):
+
+- to_excel  → driver-side toPandas().to_excel with the reference's cell
+  formatting quirks (bool → "TRUE"/"FALSE" strings, datetime →
+  "%Y-%m-%d %H:%M:%S", null → blank; write.rs:10-69).
+- to_json   → df.write.json (line-delimited records — we adopt the Spark
+  orientation; the reference serializes its whole struct, write.rs:72-83,
+  a divergence documented in SURVEY.md §2.3).
+- to_sql    → DB-API executemany with if_exists append/replace
+  (write.rs:86-132: replace = DELETE FROM, table must pre-exist).
+- to_csv    → df.write.csv (README.md advertises to_csv but the reference
+  never implemented it — README/code drift, SURVEY.md §2.3 NOTE).
+- to_parquet→ native serialization (replaces bincode, dataframe.rs:767-772).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from randas_spark.frame import RandasFrame
+
+
+def to_parquet(frame: RandasFrame, path: str) -> None:
+    frame.save_to_file(path)
+
+
+def to_csv(frame: RandasFrame, path: str, header: bool = True) -> None:
+    frame.to_spark().write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def to_json(frame: RandasFrame, path: str) -> None:
+    frame.to_spark().write.mode("overwrite").json(path)
+
+
+def to_excel(frame: RandasFrame, path: str, sheet: str = "Sheet1") -> None:
+    """Driver-side Excel writer with the reference's formatting quirks."""
+    pdf = frame.to_pandas()
+    for col in pdf.columns:
+        pdf[col] = pdf[col].map(_excel_cell)
+    try:
+        pdf.to_excel(path, sheet_name=sheet, index=False)
+    except ImportError as ex:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "to_excel needs an excel engine (openpyxl); not present in this container"
+        ) from ex
+
+
+def _excel_cell(v):
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"  # write.rs:31-38
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")  # write.rs:51-59
+    return v
+
+
+def to_sql(frame: RandasFrame, table: str, conn, if_exists: str = "append") -> None:
+    """Prepared INSERT per row batch; 'replace' clears the pre-existing
+    table first (no CREATE TABLE — matching write.rs:86-132)."""
+    if if_exists not in ("append", "replace"):
+        raise ValueError(f"if_exists must be append|replace, got {if_exists!r}")
+    cols = frame.columns
+    rows = [tuple(r[c] for c in cols) for r in frame.sdf.orderBy("__pos__").collect()]
+    if if_exists == "replace":
+        conn.execute(f"DELETE FROM {table}")
+    placeholders = ", ".join("?" for _ in cols)
+    conn.executemany(
+        f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders})", rows
+    )
+    conn.commit()

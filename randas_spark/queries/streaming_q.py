@@ -1,1 +1,95 @@
-"""Placeholder — populated in this round."""
+"""Streaming-operator queries, batch-expressed for the oracle harness.
+
+Each query applies the SAME transformation builder
+(randas_spark.streaming.engine) that the streaming paths use — run here
+on the batch read so DuckDB can oracle-check the semantics; pytest then
+replays the identical builder over readStream and asserts batch-stream
+equivalence. That two-sided check is the correctness story for M5
+(SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from randas_spark.queries import fround, register, sql_fround, t
+from randas_spark.streaming.engine import session_agg, sliding_counts, tumbling_counts
+
+
+@register(
+    "stream_tumbling_window",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', ts::TIMESTAMP) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           {sql_fround('sum(value)', 2)} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type (engine.tumbling_counts —
+    identical builder drives readStream in tests)."""
+    out = tumbling_counts(t(spark, sf_dir, "events"), width="1 hour")
+    return out.select(
+        "window_start", "event_type", "n_events", fround(out.sum_value, 2).alias("sum_value")
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    WITH base AS (
+        SELECT to_timestamp(CAST(floor(epoch(ts::TIMESTAMP) / 300) * 300 AS BIGINT)) AS b5,
+               ts::TIMESTAMP AS ts
+        FROM events
+    ), expanded AS (
+        SELECT b5 - to_seconds(k * 300) AS window_start, ts
+        FROM base, (SELECT unnest([0, 1]) AS k)
+        WHERE ts < b5 - to_seconds(k * 300) + to_seconds(600)
+    )
+    SELECT window_start, count(*) AS n_events
+    FROM expanded GROUP BY window_start
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-minute windows every 5 minutes (engine.sliding_counts).
+    Oracle expands each row into its ≤2 covering windows arithmetically."""
+    return sliding_counts(t(spark, sf_dir, "events"), width="10 minutes", slide="5 minutes")
+
+
+@register(
+    "stream_session_window",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
+               CASE WHEN epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP)) OVER w > 1800000000
+                    OR lag(ts::TIMESTAMP) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT min(ts)                           AS sess_start,
+           max(ts) + INTERVAL 30 MINUTE      AS sess_end,
+           user_id,
+           count(*)                          AS n_events,
+           {sql_fround('sum(value)', 2)}     AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessions via the built-in session_window (engine.session_agg).
+    Oracle reproduces merge semantics with the islands algorithm:
+    start = first event, end = last event + gap."""
+    out = session_agg(t(spark, sf_dir, "events"), gap="30 minutes")
+    return out.select(
+        "sess_start",
+        "sess_end",
+        "user_id",
+        "n_events",
+        fround(out.sum_value, 2).alias("sum_value"),
+    )

@@ -1,0 +1,174 @@
+"""Streaming transformation builders + stream-session helpers.
+
+Builders (work on batch AND streaming DataFrames — identical plan shape):
+
+- tumbling_counts / sliding_counts — F.window aggregations
+- session_agg — F.session_window gap sessions
+- dedup_within_watermark — streaming duplicate drop (stream-only effect)
+- running_user_state — applyInPandasWithState custom stateful operator
+
+Stream helpers build a file-source readStream over the events parquet and
+run it to completion synchronously with a memory sink
+(processAllAvailable) — the local smoke path; on a cluster the same
+builders sit behind kafka sources and checkpointed sinks.
+
+Watermark semantics at scale: the watermark bounds state size — without
+it, windowed state grows unboundedly; with `withWatermark(ts, D)` Spark
+evicts windows older than max(event time) - D on every trigger. The
+events fixture spans ~30 days, so tests use generous watermarks.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+# -- transformation builders (batch + streaming) ---------------------------
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str | None = None) -> DataFrame:
+    """Tumbling-window counts/sums per event_type.
+
+    Scale: pre-shuffle partial aggregation applies (window key is derived
+    per-row); state per (window, type) only — watermark evicts old windows.
+    """
+    e = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        e.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding-window counts — each row lands in width/slide windows."""
+    e = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        e.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = None
+) -> DataFrame:
+    """Gap-based session windows per user (session_window merges events
+    closer than `gap`; end = last event + gap). The built-in streaming
+    twin of the batch lag/cumsum sessionization (rel_sessionize)."""
+    e = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming duplicate drop keyed on event_id: state holds ids only
+    within the watermark horizon (bounded state — the whole point vs plain
+    dropDuplicates on a stream)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+_STATE_SCHEMA = "n long, total double"
+_OUT_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+def _running_user_state(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful kernel: per-user running event count + value sum,
+    emitting the updated totals once per trigger."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+
+def running_user_state(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState: arbitrary per-key state machine — the
+    escape hatch for operators watermarked windows can't express
+    (counters, ML feature decay, CDC merge...). Arrow-batched per group."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_user_state,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# -- stream session helpers ------------------------------------------------
+
+
+def events_schema(spark: SparkSession, sf_dir: str):
+    from randas_spark.queries import t
+
+    return t(spark, sf_dir, "events").schema
+
+
+def events_stream(spark: SparkSession, sf_dir: str, files_per_trigger: int = 1):
+    """File-source stream replaying the events table.
+
+    The parquet stores nanosecond timestamps (see queries.t); the stream
+    source reads them as long and converts — same loader semantics as
+    batch so replay-equivalence is exact. The file is staged into a temp
+    dir because file sources watch directories.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), stage)
+    raw_schema = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    return stream, stage
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming query to completion against a memory sink and
+    return the result table (local smoke path)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
