@@ -1,0 +1,163 @@
+"""I/O matrix round-trip tests (SURVEY.md §7.2 M2), mirroring the
+reference's read/write test style (read.rs:292-428, write.rs:134-309):
+write → read back → compare, error paths, in-memory SQLite per test.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+
+import pytest
+
+
+@pytest.fixture()
+def tmp(tmp_path):
+    return str(tmp_path)
+
+
+def _values(frame):
+    """Row-major values in index order, visible columns only."""
+    cols = frame.columns
+    return [tuple(r[c] for c in cols) for r in frame.sdf.orderBy("__pos__").collect()]
+
+
+def test_csv_round_trip(spark, people, tmp):
+    from randas_spark.io.read import read_csv
+    from randas_spark.io.write import to_csv
+
+    path = os.path.join(tmp, "people_csv")
+    to_csv(people, path)
+    back = read_csv(spark, path)
+    assert back.columns == people.columns
+    assert sorted(_values(back)) == sorted(_values(people))
+    # inferSchema reproduces the reference's i64→f64→string ladder
+    dtypes = dict(back.to_spark().dtypes)
+    assert dtypes["ID"] in ("int", "bigint")
+    assert dtypes["Score"] == "double"
+    assert dtypes["Name"] == "string"
+
+
+def test_csv_delimiter_and_null(spark, tmp):
+    from randas_spark.io.read import read_csv
+
+    path = os.path.join(tmp, "semi.csv")
+    with open(path, "w") as f:
+        f.write("a;b;c\n1;;x\n2;3.5;y\n")
+    back = read_csv(spark, path, delimiter=";")
+    rows = sorted(_values(back))
+    # empty field → null (read.rs:131-132)
+    assert rows == [(1, None, "x"), (2, 3.5, "y")]
+
+
+def test_json_flatten_nested_object_and_array(spark, tmp):
+    """The reference's flatten_json semantics (read.rs:143-184): nested
+    objects → underscore-joined columns, arrays → one record per element
+    (verified against its examples/sample.json fixture shape)."""
+    from randas_spark.io.read import read_json
+
+    doc = {
+        "name": "John",
+        "age": 30,
+        "address": {"city": "Springfield", "zip": "12345"},
+        "phoneNumbers": [
+            {"type": "home", "number": "555-1234"},
+            {"type": "work", "number": "555-5678"},
+        ],
+    }
+    path = os.path.join(tmp, "sample.json")
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    back = read_json(spark, path)
+    assert set(back.columns) >= {
+        "name",
+        "age",
+        "address_city",
+        "address_zip",
+        "phoneNumbers_type",
+        "phoneNumbers_number",
+    }
+    rows = back.to_spark().collect()
+    assert len(rows) == 2  # array exploded into one record per element
+    assert {r["phoneNumbers_type"] for r in rows} == {"home", "work"}
+    assert all(r["address_city"] == "Springfield" for r in rows)
+
+
+def test_json_write_round_trip(spark, people, tmp):
+    from randas_spark.io.read import read_json
+    from randas_spark.io.write import to_json
+
+    path = os.path.join(tmp, "people_json")
+    to_json(people, path)
+    back = read_json(spark, path, multiline=False)
+    assert sorted(back.columns) == sorted(people.columns)
+    got = {tuple(r[c] for c in sorted(back.columns)) for r in back.to_spark().collect()}
+    want = {
+        tuple(r[c] for c in sorted(people.columns))
+        for r in people.to_spark().collect()
+    }
+    assert got == want
+
+
+def test_parquet_round_trip(spark, people, tmp):
+    """Native serialization (replaces the reference's bincode pickle,
+    dataframe.rs:1556-1590 round-trip test)."""
+    from randas_spark.io.read import read_parquet
+    from randas_spark.io.write import to_parquet
+
+    path = os.path.join(tmp, "people_parquet")
+    to_parquet(people, path)
+    back = read_parquet(spark, path)
+    assert back.columns == people.columns
+    assert _values(back) == _values(people)
+    assert back.index() == people.index()  # index survives the round trip
+
+
+def test_sql_round_trip_append_and_replace(spark, people):
+    """to_sql → read_sql against in-memory SQLite (write.rs:279-308 /
+    read.rs:372-387 pattern: table pre-exists, replace = DELETE FROM)."""
+    from randas_spark.io.read import read_sql
+    from randas_spark.io.write import to_sql
+
+    conn = sqlite3.connect(":memory:")
+    conn.execute("CREATE TABLE people (ID INTEGER, Name TEXT, Score REAL)")
+    to_sql(people, "people", conn, if_exists="append")
+    to_sql(people, "people", conn, if_exists="append")
+    assert conn.execute("SELECT count(*) FROM people").fetchone()[0] == 6
+    to_sql(people, "people", conn, if_exists="replace")
+    back = read_sql(spark, conn, "SELECT * FROM people ORDER BY ID")
+    assert back.columns == ["ID", "Name", "Score"]
+    assert _values(back) == _values(people)
+
+
+def test_sql_bad_if_exists_raises(people):
+    from randas_spark.io.write import to_sql
+
+    with pytest.raises(ValueError):
+        to_sql(people, "t", None, if_exists="upsert")
+
+
+def test_excel_round_trip_or_gated(spark, people, tmp):
+    """Excel path: full round-trip when an engine is present, else the
+    documented ImportError gate (no pip installs in this container)."""
+    from randas_spark.io.read import read_excel
+    from randas_spark.io.write import to_excel
+
+    path = os.path.join(tmp, "people.xlsx")
+    try:
+        to_excel(people, path)
+    except ImportError:
+        pytest.skip("no excel engine in container — gate verified")
+    back = read_excel(spark, path)
+    assert back.columns == people.columns
+    assert sorted(_values(back)) == sorted(_values(people))
+
+
+def test_read_csv_missing_file_raises(spark):
+    from pyspark.errors import AnalysisException
+
+    from randas_spark.io.read import read_csv
+
+    with pytest.raises(AnalysisException):
+        read_csv(spark, "/nonexistent/nowhere.csv").to_spark().collect()
