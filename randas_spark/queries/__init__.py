@@ -90,6 +90,7 @@ def load_all() -> None:
     from randas_spark.queries import (  # noqa: F401
         reference,
         relational,
+        tpch,
         llm,
         streaming_q,
     )
