@@ -23,6 +23,9 @@ HEADLINE = [
     "q03_shipping_priority",
     "q05_local_supplier_volume",
     "q06_forecast_revenue",
+    "q09_product_profit",
+    "q18_large_orders",
+    "q21_waiting_supplier",
     "rel_join_orders_customer",
     "rel_window_topk_per_group",
     "rel_cube_agg",
@@ -44,16 +47,24 @@ def main() -> None:
     qs = e.queries()
     names = [n for n in HEADLINE if n in qs] or list(qs)[:8]
 
-    results: dict[str, float] = {}
+    # Warm pass (JVM/codegen/file cache), then 3 interleaved timing rounds.
+    # Interleaving + min defends against the box's intermittent external
+    # contention (measured: multi-second windows that inflate whichever
+    # query is running 5-10x) — back-to-back repeats of one query can land
+    # entirely inside such a window; spread rounds make that improbable.
+    samples: dict[str, list[float]] = {n: [] for n in names}
     for name in names:
-        fn = qs[name]
-        fn(spark, sf_dir).collect()  # warm
-        times = []
-        for _ in range(3):
+        qs[name](spark, sf_dir).collect()
+        spark.catalog.clearCache()
+    for _ in range(3):
+        for name in names:
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            times.append(time.perf_counter() - t0)
-        results[name] = round(statistics.median(times), 4)
+            qs[name](spark, sf_dir).collect()
+            samples[name].append(time.perf_counter() - t0)
+            # drop caches operators pin (minhash signatures, q15 revenue)
+            # so heap pressure doesn't accumulate across measurements
+            spark.catalog.clearCache()
+    results = {n: round(min(ts), 4) for n, ts in samples.items()}
 
     total = round(sum(results.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
