@@ -332,22 +332,41 @@ def simhash_near_pairs(
 
 
 def embedding_near_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_planes: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
     """Vector pairs with cosine >= threshold.
 
-    This exact variant self-joins on a coarse random-projection bucket
-    first (see similarity.project_buckets) so only same-bucket pairs are
-    scored; with n_planes=0 it degrades to the full cross product (only
-    sane for small n). Scoring is the codegen'd cosine expression.
+    With n_planes=0 (default): the exact variant — all-pairs theta join,
+    only sane for small n or a pre-blocked corpus; this is what the DuckDB
+    oracle checks. With n_planes>0 (requires dim): the scale path — both
+    sides carry a random-hyperplane sign bucket (similarity.project_buckets)
+    and the join becomes an equi-join on the bucket, so the shuffle is
+    partitioned by bucket and only same-bucket pairs are scored (approximate:
+    recall follows the hyperplane collision probability (1 - θ/π)^n_planes).
+    Scoring is the codegen'd cosine expression in both modes.
     """
     from randas_spark.functions.vectors import cosine
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    cond = F.col("id_a") < F.col("id_b")
+    if n_planes > 0:
+        if dim is None:
+            raise ValueError("dim is required when n_planes > 0")
+        from randas_spark.operators.similarity import project_buckets
+
+        a = a.withColumn("bucket", project_buckets(F.col("v_a"), dim, n_planes))
+        b = b.withColumn("bucket", project_buckets(F.col("v_b"), dim, n_planes))
+        joined = a.join(b, "bucket").filter(cond)
+    else:
+        joined = a.join(b, cond)
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        joined.withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

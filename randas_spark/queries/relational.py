@@ -805,3 +805,54 @@ def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("sess_end"),
         fround(F.sum("value"), 2).alias("sess_value"),
     )
+
+
+@register(
+    "rel_array_map_json_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)      AS k_json,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)      AS k_map,
+           json_keys(props)                                        AS prop_keys,
+           list_transform(string_split(event_type, 'i'), t -> upper(t)) AS toks_upper,
+           CAST(len(string_split(event_type, 'i')) AS BIGINT)      AS n_toks,
+           list_contains(string_split(event_type, 'i'), 'cl')      AS has_cl,
+           to_json({'event_id': event_id})                         AS as_json
+    FROM events
+    """,
+)
+def rel_array_map_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / map / JSON scalar-function sweep (SURVEY.md §2.10): JSON
+    path extraction two ways (get_json_object and from_json→map element),
+    key listing, array split/transform/size/contains, struct→JSON. All
+    codegen built-ins — one projection, zero shuffles."""
+    e = t(spark, sf_dir, "events")
+    toks = F.split("event_type", "i")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_json"),
+        F.from_json("props", "map<string,long>")["k"].alias("k_map"),
+        F.json_object_keys("props").alias("prop_keys"),
+        F.transform(toks, lambda c: F.upper(c)).alias("toks_upper"),
+        F.size(toks).cast("long").alias("n_toks"),
+        F.array_contains(toks, "cl").alias("has_cl"),
+        F.to_json(F.struct("event_id")).alias("as_json"),
+    )
+
+
+@register(
+    "rel_explode_tokens",
+    oracle="""
+    SELECT o_orderkey, unnest(string_split(o_orderpriority, '-')) AS tok
+    FROM orders
+    """,
+)
+def rel_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode of a split array — one output row per token.
+
+    Scale: explode is pipelined inside the scan stage (no shuffle); row
+    expansion factor is the token count, bounded here at 2."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", F.explode(F.split("o_orderpriority", "-")).alias("tok")
+    )

@@ -11,6 +11,7 @@ equivalence. That two-sided check is the correctness story for M5
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from randas_spark.queries import fround, register, sql_fround, t
 from randas_spark.streaming.engine import session_agg, sliding_counts, tumbling_counts
@@ -92,4 +93,54 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n_events",
         fround(out.sum_value, 2).alias("sum_value"),
+    )
+
+
+@register(
+    "stream_dedup_batch_twin",
+    oracle=f"""
+    SELECT user_id, count(*) AS n_events, {sql_fround('sum(value)', 2)} AS sum_value
+    FROM (SELECT DISTINCT ON (event_id) event_id, user_id, value
+          FROM events ORDER BY event_id, ts)
+    GROUP BY user_id
+    """,
+)
+def stream_dedup_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of engine.dedup_within_watermark: keep one row per
+    event_id, then aggregate per user. Batch uses a deterministic
+    min-by-ts row_number pick so the oracle is well-defined even though
+    the fixture's event_ids are already unique; the streaming effect
+    (bounded state under a watermark) is pytest-verified by replaying a
+    duplicated file (tests/test_streaming.py)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_id").orderBy("ts")
+    deduped = (
+        e.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") == 1)
+    )
+    return deduped.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        fround(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "stream_stateful_user_totals",
+    oracle=f"""
+    SELECT user_id, count(*) AS n_events, {sql_fround('sum(value)', 2)} AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of engine.running_user_state (applyInPandasWithState):
+    the custom stateful kernel's final per-user totals equal this plain
+    aggregate — equality with the actual streaming state machine is
+    asserted in tests/test_streaming.py; this entry oracle-checks the
+    target semantics."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        fround(F.sum("value"), 2).alias("total_value"),
     )

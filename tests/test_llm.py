@@ -116,6 +116,34 @@ def test_simhash_banding_is_exhaustive(spark):
     assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(1, 2, dist)]
 
 
+def test_embedding_near_pairs_bucketed_subset_of_exact(emb):
+    """The n_planes>0 scale path must return a subset of the exact
+    all-pairs result with identical cosine scores (same-bucket pairs
+    only), and the equi-join plan must key on the bucket."""
+    from randas_spark.operators.dedup import embedding_near_pairs
+
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_near_pairs(emb, "vec_id", "embedding", threshold=0.3).collect()
+    }
+    bucketed = embedding_near_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, n_planes=2, dim=64
+    )
+    got = bucketed.collect()
+    assert got, "2 planes / 4 buckets must surface some same-bucket pairs"
+    assert len(got) <= len(exact)
+    for r in got:
+        assert abs(exact[(r.id_a, r.id_b)] - r.cos) < 1e-9
+    assert "bucket" in bucketed._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_embedding_near_pairs_planes_require_dim(emb):
+    from randas_spark.operators.dedup import embedding_near_pairs
+
+    with pytest.raises(ValueError):
+        embedding_near_pairs(emb, "vec_id", "embedding", n_planes=2)
+
+
 # -- kNN: LSH vs brute force ----------------------------------------------
 
 
