@@ -1,0 +1,112 @@
+"""Relational-layer tests that the DuckDB oracle can't express:
+approximate-aggregate error bounds vs exact, plan-level join-strategy
+assertions, and as-of join semantics on a hand-built fixture.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """HLL++ at rsd=0.02 must land within 5% of the exact distinct count
+    per group (COVERAGE.md claim)."""
+    from randas_spark.queries import queries, t
+
+    approx = {
+        r.l_returnflag: r.approx_orders
+        for r in queries()["rel_approx_count_distinct"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r.l_returnflag: r.n
+        for r in t(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.05, (k, approx[k], n)
+
+
+def test_percentile_approx_error_bound(spark):
+    """approx_percentile(accuracy=1000) median must sit between the exact
+    p45 and p55 per group — a rank-error bound of 5%."""
+    from randas_spark.queries import queries, t
+
+    approx = {
+        r.l_returnflag: r.approx_median
+        for r in queries()["rel_percentile_approx"](spark, SF_DIR).collect()
+    }
+    bounds = {
+        r.l_returnflag: (r.lo, r.hi)
+        for r in t(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.45)").alias("lo"),
+            F.expr("percentile(l_extendedprice, 0.55)").alias("hi"),
+        )
+        .collect()
+    }
+    for k, m in approx.items():
+        lo, hi = bounds[k]
+        assert lo <= m <= hi, (k, m, lo, hi)
+
+
+def test_broadcast_chain_plan_broadcasts_all_dims(spark):
+    """rel_join_broadcast_chain must contain only BroadcastHashJoins (no
+    SortMergeJoin): every dimension hop stays shuffle-free."""
+    from randas_spark.queries import queries
+
+    plan = _plan(queries()["rel_join_broadcast_chain"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q05_pushes_filters_to_scan(spark):
+    """The region filter must reach the parquet scan as a pushed filter —
+    predicate pushdown is what makes the 100TB scan affordable."""
+    from randas_spark.queries import queries
+
+    plan = _plan(queries()["q05_local_supplier_volume"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan
+
+
+def test_asof_join_semantics(spark):
+    """As-of join: each left row pairs with the latest right row at or
+    before its timestamp; left rows before any right row get null."""
+    from randas_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 12, "b"), (2, 3, "c")], "key long, ts long, pay string"
+    )
+    right = spark.createDataFrame(
+        [(1, 4, 10.0), (1, 10, 20.0), (2, 7, 30.0)], "key long, ts long, px double"
+    )
+    got = {
+        (r.key, r.ts): r.px
+        for r in asof_join(left, right, on="key", ts="ts").collect()
+    }
+    assert got == {(1, 5): 10.0, (1, 12): 20.0, (2, 3): None}
+
+
+def test_sessionize_islands(spark):
+    """Batch sessionization: events within the gap share a session id,
+    a gap beyond the threshold starts a new one."""
+    from randas_spark.queries import queries
+
+    out = queries()["rel_sessionize"](spark, SF_DIR)
+    row = out.first()
+    assert row is not None
+    # session bounds are consistent
+    assert all(
+        r.sess_start <= r.sess_end for r in out.limit(100).collect()
+    )
