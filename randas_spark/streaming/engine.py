@@ -172,3 +172,37 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     q.processAllAvailable()
     q.stop()
     return name
+
+
+def run_foreach_batch_to_parquet(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    output_mode: str = "update",
+    transform=None,
+):
+    """Drive a streaming query through foreachBatch into parquet, with a
+    checkpoint dir — the durable-sink path (SURVEY.md §7.2 M5).
+
+    foreachBatch hands each micro-batch to ordinary batch code (so any
+    batch sink/merge logic works — upserts, dedup against the target,
+    multi-sink fanout); the checkpoint records stream offsets so a
+    restarted query resumes exactly-once from the last committed batch.
+    Each batch lands as parquet partitioned by batch id, letting the
+    oracle replay per-batch emissions.
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform is not None else batch_df
+        out.write.mode("append").parquet(os.path.join(out_path, f"batch={batch_id}"))
+
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return out_path

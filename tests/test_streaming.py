@@ -113,6 +113,38 @@ def test_dedup_within_watermark_drops_replayed_file(spark, batch_events):
     assert streamed.select("event_id").distinct().count() == n_distinct
 
 
+def test_foreach_batch_parquet_sink_replays_to_batch_result(spark, batch_events, tmp_path):
+    """foreachBatch → parquet with checkpoint: the final state of the
+    complete-mode aggregate (last batch's emission) must equal the batch
+    aggregate, and the checkpoint dir must hold committed offsets."""
+    from pyspark.sql import functions as F
+
+    from randas_spark.streaming.engine import (
+        events_stream,
+        run_foreach_batch_to_parquet,
+        tumbling_counts,
+    )
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream, stage = events_stream(spark, SF_DIR)
+    try:
+        run_foreach_batch_to_parquet(
+            tumbling_counts(stream, width="1 hour"),
+            out_dir,
+            ckpt,
+            output_mode="complete",
+        )
+        written = spark.read.option("basePath", out_dir).parquet(out_dir)
+        last_batch = written.agg(F.max("batch")).first()[0]
+        final = written.filter(F.col("batch") == last_batch).drop("batch")
+        batch = tumbling_counts(batch_events, width="1 hour")
+        assert _collect_sorted(final) == _collect_sorted(batch)
+        assert os.path.isdir(os.path.join(ckpt, "commits"))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def test_running_user_state_matches_batch_agg(spark, batch_events):
     """applyInPandasWithState totals after the final trigger == plain batch
     groupBy totals (single trigger → one update row per user)."""
