@@ -72,6 +72,11 @@ def fround(col, digits: int):
     doubles (e.g. 37081.645). This formula is the same IEEE op sequence on
     both engines, so equal inputs give bit-equal outputs. Pair with
     :func:`sql_fround` in the oracle.
+
+    Domain: exact agreement requires |x|·10^digits < 2^53 (beyond that,
+    Spark's floor→int64 vs DuckDB's floor→double diverge in the last
+    ulp; property-tested in tests/test_properties.py). Keep digits low
+    for large aggregates.
     """
     from pyspark.sql import functions as F
 

@@ -1,0 +1,160 @@
+"""Property-based tests (hypothesis) — the upgrade over the reference's
+golden-value-only strategy (SURVEY.md §5). Pure-function properties run
+per-example; Spark-backed properties keep max_examples small (one local
+session, ~0.3s per materialization).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+# -- query literal ladder (dataframe.rs:835-842 parity) ---------------------
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_parse_query_int_wins(n):
+    from randas_spark.frame import parse_query
+
+    col, lit = parse_query(f"x == {n}")
+    assert col == "x" and lit == n and isinstance(lit, int)
+
+
+@given(
+    st.floats(allow_nan=False, allow_infinity=False).filter(
+        lambda f: f != int(f) or abs(f) > 2**63
+    )
+)
+def test_parse_query_float_when_not_int(f):
+    from randas_spark.frame import parse_query
+
+    _, lit = parse_query(f"x == {f!r}")
+    assert isinstance(lit, float) and lit == pytest.approx(f)
+
+
+@given(st.text(alphabet=st.characters(codec="ascii", exclude_characters="=\x00"), min_size=1))
+def test_parse_query_fallback_is_string_or_number(s):
+    """Whatever the literal text, the ladder lands on exactly one of
+    int/float/str and never raises for a well-formed 'col == lit'."""
+    from randas_spark.frame import parse_query
+
+    _, lit = parse_query(f"x == {s}")
+    assert isinstance(lit, (int, float, str))
+
+
+def test_parse_query_no_eq_raises():
+    from randas_spark.frame import parse_query
+
+    with pytest.raises(ValueError):
+        parse_query("col != 3")
+
+
+# -- fround / sql_fround cross-engine agreement -----------------------------
+
+
+@given(
+    st.floats(min_value=-1e12, max_value=1e12, allow_nan=False),
+    st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=60, deadline=None)
+def test_fround_matches_duckdb(x, digits):
+    """The engine-portable rounding formula must produce bit-identical
+    results in Python and DuckDB whenever |x|·10^d < 2^53 — this is the
+    invariant the oracle-hash discipline rests on. (Beyond 2^53 the
+    engines legitimately diverge: Spark/Python floor() produces an exact
+    int64 while DuckDB stays in double — documented on fround; headline
+    aggregates stay orders of magnitude below the bound.)"""
+    from randas_spark.queries import sql_fround
+
+    scale = 10**digits
+    if abs(x) * scale >= 2**53:
+        return
+    py = math.floor(x * scale + 0.5) / scale
+    # cast: DuckDB types a bare decimal literal as DECIMAL, but the engine
+    # only ever applies sql_fround to DOUBLE columns
+    dd = duckdb.sql(
+        f"SELECT {sql_fround(f'CAST({x!r} AS DOUBLE)', digits)} AS v"
+    ).fetchone()[0]
+    assert py == dd or (math.isnan(py) and math.isnan(dd))
+
+
+# -- simhash invariants ------------------------------------------------------
+
+
+@given(st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00"), max_size=200))
+@settings(max_examples=80, deadline=None)
+def test_simhash_is_int64_and_deterministic(text):
+    from randas_spark.operators.dedup import _simhash64
+
+    h1, h2 = _simhash64(text), _simhash64(text)
+    assert h1 == h2
+    assert -(2**63) <= h1 < 2**63
+
+
+@given(
+    st.lists(st.sampled_from("alpha bravo charlie delta echo".split()), min_size=1, max_size=30)
+)
+@settings(max_examples=50, deadline=None)
+def test_simhash_order_invariant(tokens):
+    """SimHash is a bag-of-tokens fingerprint: token order must not
+    matter (votes are commutative)."""
+    from randas_spark.operators.dedup import _simhash64
+
+    assert _simhash64(" ".join(tokens)) == _simhash64(" ".join(reversed(tokens)))
+
+
+# -- minhash permutation constants -------------------------------------------
+
+
+@given(st.integers(min_value=0, max_value=255))
+def test_perm_constants_are_odd_and_stable(i):
+    """Multipliers must be odd (bijective mod 2^64) and derivation
+    deterministic."""
+    from randas_spark.operators.dedup import _perm_constants
+
+    a, b = _perm_constants(i)
+    assert a % 2 == 1
+    assert (a, b) == _perm_constants(i)
+    assert -(2**63) <= a < 2**63 and -(2**63) <= b < 2**63
+
+
+# -- Spark-backed frame properties (bounded examples) ------------------------
+
+
+@st.composite
+def small_frame_data(draw):
+    n = draw(st.integers(min_value=1, max_value=6))
+    ints = draw(st.lists(st.none() | st.integers(-1000, 1000), min_size=n, max_size=n))
+    floats = draw(
+        st.lists(
+            st.none() | st.floats(-1e6, 1e6, allow_nan=False), min_size=n, max_size=n
+        )
+    )
+    return ints, floats
+
+
+@given(small_frame_data())
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dropna_keeps_exactly_complete_rows(spark, data):
+    from randas_spark.frame import RandasFrame
+
+    ints, floats = data
+    f = RandasFrame.new(spark, {"a": ints, "b": floats}, ["a", "b"])
+    want = sum(1 for a, b in zip(ints, floats) if a is not None and b is not None)
+    assert f.dropna().shape()[0] == want
+
+
+@given(small_frame_data())
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_concat_rows_is_count_additive(spark, data):
+    from randas_spark.frame import RandasFrame
+
+    ints, floats = data
+    f = RandasFrame.new(spark, {"a": ints, "b": floats}, ["a", "b"])
+    both = f.concat(f, axis=0)
+    assert both.shape() == (2 * len(ints), 2)
