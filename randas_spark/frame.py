@@ -620,3 +620,33 @@ class RandasFrame:
 
     def to_pandas(self):
         return self._ordered().select(self.columns).toPandas()
+
+    def scatter_plot(self, x: str, y: str, path: str) -> None:
+        """x-vs-y scatter → PNG (scatter_plot, dataframe.rs:888-944:
+        plotters backend, numeric-coerced axes, equal-length assert).
+
+        Driver-side convenience, not a query-engine op (SURVEY.md §2.9):
+        numeric extraction is distributed, rendering happens on the
+        driver. Gated — no plotting library ships in this container.
+        """
+        xs = self.extract_numeric_values(x)
+        ys = self.extract_numeric_values(y)
+        if len(xs) != len(ys):
+            raise ValueError(
+                f"scatter_plot needs equal numeric lengths, got {len(xs)} vs {len(ys)}"
+            )
+        try:
+            import matplotlib  # noqa: F401
+        except ImportError as ex:
+            raise ImportError(
+                "scatter_plot needs matplotlib, which is not present in "
+                "this container"
+            ) from ex
+        import matplotlib.pyplot as plt  # pragma: no cover - env-dependent
+
+        fig, ax = plt.subplots()
+        ax.scatter(xs, ys)
+        ax.set_xlabel(x)
+        ax.set_ylabel(y)
+        fig.savefig(path)
+        plt.close(fig)

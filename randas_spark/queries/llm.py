@@ -179,6 +179,21 @@ def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_lsh(queries, emb, "vec_id", "vec_id", "embedding", dim=64, top_k=10, n_planes=4)
 
 
+@register("llm_knn_ivf", oracle=None)
+def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via an IVF index: k-means coarse quantizer (16
+    cells), 4-cell probe (operators/similarity.knn_ivf). No SQL oracle
+    (k-means initialization is engine-specific); pytest asserts exactness
+    at n_probe=n_cells and subset-score vs brute force below it."""
+    from randas_spark.operators.similarity import knn_ivf
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return knn_ivf(
+        queries, emb, "vec_id", "vec_id", "embedding", n_cells=16, n_probe=4, top_k=10
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

@@ -290,6 +290,26 @@ def test_equals(spark, people):
     assert not people.equals(same.remove_column("Score"))
 
 
+def test_scatter_plot_gated_or_writes(people, tmp_path):
+    """scatter_plot parity (dataframe.rs:888-944): numeric length check
+    runs distributed; rendering is gated on a plotting lib."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        # length mismatch is detected before any rendering
+        people.filter_by_condition([True, True, False]).add_column(
+            "Z", [1.0, 2.0]
+        ).scatter_plot("Score", "Name", str(tmp_path / "x.png"))
+    path = str(tmp_path / "s.png")
+    try:
+        people.scatter_plot("ID", "Score", path)
+    except ImportError:
+        return  # gate verified — no plotting lib in this container
+    import os
+
+    assert os.path.getsize(path) > 0
+
+
 def test_to_string_display(people):
     s = people.to_string()
     assert "Alice" in s and "3.50" in s  # floats %.2f (dataframe.rs:1006-1011)

@@ -173,6 +173,46 @@ def test_knn_lsh_subset_of_bruteforce_scores(emb):
     assert hit / len(top) > 0.05
 
 
+def test_knn_ivf_exact_when_probing_all_cells(emb):
+    """IVF with n_probe == n_cells scans every cell → must equal brute
+    force exactly (same scores, same ranking)."""
+    from randas_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = knn_bruteforce(queries, emb, "vec_id", "vec_id", "embedding", top_k=10)
+    ivf = knn_ivf(
+        queries, emb, "vec_id", "vec_id", "embedding",
+        n_cells=8, n_probe=8, top_k=10,
+    )
+    want = sorted((r.qid, r.cid, round(r.cos, 9), r.rk) for r in exact.collect())
+    got = sorted((r.qid, r.cid, round(r.cos, 9), r.rk) for r in ivf.collect())
+    assert got == want
+
+
+def test_knn_ivf_partial_probe_subset_scores(emb):
+    """With fewer probes the IVF result is approximate, but every returned
+    score must match the exact cosine and each query returns <= top_k."""
+    from randas_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = {
+        (r.qid, r.cid): r.cos
+        for r in knn_bruteforce(
+            queries, emb, "vec_id", "vec_id", "embedding", top_k=10**9
+        ).collect()
+    }
+    got = knn_ivf(
+        queries, emb, "vec_id", "vec_id", "embedding",
+        n_cells=16, n_probe=4, top_k=10,
+    ).collect()
+    assert got
+    per_q = {}
+    for r in got:
+        assert abs(truth[(r.qid, r.cid)] - r.cos) < 1e-9
+        per_q[r.qid] = per_q.get(r.qid, 0) + 1
+    assert all(n <= 10 for n in per_q.values())
+
+
 def test_cosine_matches_numpy(spark):
     import numpy as np
 

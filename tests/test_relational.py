@@ -12,8 +12,7 @@ from pyspark.sql import functions as F
 from tests.conftest import SF_DIR
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from randas_spark.plans import executed_plan as _plan
 
 
 def test_approx_count_distinct_error_bound(spark):
@@ -66,18 +65,30 @@ def test_broadcast_chain_plan_broadcasts_all_dims(spark):
     SortMergeJoin): every dimension hop stays shuffle-free."""
     from randas_spark.queries import queries
 
-    plan = _plan(queries()["rel_join_broadcast_chain"](spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    from randas_spark.plans import has_broadcast_join, has_sort_merge_join
+
+    df = queries()["rel_join_broadcast_chain"](spark, SF_DIR)
+    assert has_broadcast_join(df)
+    assert not has_sort_merge_join(df)
 
 
 def test_q05_pushes_filters_to_scan(spark):
     """The region filter must reach the parquet scan as a pushed filter —
     predicate pushdown is what makes the 100TB scan affordable."""
+    from randas_spark.plans import pushed_filters
     from randas_spark.queries import queries
 
-    plan = _plan(queries()["q05_local_supplier_volume"](spark, SF_DIR))
-    assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan
+    pf = pushed_filters(queries()["q05_local_supplier_volume"](spark, SF_DIR))
+    assert any("EqualTo(r_name,ASIA)" in s for s in pf), pf
+
+
+def test_q01_single_shuffle(spark):
+    """TPC-H Q1 must shuffle exactly twice: once for the aggregation, once
+    for the final ordering — any more means a misplanned query."""
+    from randas_spark.plans import count_exchanges
+    from randas_spark.queries import queries
+
+    assert count_exchanges(queries()["q01_pricing_summary"](spark, SF_DIR)) <= 2
 
 
 def test_asof_join_semantics(spark):
