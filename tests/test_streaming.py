@@ -113,6 +113,74 @@ def test_dedup_within_watermark_drops_replayed_file(spark, batch_events):
     assert streamed.select("event_id").distinct().count() == n_distinct
 
 
+def test_watermark_bounds_state_and_emits_once(spark, tmp_path):
+    """Watermarked append-mode aggregation, three files in staggered
+    triggers (hour 2, then out-of-order hour 0, then hour 6). The
+    GUARANTEED semantics (Spark may or may not drop late rows beyond the
+    watermark, so we don't assert the drop):
+
+    - each window is emitted exactly once, when the watermark passes its
+      end — never revised;
+    - window state is EVICTED as the watermark advances (numRowsRemoved
+      fires, final open-state = 1 window) — the bounded-state property
+      that makes streaming aggregation safe at 100TB ingest.
+    """
+    import time as _time
+    from collections import Counter
+    from datetime import datetime
+
+    from randas_spark.streaming.engine import tumbling_counts
+
+    stage = tmp_path / "late_stream"
+    stage.mkdir()
+
+    def write_file(name, ts, n):
+        rows = [(i, ts, "x", 1.0) for i in range(n)]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        df.coalesce(1).write.parquet(str(stage / name))
+        _time.sleep(1.1)  # file source orders by modification time
+
+    write_file("a", datetime(2024, 1, 1, 2, 10), 10)   # current
+    write_file("b", datetime(2024, 1, 1, 0, 5), 5)     # out-of-order
+    write_file("c", datetime(2024, 1, 1, 6, 0), 1)     # pushes watermark past a
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage) + "/*")
+    )
+    agg = tumbling_counts(stream, width="1 hour", watermark="30 minutes")
+    q = (
+        agg.writeStream.outputMode("append").format("memory").queryName("t_late").start()
+    )
+    q.processAllAvailable()
+    progress = list(q.recentProgress)
+    q.stop()
+
+    # emit-once: no window_start appears twice in the append output
+    emitted = Counter(r.window_start for r in spark.table("t_late").collect())
+    assert all(n == 1 for n in emitted.values()), emitted
+    # the current window was finalized with exactly its own rows
+    assert spark.table("t_late").filter(
+        "window_start = timestamp '2024-01-01 02:00:00'"
+    ).first().n_events == 10
+    # watermark advanced and evicted finalized window state
+    removed = sum(
+        p["stateOperators"][0]["numRowsRemoved"]
+        for p in progress
+        if p["stateOperators"]
+    )
+    final_state = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progress
+        if p["stateOperators"]
+    ][-1]
+    assert removed >= 2
+    assert final_state == 1  # only the hour-6 window remains open
+
+
 def test_foreach_batch_parquet_sink_replays_to_batch_result(spark, batch_events, tmp_path):
     """foreachBatch → parquet with checkpoint: the final state of the
     complete-mode aggregate (last batch's emission) must equal the batch
