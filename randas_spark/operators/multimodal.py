@@ -82,3 +82,90 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return df.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, payload binary, "
+    "meta struct<mime:string, n_bytes:bigint, width:bigint, height:bigint>"
+)
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, frame binary, "
+    "meta struct<mime:string, n_bytes:bigint, width:bigint, height:bigint>"
+)
+
+
+def resize_kernel(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
+    """Resize decode→scale→encode kernel. STUB: real resize needs an
+    imaging library; fake=True produces a deterministic size-proportional
+    byte payload (md5-keyed) with the target dimensions' byte budget."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires an imaging library not present in this "
+            "container; run with fake=True for the deterministic stub"
+        )
+    budget = max(1, (width * height) // 64)
+    seed = hashlib.md5(payload).digest()
+    return (seed * (budget // len(seed) + 1))[:budget]
+
+
+def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """mapInPandas resize stage: payload → resized payload, metadata
+    rewritten to the target dimensions. 1:1 row mapping, no shuffle —
+    swap `resize_kernel` for a real PIL/opencv call and nothing else
+    changes (schema, batching, partitioning are the contract)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [resize_kernel(p, width, height, fake=fake) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "meta": [
+                        {
+                            "mime": m["mime"],
+                            "n_bytes": len(p),
+                            "width": width,
+                            "height": height,
+                        }
+                        for m, p in zip(pdf["meta"], out)
+                    ],
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 256, max_frames: int = 8, fake: bool = True
+) -> DataFrame:
+    """mapInPandas frame-sampling stage: one video payload → up to
+    `max_frames` frame rows (row-EXPANDING map, the shape a real
+    ffmpeg-backed sampler plugs into; fake slices the payload into
+    fixed-size chunks).
+
+    Scale: expansion happens inside the scan stage (no shuffle); output
+    row count is bounded by max_frames so downstream batch sizes stay
+    predictable."""
+    if not fake:
+        raise NotImplementedError(
+            "frame sampling requires a video library not present in this "
+            "container; run with fake=True for the deterministic stub"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, metas = [], [], [], []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                n = min(max_frames, max(1, len(payload) // frame_bytes))
+                for i in range(n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(bytes(payload[i * frame_bytes : (i + 1) * frame_bytes]))
+                    metas.append(dict(meta))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames, "meta": metas}
+            )
+
+    return df.mapInPandas(kernel, schema=FRAME_SCHEMA)

@@ -296,3 +296,29 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return extract_features(attach_fake_payload(d, "doc_id", "text"), fake=True)
+
+
+@register("llm_multimodal_pipeline", oracle=None)
+def llm_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal chain: attach payload → resize → frame-sample →
+    per-document frame stats (operators/multimodal). Three chained
+    mapInPandas stages plus one aggregation — the canonical decode/
+    transform/sample pipeline shape; kernels are the deterministic fakes
+    (real ones are lib-gated)."""
+    from randas_spark.operators.multimodal import (
+        attach_fake_payload,
+        resize_images,
+        sample_frames,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    frames = sample_frames(
+        resize_images(attach_fake_payload(d, "doc_id", "text"), 64, 64, fake=True),
+        frame_bytes=16,
+        max_frames=4,
+        fake=True,
+    )
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.length("frame")).alias("total_frame_bytes"),
+    )

@@ -242,6 +242,56 @@ def test_multimodal_feature_contract(docs):
     assert all(0.0 <= v <= 1.0 for v in row.feature)
 
 
+def test_multimodal_resize_contract(docs):
+    """Resize stage: 1:1 rows, metadata rewritten to target dims, payload
+    budget proportional to the target size, deterministic."""
+    from randas_spark.operators.multimodal import attach_fake_payload, resize_images
+
+    src = attach_fake_payload(docs.limit(20), "doc_id", "text")
+    out = resize_images(src, width=32, height=32, fake=True).cache()
+    assert out.count() == 20
+    rows = out.collect()
+    for r in rows:
+        assert r.meta.width == 32 and r.meta.height == 32
+        assert r.meta.n_bytes == len(r.payload) == (32 * 32) // 64
+    again = {r.doc_id: bytes(r.payload) for r in resize_images(src, 32, 32, fake=True).collect()}
+    assert {r.doc_id: bytes(r.payload) for r in rows} == again
+
+
+def test_multimodal_frame_sampling_expands_rows(docs):
+    """Frame sampler: row-expanding map bounded by max_frames, frame
+    bytes slice the source payload in order."""
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.multimodal import attach_fake_payload, sample_frames
+
+    src = attach_fake_payload(docs.limit(10), "doc_id", "text")
+    out = sample_frames(src, frame_bytes=64, max_frames=4, fake=True).cache()
+    per_doc = {r.doc_id: r.n for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert set(per_doc) == {r.doc_id for r in src.select("doc_id").collect()}
+    assert all(1 <= n <= 4 for n in per_doc.values())
+    payloads = {r.doc_id: bytes(r.payload) for r in src.collect()}
+    for r in out.collect():
+        src_bytes = payloads[r.doc_id]
+        start = r.frame_idx * 64
+        assert bytes(r.frame) == src_bytes[start : start + 64]
+
+
+def test_multimodal_resize_and_frames_stubbed_without_fake(docs):
+    from randas_spark.operators.multimodal import (
+        attach_fake_payload,
+        resize_images,
+        sample_frames,
+    )
+
+    src = attach_fake_payload(docs.limit(1), "doc_id", "text")
+    with pytest.raises(NotImplementedError):
+        sample_frames(src, fake=False)
+    with pytest.raises(Exception):
+        # kernel raises on executors → surfaces as a Py4J/Python exception
+        resize_images(src, 8, 8, fake=False).collect()
+
+
 def test_multimodal_real_decode_is_stubbed():
     from randas_spark.operators.multimodal import decode_image
 
