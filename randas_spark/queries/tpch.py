@@ -602,3 +602,56 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q20_excess_shippers",
+    oracle="""
+    WITH shipped AS (
+        SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM shipped
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%widget%'
+          AND qty > (SELECT 2.0 * avg(s2.qty) FROM shipped s2
+                     WHERE s2.l_partkey = shipped.l_partkey)
+    )
+    """,
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped a widget part at >2x the
+    part's average per-supplier volume — doubly nested subqueries (IN over
+    a derived aggregate with a correlated scalar AVG on the SAME derived
+    table), partsupp replaced by the shipped-quantity rollup.
+
+    Scale: `shipped` is aggregated once and reused for both the outer rows
+    and the correlated average (decorrelated to a per-part avg joined
+    back — both on the partkey partitioning); part(filtered) broadcasts;
+    the final IN is a semi join on suppkey.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    shipped = li.groupBy("l_suppkey", "l_partkey").agg(F.sum("l_quantity").alias("qty"))
+    part_avg = shipped.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.avg("qty") * 2.0).alias("qty_cut")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    excess = (
+        shipped.join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
+        .join(part_avg, shipped.l_partkey == F.col("ap"))
+        .filter(F.col("qty") > F.col("qty_cut"))
+        .select("l_suppkey")
+    )
+    s = t(spark, sf_dir, "supplier")
+    return s.join(excess, s.s_suppkey == excess.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
