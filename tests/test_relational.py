@@ -109,6 +109,43 @@ def test_asof_join_semantics(spark):
     assert got == {(1, 5): 10.0, (1, 12): 20.0, (2, 3): None}
 
 
+def test_range_join_bucketed_matches_theta_join(spark):
+    """Bucketized range join must return exactly the rows of the naive
+    theta-range join, and its plan must be a hash join on the bucket key
+    (not BroadcastNestedLoopJoin) — the property that makes it usable at
+    scale without an equi key."""
+    from datetime import datetime, timedelta
+
+    from randas_spark.operators.joins import range_join_bucketed
+    from randas_spark.plans import executed_plan
+
+    base = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, base + timedelta(minutes=10 * i)) for i in range(8)], "lid long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(j, base + timedelta(minutes=3 * j)) for j in range(25)], "rid long, rts timestamp"
+    )
+    lower = F.col("lts") - F.expr("INTERVAL 10 MINUTES")
+    upper = F.col("lts")
+
+    naive = left.join(
+        right,
+        (F.col("rts") >= lower) & (F.col("rts") <= upper),
+    ).select("lid", "rid")
+    bucketed = range_join_bucketed(
+        left, right, "lts", "rts", lower, upper, bucket_seconds=600
+    ).select("lid", "rid")
+
+    want = sorted((r.lid, r.rid) for r in naive.collect())
+    got = sorted((r.lid, r.rid) for r in bucketed.collect())
+    assert got == want and got, "bucketed range join must match the theta join"
+
+    plan = executed_plan(bucketed)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_sessionize_islands(spark):
     """Batch sessionization: events within the gap share a session id,
     a gap beyond the threshold starts a new one."""
