@@ -856,3 +856,81 @@ def rel_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", F.explode(F.split("o_orderpriority", "-")).alias("tok")
     )
+
+
+@register(
+    "rel_window_range_frame",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           {sql_fround('''sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)''', 2)} AS spend_30d
+    FROM orders
+    """,
+)
+def rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE interval frame: per-customer trailing-30-day spend. Unlike a
+    ROWS frame, ties on the order key share one frame, so the result is
+    deterministic without a unique tiebreak. One shuffle on the partition
+    key + in-partition sort (same cost as any window)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        fround(
+            F.expr(
+                "sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate "
+                "RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)"
+            ),
+            2,
+        ).alias("spend_30d"),
+    )
+
+
+@register(
+    "rel_window_distribution",
+    oracle=f"""
+    SELECT p_partkey,
+           CAST(ntile(4) OVER w AS BIGINT)                    AS quartile,
+           {sql_fround('percent_rank() OVER w', 6)}           AS pr,
+           {sql_fround('cume_dist() OVER w', 6)}              AS cd,
+           first_value(p_partkey) OVER w                      AS cheapest,
+           last_value(p_partkey) OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    """,
+)
+def rel_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist /
+    first_value / last_value-over-full-frame) sharing one sort per brand
+    partition — Spark evaluates all five in a single Window exec."""
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        fround(F.percent_rank().over(w), 6).alias("pr"),
+        fround(F.cume_dist().over(w), 6).alias("cd"),
+        F.first("p_partkey").over(w).alias("cheapest"),
+        F.last("p_partkey").over(w_full).alias("priciest"),
+    )
+
+
+@register(
+    "rel_join_right_outer",
+    oracle="""
+    SELECT p_partkey, p_name, l_orderkey, l_quantity
+    FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey AND l_quantity > 49
+    """,
+)
+def rel_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join with a non-key predicate inside the join
+    condition: parts keep a row even when no high-quantity lineitem
+    matches (completes the join-type matrix next to left/full/semi/anti/
+    cross)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return li.join(
+        p, (li.l_partkey == p.p_partkey) & (li.l_quantity > 49), "right"
+    ).select("p_partkey", "p_name", "l_orderkey", "l_quantity")
