@@ -23,6 +23,7 @@ from randas_spark.functions.text import (
     sql_quality_parts,
     sql_quality_score,
     sql_token_count_bpe_ish,
+    sql_tokens,
     token_count_bpe_ish,
 )
 from randas_spark.functions.vectors import cosine, sql_cosine
@@ -322,3 +323,138 @@ def llm_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.sum(F.length("frame")).alias("total_frame_bytes"),
     )
+
+
+@register(
+    "llm_tfidf_top_terms",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents)
+        WHERE term <> ''
+        GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT doc_id, term,
+           {sql_fround('tf * ln(n_docs / df)', 6)} AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tf * ln(n_docs / df) DESC, term) <= 3
+    """,
+)
+def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF from first principles as DataFrame ops (SURVEY.md §7.2 M4
+    'n-grams, TF-IDF'): explode terms → per-doc TF → corpus DF →
+    tf·ln(N/df), top-3 terms per doc.
+
+    Scale: two shuffles (term-count, df) + a broadcast of the tiny df
+    table back onto tf (Catalyst picks it — df has |vocab| rows); no
+    MLlib fitting step, so the pipeline composes with plain SQL tooling.
+    """
+    from randas_spark.functions.text import tokens
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    n_docs = float(d.count())
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_, "term").withColumn(
+        "score", F.col("tf") * F.log(F.lit(n_docs) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", fround(F.col("score"), 6).alias("tfidf"))
+    )
+
+
+@register(
+    "llm_corpus_filter",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           {sql_quality_parts('text')['n_tokens']} AS n_tokens,
+           {sql_fround(sql_quality_score('text'), 6)} AS quality
+    FROM documents
+    WHERE {sql_quality_parts('text')['n_tokens']} BETWEEN 10 AND 5000
+      AND {sql_quality_score('text')} >= 0.5
+      AND {sql_lang_id('text')} = 'en'
+    """,
+)
+def llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data quality gate: length bounds + composite
+    quality threshold + language filter, composed from the codegen text
+    metrics — one scan, zero shuffles, trivially parallel at 100TB."""
+    d = t(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            m["n_tokens"].alias("n_tokens"),
+            fround(quality_score(F.col("text")), 6).alias("quality"),
+            quality_score(F.col("text")).alias("__q"),
+            lang_id(F.col("text")).alias("__lang"),
+        )
+        .filter(
+            F.col("n_tokens").between(10, 5000)
+            & (F.col("__q") >= 0.5)
+            & (F.col("__lang") == "en")
+        )
+        .drop("__q", "__lang")
+    )
+
+
+@register(
+    "llm_dedup_pipeline",
+    oracle=f"""
+    WITH fps AS (
+        SELECT doc_id, {sql_fingerprint('text')} AS fp FROM documents
+    ), exact_survivors AS (
+        SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(lower(text), ' ')) - 4, 1)),
+            i -> array_to_string(string_split(lower(text), ' ')[i:i+4], ' ')))) AS s
+        FROM documents WHERE doc_id IN (SELECT doc_id FROM exact_survivors)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), near_drop AS (
+        SELECT DISTINCT id_b AS doc_id
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+    )
+    SELECT doc_id FROM exact_survivors
+    WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
+    """,
+)
+def llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pass: exact dedup (keep min id per fingerprint)
+    THEN near-dup removal (drop the higher id of every >=0.6-Jaccard
+    pair) — the standard two-stage corpus cleaning order, cheapest pass
+    first so the expensive pair stage sees a smaller corpus.
+
+    The near-dup stage here uses the exact shingle join so the whole
+    pipeline is oracle-checkable; at scale swap in minhash_lsh_pairs —
+    identical pair semantics (verified candidates), banded candidates.
+    """
+    from randas_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    survivors = exact_dedup(d.select("doc_id", "text"), "doc_id", "text")
+    pairs = ngram_jaccard_pairs(survivors, "doc_id", "text", k=5, threshold=0.6)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return survivors.join(drop, "doc_id", "left_anti").select("doc_id")
