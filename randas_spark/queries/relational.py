@@ -934,3 +934,36 @@ def rel_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.join(
         p, (li.l_partkey == p.p_partkey) & (li.l_quantity > 49), "right"
     ).select("p_partkey", "p_name", "l_orderkey", "l_quantity")
+
+
+@register(
+    "rel_sql_dialect",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_fround('sum(l_quantity)', 2)} AS sum_qty,
+           {sql_fround('avg(l_discount)', 6)} AS avg_disc,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def rel_sql_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql lifecycle (SURVEY.md §3.4): register the table as a
+    temp view and run the textual SQL through Spark's own parser/analyzer/
+    Catalyst — same physical plan as the DataFrame DSL twin (q01), proving
+    both entry points hit one engine. The full ANSI dialect comes free."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    scale = 10 ** 2
+    scale6 = 10 ** 6
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               floor(sum(l_quantity) * {scale} + 0.5) / {scale}  AS sum_qty,
+               floor(avg(l_discount) * {scale6} + 0.5) / {scale6} AS avg_disc,
+               count(*) AS n
+        FROM lineitem_v
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
