@@ -967,3 +967,78 @@ def rel_sql_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "rel_rollup_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS BIGINT)    AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT)  AS g_pri,
+           count(*) AS n
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rel_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping() markers — the aggregation-level indicator
+    that disambiguates real NULL group values from subtotal rows (the
+    companion to rel_rollup_agg / rel_cube_agg)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_pri"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "rel_event_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts::TIMESTAMP) AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(ts::TIMESTAMP) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE event_type = 'click' AND ts::TIMESTAMP > t_view GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(ts::TIMESTAMP) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE event_type = 'purchase' AND ts::TIMESTAMP > t_click GROUP BY e.user_id)
+    SELECT v.user_id, t_view, t_click, t_purchase
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def rel_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel per user: first view → first click after
+    that view → first purchase after that click (strict event-time
+    ordering, nullable tail stages).
+
+    Scale: three aggregates + two left joins all partitioned on user_id —
+    one logical shuffle key end-to-end, so AQE reuses the exchange; the
+    event_type filters prune at the scan.
+    """
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return v.join(c, "user_id", "left").join(p, "user_id", "left").select(
+        "user_id", "t_view", "t_click", "t_purchase"
+    )
