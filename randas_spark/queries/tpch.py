@@ -655,3 +655,94 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(excess, s.s_suppkey == excess.l_suppkey, "left_semi").select(
         "s_suppkey", "s_name"
     )
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+    WITH natval AS (
+        SELECT l_partkey,
+               l_extendedprice * (1 - l_discount) AS val
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_7'
+    )
+    SELECT l_partkey AS ps_partkey, {sql_fround('sum(val)', 2)} AS part_value
+    FROM natval
+    GROUP BY l_partkey
+    HAVING sum(val) > (SELECT 0.001 * sum(val) FROM natval)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part shipped value from one
+    nation's suppliers, kept only when it exceeds a fraction of that
+    nation's TOTAL value — the scalar-subquery-in-HAVING plan shape
+    (partsupp value replaced by lineitem revenue; reference has no HAVING
+    or subqueries at all, SURVEY.md §2.12).
+
+    Scale: nation-filtered supplier broadcasts into the lineitem scan, so
+    the only shuffle is the partkey aggregation; the global total is a
+    second pass over the SAME aggregated (small) result — computed from
+    the per-part sums, not a rescan of lineitem — and broadcasts as one
+    row into the HAVING filter.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    per_part = (
+        li.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+                li.l_suppkey == s.s_suppkey)
+        .withColumn("val", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum("val").alias("raw_value"))
+    )
+    total = per_part.agg((F.sum("raw_value") * 0.001).alias("cutoff"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("raw_value") > F.col("cutoff"))
+        .select("ps_partkey", fround(F.col("raw_value"), 2).alias("part_value"))
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT l_returnflag AS shipmode,
+           count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes vs priority): fact-to-fact join with
+    conditional aggregation — count(CASE WHEN priority urgent/high)
+    (l_returnflag stands in for the absent l_shipmode; shipdate range for
+    the absent receiptdate).
+
+    Scale: genuinely large-x-large join — both sides shuffle on orderkey
+    (no broadcast possible at 100 TB); the date filter pushes into the
+    lineitem scan to cut the shuffled volume first, and the conditional
+    counts partial-aggregate map-side so the final groupBy moves only
+    6 returnflag rows per partition.
+    """
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_returnflag").alias("shipmode"))
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
+        )
+    )
