@@ -1,0 +1,98 @@
+"""Deterministic, engine-portable sampling operators.
+
+The reference has no sampling at all (SURVEY.md §2.12 — `rand` is in its
+Cargo.toml but unused by any public API); a 100 TB training-data pipeline
+needs *reproducible* corpus sampling: the same rows must be selected
+regardless of partitioning, executor count, retry, or even engine.
+Spark's ``df.sample(seed=...)`` is none of those things (the seed is
+per-partition, so a repartition changes the sample), so these operators
+derive selection from the DATA — a key column — instead of from RNG
+state:
+
+- :func:`systematic_sample` — ``key % m == r``. Zero-cost, pushed into
+  the scan as a codegen'd predicate.
+- :func:`hash_sample` — uniform Bernoulli at any rate via an md5 hex
+  threshold on the key. md5 is bit-identical in every engine, so the
+  selected set is portable (same rows in Spark and DuckDB) and the rate
+  is |{h < t}| / 16^32 ≈ threshold/16 per leading hex digit.
+- :func:`stratified_sample` — exactly n rows per stratum, chosen by
+  md5-order within the stratum (a deterministic "random" order), via a
+  ranking window.
+- :func:`train_test_split` — hash_sample's threshold as a labeled split
+  column: one pass, mutually exclusive, jointly exhaustive.
+
+Scale notes: systematic/hash sampling are narrow (no shuffle — a filter
+on the scan); stratified_sample shuffles once on the strata columns, the
+same partitioning any per-stratum downstream agg would need. All stay
+inside whole-stage codegen (md5 + substring + comparison are JVM
+built-ins, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _md5_hex(key: Column) -> Column:
+    """Lowercase md5 hex of the key's string form (UTF-8 bytes) —
+    bit-identical across Spark, DuckDB, and Python hashlib."""
+    return F.md5(key.cast("string").cast("binary"))
+
+
+def systematic_sample(df: DataFrame, key: str, modulus: int, remainder: int = 0) -> DataFrame:
+    """Keep rows where ``key % modulus == remainder`` (~1/modulus rate).
+
+    Suits integer surrogate keys with uniform low bits; for skewed or
+    non-integer keys use :func:`hash_sample`.
+    """
+    if modulus <= 0 or not (0 <= remainder < modulus):
+        raise ValueError(f"need 0 <= remainder < modulus, got {remainder}/{modulus}")
+    return df.filter(F.col(key) % modulus == remainder)
+
+
+def hash_sample(df: DataFrame, key: str, rate: float) -> DataFrame:
+    """Bernoulli-style sample at ``rate`` via md5(key) < hex threshold.
+
+    Deterministic in the key: a row's fate never changes across runs,
+    partitionings, or engines. Rate resolution is 1/16^8 (the threshold
+    is built from the first 8 hex digits).
+    """
+    return df.filter(_md5_hex(F.col(key)) < _hex_threshold(rate))
+
+
+def _hex_threshold(rate: float) -> str:
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return format(int(rate * 16**8), "08x")
+
+
+def stratified_sample(df: DataFrame, strata: list[str], n: int, key: str) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, md5(key)-ordered.
+
+    The md5 order is a deterministic shuffle, so this is equal-allocation
+    stratified sampling with a portable tiebreak (key itself breaks md5
+    ties). One shuffle on the strata columns.
+    """
+    w = Window.partitionBy(*strata).orderBy(_md5_hex(F.col(key)), F.col(key))
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= n)
+        .drop("__rn__")
+    )
+
+
+def train_test_split(df: DataFrame, key: str, test_rate: float, col: str = "split") -> DataFrame:
+    """Label every row 'test' (md5(key) below threshold) or 'train'.
+
+    One narrow pass; the split survives re-runs and engine changes, and
+    membership can be recomputed from the key alone — the property that
+    matters when the corpus is 100 TB and the split must never drift.
+    """
+    is_test = _md5_hex(F.col(key)) < _hex_threshold(test_rate)
+    return df.withColumn(col, F.when(is_test, F.lit("test")).otherwise(F.lit("train")))
+
+
+def sql_md5_hex(expr: str) -> str:
+    """DuckDB twin of :func:`_md5_hex` for oracle SQL."""
+    return f"md5(CAST({expr} AS VARCHAR))"

@@ -458,3 +458,88 @@ def llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(survivors, "doc_id", "text", k=5, threshold=0.6)
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return survivors.join(drop, "doc_id", "left_anti").select("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Deterministic corpus sampling (operators/sampling.py)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "llm_sample_systematic",
+    oracle="""
+    SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 3
+    """,
+)
+def llm_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic 1-in-10 corpus sample (doc_id % 10 == 3): a pure scan
+    predicate — no shuffle, no RNG state, same rows on every engine."""
+    from randas_spark.operators.sampling import systematic_sample
+
+    d = t(spark, sf_dir, "documents")
+    return systematic_sample(d, "doc_id", 10, 3).select("doc_id", "lang")
+
+
+@register(
+    "llm_sample_hash",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) < '33333333'
+    """,
+)
+def llm_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-threshold Bernoulli sample at rate 0.2 — selection derived
+    from md5(doc_id), so the sampled set is identical across runs,
+    partitionings, and engines (the DuckDB oracle selects the SAME rows,
+    which is the point: reproducible corpus subsetting at 100 TB)."""
+    from randas_spark.operators.sampling import hash_sample
+
+    d = t(spark, sf_dir, "documents")
+    return hash_sample(d, "doc_id", 0.2).select("doc_id", "source")
+
+
+@register(
+    "llm_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 25
+    """,
+)
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-allocation stratified sample: exactly 25 docs per language,
+    chosen by md5-order (a deterministic shuffle within each stratum).
+    One shuffle on lang; the window's rank cutoff keeps state bounded."""
+    from randas_spark.operators.sampling import stratified_sample
+
+    d = t(spark, sf_dir, "documents")
+    return stratified_sample(d, ["lang"], 25, "doc_id").select("doc_id", "lang")
+
+
+@register(
+    "llm_train_test_split",
+    oracle="""
+    SELECT lang,
+           CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '19999999'
+                THEN 'test' ELSE 'train' END AS split,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang, split
+    """,
+)
+def llm_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% test split labeled in one narrow pass, then
+    audited per language — membership is recomputable from doc_id alone,
+    so the split can never drift between pipeline runs."""
+    from randas_spark.operators.sampling import train_test_split
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        train_test_split(d, "doc_id", 0.1)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

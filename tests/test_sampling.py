@@ -1,0 +1,102 @@
+"""Deterministic sampling operators (operators/sampling.py).
+
+Reference has no sampling (SURVEY.md §2.12); these are engine additions
+for reproducible corpus work. Key properties under test: determinism
+across partitionings (the reason these exist instead of df.sample),
+exact stratum counts, split exclusivity/exhaustiveness, and rate
+accuracy of the hash threshold.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from randas_spark.operators.sampling import (
+    hash_sample,
+    stratified_sample,
+    systematic_sample,
+    train_test_split,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from randas_spark.queries import t
+
+    return t(spark, SF, "documents")
+
+
+def test_systematic_sample_exact_membership(docs):
+    got = {r.doc_id for r in systematic_sample(docs, "doc_id", 7, 2).select("doc_id").collect()}
+    everything = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert got == {i for i in everything if i % 7 == 2}
+    assert got  # non-trivial on the fixture
+
+
+def test_systematic_sample_validates_args(docs):
+    with pytest.raises(ValueError):
+        systematic_sample(docs, "doc_id", 10, 10)
+    with pytest.raises(ValueError):
+        systematic_sample(docs, "doc_id", 0)
+
+
+def test_hash_sample_matches_python_md5_and_rate(docs):
+    rate = 0.25
+    got = {r.doc_id for r in hash_sample(docs, "doc_id", rate).select("doc_id").collect()}
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    thresh = format(int(rate * 16**8), "08x")
+    expected = {i for i in ids if hashlib.md5(str(i).encode()).hexdigest() < thresh}
+    assert got == expected
+    # md5 is uniform: rate within ±5 points on ~1k docs
+    assert abs(len(got) / len(ids) - rate) < 0.05
+
+
+def test_hash_sample_invariant_under_repartition(docs):
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(docs.repartition(13), "doc_id", 0.3).select("doc_id").collect()
+    }
+    assert a == b
+
+
+def test_stratified_sample_exact_counts(docs):
+    n = 5
+    out = stratified_sample(docs, ["lang"], n, "doc_id")
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {lang: min(n, size) for lang, size in sizes.items()}
+    assert "__rn__" not in out.columns
+
+
+def test_stratified_sample_deterministic(docs):
+    a = sorted(r.doc_id for r in stratified_sample(docs, ["lang"], 3, "doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in stratified_sample(docs.repartition(17), ["lang"], 3, "doc_id").collect()
+    )
+    assert a == b
+
+
+def test_train_test_split_exclusive_exhaustive(docs):
+    out = train_test_split(docs, "doc_id", 0.1)
+    assert out.count() == docs.count()
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "test"}
+    # membership recomputable from the key alone
+    test_ids = {r.doc_id for r in out.filter(F.col("split") == "test").collect()}
+    thresh = format(int(0.1 * 16**8), "08x")
+    for i in list(test_ids)[:20]:
+        assert hashlib.md5(str(i).encode()).hexdigest() < thresh
+
+
+def test_sampling_is_scan_side(docs):
+    """systematic/hash sampling must not shuffle — the predicate stays on
+    the scan (narrow plan, no Exchange)."""
+    plan = hash_sample(docs, "doc_id", 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
