@@ -144,3 +144,58 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         fround(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', ts::TIMESTAMP) AS TIMESTAMP) AS window_start,
+           c_mktsegment AS segment,
+           count(*) AS n_events,
+           {sql_fround('sum(value)', 2)} AS sum_value
+    FROM events
+    JOIN customer ON c_custkey = user_id
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment: events joined to the customer
+    dimension, aggregated per (hour, market segment)
+    (engine.segment_hourly_activity — same builder drives readStream in
+    tests; the dim side broadcasts, so the stream never shuffles for the
+    join)."""
+    from randas_spark.streaming.engine import segment_hourly_activity
+
+    out = segment_hourly_activity(t(spark, sf_dir, "events"), t(spark, sf_dir, "customer"))
+    return out.select(
+        "window_start", "segment", "n_events", fround(out.sum_value, 2).alias("sum_value")
+    )
+
+
+@register(
+    "stream_stream_join_conversions",
+    oracle="""
+    WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type FROM events)
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id AS user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM e c JOIN e p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_stream_join_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join: purchases within 1 hour of a
+    click by the same user (engine.click_purchase_conversions; the
+    streaming twin runs with watermarks on BOTH sides so join state stays
+    bounded — tests assert stream == batch == this oracle)."""
+    from randas_spark.streaming.engine import click_purchase_conversions
+
+    e = t(spark, sf_dir, "events")
+    return click_purchase_conversions(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+    )

@@ -127,6 +127,73 @@ def running_user_state(events: DataFrame) -> DataFrame:
     )
 
 
+def segment_hourly_activity(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a slowly-changing
+    dimension (customer market segment), then window-aggregate.
+
+    Scale: the static side is broadcast, so each micro-batch joins
+    map-side with NO shuffle of the stream and no join state at all —
+    the canonical enrichment shape (vs stream-stream, which must hold
+    state). The dimension is re-resolved per batch, so dim updates are
+    picked up without restarting the query.
+    """
+    dim = F.broadcast(customers.select("c_custkey", "c_mktsegment"))
+    return (
+        events.join(dim, events.user_id == F.col("c_custkey"), "inner")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def click_purchase_conversions(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream-stream interval self-join: purchases attributed to a click
+    by the same user within ``horizon`` after the click.
+
+    Scale: both sides shuffle on user_id; the event-time range condition
+    plus watermarks lets Spark BOUND the join state — each side evicts
+    rows older than watermark + horizon, so state is O(arrival rate ×
+    horizon), not O(stream length). Without the time bound a
+    stream-stream join would hold both streams forever.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if watermark:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return c.join(p, cond).select(
+        "click_id",
+        "purchase_id",
+        F.col("click_user").alias("user_id"),
+        (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))).alias(
+            "lag_us"
+        ),
+    )
+
+
 # -- stream session helpers ------------------------------------------------
 
 

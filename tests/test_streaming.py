@@ -239,3 +239,40 @@ def test_running_user_state_matches_batch_agg(spark, batch_events):
         for r in streamed.collect()
     }
     assert got == want
+
+
+def test_stream_static_enrich_equivalence(spark, batch_events):
+    """Stream-static broadcast join: streamed result == batch result."""
+    from randas_spark.queries import t
+    from randas_spark.streaming.engine import segment_hourly_activity
+
+    customers = t(spark, SF_DIR, "customer")
+    batch = segment_hourly_activity(batch_events, customers)
+    streamed = _run_stream(
+        spark, lambda s: segment_hourly_activity(s, customers), "t_enrich"
+    )
+    assert _collect_sorted(streamed) == _collect_sorted(batch)
+
+
+def test_stream_stream_join_equivalence(spark, batch_events):
+    """Stream-stream interval self-join with watermarks on both sides:
+    streamed pairs == batch pairs (append mode — inner join emits once)."""
+    from pyspark.sql import functions as F
+    from randas_spark.streaming.engine import click_purchase_conversions
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    batch = click_purchase_conversions(*split(batch_events), horizon="1 hour")
+    streamed = _run_stream(
+        spark,
+        lambda s: click_purchase_conversions(
+            *split(s), horizon="1 hour", watermark="2 hours"
+        ),
+        "t_ssjoin",
+        output_mode="append",
+    )
+    assert _collect_sorted(streamed) == _collect_sorted(batch)
