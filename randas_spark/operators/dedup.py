@@ -364,3 +364,55 @@ def embedding_near_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# --------------------------------------------------------------------------
+# 6. Edit-distance (Levenshtein) near-dup
+# --------------------------------------------------------------------------
+
+
+def levenshtein_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    max_len_diff: int = 5,
+    max_distance: int = 50,
+    len_col: str | None = None,
+) -> DataFrame:
+    """Pairs whose edit distance <= max_distance, candidate-blocked.
+
+    Levenshtein is O(len²) per pair, so the all-pairs form is unusable at
+    scale; this blocks on `block_cols` (e.g. source+lang) AND a length
+    band (|len_a - len_b| <= max_len_diff — edit distance is lower-bounded
+    by the length gap, so the band loses nothing below the threshold).
+    The distance itself runs JVM-side (F.levenshtein, codegen).
+
+    Scale: the blocked self-join shuffles on block_cols; block size bounds
+    the pair count. For corpora where blocks stay large, band the length
+    into buckets (floor(len/w)) and join adjacent buckets — the same
+    two-sided-band trick as the embedding near-dup path.
+    """
+    length = F.col(len_col) if len_col else F.length(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("txt"),
+        *[F.col(c) for c in block_cols],
+        length.alias("n_len"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = (F.col("a.doc_id") < F.col("b.doc_id")) & (
+        F.abs(F.col("a.n_len") - F.col("b.n_len")) <= max_len_diff
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn("distance", F.levenshtein(F.col("a.txt"), F.col("b.txt")))
+        .filter(F.col("distance") <= max_distance)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            "distance",
+        )
+    )

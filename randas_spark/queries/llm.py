@@ -543,3 +543,29 @@ def llm_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "llm_dedup_levenshtein",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.text, b.text) AS distance
+    FROM documents a JOIN documents b
+      ON a.source = b.source AND a.lang = b.lang
+     AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 5
+    WHERE levenshtein(a.text, b.text) <= 250
+    """,
+)
+def llm_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs, blocked by (source, lang) and a
+    length band (operators/dedup.levenshtein_near_pairs — the O(len²)
+    distance only runs on blocked candidates; both engines implement
+    classic Wagner-Fischer so the distances agree exactly)."""
+    from randas_spark.operators.dedup import levenshtein_near_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return levenshtein_near_pairs(
+        d, "doc_id", "text", ["source", "lang"],
+        max_len_diff=5, max_distance=250, len_col="n_chars",
+    )

@@ -1042,3 +1042,30 @@ def rel_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.join(c, "user_id", "left").join(p, "user_id", "left").select(
         "user_id", "t_view", "t_click", "t_purchase"
     )
+
+
+@register(
+    "rel_unpivot_measures",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value
+    FROM part
+    """,
+)
+def rel_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide → long): part's numeric measures rotated into
+    (measure, value) rows via DataFrame.unpivot — the inverse of
+    rel_pivot. The reference has no reshaping at all (SURVEY.md §2.12).
+
+    Scale: unpivot is a narrow per-row expansion (Expand node, no
+    shuffle) — output is k× rows but the plan stays scan-side; the oracle
+    is the equivalent UNION ALL of per-measure projections.
+    """
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return p.unpivot("p_partkey", ["p_size", "p_retailprice"], "measure", "value")

@@ -299,3 +299,33 @@ def test_multimodal_real_decode_is_stubbed():
         decode_image(b"\x89PNG", fake=False)
     # deterministic fake: same payload → same feature
     assert decode_image(b"abc", fake=True) == decode_image(b"abc", fake=True)
+
+
+def _lev(a: str, b: str) -> int:
+    """Reference Wagner-Fischer DP (row-rolling)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_near_pairs_blocked_and_exact(spark, docs):
+    """Every pair respects the block predicates and its distance matches a
+    driver-side DP; id_a < id_b canonical orientation."""
+    from randas_spark.operators.dedup import levenshtein_near_pairs
+
+    out = levenshtein_near_pairs(
+        docs, "doc_id", "text", ["source", "lang"],
+        max_len_diff=5, max_distance=250, len_col="n_chars",
+    ).collect()
+    rows = {r.doc_id: r for r in docs.collect()}
+    assert out  # non-trivial on the fixture
+    for r in out:
+        a, b = rows[r.id_a], rows[r.id_b]
+        assert r.id_a < r.id_b
+        assert (a.source, a.lang) == (b.source, b.lang)
+        assert abs(a.n_chars - b.n_chars) <= 5
+        assert r.distance == _lev(a.text, b.text) <= 250
