@@ -1069,3 +1069,140 @@ def rel_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice",
     )
     return p.unpivot("p_partkey", ["p_size", "p_retailprice"], "measure", "value")
+
+
+@register(
+    "rel_stats_moments",
+    oracle=f"""
+    WITH g AS (
+        SELECT l_returnflag, count(*) AS n,
+               corr(l_quantity, l_extendedprice) AS c,
+               covar_samp(l_quantity, l_extendedprice) AS cv,
+               covar_pop(l_quantity, l_extendedprice) AS cvp,
+               regr_slope(l_extendedprice, l_quantity) AS sl,
+               skewness(l_quantity) AS sk_samp,
+               kurtosis(l_quantity) AS ku_samp
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag,
+           {sql_fround('c', 6)} AS corr_qty_price,
+           {sql_fround('cv', 3)} AS covar_samp_qp,
+           {sql_fround('cvp', 3)} AS covar_pop_qp,
+           {sql_fround('sl', 6)} AS slope_price_per_qty,
+           {sql_fround('sk_samp * (n - 2) / sqrt(n * (n - 1.0))', 6)} AS skew_qty,
+           {sql_fround('(ku_samp * (n - 2.0) * (n - 3.0) / (n - 1.0) - 6.0) / (n + 1.0)', 6)} AS kurt_qty
+    FROM g
+    """,
+)
+def rel_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate + higher-moment aggregates per group: correlation,
+    sample/population covariance, regression slope, skewness, kurtosis —
+    extending the reference's variance/std_dev surface (dataframe.rs:276,
+    :316) to the full moment family.
+
+    Semantics note (and why the oracle has arithmetic): Spark's
+    skewness/kurtosis are POPULATION moments (g1, excess g2); DuckDB's
+    are sample-corrected (G1, G2). The oracle converts DuckDB's to
+    population via the exact inverse correction, so the check asserts
+    the relationship rather than rounding the difference away.
+
+    Scale: all six are single-pass partial-aggregatable (sum of co-moment
+    tuples) — one shuffle of 3 groups × constant state, nothing held
+    per-row.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        fround(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        fround(F.covar_samp("l_quantity", "l_extendedprice"), 3).alias("covar_samp_qp"),
+        fround(F.covar_pop("l_quantity", "l_extendedprice"), 3).alias("covar_pop_qp"),
+        fround(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope_price_per_qty"),
+        fround(F.skewness("l_quantity"), 6).alias("skew_qty"),
+        fround(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
+    )
+
+
+@register(
+    "rel_resample_daily",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS TIMESTAMP) AS bucket_start,
+           event_type,
+           count(*) AS n_events,
+           {sql_fround('avg(value)', 2)} AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rel_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily downsample of the event stream per type
+    (operators/timeseries.resample — date_trunc bucketing + partial-agg
+    groupBy; one shuffle keyed on (day, type))."""
+    from randas_spark.operators.timeseries import resample
+
+    e = t(spark, sf_dir, "events")
+    return resample(
+        e,
+        "ts",
+        ["event_type"],
+        "day",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            fround(F.avg("value"), 2).alias("avg_value"),
+        ],
+    )
+
+
+@register(
+    "rel_gap_fill_ffill",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, ts::TIMESTAMP AS ts, value FROM events WHERE user_id < 10
+    ), b AS (
+        SELECT date_trunc('hour', ts) AS h, user_id,
+               count(*) AS n_events, {sql_fround('sum(value)', 2)} AS v
+        FROM ev GROUP BY 1, 2
+    ), spine AS (
+        SELECT u.user_id, g.h
+        FROM (SELECT DISTINCT user_id FROM ev) u
+        CROSS JOIN (
+            SELECT unnest(generate_series(
+                (SELECT date_trunc('hour', min(ts)) FROM ev),
+                (SELECT date_trunc('hour', max(ts)) FROM ev),
+                INTERVAL 1 HOUR)) AS h
+        ) g
+    )
+    SELECT s.user_id, CAST(s.h AS TIMESTAMP) AS bucket_start,
+           coalesce(b.n_events, 0) AS n_events,
+           last_value(b.v IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM spine s
+    LEFT JOIN b ON b.user_id = s.user_id AND b.h = s.h
+    """,
+)
+def rel_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly spine per user (sequence+explode — no driver loop)
+    with empty buckets materialized at n_events=0 and the hourly value
+    sum forward-filled via last(ignorenulls) over the per-user window
+    (operators/timeseries.gap_fill_ffill). Null until a user's first
+    observation — fill never invents data.
+
+    Scale: spine size is |keys|×|buckets| (bounded by the time range);
+    the left join and the ffill window share the user partitioning.
+    """
+    from randas_spark.operators.timeseries import gap_fill_ffill
+
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    return gap_fill_ffill(e, "ts", "user_id", "hour", fround(F.sum("value"), 2))
+
+
+@register("rel_ewma_user_value", oracle=None)
+def rel_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α=0.2) of event values in event-time order
+    (operators/timeseries.ewma_by_key — grouped-map Pandas recurrence;
+    no SQL oracle: the recurrence isn't expressible in DuckDB's dialect
+    without recursive CTE gymnastics; pytest checks against
+    pandas.ewm on the driver)."""
+    from randas_spark.operators.timeseries import ewma_by_key
+
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    out = ewma_by_key(e, "user_id", "ts", "value", alpha=0.2, id_col="event_id")
+    return out.select("user_id", "ts", "value", fround(F.col("ewma"), 6).alias("ewma"))
