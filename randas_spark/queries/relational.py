@@ -1206,3 +1206,38 @@ def rel_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     out = ewma_by_key(e, "user_id", "ts", "value", alpha=0.2, id_col="event_id")
     return out.select("user_id", "ts", "value", fround(F.col("ewma"), 6).alias("ewma"))
+
+
+@register(
+    "rel_time_rollup_multigrain",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS TIMESTAMP) AS day_start,
+           CAST(date_trunc('hour', ts::TIMESTAMP) AS TIMESTAMP) AS hour_start,
+           count(*) AS n_events,
+           {sql_fround('sum(value)', 2)} AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((day_start, hour_start), (day_start), ())
+    """,
+)
+def rel_time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: one pass over the
+    events table emits hourly, daily, and grand-total aggregates via
+    GROUPING SETS on nested date_trunc buckets (hour ⊂ day, so this is
+    ROLLUP(day, hour) — the continuous-aggregate shape a time-series
+    store maintains incrementally).
+
+    Scale: Spark's Expand produces the 3 grouping combinations BEFORE the
+    exchange and partial-aggregates each, so the shuffle carries one row
+    per (grain, bucket), not 3× the input; at 100 TB the same query
+    maintained incrementally = the streaming tumbling aggregate feeding
+    a downstream daily re-rollup.
+    """
+    e = t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day_start"),
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        "value",
+    )
+    return e.rollup("day_start", "hour_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        fround(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -74,3 +74,34 @@ def test_scan_projections_are_pruned(spark, qs):
     assert read_schemas
     for line in read_schemas:
         assert "l_returnflag" not in line and "l_orderkey" not in line
+
+
+def test_q11_supplier_broadcast_single_agg_shuffle(spark, qs):
+    """q11: the nation-filtered supplier side broadcasts into the scan;
+    the cutoff is a one-row broadcast (nested-loop on a literal-true
+    condition is fine THERE and only there)."""
+    plan = _plan(spark, qs, "q11_important_stock")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q12_fact_to_fact_shuffle_join_with_partial_agg(spark, qs):
+    """q12: orders⋈lineitem is genuinely large-x-large — a shuffle join
+    (sort-merge or shuffled-hash, NOT broadcast at scale) with map-side
+    partial aggregation of the conditional counts."""
+    plan = _plan(spark, qs, "q12_shipmode_priority")
+    # at sf0.001 Catalyst correctly broadcasts the small orders side; the
+    # scale-invariant requirements are: an equi hash join (never nested
+    # loop), the date filter pushed into the lineitem scan, and map-side
+    # partial aggregation of the conditional counts.
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_gap_fill_single_user_partitioning(spark, qs):
+    """gap-fill: the spine join and the forward-fill window both key on
+    user_id — no nested-loop join sneaks in via the spine cross join
+    except the intended 1-row bounds broadcast."""
+    plan = _plan(spark, qs, "rel_gap_fill_ffill")
+    assert "RunningWindowFunction" in plan or "Window" in plan
