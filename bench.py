@@ -24,6 +24,7 @@ HEADLINE = [
     "q05_local_supplier_volume",
     "q06_forecast_revenue",
     "q09_product_profit",
+    "q12_shipmode_priority",
     "q18_large_orders",
     "q21_waiting_supplier",
     "rel_join_orders_customer",
@@ -34,6 +35,8 @@ HEADLINE = [
     "llm_text_quality",
     "llm_knn_bruteforce",
     "stream_tumbling_window",
+    "stream_stream_join_conversions",
+    "rel_gap_fill_ffill",
 ]
 
 

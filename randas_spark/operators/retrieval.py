@@ -1,0 +1,110 @@
+"""Sparse text retrieval: inverted index construction and BM25 scoring.
+
+Complements the dense path (operators/similarity.py kNN) with the
+classic lexical side of a training-data / RAG pipeline: build a
+token → postings index over the corpus, and rank documents for a term
+query with BM25 (Robertson/Spärck Jones; the same scoring Lucene uses).
+
+Everything is DataFrame compositions of built-ins (split/explode/
+groupBy/window) — no UDFs — so the whole pipeline stays in whole-stage
+codegen.
+
+Scale notes:
+- the token explode is the big intermediate (tokens ≈ corpus size × avg
+  doc length); both operators aggregate it immediately, so the shuffle
+  carries (doc, term) partial counts, not raw tokens.
+- posting lists for stop-word-frequency terms are the skew risk: cap
+  with max_df (drop terms in > x% of docs — they carry no signal and
+  their IDF ≈ 0 anyway), exactly what production indexes do.
+- BM25 corpus stats (N, avgdl) are one-row broadcasts; per-term df is a
+  small broadcast dimension after the query-term filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from randas_spark.functions.text import tokens
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df_frac: float = 1.0,
+) -> DataFrame:
+    """token → (document frequency, sorted posting list).
+
+    Postings are sort_array'd so the result is deterministic (and
+    mergeable downstream); terms above ``max_df_frac`` of the corpus are
+    dropped as stop-words.
+    """
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    idx = (
+        toks.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        )
+    )
+    if max_df_frac < 1.0:
+        idx = idx.filter(F.col("df") <= int(max_df_frac * n_docs))
+    return idx
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under BM25.
+
+    score(d) = Σ_t  ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+                  · tf_td (k1+1) / (tf_td + k1 (1 - b + b·dl_d/avgdl))
+
+    The plan: one token explode → (doc,term) tf for the query terms only
+    (filter BEFORE the aggregation, so the shuffle is query-sized);
+    df per term and (N, avgdl) join back as broadcasts; a single window
+    takes the top-k. Ties and float noise: rank on the 6-digit-rounded
+    score with doc_id tiebreak, so the cut is deterministic.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    norm = F.col("tf") * (k1 + 1.0) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * norm).alias("raw"))
+    )
+    # floor(x*1e6+0.5)/1e6 — the engine-portable rounding (queries.fround)
+    rounded = (F.floor(F.col("raw") * 1e6 + F.lit(0.5)) / 1e6).alias("bm25")
+    w = Window.orderBy(F.desc("bm25"), F.col("doc_id"))
+    return (
+        scored.select("doc_id", rounded)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+    )

@@ -569,3 +569,77 @@ def llm_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", ["source", "lang"],
         max_len_diff=5, max_distance=250, len_col="n_chars",
     )
+
+
+# --------------------------------------------------------------------------
+# Sparse retrieval (operators/retrieval.py)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "llm_inverted_index",
+    oracle=f"""
+    SELECT term, count(*) AS df, list_sort(list(doc_id)) AS postings
+    FROM (
+        SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+        ) WHERE term <> ''
+    )
+    GROUP BY term
+    """,
+)
+def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus: term → (document frequency,
+    sorted posting list) via explode + groupBy + sort_array
+    (operators/retrieval.inverted_index — postings sorted so the result
+    is deterministic and mergeable)."""
+    from randas_spark.operators.retrieval import inverted_index
+
+    return inverted_index(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "llm_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+    ), dl AS (
+        SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+    ), stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2
+    ), dfq AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    ), scored AS (
+        SELECT tf.doc_id,
+               sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ) AS raw
+        FROM tf
+        JOIN dfq USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+        GROUP BY 1
+    ), rounded AS (
+        SELECT doc_id, {sql_fround('raw', 6)} AS bm25 FROM scored
+    )
+    SELECT doc_id, bm25, rk FROM (
+        SELECT doc_id, bm25,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+        FROM rounded
+    ) WHERE rk <= 10
+    """,
+)
+def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the query {spark, join, window}
+    (operators/retrieval.bm25_topk, k1=1.2 b=0.75 — pure built-in
+    compositions, ranked on the 6-digit-rounded score with doc_id
+    tiebreak so the cut is engine-deterministic)."""
+    from randas_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        ["spark", "join", "window"], k1=1.2, b=0.75, top_k=10,
+    )

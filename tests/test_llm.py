@@ -329,3 +329,46 @@ def test_levenshtein_near_pairs_blocked_and_exact(spark, docs):
         assert (a.source, a.lang) == (b.source, b.lang)
         assert abs(a.n_chars - b.n_chars) <= 5
         assert r.distance == _lev(a.text, b.text) <= 250
+
+
+def test_inverted_index_postings_consistent(spark, docs):
+    from randas_spark.operators.retrieval import inverted_index
+
+    idx = inverted_index(docs, "doc_id", "text").collect()
+    assert idx
+    texts = {r.doc_id: set(r.text.lower().split(" ")) for r in docs.collect()}
+    for r in idx:
+        assert r.df == len(r.postings)
+        assert r.postings == sorted(r.postings)
+        assert all(r.term in texts[d] for d in r.postings)
+    # max_df_frac drops the most common terms
+    capped = inverted_index(docs, "doc_id", "text", max_df_frac=0.5)
+    n_docs = docs.count()
+    assert all(r.df <= n_docs * 0.5 for r in capped.collect())
+
+
+def test_bm25_matches_reference_formula(spark, docs):
+    import math
+
+    from randas_spark.operators.retrieval import bm25_topk
+
+    terms, k1, b = ["spark", "join"], 1.2, 0.75
+    got = {r.doc_id: r.bm25 for r in bm25_topk(docs, "doc_id", "text", terms, k1, b, 5).collect()}
+    rows = [(r.doc_id, r.text.lower().split(" ")) for r in docs.collect()]
+    n = len(rows)
+    avgdl = sum(len(t) for _, t in rows) / n
+    df = {t: sum(1 for _, toks in rows if t in toks) for t in terms}
+    scores = {}
+    for doc_id, toks in rows:
+        s = 0.0
+        for term in terms:
+            tf = toks.count(term)
+            if tf:
+                idf = math.log(1 + (n - df[term] + 0.5) / (df[term] + 0.5))
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        if s:
+            scores[doc_id] = s
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert set(got) == {d for d, _ in top}
+    for d, s in top:
+        assert got[d] == pytest.approx(s, abs=1e-6)
