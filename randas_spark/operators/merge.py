@@ -1,0 +1,94 @@
+"""MERGE-shaped table maintenance: upsert and SCD Type-2 versioning.
+
+The reference's only mutation is ``to_sql(if_exists="replace")`` — a
+whole-table DELETE + INSERT (write.rs:86-132). A warehouse engine needs
+keyed merges; these implement the two canonical shapes as pure DataFrame
+plans over an immutable input → output (the lakehouse pattern: compute
+the new table state, atomically swap via partition overwrite):
+
+- :func:`merge_upsert` — last-write-wins by key (MERGE WHEN MATCHED
+  UPDATE / WHEN NOT MATCHED INSERT).
+- :func:`scd2_apply` — slowly-changing-dimension Type 2: close the
+  current version of changed keys (stamp valid_to), append the new
+  version, keep history immutable.
+
+Scale notes: both are one shuffle join on the key. SCD2 splits history
+(valid_to IS NOT NULL — untouched, never even shuffled) from current
+rows before joining, so cost tracks the CURRENT dimension size plus the
+update batch, not the accumulated history. In production the same plans
+run inside foreachBatch (streaming/engine.run_foreach_batch_to_parquet)
+for continuous CDC apply; partition the physical table by key-hash
+buckets so the swap rewrites only buckets containing changed keys.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """Last-write-wins upsert: updates replace matching target rows,
+    non-matching update rows append. Columns must align by name."""
+    if set(target.columns) != set(updates.columns):
+        raise ValueError("target and updates must share one schema")
+    kept = target.join(updates.select(key), key, "left_anti")
+    return kept.unionByName(updates)
+
+
+def _any_tracked_diff(tracked: list[str]):
+    # null-safe inequality on any tracked column
+    diffs = [~F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}")) for c in tracked]
+    return reduce(lambda a, b: a | b, diffs)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: list[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Apply an update batch to a Type-2 dimension.
+
+    ``dim``: (key, tracked..., valid_from, valid_to) — valid_to null for
+    the current version. ``updates``: (key, tracked..., ts_col), at most
+    one row per key (pre-aggregate upstream). Emits the full new state:
+
+    - history rows: untouched;
+    - current rows whose tracked values changed: closed with
+      valid_to = update ts, and a new open version appended;
+    - unchanged / un-updated current rows: kept open;
+    - brand-new keys: inserted open with valid_from = update ts.
+    """
+    hist = dim.filter(F.col(valid_to).isNotNull())
+    cur = dim.filter(F.col(valid_to).isNull())
+    out_cols = [key, *tracked, valid_from, valid_to]
+
+    c, u = cur.alias("cur"), updates.alias("upd")
+    j = c.join(u, F.col(f"cur.{key}") == F.col(f"upd.{key}"), "full_outer")
+    changed = F.col(f"upd.{key}").isNotNull() & F.col(f"cur.{key}").isNotNull() & _any_tracked_diff(tracked)
+
+    closed = j.filter(changed).select(
+        F.col(f"cur.{key}").alias(key),
+        *[F.col(f"cur.{t}").alias(t) for t in tracked],
+        F.col(f"cur.{valid_from}").alias(valid_from),
+        F.col(f"upd.{ts_col}").alias(valid_to),
+    )
+    opened = j.filter(changed | F.col(f"cur.{key}").isNull()).select(
+        F.col(f"upd.{key}").alias(key),
+        *[F.col(f"upd.{t}").alias(t) for t in tracked],
+        F.col(f"upd.{ts_col}").alias(valid_from),
+        F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
+    )
+    untouched = j.filter(F.col(f"upd.{key}").isNull() | (F.col(f"cur.{key}").isNotNull() & ~changed)).select(
+        F.col(f"cur.{key}").alias(key),
+        *[F.col(f"cur.{t}").alias(t) for t in tracked],
+        F.col(f"cur.{valid_from}").alias(valid_from),
+        F.col(f"cur.{valid_to}").alias(valid_to),
+    )
+    return hist.select(*out_cols).unionByName(closed).unionByName(opened).unionByName(untouched)

@@ -1241,3 +1241,63 @@ def rel_time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         fround(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "rel_scd2_customer_dim",
+    oracle=f"""
+    WITH upd AS (
+        SELECT o_custkey AS c_custkey,
+               {sql_fround('sum(o_totalprice)', 2)} AS bal,
+               max(o_orderdate) AS ts
+        FROM orders GROUP BY 1
+    ), cur AS (
+        SELECT c_custkey, c_acctbal AS bal,
+               TIMESTAMP '1970-01-01 00:00:00' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM customer
+    )
+    SELECT cur.c_custkey, cur.bal, cur.valid_from, upd.ts AS valid_to
+    FROM cur JOIN upd USING (c_custkey)
+    WHERE cur.bal IS DISTINCT FROM upd.bal
+    UNION ALL
+    SELECT upd.c_custkey, upd.bal, upd.ts AS valid_from, CAST(NULL AS TIMESTAMP)
+    FROM upd LEFT JOIN cur USING (c_custkey)
+    WHERE cur.c_custkey IS NULL OR cur.bal IS DISTINCT FROM upd.bal
+    UNION ALL
+    SELECT cur.c_custkey, cur.bal, cur.valid_from, cur.valid_to
+    FROM cur LEFT JOIN upd USING (c_custkey)
+    WHERE upd.c_custkey IS NULL OR NOT (cur.bal IS DISTINCT FROM upd.bal)
+    """,
+)
+def rel_scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance (operators/merge.scd2_apply):
+    the customer dimension (balance tracked, open-ended versions) takes
+    an update batch derived from orders (lifetime order value per
+    customer, stamped at their latest order date). Changed keys get
+    their current version closed at the update timestamp and a new open
+    version appended; unchanged/un-updated keys stay open — the MERGE
+    WHEN MATCHED/NOT MATCHED shape as one full-outer join + unions.
+
+    Scale: history rows never join (filtered out pre-shuffle); cost is
+    |current dim| + |batch| on one key shuffle — the Delta-MERGE plan
+    shape without a table format.
+    """
+    from randas_spark.operators.merge import scd2_apply
+
+    c = t(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    upd = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            fround(F.sum("o_totalprice"), 2).alias("bal"),
+            F.max("o_orderdate").alias("ts"),
+        )
+    )
+    return scd2_apply(dim, upd, "c_custkey", ["bal"], "ts")
