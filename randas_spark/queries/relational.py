@@ -1301,3 +1301,135 @@ def rel_scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scd2_apply(dim, upd, "c_custkey", ["bal"], "ts")
+
+
+@register(
+    "rel_histogram_prices",
+    oracle=f"""
+    SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+           count(*) AS n,
+           {sql_fround('avg(l_discount)', 4)} AS avg_discount
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def rel_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram binning (width_bucket shape): price bucketed
+    by a fixed 5000-wide bin via floor division — the scalable histogram
+    (single partial-agg pass; bins are derived per-row, no global min/max
+    pre-pass, no sort).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.floor(F.col("l_extendedprice") / 5000).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        fround(F.avg("l_discount"), 4).alias("avg_discount"),
+    )
+
+
+@register(
+    "rel_ordered_array_agg",
+    oracle="""
+    SELECT user_id,
+           (list(event_type ORDER BY ts, event_id))[1:5] AS first_events
+    FROM events
+    WHERE user_id < 20
+    GROUP BY user_id
+    """,
+)
+def rel_ordered_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered array aggregation: each user's first five
+    event types in event-time order. Spark's collect_list is
+    order-nondeterministic by design (depends on partition arrival), so
+    the portable construction collects (ts, event_id, type) structs,
+    sort_array's them (struct comparison = lexicographic on fields —
+    event_id breaks ts ties), then projects the type — all codegen'd.
+
+    Scale: one shuffle on user_id; the slice caps payload at 5 elements
+    but collect_list holds each user's full set first — for huge keys,
+    pre-filter with a row_number window instead (rel_window_topk_per_group
+    is that operator).
+    """
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return e.groupBy("user_id").agg(
+        F.slice(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            1,
+            5,
+        ).alias("first_events")
+    )
+
+
+@register(
+    "rel_window_share_of_total",
+    oracle=f"""
+    WITH n AS (
+        SELECT n_name, {sql_fround('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        GROUP BY 1
+    )
+    SELECT n_name, revenue,
+           {sql_fround('revenue / sum(revenue) OVER ()', 6)} AS share
+    FROM n
+    """,
+)
+def rel_window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total (ratio_to_report): each nation's revenue as a
+    fraction of the grand total via an unpartitioned window over the
+    ALREADY-AGGREGATED 25-row result — the window never sees raw
+    lineitem, so the 'global' window is a 25-row single-partition step,
+    not a full-data sort."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        "revenue",
+        fround(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+    )
+
+
+@register(
+    "rel_profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS "column", count(*) AS n_rows, count(o_orderkey) AS n_nonnull,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_value, CAST(max(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(o_orderstatus), count(DISTINCT o_orderstatus),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(o_orderpriority), count(DISTINCT o_orderpriority),
+           CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+)
+def rel_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column data profile of orders (key, status,
+    priority): row/non-null/distinct counts + min/max
+    (operators/profiling.profile — ONE scan; the oracle's UNION ALL
+    re-reads per column, which is exactly the N-pass shape the operator
+    avoids)."""
+    from randas_spark.operators.profiling import profile
+
+    o = t(spark, sf_dir, "orders")
+    return profile(o, ["o_orderkey", "o_orderstatus", "o_orderpriority"])

@@ -161,3 +161,23 @@ def test_read_csv_missing_file_raises(spark):
 
     with pytest.raises(AnalysisException):
         read_csv(spark, "/nonexistent/nowhere.csv").to_spark().collect()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp):
+    """Schema evolution across parquet batches: a later batch adds a
+    column; mergeSchema reads the union schema with nulls backfilled —
+    the append-only ingestion reality at 100 TB (schemas drift; readers
+    must not require a rewrite of old data)."""
+    import os
+
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    v2 = spark.createDataFrame(
+        [(3, "c", 0.5)], "id long, name string, score double"
+    )
+    path = os.path.join(tmp, "evolving")
+    v1.write.parquet(path)
+    v2.write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 0.5)}

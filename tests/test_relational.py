@@ -158,3 +158,21 @@ def test_sessionize_islands(spark):
     assert all(
         r.sess_start <= r.sess_end for r in out.limit(100).collect()
     )
+
+
+def test_profile_single_scan_and_values(spark):
+    """profile(): values match per-column queries AND the plan reads the
+    source once (one FileScan — the point vs the N-pass UNION shape)."""
+    from randas_spark.operators.profiling import profile
+    from randas_spark.plans import executed_plan
+    from randas_spark.queries import t
+    from tests.conftest import SF_DIR
+
+    o = t(spark, SF_DIR, "orders")
+    out = profile(o, ["o_custkey", "o_orderstatus"])
+    assert executed_plan(out).count("FileScan") == 1
+    rows = {r.column: r for r in out.collect()}
+    assert rows["o_custkey"].n_rows == o.count()
+    assert rows["o_custkey"].n_distinct == o.select("o_custkey").distinct().count()
+    assert rows["o_orderstatus"].n_nonnull == o.filter("o_orderstatus IS NOT NULL").count()
+    assert rows["o_orderstatus"].min_value <= rows["o_orderstatus"].max_value
