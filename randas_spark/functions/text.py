@@ -191,3 +191,26 @@ def sql_shingles(text: str, k: int = 5) -> str:
         f"generate_series(1, greatest(len({toks}) - {k - 1}, 1)),"
         f" i -> array_to_string({toks}[i:i+{k - 1}], ' ')))"
     )
+
+
+def repetition_stats(text: Column, k: int = 3) -> tuple[Column, Column, Column]:
+    """(total k-grams, distinct k-grams, duplicate fraction) — the
+    Gopher/C4-style repetition quality signal: templated or looping text
+    has a high duplicate-n-gram fraction. All codegen array ops."""
+    toks = tokens(text)
+    total = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    distinct = F.size(shingles(text, k))
+    dup_frac = (total - distinct).cast("double") / total
+    return total, distinct, dup_frac
+
+
+def sql_repetition_parts(text: str, k: int = 3) -> tuple[str, str]:
+    """DuckDB twins of repetition_stats' total/distinct counts."""
+    toks = sql_tokens(text)
+    total = f"greatest(len({toks}) - {k - 1}, 1)"
+    distinct = (
+        f"len(list_distinct(list_transform("
+        f"generate_series(1, greatest(len({toks}) - {k - 1}, 1)), "
+        f"i -> array_to_string(({toks})[i:i+{k - 1}], ' '))))"
+    )
+    return total, distinct

@@ -21,6 +21,7 @@ from randas_spark.functions.text import (
     sql_fingerprint,
     sql_lang_id,
     sql_quality_parts,
+    sql_repetition_parts,
     sql_quality_score,
     sql_token_count_bpe_ish,
     sql_tokens,
@@ -642,4 +643,37 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         t(spark, sf_dir, "documents"), "doc_id", "text",
         ["spark", "join", "window"], k1=1.2, b=0.75, top_k=10,
+    )
+
+
+_REP_TOTAL, _REP_DISTINCT = sql_repetition_parts("text", 3)
+_REP_DUP = f"({_REP_TOTAL} - {_REP_DISTINCT}) / CAST({_REP_TOTAL} AS DOUBLE)"
+
+
+@register(
+    "llm_repetition_filter",
+    oracle=f"""
+    SELECT doc_id,
+           {_REP_TOTAL} AS n_grams,
+           {_REP_DISTINCT} AS n_distinct,
+           {sql_fround(_REP_DUP, 6)} AS dup_frac,
+           {_REP_DUP} <= 0.2 AS keep
+    FROM documents
+    """,
+)
+def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality gate: per-document duplicate
+    3-gram fraction (templated/looping text scores high) with a keep
+    flag at 0.2 (functions/text.repetition_stats — pure codegen array
+    ops; the scan is the whole cost, no shuffle at all)."""
+    from randas_spark.functions.text import repetition_stats
+
+    total, distinct, dup = repetition_stats(F.col("text"), 3)
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        total.alias("n_grams"),
+        distinct.alias("n_distinct"),
+        fround(dup, 6).alias("dup_frac"),
+        (dup <= 0.2).alias("keep"),
     )
