@@ -68,27 +68,35 @@ def scd2_apply(
     hist = dim.filter(F.col(valid_to).isNotNull())
     cur = dim.filter(F.col(valid_to).isNull())
     out_cols = [key, *tracked, valid_from, valid_to]
+    to_type = dim.schema[valid_to].dataType
 
     c, u = cur.alias("cur"), updates.alias("upd")
     j = c.join(u, F.col(f"cur.{key}") == F.col(f"upd.{key}"), "full_outer")
-    changed = F.col(f"upd.{key}").isNotNull() & F.col(f"cur.{key}").isNotNull() & _any_tracked_diff(tracked)
+    changed = (
+        F.col(f"upd.{key}").isNotNull()
+        & F.col(f"cur.{key}").isNotNull()
+        & _any_tracked_diff(tracked)
+    )
 
-    closed = j.filter(changed).select(
-        F.col(f"cur.{key}").alias(key),
-        *[F.col(f"cur.{t}").alias(t) for t in tracked],
-        F.col(f"cur.{valid_from}").alias(valid_from),
-        F.col(f"upd.{ts_col}").alias(valid_to),
+    def out_row(side: str, from_col, to_col):
+        return F.struct(
+            F.col(f"{side}.{key}").alias(key),
+            *[F.col(f"{side}.{t}").alias(t) for t in tracked],
+            from_col.alias(valid_from),
+            to_col.alias(valid_to),
+        )
+
+    closed = out_row("cur", F.col(f"cur.{valid_from}"), F.col(f"upd.{ts_col}"))
+    opened = out_row("upd", F.col(f"upd.{ts_col}"), F.lit(None).cast(to_type))
+    untouched = out_row("cur", F.col(f"cur.{valid_from}"), F.col(f"cur.{valid_to}"))
+
+    # One pass over the single join: each joined row emits its 1-2 output
+    # versions as an array, exploded — the join is never recomputed per
+    # output branch (a filter×3 + union shape would execute it 3×).
+    rows = F.when(changed, F.array(closed, opened)).otherwise(
+        F.when(F.col(f"cur.{key}").isNull(), F.array(opened)).otherwise(
+            F.array(untouched)
+        )
     )
-    opened = j.filter(changed | F.col(f"cur.{key}").isNull()).select(
-        F.col(f"upd.{key}").alias(key),
-        *[F.col(f"upd.{t}").alias(t) for t in tracked],
-        F.col(f"upd.{ts_col}").alias(valid_from),
-        F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
-    )
-    untouched = j.filter(F.col(f"upd.{key}").isNull() | (F.col(f"cur.{key}").isNotNull() & ~changed)).select(
-        F.col(f"cur.{key}").alias(key),
-        *[F.col(f"cur.{t}").alias(t) for t in tracked],
-        F.col(f"cur.{valid_from}").alias(valid_from),
-        F.col(f"cur.{valid_to}").alias(valid_to),
-    )
-    return hist.select(*out_cols).unionByName(closed).unionByName(opened).unionByName(untouched)
+    merged = j.select(F.explode(rows).alias("r")).select("r.*")
+    return hist.select(*out_cols).unionByName(merged)
