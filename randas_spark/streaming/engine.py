@@ -28,7 +28,7 @@ from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -273,3 +273,56 @@ def run_foreach_batch_to_parquet(
     q.processAllAvailable()
     q.stop()
     return out_path
+
+
+def dedup_ingest_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_path: str,
+    checkpoint: str,
+):
+    """Incremental corpus ingestion with exact dedup against everything
+    already ingested: each micro-batch drops rows whose normalized-md5
+    fingerprint (operators/dedup, same normalization as exact_dedup)
+    matches the store OR repeats within the batch, then appends the
+    survivors to the store.
+
+    This is the streaming form of the batch two-stage dedup pipeline —
+    the anti-join against the store replaces re-deduplicating the whole
+    corpus per batch, so ingest cost is O(batch × store-index), not
+    O(corpus²). At scale the store side is a parquet table partitioned
+    by fingerprint prefix, so the anti join prunes to matching buckets;
+    the checkpoint makes a restart resume exactly after the last
+    committed append.
+    """
+    from randas_spark.functions.text import fingerprint
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch = (
+            batch_df.withColumn("fp", fingerprint(F.col(text_col)))
+            # in-batch dedup first: keep the smallest id per fingerprint
+            .withColumn(
+                "__rn__",
+                F.row_number().over(Window.partitionBy("fp").orderBy(F.col(id_col))),
+            )
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__")
+        )
+        try:
+            store = batch_df.sparkSession.read.parquet(store_path)
+            fresh = batch.join(store.select("fp"), "fp", "left_anti")
+        except Exception:  # first batch: store doesn't exist yet
+            fresh = batch
+        fresh.write.mode("append").parquet(store_path)
+
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return store_path

@@ -276,3 +276,48 @@ def test_stream_stream_join_equivalence(spark, batch_events):
         output_mode="append",
     )
     assert _collect_sorted(streamed) == _collect_sorted(batch)
+
+
+def test_incremental_dedup_ingest_matches_batch(spark, tmp_path):
+    """Streamed corpus ingestion with per-batch anti-join dedup ends up
+    with exactly the batch exact-dedup survivor set, even when the SAME
+    corpus arrives twice (second copy fully rejected by the store)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from randas_spark.functions.text import fingerprint
+    from randas_spark.queries import t
+    from randas_spark.streaming.engine import dedup_ingest_stream
+
+    docs_src = os.path.join(SF_DIR, "documents.parquet")
+    stage = str(tmp_path / "incoming")
+    os.makedirs(stage)
+    shutil.copy(docs_src, os.path.join(stage, "a.parquet"))
+    shutil.copy(docs_src, os.path.join(stage, "b.parquet"))  # full duplicate batch
+
+    schema = spark.read.parquet(docs_src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    store = str(tmp_path / "store")
+    dedup_ingest_stream(
+        spark, stream, "doc_id", "text", store, str(tmp_path / "ckpt")
+    )
+
+    got = spark.read.parquet(store)
+    batch_docs = t(spark, SF_DIR, "documents")
+    expected = (
+        batch_docs.withColumn("fp", fingerprint(F.col("text")))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    # one row per distinct fingerprint, keeping the smallest doc_id
+    assert got.count() == expected.count()
+    assert got.select("fp").distinct().count() == got.count()
+    got_ids = {r.doc_id for r in got.select("doc_id").collect()}
+    exp_ids = {r.doc_id for r in expected.collect()}
+    assert got_ids == exp_ids
