@@ -416,3 +416,78 @@ def levenshtein_near_pairs(
             "distance",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 7. Dedup clusters: connected components over near-dup pair edges
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """(node, component) — component = min node id reachable via edges.
+
+    Pairwise near-dup output (§2-§6 above) is not yet a dedup decision:
+    similarity is not transitive, so keep-one-per-group needs the
+    transitive closure. This is iterative min-label propagation — each
+    round every node adopts the smallest label among itself and its
+    neighbours; converges in O(diameter) rounds (near-dup clusters are
+    shallow — a handful of rounds in practice).
+
+    Scale: each round is one join edges⋈labels + one min-aggregation,
+    both shuffling on the node id — the same partitioning every round, so
+    AQE reuses exchanges. The loop is DRIVER-side control flow over fully
+    distributed steps (no collect of node data; convergence is checked
+    with a count of changed labels). For web-scale graphs swap in the
+    large-star/small-star variant; label propagation is the right shape
+    for dedup clusters, whose diameter is tiny. localCheckpoint() per
+    round truncates the growing lineage so round N's plan doesn't replay
+    rounds 1..N-1.
+    """
+    both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = both.union(both.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = (
+        sym.select("u").union(sym.select(F.col("v").alias("u")))
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("comp"))
+    )
+    for _ in range(max_iter):
+        neighbour_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        updated = (
+            labels.join(neighbour_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("n_comp", F.col("comp"))).alias(
+                    "new_comp"
+                ),
+                "comp",
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("new_comp") < F.col("comp")).count()
+        labels = updated.select("node", F.col("new_comp").alias("comp"))
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_cluster_assignments(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, cluster, keep): every document labeled with its near-dup
+    cluster (singletons cluster to themselves) and a keep flag on the
+    cluster's minimum id — the final emit of a dedup pipeline."""
+    comp = connected_components(pairs, max_iter=max_iter)
+    ids = df.select(F.col(id_col).alias("node"))
+    full = ids.join(comp, "node", "left").select(
+        F.col("node").alias(id_col),
+        F.coalesce("comp", F.col("node")).alias("cluster"),
+    )
+    return full.withColumn("keep", F.col(id_col) == F.col("cluster"))

@@ -677,3 +677,18 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(dup, 6).alias("dup_frac"),
         (dup <= 0.2).alias("keep"),
     )
+
+
+@register("llm_dedup_clusters", oracle=None)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters: n-gram Jaccard pair edges (>= 0.3)
+    closed under connectivity via iterative min-label propagation
+    (operators/dedup.connected_components), every doc assigned a cluster
+    and a keep flag on the cluster minimum. Rows-only: the iteration is
+    driver-side control flow (SURVEY.md §2.12 'iterative algorithms');
+    pytest verifies against a driver-side union-find."""
+    from randas_spark.operators.dedup import dedup_cluster_assignments, ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.3)
+    return dedup_cluster_assignments(d, pairs, "doc_id")

@@ -372,3 +372,47 @@ def test_bm25_matches_reference_formula(spark, docs):
     assert set(got) == {d for d, _ in top}
     for d, s in top:
         assert got[d] == pytest.approx(s, abs=1e-6)
+
+
+def test_dedup_clusters_match_union_find(spark, docs):
+    """connected_components == driver-side union-find on the same edges;
+    keep flags select exactly one doc (the min) per cluster."""
+    from randas_spark.operators.dedup import (
+        dedup_cluster_assignments,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.2)
+    edges = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert edges, "fixture should produce at least one near-dup edge"
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    all_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    expected = {i: find(i) if i in parent else i for i in all_ids}
+    # normalize: root = min of its tree (union keeps min as root already)
+    expected = {i: find(i) if i in parent else i for i in all_ids}
+
+    out = dedup_cluster_assignments(docs, pairs, "doc_id").collect()
+    got = {r.doc_id: r.cluster for r in out}
+    assert got == expected
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for c, members in by_cluster.items():
+        keeps = [r.doc_id for r in members if r.keep]
+        assert keeps == [min(m.doc_id for m in members)] and keeps == [c]
