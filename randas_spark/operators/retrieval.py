@@ -108,3 +108,43 @@ def bm25_topk(
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= top_k)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rk",
+    k: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N rankings: score(d) = Σ_r 1/(k+rank_r).
+
+    The standard hybrid-search combiner (sparse BM25 + dense cosine):
+    rank-based, so the incomparable score scales of the input systems
+    never meet. Inputs are (id, rank) DataFrames; absent ids simply
+    contribute nothing. k=60 per Cormack et al.'s convention.
+
+    Scale: a union + one groupBy on the id — input sizes are top-N
+    shortlists, not corpora, so this stage is negligible; fusion cost
+    lives in the upstream retrievers.
+    """
+    from functools import reduce
+
+    parts = [
+        r.select(
+            F.col(id_col).alias("id"),
+            (1.0 / (k + F.col(rank_col))).alias("contrib"),
+        )
+        for r in rankings
+    ]
+    allp = reduce(lambda a, b: a.unionByName(b), parts)
+    scored = allp.groupBy("id").agg(
+        F.sum("contrib").alias("raw"), F.count(F.lit(1)).alias("n_lists")
+    )
+    rounded = (F.floor(F.col("raw") * 1e9 + F.lit(0.5)) / 1e9).alias("rrf")
+    w = Window.orderBy(F.desc("rrf"), F.col(id_col))
+    return (
+        scored.select(F.col("id").alias(id_col), rounded, "n_lists")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+    )

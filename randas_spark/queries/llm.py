@@ -10,7 +10,7 @@ pytest verifies them against the exact variants (recall / subset bounds).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from randas_spark.functions.text import (
@@ -692,3 +692,89 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.3)
     return dedup_cluster_assignments(d, pairs, "doc_id")
+
+
+_BM25_RANKED_CTE = f"""
+    toks AS (
+        SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+    ), dl AS (
+        SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+    ), stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2
+    ), dfq AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    ), sparse_scored AS (
+        SELECT tf.doc_id,
+               sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ) AS raw
+        FROM tf JOIN dfq USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats GROUP BY 1
+    ), sparse AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY {sql_fround('raw', 6)} DESC, doc_id) AS rk
+        FROM sparse_scored
+    )"""
+
+_DENSE_RANKED_CTE = f"""
+    dense_scored AS (
+        SELECT vec_id AS doc_id, {sql_cosine('embedding', 'qv')} AS cos
+        FROM embeddings
+        CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    ), dense AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY {sql_fround('cos', 6)} DESC, doc_id) AS rk
+        FROM dense_scored
+    )"""
+
+
+@register(
+    "llm_hybrid_rrf",
+    oracle=f"""
+    WITH {_BM25_RANKED_CTE}, {_DENSE_RANKED_CTE},
+    shortlists AS (
+        SELECT doc_id, rk FROM sparse WHERE rk <= 50
+        UNION ALL
+        SELECT doc_id, rk FROM dense WHERE rk <= 50
+    ), fused AS (
+        SELECT doc_id,
+               {sql_fround('sum(1.0 / (60 + rk))', 9)} AS rrf,
+               count(*) AS n_lists
+        FROM shortlists GROUP BY doc_id
+    )
+    SELECT doc_id, rrf, n_lists, rk FROM (
+        SELECT doc_id, rrf, n_lists,
+               row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk
+        FROM fused
+    ) WHERE rk <= 10
+    """,
+)
+def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 sparse shortlist (terms {spark, join,
+    window}) fused with a dense cosine shortlist (query = embedding 0)
+    by reciprocal-rank fusion (operators/retrieval.rrf_fuse, k=60) —
+    rank-based, so the two systems' score scales never mix. Both
+    shortlists rank on rounded scores with id tiebreaks, making the
+    fusion engine-deterministic end to end."""
+    from randas_spark.functions.vectors import cosine as cos_fn
+    from randas_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    d = t(spark, sf_dir, "documents")
+    sparse = bm25_topk(d, "doc_id", "text", ["spark", "join", "window"], top_k=50)
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dense_scored = emb.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        cos_fn(F.col("embedding"), F.col("qv")).alias("cos"),
+    )
+    wd = Window.orderBy(F.desc(fround(F.col("cos"), 6)), F.col("doc_id"))
+    dense = (
+        dense_scored.withColumn("rk", F.row_number().over(wd))
+        .filter(F.col("rk") <= 50)
+        .select("doc_id", "rk")
+    )
+    return rrf_fuse([sparse.select("doc_id", "rk"), dense], top_k=10)

@@ -416,3 +416,18 @@ def test_dedup_clusters_match_union_find(spark, docs):
     for c, members in by_cluster.items():
         keeps = [r.doc_id for r in members if r.keep]
         assert keeps == [min(m.doc_id for m in members)] and keeps == [c]
+
+
+def test_rrf_fuse_properties(spark):
+    """RRF: doc in both lists beats equal-rank doc in one list; scores
+    match the closed form; n_lists counts contributing rankings."""
+    from randas_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rk long")
+    b = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rk long")
+    out = {r.doc_id: r for r in rrf_fuse([a, b], k=60, top_k=10).collect()}
+    assert out[2].n_lists == 2 and out[1].n_lists == 1
+    assert out[2].rrf == pytest.approx(1 / 62 + 1 / 61, abs=1e-9)
+    assert out[1].rrf == pytest.approx(1 / 61, abs=1e-9)
+    # rank 1 overall: doc 2 (two contributions)
+    assert min(out.values(), key=lambda r: r.rk).doc_id == 2
