@@ -778,3 +778,69 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rk")
     )
     return rrf_fuse([sparse.select("doc_id", "rk"), dense], top_k=10)
+
+
+@register(
+    "llm_chunk_documents",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ), c AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               1 + CAST(ceil(greatest(len(toks) - 40, 0) / 20.0) AS INT) AS n_chunks
+        FROM d
+    )
+    SELECT doc_id,
+           unnest(generate_series(0, n_chunks - 1)) AS chunk_idx,
+           array_to_string(toks[unnest(generate_series(0, n_chunks - 1)) * 20 + 1 :
+                                unnest(generate_series(0, n_chunks - 1)) * 20 + 40], ' ')
+               AS chunk_text,
+           least(n - unnest(generate_series(0, n_chunks - 1)) * 20, 40) AS n_tokens
+    FROM c
+    """,
+)
+def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (40-token chunks, stride 20 →
+    50% overlap) — the corpus→training-example reshaping step
+    (operators/chunking.chunk_documents; tokenize once, slice per
+    window, explode — scan-side, zero shuffle)."""
+    from randas_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        t(spark, sf_dir, "documents"), "doc_id", "text", chunk_size=40, stride=20
+    )
+
+
+@register(
+    "llm_pack_sequences",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id AS id,
+               len({sql_tokens('text')}) AS n_tokens,
+               doc_id % 4 AS shard
+        FROM documents
+    )
+    SELECT id, n_tokens, shard,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500.0) AS BIGINT)
+               AS bin
+    FROM d
+    """,
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: docs assigned to 500-token training bins by
+    cumulative count within 4 hash shards
+    (operators/chunking.pack_sequences — the one-pass contiguous packer;
+    shards make the packing window parallel, the 100 TB form)."""
+    from randas_spark.operators.chunking import pack_sequences
+
+    d = t(spark, sf_dir, "documents")
+    from randas_spark.functions.text import tokens as tok_fn
+
+    sized = d.select(
+        "doc_id", F.size(tok_fn(F.col("text"))).alias("n_toks"), "text"
+    )
+    return pack_sequences(
+        sized, "doc_id", "n_toks", capacity=500, shard_col=F.col("doc_id") % 4
+    )

@@ -431,3 +431,57 @@ def test_rrf_fuse_properties(spark):
     assert out[1].rrf == pytest.approx(1 / 61, abs=1e-9)
     # rank 1 overall: doc 2 (two contributions)
     assert min(out.values(), key=lambda r: r.rk).doc_id == 2
+
+
+def test_chunking_covers_and_overlaps(spark, docs):
+    """Chunks tile the token stream: chunk 0 starts at token 1, strides
+    advance by 20, the final chunk reaches the last token, and adjacent
+    chunks overlap by chunk_size - stride."""
+    from randas_spark.operators.chunking import chunk_documents
+
+    out = chunk_documents(docs, "doc_id", "text", chunk_size=40, stride=20)
+    rows = [(r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens) for r in out.collect()]
+    texts = {r.doc_id: r.text.lower().split(" ") for r in docs.collect()}
+    by_doc = {}
+    for d, i, c, n in rows:
+        by_doc.setdefault(d, {})[i] = (c, n)
+    for d, chunks in by_doc.items():
+        toks = texts[d]
+        idxs = sorted(chunks)
+        assert idxs == list(range(len(idxs)))
+        for i in idxs:
+            text_i, n_i = chunks[i]
+            expect = toks[i * 20 : i * 20 + 40]
+            assert text_i == " ".join(expect)
+            assert n_i == min(len(toks) - i * 20, 40)
+        # last chunk reaches the end of the doc
+        last = idxs[-1]
+        assert last * 20 + chunks[last][1] == len(toks)
+
+
+def test_pack_sequences_formula_and_capacity(spark, docs):
+    from randas_spark.operators.chunking import pack_sequences
+    from pyspark.sql import functions as F
+    from randas_spark.functions.text import tokens as tok_fn
+
+    sized = docs.select("doc_id", F.size(tok_fn(F.col("text"))).alias("n"))
+    out = pack_sequences(sized, "doc_id", "n", capacity=300).collect()
+    rows = sorted(((r.id, r.n_tokens, r.bin) for r in out))
+    cum = 0
+    for i, (doc, n, b) in enumerate(rows):
+        assert b == cum // 300
+        cum += n
+    # bin totals: every bin holds >= capacity only via its final doc
+    by_bin = {}
+    for doc, n, b in rows:
+        by_bin.setdefault(b, []).append(n)
+    for b, sizes in by_bin.items():
+        if len(sizes) > 1:
+            assert sum(sizes[:-1]) < 300
+
+
+def test_chunking_validates_args(spark, docs):
+    from randas_spark.operators.chunking import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", "text", chunk_size=0)
