@@ -37,6 +37,8 @@ HEADLINE = [
     "stream_tumbling_window",
     "stream_stream_join_conversions",
     "rel_gap_fill_ffill",
+    "llm_bm25_topk",
+    "llm_chunk_documents",
 ]
 
 

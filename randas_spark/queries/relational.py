@@ -1433,3 +1433,23 @@ def rel_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = t(spark, sf_dir, "orders")
     return profile(o, ["o_orderkey", "o_orderstatus", "o_orderpriority"])
+
+
+@register(
+    "rel_table_checksum",
+    oracle=__import__(
+        "randas_spark.io.audit", fromlist=["sql_table_checksum"]
+    ).sql_table_checksum(
+        "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"]
+    ),
+)
+def rel_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table content checksum of lineitem's stable
+    columns (io/audit.table_checksum): Σ md5-derived 32-bit row hashes +
+    row count — the one-scan migration-validation primitive (the same
+    result from ANY engine or partitioning; this oracle check IS the
+    use case)."""
+    from randas_spark.io.audit import table_checksum
+
+    li = t(spark, sf_dir, "lineitem")
+    return table_checksum(li, ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"])

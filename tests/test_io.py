@@ -181,3 +181,26 @@ def test_parquet_schema_evolution_merge(spark, tmp):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r.id: (r.name, r.score) for r in merged.collect()}
     assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 0.5)}
+
+
+def test_table_checksum_invariant_and_sensitive(spark):
+    """Checksum identical under repartition; changes when any row
+    changes; null sentinel distinguishes NULL from empty string."""
+    from randas_spark.io.audit import table_checksum
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "k long, v string"
+    )
+    base = table_checksum(df, ["k", "v"]).first()
+    shuffled = table_checksum(df.repartition(7), ["k", "v"]).first()
+    assert (base.n_rows, base.checksum) == (shuffled.n_rows, shuffled.checksum)
+
+    changed = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None)], "k long, v string"
+    )
+    assert table_checksum(changed, ["k", "v"]).first().checksum != base.checksum
+
+    empty_str = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "")], "k long, v string"
+    )
+    assert table_checksum(empty_str, ["k", "v"]).first().checksum != base.checksum
