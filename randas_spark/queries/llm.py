@@ -844,3 +844,47 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         sized, "doc_id", "n_toks", capacity=500, shard_col=F.col("doc_id") % 4
     )
+
+
+@register(
+    "llm_bigram_lm_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bg
+        FROM toks
+    ), c2 AS (
+        SELECT bg, count(*) AS c2 FROM bg GROUP BY 1
+    ), ug AS (
+        SELECT unnest(t) AS w FROM toks
+    ), c1 AS (
+        SELECT w AS w1, count(*) AS c1 FROM ug GROUP BY 1
+    ), vocab AS (
+        SELECT count(DISTINCT w) AS v FROM ug
+    )
+    SELECT bg.doc_id,
+           count(*) AS n_bigrams,
+           {sql_fround('avg(ln((c2 + 1.0) / (c1 + v)))', 6)} AS lm_score
+    FROM bg
+    JOIN c2 USING (bg)
+    JOIN c1 ON c1.w1 = string_split(bg.bg, ' ')[1]
+    CROSS JOIN vocab
+    GROUP BY bg.doc_id
+    """,
+)
+def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical LM quality score: mean add-one-smoothed
+    bigram log-probability under corpus-trained counts
+    (operators/lm.bigram_lm_scores). Low score = improbable word
+    sequences — the classic perplexity-bucket filter without a model
+    artifact. Counts shuffle on the gram (vocabulary-bounded); the
+    scoring joins broadcast the count tables."""
+    from randas_spark.operators.lm import bigram_lm_scores
+
+    out = bigram_lm_scores(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "doc_id", "n_bigrams", fround(F.col("lm_score_raw"), 6).alias("lm_score")
+    )

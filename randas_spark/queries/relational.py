@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from randas_spark.queries import fround, register, sql_fround, t
+from randas_spark.io.audit import sql_table_checksum
 
 # --------------------------------------------------------------------------
 # TPC-H-style multi-join analytics (adapted to the testdata schema)
@@ -1437,9 +1438,7 @@ def rel_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_table_checksum",
-    oracle=__import__(
-        "randas_spark.io.audit", fromlist=["sql_table_checksum"]
-    ).sql_table_checksum(
+    oracle=sql_table_checksum(
         "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"]
     ),
 )

@@ -485,3 +485,30 @@ def test_chunking_validates_args(spark, docs):
 
     with pytest.raises(ValueError):
         chunk_documents(docs, "doc_id", "text", chunk_size=0)
+
+
+def test_bigram_lm_matches_python_reference(spark, docs):
+    """Smoothed bigram log-prob equals a driver-side replica; single-
+    token docs produce no row."""
+    import math
+    from collections import Counter
+
+    from randas_spark.operators.lm import bigram_lm_scores
+
+    corpus = {r.doc_id: r.text.lower().split(" ") for r in docs.collect()}
+    c1 = Counter(w for toks in corpus.values() for w in toks)
+    c2 = Counter(
+        f"{a} {b}" for toks in corpus.values() for a, b in zip(toks, toks[1:])
+    )
+    v = len(c1)
+    got = {r.doc_id: r for r in bigram_lm_scores(docs, "doc_id", "text").collect()}
+    for doc_id, toks in corpus.items():
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if not grams:
+            assert doc_id not in got
+            continue
+        expect = sum(
+            math.log((c2[g] + 1.0) / (c1[g.split(" ")[0]] + v)) for g in grams
+        ) / len(grams)
+        assert got[doc_id].n_bigrams == len(grams)
+        assert got[doc_id].lm_score_raw == pytest.approx(expect, rel=1e-9)
