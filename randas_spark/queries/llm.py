@@ -888,3 +888,68 @@ def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_bigrams", fround(F.col("lm_score_raw"), 6).alias("lm_score")
     )
+
+
+@register(
+    "llm_e2e_corpus_prep",
+    oracle=f"""
+    WITH gated AS (
+        SELECT doc_id, lang, text FROM documents
+        WHERE ({_REP_DUP}) <= 0.5 AND n_chars >= 60
+    ), deduped AS (
+        SELECT min(doc_id) AS doc_id, min_by(lang, doc_id) AS lang,
+               min_by(text, doc_id) AS text
+        FROM (SELECT doc_id, lang, text, {sql_fingerprint('text')} AS fp FROM gated)
+        GROUP BY fp
+    ), chunked AS (
+        SELECT lang,
+               1 + CAST(ceil(greatest(len({sql_tokens('text')}) - 40, 0) / 20.0) AS INT)
+                   AS n_chunks,
+               len({sql_tokens('text')}) AS n_toks
+        FROM deduped
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(n_chunks) AS n_chunks,
+           sum(n_toks) AS n_tokens
+    FROM chunked GROUP BY lang
+    """,
+)
+def llm_e2e_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation, composed from the pipeline
+    operators: repetition + length quality gate → exact dedup (keep min
+    doc per fingerprint) → 40/20 chunking → per-language yield summary
+    (docs kept, chunks produced, tokens). One flow exercising
+    functions/text, operators/dedup, operators/chunking together — the
+    composability proof that each stage is a plain DataFrame→DataFrame.
+
+    Scale: gate is scan-side; dedup is the fingerprint shuffle; chunk
+    counting here is arithmetic (the chunk EXPLOSION is llm_chunk_documents
+    — a summary never needs to materialize chunks)."""
+    from randas_spark.functions.text import repetition_stats, tokens as tok_fn
+
+    d = t(spark, sf_dir, "documents")
+    _, _, dup = repetition_stats(F.col("text"), 3)
+    gated = d.filter((dup <= 0.5) & (F.col("n_chars") >= 60))
+    deduped = (
+        gated.select("doc_id", "lang", "text", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
+    )
+    n_toks = F.size(tok_fn(F.col("text")))
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n_toks - 40, F.lit(0)).cast("double") / 20
+    ).cast("int")
+    return (
+        deduped.select("lang", n_chunks.alias("nc"), n_toks.alias("nt"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nc").alias("n_chunks"),
+            F.sum("nt").alias("n_tokens"),
+        )
+    )
