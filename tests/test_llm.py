@@ -512,3 +512,27 @@ def test_bigram_lm_matches_python_reference(spark, docs):
         ) / len(grams)
         assert got[doc_id].n_bigrams == len(grams)
         assert got[doc_id].lm_score_raw == pytest.approx(expect, rel=1e-9)
+
+
+def test_chunking_boundary_lengths(spark):
+    """Adversarial lengths around the chunk/stride boundary: 0/1 token,
+    exactly chunk_size, chunk_size+1, stride multiples."""
+    from randas_spark.operators.chunking import chunk_documents
+
+    docs = []
+    for i, n in enumerate([1, 2, 19, 20, 21, 39, 40, 41, 60, 61, 100]):
+        docs.append((i, " ".join(f"w{j}" for j in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_size=40, stride=20)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, text in docs:
+        toks = text.split(" ")
+        n = len(toks)
+        expected_chunks = 1 + max(0, -(-(n - 40) // 20)) if n > 40 else 1
+        got = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert len(got) == expected_chunks, (n, len(got))
+        assert got[0].chunk_text.split(" ")[: min(n, 40)] == toks[:40]
+        last = got[-1]
+        assert last.chunk_idx * 20 + last.n_tokens == n  # reaches the end
