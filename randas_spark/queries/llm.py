@@ -953,3 +953,85 @@ def llm_e2e_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nt").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "llm_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+        FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+        SELECT qid, c.vec_id AS cid,
+               {sql_cosine('qv', 'c.embedding')} AS cos
+        FROM embeddings c CROSS JOIN q
+        WHERE c.label <> qlabel
+    )
+    SELECT qid, cid, {sql_fround('cos', 6)} AS cos, rk FROM (
+        SELECT qid, cid, cos,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY {sql_fround('cos', 6)} DESC, cid) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor
+    (vec_id < 5), the 5 most-similar embeddings with a DIFFERENT label —
+    same broadcast-anchors + codegen-cosine + windowed-top-k plan as
+    llm_knn_bruteforce with the label inequality pushed into the join.
+    At scale, run over the IVF/LSH shortlist instead of the full corpus
+    (operators/similarity)."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            fround(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    )
+
+
+@register(
+    "llm_balance_classes",
+    oracle="""
+    WITH sized AS (
+        SELECT label, count(*) AS n FROM embeddings GROUP BY 1
+    ), floor_n AS (
+        SELECT min(n) AS min_n FROM sized
+    ), ranked AS (
+        SELECT vec_id, label,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings
+    )
+    SELECT vec_id, label FROM ranked CROSS JOIN floor_n WHERE rn <= min_n
+    """,
+)
+def llm_balance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class balancing: every label downsampled to the minority-class
+    size, rows chosen by the deterministic md5 order (same machinery as
+    stratified sampling — reproducible across runs/engines, no RNG).
+    One shuffle on label; the minority size is a one-row broadcast."""
+    emb = t(spark, sf_dir, "embeddings")
+    min_n = emb.groupBy("label").count().agg(F.min("count").alias("min_n"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id")
+    )
+    return (
+        emb.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(min_n))
+        .filter(F.col("rn") <= F.col("min_n"))
+        .select("vec_id", "label")
+    )

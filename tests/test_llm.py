@@ -536,3 +536,25 @@ def test_chunking_boundary_lengths(spark):
         assert got[0].chunk_text.split(" ")[: min(n, 40)] == toks[:40]
         last = got[-1]
         assert last.chunk_idx * 20 + last.n_tokens == n  # reaches the end
+
+
+def test_balance_classes_equal_counts(spark):
+    from randas_spark.queries import queries
+    from tests.conftest import SF_DIR
+
+    out = queries()["llm_balance_classes"](spark, SF_DIR)
+    counts = {r.label: r.n for r in out.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert len(set(counts.values())) == 1  # every class at the same size
+
+
+def test_hard_negatives_label_disjoint(spark):
+    from randas_spark.queries import queries
+    from tests.conftest import SF_DIR
+    from randas_spark.queries import t
+
+    out = queries()["llm_hard_negatives"](spark, SF_DIR).collect()
+    labels = {r.vec_id: r.label for r in t(spark, SF_DIR, "embeddings").collect()}
+    assert out
+    for r in out:
+        assert labels[r.qid] != labels[r.cid]
+        assert 1 <= r.rk <= 5
