@@ -1452,3 +1452,33 @@ def rel_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = t(spark, sf_dir, "lineitem")
     return table_checksum(li, ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"])
+
+
+@register(
+    "rel_join_null_safe",
+    oracle="""
+    WITH n AS (
+        SELECT n_nationkey, nullif(n_regionkey, 0) AS rk FROM nation
+    ), r AS (
+        SELECT r_regionkey, nullif(r_regionkey, 0) AS rk, r_name FROM region
+    )
+    SELECT n.n_nationkey, r.r_name
+    FROM n JOIN r ON n.rk IS NOT DISTINCT FROM r.rk
+    """,
+)
+def rel_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of vanishing — the join variant plain equality
+    can't express (region 0 nulled on both sides to manufacture NULL
+    keys; they pair up). Spark plans <=> as a HASH join key (EqualNullSafe
+    is an equi-condition), so this broadcasts/shuffles like any equi-join
+    rather than degrading to a nested loop — but note NULL behaves as ONE
+    key value: heavy null populations are a skew hotspot (salt or filter
+    nulls first at scale)."""
+    n = t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.nullif(F.col("n_regionkey"), F.lit(0)).alias("rk")
+    )
+    r = t(spark, sf_dir, "region").select(
+        F.nullif(F.col("r_regionkey"), F.lit(0)).alias("rk"), "r_name"
+    )
+    return n.join(F.broadcast(r), n.rk.eqNullSafe(r.rk)).select("n_nationkey", "r_name")
