@@ -199,3 +199,30 @@ def stream_stream_join_conversions(spark: SparkSession, sf_dir: str) -> DataFram
         e.filter(F.col("event_type") == "purchase"),
         horizon="1 hour",
     )
+
+
+@register(
+    "stream_window_distinct_users",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts::TIMESTAMP) AS TIMESTAMP) AS window_start,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def stream_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly distinct-user counts (batch twin). Exact COUNT(DISTINCT)
+    is oracle-checkable here; in true streaming, per-window exact
+    distinct needs the full id set as state — the production form is
+    approx_count_distinct (HLL: mergeable, constant state per window;
+    rel_approx_count_distinct is that operator, error-bounded by
+    pytest)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_users", "n_events")
+    )

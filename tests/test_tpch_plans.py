@@ -105,3 +105,18 @@ def test_gap_fill_single_user_partitioning(spark, qs):
     except the intended 1-row bounds broadcast."""
     plan = _plan(spark, qs, "rel_gap_fill_ffill")
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_bm25_all_joins_broadcast(spark, qs):
+    """BM25: df/stats sides are tiny aggregates — every join must be a
+    broadcast (hash or the one-row nested-loop), never a sort-merge."""
+    plan = _plan(spark, qs, "llm_bm25_topk")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_scd2_single_join(spark, qs):
+    """SCD2 emits all output versions from ONE full-outer join (the
+    explode rewrite): exactly one join operator in the merged branch."""
+    plan = _plan(spark, qs, "rel_scd2_customer_dim")
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
