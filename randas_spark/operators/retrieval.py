@@ -102,12 +102,15 @@ def bm25_topk(
     )
     # floor(x*1e6+0.5)/1e6 — the engine-portable rounding (queries.fround)
     rounded = (F.floor(F.col("raw") * 1e6 + F.lit(0.5)) / 1e6).alias("bm25")
+    # Top-k via orderBy().limit(k): Spark plans TakeOrderedAndProject —
+    # each partition keeps its own k rows and the driver merges k·P rows —
+    # NOT a single-partition global sort. The rank window then runs over
+    # only k rows, so its single-partition exchange is O(k), not O(corpus).
+    top = scored.select("doc_id", rounded).orderBy(
+        F.desc("bm25"), F.col("doc_id")
+    ).limit(top_k)
     w = Window.orderBy(F.desc("bm25"), F.col("doc_id"))
-    return (
-        scored.select("doc_id", rounded)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= top_k)
-    )
+    return top.withColumn("rk", F.row_number().over(w))
 
 
 def rrf_fuse(
@@ -142,9 +145,10 @@ def rrf_fuse(
         F.sum("contrib").alias("raw"), F.count(F.lit(1)).alias("n_lists")
     )
     rounded = (F.floor(F.col("raw") * 1e9 + F.lit(0.5)) / 1e9).alias("rrf")
+    # TakeOrderedAndProject-shaped top-k (see bm25_topk): limit first,
+    # then rank the k surviving rows — no global single-partition sort.
+    top = scored.select(F.col("id").alias(id_col), rounded, "n_lists").orderBy(
+        F.desc("rrf"), F.col(id_col)
+    ).limit(top_k)
     w = Window.orderBy(F.desc("rrf"), F.col(id_col))
-    return (
-        scored.select(F.col("id").alias(id_col), rounded, "n_lists")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= top_k)
-    )
+    return top.withColumn("rk", F.row_number().over(w))

@@ -771,12 +771,14 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"),
         cos_fn(F.col("embedding"), F.col("qv")).alias("cos"),
     )
-    wd = Window.orderBy(F.desc(fround(F.col("cos"), 6)), F.col("doc_id"))
-    dense = (
-        dense_scored.withColumn("rk", F.row_number().over(wd))
-        .filter(F.col("rk") <= 50)
-        .select("doc_id", "rk")
-    )
+    # TakeOrderedAndProject-shaped shortlist: orderBy().limit(50) keeps
+    # per-partition top-50s and merges on the driver — the rank window
+    # then touches only the 50 survivors, never the full scored corpus.
+    dense_top = dense_scored.withColumn("cos_r", fround(F.col("cos"), 6)).orderBy(
+        F.desc("cos_r"), F.col("doc_id")
+    ).limit(50)
+    wd = Window.orderBy(F.desc("cos_r"), F.col("doc_id"))
+    dense = dense_top.withColumn("rk", F.row_number().over(wd)).select("doc_id", "rk")
     return rrf_fuse([sparse.select("doc_id", "rk"), dense], top_k=10)
 
 

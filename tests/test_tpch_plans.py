@@ -115,6 +115,23 @@ def test_bm25_all_joins_broadcast(spark, qs):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_bm25_topk_is_take_ordered(spark, qs):
+    """The top-k cut must be TakeOrderedAndProject (per-partition top-k +
+    driver merge), NOT a global single-partition sort of all scored docs.
+    The only single-partition window allowed is the rank over the k
+    surviving rows."""
+    plan = _plan(spark, qs, "llm_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hybrid_rrf_shortlists_are_take_ordered(spark, qs):
+    """Hybrid RRF has three top-k cuts (sparse top-50, dense top-50,
+    fused top-10) — every one must plan as TakeOrderedAndProject; no
+    corpus-sized rows ever cross a single-partition exchange."""
+    plan = _plan(spark, qs, "llm_hybrid_rrf")
+    assert plan.count("TakeOrderedAndProject") >= 3
+
+
 def test_scd2_single_join(spark, qs):
     """SCD2 emits all output versions from ONE full-outer join (the
     explode rewrite): exactly one join operator in the merged branch."""
