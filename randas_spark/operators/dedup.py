@@ -24,6 +24,7 @@ engine and carries no ML-pipeline fitting step.
 from __future__ import annotations
 
 import hashlib
+import logging
 import struct
 
 import pandas as pd
@@ -32,6 +33,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from randas_spark.functions.text import fingerprint, shingles
+
+_LOG = logging.getLogger(__name__)
 
 
 # --------------------------------------------------------------------------
@@ -72,7 +75,13 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 5, threshold: float = 0.6
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.6,
+    max_shingle_freq: int | None = None,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """All document pairs with k-shingle-set Jaccard >= threshold.
 
@@ -81,15 +90,44 @@ def ngram_jaccard_pairs(
 
     Scale: the join is an equi-join on the shingle value, so cost is
     Σ_shingle(freq²) not n² — fine while shingle frequencies are bounded.
-    Hot shingles (boilerplate) are the skew risk: cap them with a frequency
-    filter (`max_shingle_freq`) like prefix-filtering similarity joins do;
-    beyond that, MinHash-LSH (below) is the scale path.
+    Hot shingles (boilerplate) are the skew risk: ``max_shingle_freq``
+    drops shingles appearing in more than that many documents BEFORE the
+    self-join (prefix-filtering style), bounding the per-key join fan-out
+    at max_shingle_freq². The cap is conservative: intersection counts
+    lose only ultra-common shingles (which carry ~no discriminative
+    signal, exactly like BM25's max_df), so capped Jaccard is a lower
+    bound — pairs can drop below threshold, never falsely rise above it.
+    ``log_dropped=True`` triggers one extra count job and logs how many
+    hot shingles were dropped. Default None preserves exact semantics;
+    beyond the cap, MinHash-LSH (below) is the scale path.
     """
     sh = df.select(
         F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
     )
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     exploded = sh.select("doc_id", F.explode("sh").alias("s"))
+    if max_shingle_freq is not None:
+        # Window count partitioned on the join key itself: one shuffle on
+        # `s`, which the self-join below re-uses — no extra shuffle stage.
+        wf = Window.partitionBy("s")
+        exploded = (
+            exploded.withColumn("__freq__", F.count(F.lit(1)).over(wf))
+            .filter(F.col("__freq__") <= max_shingle_freq)
+            .drop("__freq__")
+        )
+        if log_dropped:
+            n_hot = (
+                sh.select(F.explode("sh").alias("s"))
+                .groupBy("s")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > max_shingle_freq)
+                .count()
+            )
+            _LOG.info(
+                "ngram_jaccard_pairs: dropped %d shingles with freq > %d",
+                n_hot,
+                max_shingle_freq,
+            )
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (
@@ -158,6 +196,8 @@ def minhash_lsh_pairs(
     bands: int = 16,
     k: int = 5,
     threshold: float = 0.6,
+    max_bucket_size: int | None = None,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH, verified with exact Jaccard.
 
@@ -169,10 +209,24 @@ def minhash_lsh_pairs(
     the shingle sets of the candidate pairs only.
 
     Scale: signature build is a pure map; the band shuffle carries
-    n·bands rows; bucket sizes are the skew knob (salt or cap giant
-    buckets — boilerplate text — before pairing).
+    n·bands rows; bucket sizes are the skew knob. ``max_bucket_size``
+    caps them: any (band_id, band_hash) bucket larger than the cap —
+    boilerplate text hashing identically across millions of docs, whose
+    self-join would fan out |bucket|² pairs on ONE join key — is dropped
+    before pairing. Recall cost is bounded: docs in a dropped bucket still
+    meet through any of their other bands-1 buckets (true near-dups agree
+    on many bands, boilerplate-only collisions on few), which is why
+    capping, not salting, is what production MinHash dedup does. The
+    bucket count uses a window partitioned on the join key itself, so the
+    one band shuffle is shared with the self-join. ``log_dropped=True``
+    adds one count job logging the dropped-bucket count.
     """
     rows_per_band = num_perm // bands
+    # No .cache() here: sig is consumed three times (banding + both sides
+    # of the verification join), but all three are map-only recomputes of
+    # a parquet scan — re-reading beats pinning corpus-sized shingle
+    # arrays in executor storage for the life of the session (the cache
+    # was never unpersistable from inside a plan-returning function).
     sig = (
         df.select(
             F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
@@ -181,7 +235,6 @@ def minhash_lsh_pairs(
         .withColumn("sig", minhash_signature("hh", num_perm))
         .drop("hh")
     )
-    sig.cache()
 
     band_structs = ", ".join(
         "named_struct('band_id', {b}, 'band_hash', xxhash64(concat_ws(',', {elems})))".format(
@@ -196,6 +249,28 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("band")
     ).select("doc_id", "band.band_id", "band.band_hash")
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band_id", "band_hash")
+        banded = (
+            banded.withColumn("__bsz__", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz__") <= max_bucket_size)
+            .drop("__bsz__")
+        )
+        if log_dropped:
+            n_hot = (
+                sig.select(
+                    "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("band")
+                )
+                .groupBy("band.band_id", "band.band_hash")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > max_bucket_size)
+                .count()
+            )
+            _LOG.info(
+                "minhash_lsh_pairs: dropped %d band buckets larger than %d",
+                n_hot,
+                max_bucket_size,
+            )
 
     cand = (
         banded.alias("a")

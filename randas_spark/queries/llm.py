@@ -95,11 +95,16 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH near-dup pairs, exact-Jaccard verified
     (operators/dedup.minhash_lsh_pairs; 64 perms × 16 bands). No SQL
     oracle (xxhash64 seeds are engine-specific); pytest checks recall
-    against llm_dedup_ngram_jaccard."""
+    against llm_dedup_ngram_jaccard. Runs with the at-scale posture:
+    max_bucket_size=1000 caps boilerplate band buckets (a no-op on this
+    corpus — every bucket is far smaller — but the config a 100 TB run
+    must ship with; pytest test_minhash_bucket_cap_bounds_candidates
+    proves the cap bites on a hot-key corpus)."""
     from randas_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        t(spark, sf_dir, "documents"), "doc_id", "text", num_perm=64, bands=16, threshold=0.6
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        num_perm=64, bands=16, threshold=0.6, max_bucket_size=1000,
     )
 
 

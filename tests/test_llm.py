@@ -57,6 +57,57 @@ def test_minhash_lsh_recall_and_precision(docs):
     assert recall >= 0.8, f"MinHash recall {recall:.2f} below bound (exact={len(exact)})"
 
 
+@pytest.fixture(scope="module")
+def boilerplate_corpus(spark):
+    """40 byte-identical boilerplate docs (every shingle / band bucket is
+    a 40-doc hot key) + a 3-doc cluster of genuinely unique near-dups."""
+    boiler = "all rights reserved terms of service apply contact the webmaster for details"
+    uniq = "the quick brown fox jumps over the lazy dog near the riverbank at dawn"
+    rows = [(i, boiler) for i in range(40)]
+    rows += [(100, uniq), (101, uniq + " today"), (102, uniq + " quietly")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_bucket_cap_bounds_candidates(boilerplate_corpus):
+    from randas_spark.operators.dedup import minhash_lsh_pairs
+
+    kw = dict(num_perm=64, bands=16, threshold=0.6)
+    uncapped = minhash_lsh_pairs(boilerplate_corpus, "doc_id", "text", **kw).count()
+    capped_df = minhash_lsh_pairs(
+        boilerplate_corpus, "doc_id", "text", max_bucket_size=10, log_dropped=True, **kw
+    )
+    capped = capped_df.collect()
+    # uncapped: the 40 identical docs alone contribute C(40,2)=780 pairs
+    assert uncapped >= 780
+    # capped: every boilerplate band bucket has 40 > 10 members → dropped;
+    # the unique 3-doc cluster's buckets (size ≤ 3) survive and still pair.
+    capped_ids = {i for r in capped for i in (r.id_a, r.id_b)}
+    assert len(capped) <= 3
+    assert capped_ids <= {100, 101, 102}
+    assert (100, 101) in {(r.id_a, r.id_b) for r in capped}
+
+
+def test_jaccard_shingle_cap_bounds_candidates(boilerplate_corpus, docs):
+    from randas_spark.operators.dedup import ngram_jaccard_pairs
+
+    capped = ngram_jaccard_pairs(
+        boilerplate_corpus, "doc_id", "text", k=5, threshold=0.6,
+        max_shingle_freq=10, log_dropped=True,
+    ).collect()
+    # boilerplate shingles (freq 40 > 10) never reach the self-join, so the
+    # 780 hot-key pairs are gone; the unique cluster's shingles (freq ≤ 3)
+    # survive and its near-dup pairs still surface.
+    assert len(capped) <= 3
+    assert {i for r in capped for i in (r.id_a, r.id_b)} <= {100, 101, 102}
+    assert (100, 101) in {(r.id_a, r.id_b) for r in capped}
+    # on a corpus with no shingle above the cap, capped ≡ uncapped exactly
+    base = ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.6)
+    hi = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=5, threshold=0.6, max_shingle_freq=10**9
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, hi.collect()))
+
+
 def test_exact_dedup_keeps_min_id(spark):
     from randas_spark.operators.dedup import exact_dedup
 
