@@ -599,15 +599,38 @@ def rel_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("rel_approx_count_distinct", oracle=None)
+@register(
+    "rel_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
+               <= 0.05 * count(DISTINCT l_orderkey) AS within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def rel_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB path for distinct
-    cardinality: constant memory per group vs exact's expand. No SQL oracle
-    (engine-specific sketch); pytest asserts relative error < 5% vs exact."""
+    cardinality: constant memory per group vs exact's expand. The sketch
+    estimate is engine-specific, so the oracle compares a deterministic
+    TOLERANCE VERDICT instead of the estimate: each engine checks its own
+    HLL against its own exact distinct count (relative error <= 5%), and
+    the hash compares (group, exact, verdict) — all deterministic."""
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
+        .agg(
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey", 0.02).alias("__approx__"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("__approx__") - F.col("exact_orders"))
+                <= 0.05 * F.col("exact_orders")
+            ).alias("within_tol"),
+        )
     )
 
 
@@ -632,15 +655,38 @@ def rel_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("rel_percentile_approx", oracle=None)
+@register(
+    "rel_percentile_approx",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_fround('quantile_cont(l_extendedprice, 0.5)', 4)} AS exact_median,
+           abs(approx_quantile(l_extendedprice, 0.5)
+               - quantile_cont(l_extendedprice, 0.5))
+               <= 0.05 * quantile_cont(l_extendedprice, 0.5) AS within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def rel_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style sketch) — mergeable, single-pass,
-    bounded memory: the scale path for quantiles. pytest bounds its error
-    against the exact percentile."""
+    bounded memory: the scale path for quantiles. Same tolerance-verdict
+    oracle scheme as rel_approx_count_distinct: each engine bounds its own
+    sketch against its own exact quantile (relative error <= 5%) and the
+    hash compares (group, rounded exact, verdict)."""
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_median"))
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("__exact__"),
+            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("__approx__"),
+        )
+        .select(
+            "l_returnflag",
+            fround(F.col("__exact__"), 4).alias("exact_median"),
+            (
+                F.abs(F.col("__approx__") - F.col("__exact__"))
+                <= 0.05 * F.col("__exact__")
+            ).alias("within_tol"),
+        )
     )
 
 
