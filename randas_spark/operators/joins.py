@@ -21,10 +21,16 @@ def asof_join(
     on: str,
     ts: str,
     direction: str = "backward",
+    suffix: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right.ts <= left.ts`` (direction="backward"; "forward" = earliest
     right row with ``right.ts >= left.ts``), matched within the ``on`` key.
+
+    Right payload columns that collide with a left column are renamed
+    with ``suffix`` (pandas merge_asof's suffixes behavior); without a
+    suffix a collision raises — the union construction below would
+    otherwise silently null-out the left values.
 
     Implementation: union both sides tagged, one window per key ordered by
     (ts, side), and ``last(payload, ignorenulls=True)`` carries the right
@@ -40,6 +46,22 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    shared = [
+        c for c in right.columns if c not in (on, ts) and c in set(left.columns)
+    ]
+    if shared:
+        if suffix is None:
+            raise ValueError(
+                f"asof_join: right payload columns {shared} collide with left "
+                "columns; pass suffix='_right' (or similar) to rename them"
+            )
+        right = right.select(
+            *[
+                F.col(c).alias(c + suffix) if c in shared else F.col(c)
+                for c in right.columns
+            ]
+        )
 
     payload = [c for c in right.columns if c not in (on, ts)]
     left_only = [c for c in left.columns if c not in (on, ts)]

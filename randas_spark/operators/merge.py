@@ -29,11 +29,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+def merge_upsert(
+    target: DataFrame, updates: DataFrame, key: str, order_by: str | None = None
+) -> DataFrame:
     """Last-write-wins upsert: updates replace matching target rows,
-    non-matching update rows append. Columns must align by name."""
+    non-matching update rows append. Columns must align by name.
+
+    ``order_by``: column resolving duplicate update rows per key — the
+    row with the greatest value wins (ties broken arbitrarily; add a
+    tiebreak to the column if it matters). Without it, ``updates`` must
+    carry AT MOST ONE ROW PER KEY (same precondition scd2_apply
+    documents); duplicate keys would all survive the anti-join + union
+    and duplicate the key in the output.
+    """
     if set(target.columns) != set(updates.columns):
         raise ValueError("target and updates must share one schema")
+    if order_by is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key).orderBy(F.col(order_by).desc())
+        updates = (
+            updates.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__")
+        )
     kept = target.join(updates.select(key), key, "left_anti")
     return kept.unionByName(updates)
 

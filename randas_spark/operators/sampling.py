@@ -58,13 +58,22 @@ def hash_sample(df: DataFrame, key: str, rate: float) -> DataFrame:
     partitionings, or engines. Rate resolution is 1/16^8 (the threshold
     is built from the first 8 hex digits).
     """
-    return df.filter(_md5_hex(F.col(key)) < _hex_threshold(rate))
+    return df.filter(_hash_below(F.col(key), rate))
 
 
-def _hex_threshold(rate: float) -> str:
+def _hash_below(key: Column, rate: float) -> Column:
+    """True iff md5(key) falls below the rate threshold.
+
+    rate=1.0 must special-case to literal True: int(1.0 * 16^8) formats
+    to the NINE-char '100000000', and a 32-char md5 hex compares below it
+    lexicographically only when it starts with '0' — i.e. the naive
+    threshold silently keeps ~1/16 of rows at rate 1.0.
+    """
     if not (0.0 <= rate <= 1.0):
         raise ValueError(f"rate must be in [0,1], got {rate}")
-    return format(int(rate * 16**8), "08x")
+    if rate >= 1.0:
+        return F.lit(True)
+    return _md5_hex(key) < format(int(rate * 16**8), "08x")
 
 
 def stratified_sample(df: DataFrame, strata: list[str], n: int, key: str) -> DataFrame:
@@ -89,7 +98,7 @@ def train_test_split(df: DataFrame, key: str, test_rate: float, col: str = "spli
     membership can be recomputed from the key alone — the property that
     matters when the corpus is 100 TB and the split must never drift.
     """
-    is_test = _md5_hex(F.col(key)) < _hex_threshold(test_rate)
+    is_test = _hash_below(F.col(key), test_rate)
     return df.withColumn(col, F.when(is_test, F.lit("test")).otherwise(F.lit("train")))
 
 

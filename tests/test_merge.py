@@ -66,6 +66,20 @@ def test_merge_upsert_last_write_wins(spark):
     assert got == [(1, "a"), (2, "B"), (3, "c")]
 
 
+def test_merge_upsert_dedups_updates_with_order_by(spark):
+    """Duplicate update rows per key: order_by picks the greatest-valued
+    row (last-write-wins inside the batch) and the output carries exactly
+    one row per key."""
+    from randas_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame([(1, "a", 0)], "k long, v string, ts long")
+    updates = spark.createDataFrame(
+        [(1, "old", 5), (1, "new", 9), (2, "x", 1)], "k long, v string, ts long"
+    )
+    got = sorted(map(tuple, merge_upsert(target, updates, "k", order_by="ts").collect()))
+    assert got == [(1, "new", 9), (2, "x", 1)]
+
+
 def test_merge_upsert_schema_mismatch_raises(spark):
     from randas_spark.operators.merge import merge_upsert
 

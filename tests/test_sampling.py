@@ -95,6 +95,19 @@ def test_train_test_split_exclusive_exhaustive(docs):
         assert hashlib.md5(str(i).encode()).hexdigest() < thresh
 
 
+def test_hash_sample_boundary_rates(docs):
+    """rate=1.0 must keep EVERY row (the naive 9-hex-char threshold kept
+    ~1/16) and rate=0.0 must keep none; train_test_split at test_rate=1.0
+    labels everything 'test'."""
+    n = docs.count()
+    assert hash_sample(docs, "doc_id", 1.0).count() == n
+    assert hash_sample(docs, "doc_id", 0.0).count() == 0
+    all_test = train_test_split(docs, "doc_id", 1.0)
+    assert all_test.filter(F.col("split") == "test").count() == n
+    no_test = train_test_split(docs, "doc_id", 0.0)
+    assert no_test.filter(F.col("split") == "test").count() == 0
+
+
 def test_sampling_is_scan_side(docs):
     """systematic/hash sampling must not shuffle — the predicate stays on
     the scan (narrow plan, no Exchange)."""
