@@ -43,16 +43,60 @@ def attach_fake_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
-    """Decode kernel. Real decode needs an image library absent from this
-    container — STUB: raises unless fake=True, where it returns a
-    deterministic 8-dim byte-histogram-ish feature."""
+    """Decode kernel → 8-dim pixel feature.
+
+    PNG payloads are decoded FOR REAL by the dependency-free codec in
+    operators/png.py (stdlib zlib + scanline unfiltering; 8-bit
+    gray/RGB/palette/alpha profiles) — no imaging library needed. Other
+    formats (JPEG/WebP/...) still require a library this container lacks:
+    they raise unless fake=True, which substitutes the deterministic
+    md5-derived stub feature."""
+    from randas_spark.operators.png import PNG_MAGIC, decode_png, pixel_features
+
+    if bytes(payload[:8]) == PNG_MAGIC:
+        return pixel_features(*decode_png(bytes(payload)))
     if not fake:
         raise NotImplementedError(
-            "image decode requires an imaging library not present in this "
-            "container; run with fake=True for the deterministic stub"
+            "non-PNG image decode requires an imaging library not present in "
+            "this container; run with fake=True for the deterministic stub"
         )
     h = hashlib.md5(payload).digest()
     return [b / 255.0 for b in h[:8]]
+
+
+def attach_png_payload(
+    df: DataFrame, id_col: str, text_col: str, width: int = 8, height: int = 8
+) -> DataFrame:
+    """Simulate a multimodal corpus with REAL image bytes: each document
+    gets a valid width×height RGB PNG whose pixels derive
+    deterministically from md5(text) — so the decode stage downstream
+    exercises the actual PNG codec, not a stub. Arrow-batched pandas_udf
+    (the encode is Python, but linear and scan-side)."""
+    import pandas as pd  # noqa: F811 (module-level import exists)
+
+    from randas_spark.operators.png import encode_png
+
+    n_px = width * height * 3
+
+    @F.pandas_udf("binary")
+    def png_of(texts: pd.Series) -> pd.Series:
+        def make(text: str) -> bytes:
+            seed = hashlib.md5(text.encode()).digest()
+            pixels = (seed * (n_px // len(seed) + 1))[:n_px]
+            return encode_png(pixels, width, height, 3)
+
+        return texts.map(make)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        png_of(F.col(text_col)).alias("payload"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.length(F.col(text_col)).cast("long").alias("n_bytes"),
+            F.lit(width).cast("long").alias("width"),
+            F.lit(height).cast("long").alias("height"),
+        ).alias("meta"),
+    )
 
 
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:

@@ -1,0 +1,168 @@
+"""Dependency-free PNG codec (stdlib zlib + struct only).
+
+A real-but-minimal decoder so the multimodal pipeline's decode stage
+(operators/multimodal.decode_image) computes ACTUAL pixel features in
+this container, which has no imaging libraries. Supports the common
+still-image profile: 8-bit depth, color types 0 (gray), 2 (RGB),
+3 (palette), 4 (gray+alpha), 6 (RGBA), all five scanline filters,
+non-interlaced. Anything else raises ValueError — a production cluster
+swaps in PIL/opencv behind the same kernel signature and nothing else
+changes (the mapInPandas plumbing is the contract).
+
+The encoder (8-bit gray/RGB/RGBA, filter 0) exists to build valid
+fixtures and deterministic synthetic payloads without any library.
+
+Format reference: the public PNG specification (RFC 2083 / W3C PNG) —
+chunk layout, filter algorithms (incl. the Paeth predictor), and CRC.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # per color type, pre-palette
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """data → (width, height, channels, pixels) with pixels row-major
+    interleaved 8-bit samples (palette images expand to RGB)."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    palette: bytes | None = None
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG chunk header")
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk body")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+        elif ctype == b"PLTE":
+            palette = bytes(body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + body + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {bit_depth} (only 8)")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if interlace != 0:
+        raise ValueError("interlaced PNG unsupported")
+    if color_type == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE")
+
+    ch = _CHANNELS[color_type]
+    stride = width * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+
+    out = bytearray(stride * height)
+    prev_start = -1
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line_in = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        base = y * stride
+        if f == 0:  # None
+            out[base : base + stride] = line_in
+        elif f == 1:  # Sub
+            for x in range(stride):
+                left = out[base + x - ch] if x >= ch else 0
+                out[base + x] = (line_in[x] + left) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                up = out[prev_start + x] if y > 0 else 0
+                out[base + x] = (line_in[x] + up) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = out[base + x - ch] if x >= ch else 0
+                up = out[prev_start + x] if y > 0 else 0
+                out[base + x] = (line_in[x] + (left + up) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                left = out[base + x - ch] if x >= ch else 0
+                up = out[prev_start + x] if y > 0 else 0
+                ul = out[prev_start + x - ch] if (y > 0 and x >= ch) else 0
+                out[base + x] = (line_in[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        prev_start = base
+
+    if color_type == 3:
+        rgb = bytearray(width * height * 3)
+        for i, idx in enumerate(out):
+            rgb[i * 3 : i * 3 + 3] = palette[idx * 3 : idx * 3 + 3]
+        return width, height, 3, bytes(rgb)
+    return width, height, ch, bytes(out)
+
+
+def encode_png(pixels: bytes, width: int, height: int, channels: int) -> bytes:
+    """8-bit gray (1), RGB (3), or RGBA (4) → valid PNG, filter 0."""
+    color_type = {1: 0, 3: 2, 4: 6}.get(channels)
+    if color_type is None:
+        raise ValueError(f"channels must be 1, 3, or 4, got {channels}")
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer size mismatch")
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def pixel_features(width: int, height: int, channels: int, pixels: bytes) -> list[float]:
+    """Deterministic 8-dim feature from decoded pixels: dimensions,
+    channel count, global mean/std/min/max (0-1 scaled), first-channel
+    mean. Pure integer sums → bit-stable across platforms."""
+    n = len(pixels)
+    s = sum(pixels)
+    mean = s / n
+    var = sum((p - mean) ** 2 for p in pixels) / n
+    c0 = pixels[0::channels]
+    return [
+        float(width),
+        float(height),
+        float(channels),
+        mean / 255.0,
+        (var**0.5) / 255.0,
+        min(pixels) / 255.0,
+        max(pixels) / 255.0,
+        (sum(c0) / len(c0)) / 255.0,
+    ]

@@ -295,14 +295,16 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("llm_multimodal_features", oracle=None)
 def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction through the real mapInPandas
-    plumbing with the deterministic fake decode kernel
-    (operators/multimodal.extract_features; real decode is stubbed —
-    no imaging libs in this container)."""
-    from randas_spark.operators.multimodal import attach_fake_payload, extract_features
+    """REAL image decode end-to-end: every document carries a valid RGB
+    PNG (attach_png_payload — deterministic md5-seeded pixels, encoded by
+    the stdlib codec) and extract_features decodes the actual scanlines
+    via operators/png.decode_png inside the mapInPandas stage — no stub
+    in this path (fake=False). Rows-only for the driver (binary payloads
+    aren't SQL-comparable); pytest pins golden feature values."""
+    from randas_spark.operators.multimodal import attach_png_payload, extract_features
 
     d = t(spark, sf_dir, "documents")
-    return extract_features(attach_fake_payload(d, "doc_id", "text"), fake=True)
+    return extract_features(attach_png_payload(d, "doc_id", "text"), fake=False)
 
 
 @register("llm_multimodal_pipeline", oracle=None)

@@ -343,13 +343,42 @@ def test_multimodal_resize_and_frames_stubbed_without_fake(docs):
         resize_images(src, 8, 8, fake=False).collect()
 
 
-def test_multimodal_real_decode_is_stubbed():
+def test_multimodal_decode_real_for_png_stubbed_otherwise():
     from randas_spark.operators.multimodal import decode_image
+    from randas_spark.operators.png import encode_png
 
+    # non-PNG formats still require a library → stub gate intact
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG", fake=False)
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish", fake=False)
     # deterministic fake: same payload → same feature
     assert decode_image(b"abc", fake=True) == decode_image(b"abc", fake=True)
+    # PNG payloads decode FOR REAL (no fake flag needed): a solid-gray
+    # 2x2 RGB image has mean 0.5 (127.5/255), std 0, min=max
+    png = encode_png(bytes([127, 128] * 6), 2, 2, 3)
+    feat = decode_image(png, fake=False)
+    assert feat[0] == 2.0 and feat[1] == 2.0 and feat[2] == 3.0
+    assert abs(feat[3] - 127.5 / 255.0) < 1e-12
+    assert feat[5] == 127 / 255.0 and feat[6] == 128 / 255.0
+
+
+def test_multimodal_features_query_real_decode(spark):
+    """The registered llm_multimodal_features query must produce, for a
+    known document, exactly the feature that a driver-side encode→decode
+    of the same text yields — proving the executors ran the real codec."""
+    import hashlib
+
+    from randas_spark.queries import queries
+    from randas_spark.operators.png import decode_png, encode_png, pixel_features
+    from randas_spark.queries import t as _t
+
+    out = queries()["llm_multimodal_features"](spark, SF_DIR)
+    row = out.filter(F.col("doc_id") == 0).collect()[0]
+    text = _t(spark, SF_DIR, "documents").filter(F.col("doc_id") == 0).collect()[0].text
+    seed = hashlib.md5(text.encode()).digest()
+    pixels = (seed * (8 * 8 * 3 // 16 + 1))[: 8 * 8 * 3]
+    expected = pixel_features(*decode_png(encode_png(pixels, 8, 8, 3)))
+    assert list(row.feature) == expected
+    assert row.modality == "image"
 
 
 def _lev(a: str, b: str) -> int:
