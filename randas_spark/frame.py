@@ -103,6 +103,42 @@ def query_predicate(df: DataFrame, s: str) -> Column:
     return F.col(col) == F.lit(lit) if string_col else F.lit(False)
 
 
+_MID_RECORD_BITS = 33  # monotonically_increasing_id: partition id in the
+# upper 31 bits, record-number-within-partition in the lower 33 (documented
+# Spark behavior) — lets us number rows without any global sort.
+
+
+def _with_ingest_index(sdf: DataFrame) -> DataFrame:
+    """Attach ``__pos__``/``__index__`` in ingest order, zipWithIndex-style.
+
+    The naive form — row_number over Window.orderBy(mid) — funnels the
+    whole frame through ONE partition to sort. Instead: decompose
+    monotonically_increasing_id into (partition, record#), count rows per
+    partition (a #partitions-row aggregate), turn counts into cumulative
+    start offsets with a window over that tiny result, broadcast-join the
+    offsets back, and add. No shuffle of the data itself; same
+    assignment as the global window (both order by mid).
+    """
+    mask = (1 << _MID_RECORD_BITS) - 1
+    mid = F.monotonically_increasing_id()
+    tagged = sdf.withColumn("__mid__", mid)
+    part = F.shiftrightunsigned(F.col("__mid__"), _MID_RECORD_BITS)
+    rec = F.col("__mid__").bitwiseAND(F.lit(mask))
+
+    counts = tagged.select(part.alias("__part__")).groupBy("__part__").count()
+    w = Window.orderBy("__part__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__part__", F.coalesce(F.sum("count").over(w), F.lit(0)).alias("__off__")
+    )
+    return (
+        tagged.withColumn("__part__", part)
+        .join(F.broadcast(offsets), "__part__")
+        .withColumn(POS, F.col("__off__") + rec)
+        .withColumn(IDX, F.col(POS).cast("string"))
+        .drop("__mid__", "__part__", "__off__")
+    )
+
+
 # --------------------------------------------------------------------------
 # the facade
 # --------------------------------------------------------------------------
@@ -114,16 +150,15 @@ class RandasFrame:
     def __init__(self, sdf: DataFrame):
         """Wrap a Spark DataFrame; generates the index if absent.
 
-        Index generation (SURVEY.md §1.3): ``__pos__`` is a row_number over
-        a stable ingest order (monotonically_increasing_id preserves
-        file/partition order), ``__index__`` its string form — matching the
-        reference's auto index ``(0..n).map(to_string)`` (dataframe.rs:45-47).
+        Index generation (SURVEY.md §1.3): ``__pos__`` numbers rows in
+        stable ingest order (file/partition order), ``__index__`` is its
+        string form — matching the reference's auto index
+        ``(0..n).map(to_string)`` (dataframe.rs:45-47). Built
+        zipWithIndex-style (see :func:`_with_ingest_index`) — NO global
+        single-partition sort, so wrapping a large frame stays scalable.
         """
         if POS not in sdf.columns:
-            w = Window.orderBy(F.monotonically_increasing_id())
-            sdf = sdf.withColumn(POS, F.row_number().over(w) - 1).withColumn(
-                IDX, F.col(POS).cast("string")
-            )
+            sdf = _with_ingest_index(sdf)
         self._sdf = sdf
 
     # -- constructors (dataframe.rs:33-95) --------------------------------

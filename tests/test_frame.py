@@ -330,3 +330,43 @@ def test_from_values(spark):
 def test_new_unequal_lengths(spark):
     with pytest.raises(ValueError):
         RandasFrame.new(spark, {"a": [1], "b": [1, 2]}, ["a", "b"])
+
+
+def test_ingest_index_multi_partition(spark):
+    """zipWithIndex-style __pos__ must equal the global-window numbering
+    on a genuinely multi-partition frame, and its plan must not sort the
+    data through a single partition."""
+    from pyspark.sql import Window
+
+    from randas_spark.frame import _with_ingest_index
+
+    src = spark.range(0, 997, 1, 7).select((F.col("id") * 3).alias("v"))
+    got = _with_ingest_index(src)
+    w = Window.orderBy(F.monotonically_increasing_id())
+    want = src.withColumn("__pos__", F.row_number().over(w) - 1)
+    assert {(r["v"], r["__pos__"]) for r in got.collect()} == {
+        (r["v"], r["__pos__"]) for r in want.collect()
+    }
+    idx = {r["__pos__"]: r["__index__"] for r in got.collect()}
+    assert idx[0] == "0" and idx[996] == "996" and len(idx) == 997
+    # scale shape: the DATA never crosses a single-partition exchange —
+    # the only one allowed is the prefix-sum window over the tiny
+    # per-partition counts aggregate; the data side re-enters via a
+    # broadcast join. (The old global-window form had the full frame
+    # behind Exchange SinglePartition with a Window above it.)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan")[0]  # AQE prints the plan twice
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_ingest_index_wrap_facade_multi_partition(spark):
+    """RandasFrame over a 5-partition source: positional ops stay correct."""
+    src = spark.range(0, 100, 1, 5).select(F.col("id").cast("double").alias("x"))
+    f = RandasFrame(src)
+    assert f.shape() == (100, 1)
+    assert f.iloc(0, 0) == 0.0
+    assert f.iloc(99, 0) == 99.0
+    assert f.head(3).column("x") == [0.0, 1.0, 2.0]
+    assert f.tail(2).column("x") == [98.0, 99.0]
