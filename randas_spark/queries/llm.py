@@ -701,6 +701,27 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_cluster_assignments(d, pairs, "doc_id")
 
 
+@register("llm_dedup_clusters_star", oracle=None)
+def llm_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same transitive closure via alternating large-star/small-star
+    (operators/dedup.connected_components_star, Kiveris et al.) — the
+    O(log² n)-round variant for high-diameter / adversarial graphs where
+    min-label propagation's O(diameter) rounds don't hold. Rows-only
+    (iterative); pytest proves equality with label propagation and
+    union-find plus the round-count advantage on a chain graph."""
+    from randas_spark.operators.dedup import connected_components_star, ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.3)
+    comp = connected_components_star(pairs)
+    ids = d.select(F.col("doc_id").alias("node"))
+    full = ids.join(comp, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("comp", F.col("node")).alias("cluster"),
+    )
+    return full.withColumn("keep", F.col("doc_id") == F.col("cluster"))
+
+
 _BM25_RANKED_CTE = f"""
     toks AS (
         SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents

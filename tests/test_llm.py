@@ -498,6 +498,85 @@ def test_dedup_clusters_match_union_find(spark, docs):
         assert keeps == [min(m.doc_id for m in members)] and keeps == [c]
 
 
+def _uf_components(edges):
+    """Driver-side union-find ground truth: node → min-id of component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_star_cc_matches_label_propagation_random_graphs(spark):
+    """large-star/small-star must produce exactly the same components as
+    min-label propagation AND the union-find ground truth on random
+    graphs (2 seeds × 80 nodes, ~edge density 1.4)."""
+    import random
+
+    from randas_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed in (7, 1999):
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(80), rng.randrange(80)) for _ in range(110)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        want = _uf_components(edges)
+        lp = {
+            r.node: r.comp
+            for r in connected_components(df, max_iter=50).collect()
+        }
+        star = {
+            r.node: r.comp
+            for r in connected_components_star(df).collect()
+        }
+        assert lp == want, f"label propagation wrong on seed {seed}"
+        assert star == want, f"star CC wrong on seed {seed}"
+
+
+def test_star_cc_fewer_rounds_on_chain(spark):
+    """High-diameter graph (a 64-node chain): label propagation needs
+    O(diameter) rounds; star contraction must finish in O(log² n) — in
+    practice single digits — with identical (correct) components."""
+    from randas_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 48
+    chain = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+
+    star_stats: dict = {}
+    star = {
+        r.node: r.comp
+        for r in connected_components_star(df, stats=star_stats).collect()
+    }
+    assert star == {i: 0 for i in range(n)}
+
+    lp_stats: dict = {}
+    lp = {
+        r.node: r.comp
+        for r in connected_components(df, max_iter=n + 2, stats=lp_stats).collect()
+    }
+    assert lp == star
+    assert star_stats["rounds"] <= 8, star_stats
+    assert lp_stats["rounds"] > 2 * star_stats["rounds"], (lp_stats, star_stats)
+
+
 def test_rrf_fuse_properties(spark):
     """RRF: doc in both lists beats equal-rank doc in one list; scores
     match the closed form; n_lists counts contributing rankings."""
