@@ -294,14 +294,14 @@ def minhash_lsh_pairs(
     # measured 16x super-linear on a 5x scale-up; with it the query
     # scales with candidates, not corpus.
     cand = cand.localCheckpoint()  # computed once, reused for ids + join
-    ids_a = cand.select(F.col("id_a").alias("doc_id")).distinct()
-    ids_b = cand.select(F.col("id_b").alias("doc_id")).distinct()
-    sa = base.join(F.broadcast(ids_a), "doc_id", "left_semi").select(
-        F.col("doc_id").alias("id_a"), F.col("hh").alias("hh_a")
-    )
-    sb = base.join(F.broadcast(ids_b), "doc_id", "left_semi").select(
-        F.col("doc_id").alias("id_b"), F.col("hh").alias("hh_b")
-    )
+    ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).distinct()
+    # ONE pruned scan serves both join sides; it is candidate-sized, so
+    # checkpointing it is output-bounded storage, not corpus-bounded.
+    sv = base.join(F.broadcast(ids), "doc_id", "left_semi").localCheckpoint()
+    sa = sv.select(F.col("doc_id").alias("id_a"), F.col("hh").alias("hh_a"))
+    sb = sv.select(F.col("doc_id").alias("id_b"), F.col("hh").alias("hh_b"))
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")

@@ -1065,3 +1065,194 @@ def llm_balance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("min_n"))
         .select("vec_id", "label")
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing, corpus n-gram stats, benchmark decontamination
+# --------------------------------------------------------------------------
+
+#: Cross-engine PII patterns (identical leftmost-match semantics in Java
+#: regex and RE2 for these constructs).
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+_PII_LONGNUM = r"[0-9]{9,}"
+
+#: Deterministic PII injection so the scrub has real work on synthetic
+#: docs — byte-identical construction on both engines.
+_PII_SQL = """lower(text) || CASE CAST(doc_id % 3 AS INT)
+        WHEN 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        WHEN 1 THEN ' server 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 logged'
+        ELSE ' card 4111111111111111 used' END"""
+
+
+def _pii_spark(d):
+    return F.concat(
+        F.lower(F.col("text")),
+        F.when(
+            (F.col("doc_id") % 3) == 0,
+            F.concat(
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            (F.col("doc_id") % 3) == 1,
+            F.concat(
+                F.lit(" server 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 logged"),
+            ),
+        )
+        .otherwise(F.lit(" card 4111111111111111 used")),
+    )
+
+
+@register(
+    "llm_pii_scrub",
+    oracle=f"""
+    WITH src AS (SELECT doc_id, {_PII_SQL} AS body FROM documents),
+    scrubbed AS (
+        SELECT doc_id, body,
+               regexp_replace(regexp_replace(regexp_replace(body,
+                   '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_IPV4}', '<IP>', 'g'),
+                   '{_PII_LONGNUM}', '<NUM>', 'g') AS clean
+        FROM src
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(body, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(body, '{_PII_IPV4}')) AS n_ips,
+           len(regexp_extract_all(body, '{_PII_LONGNUM}')) AS n_longnums,
+           md5(clean) AS scrub_md5
+    FROM scrubbed
+    """,
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every training corpus runs
+    before anything else: emails, IPv4s, and long digit runs (card/phone
+    shaped) detected and replaced with typed placeholder tokens, entirely
+    in codegen'd regexp built-ins (no UDF). The oracle hash-compares the
+    md5 of the fully scrubbed text plus per-category counts, so redaction
+    semantics are verified byte-for-byte cross-engine. One scan, zero
+    shuffles — trivially parallel at 100 TB.
+
+    (Synthetic docs carry no organic PII, so a deterministic injection
+    derived from doc_id adds real matches on both engines identically.)
+    """
+    d = t(spark, sf_dir, "documents")
+    body = _pii_spark(d)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(body, _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_LONGNUM,
+        "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(body, F.lit(_PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(body, F.lit(_PII_IPV4), F.lit(0))).alias("n_ips"),
+        F.size(F.regexp_extract_all(body, F.lit(_PII_LONGNUM), F.lit(0))).alias(
+            "n_longnums"
+        ),
+        F.md5(clean.cast("binary")).alias("scrub_md5"),
+    )
+
+
+@register(
+    "llm_ngram_top20",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {sql_tokens('text')} AS tk FROM documents),
+    grams AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 1)),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS ngram
+        FROM toks
+    ),
+    counted AS (
+        SELECT ngram, count(*) AS cnt FROM grams WHERE ngram <> '' GROUP BY ngram
+    )
+    SELECT ngram, cnt, row_number() OVER (ORDER BY cnt DESC, ngram) AS rk
+    FROM counted ORDER BY cnt DESC, ngram LIMIT 20
+    """,
+)
+def llm_ngram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus trigram frequency table, top 20 — the n-gram statistics
+    pass behind contamination checks, LM smoothing tables, and corpus
+    drift reports. Multiset trigrams (unlike the distinct shingle sets
+    dedup uses) via a scan-side slice/explode; one count shuffle with
+    map-side partial agg; the cut is orderBy().limit() =
+    TakeOrderedAndProject, never a global-window sort."""
+    from randas_spark.functions.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tk) - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tk, i, 3)),
+    )
+    counted = (
+        d.select(F.explode(grams).alias("ngram"))
+        .filter(F.col("ngram") != "")
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counted.orderBy(F.desc("cnt"), "ngram").limit(20)
+    w = Window.orderBy(F.desc("cnt"), "ngram")
+    return top.withColumn("rk", F.row_number().over(w))
+
+
+from randas_spark.functions.text import sql_shingles as _sql_shingles
+
+
+@register(
+    "llm_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_sql_shingles('text', 8)}) AS s
+        FROM documents
+    ),
+    bench AS (
+        SELECT DISTINCT doc_id AS bench_id, s FROM sh WHERE doc_id % 11 = 0
+    ),
+    corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 11 <> 0)
+    SELECT corpus.doc_id,
+           count(DISTINCT bench_id) AS n_bench_docs,
+           count(DISTINCT corpus.s) AS n_shared_ngrams
+    FROM corpus JOIN bench USING (s)
+    GROUP BY corpus.doc_id
+    """,
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag training docs sharing any 8-gram
+    with a held-out benchmark set (here: the deterministic pseudo-
+    benchmark doc_id % 11 == 0, ~9% of the corpus so collisions exist
+    at every test SF), the standard n-gram-collision check run
+    before every training job. Output: contaminated doc → how many
+    benchmark docs and how many distinct 8-grams it collides with.
+
+    Scale: the benchmark n-gram set is tiny relative to the corpus and
+    BROADCASTS into the corpus shingle scan — the corpus is never
+    shuffled; only the (few) colliding rows reach the aggregation.
+    """
+    from randas_spark.functions.text import shingles
+
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"), 8)).alias("s"))
+    bench = (
+        sh.filter(F.col("doc_id") % 11 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "s")
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % 11 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+            F.countDistinct("s").alias("n_shared_ngrams"),
+        )
+    )

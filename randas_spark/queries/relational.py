@@ -635,6 +635,65 @@ def rel_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_hll_sketch_mergeable",
+    oracle="""
+    WITH per_group AS (
+        SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_custs,
+               approx_count_distinct(o_custkey) AS approx_custs
+        FROM orders GROUP BY o_orderpriority
+    ), global AS (
+        SELECT count(DISTINCT o_custkey) AS exact_g,
+               approx_count_distinct(o_custkey) AS approx_g
+        FROM orders
+    )
+    SELECT o_orderpriority, exact_custs,
+           abs(approx_custs - exact_custs) <= 0.05 * exact_custs AS grp_within_tol,
+           exact_g AS exact_global,
+           abs(approx_g - exact_g) <= 0.05 * exact_g AS global_within_tol
+    FROM per_group CROSS JOIN global
+    """,
+)
+def rel_hll_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the pattern 100 TB rollups
+    live on: build an HLL sketch per group once (hll_sketch_agg), then
+    answer the GLOBAL question by unioning the per-group sketches
+    (hll_union_agg) WITHOUT rescanning the fact table. Estimates are
+    engine-specific, so the oracle uses the tolerance-verdict scheme
+    (each engine bounds its own group and merged-global estimates
+    against its own exact counts; DuckDB's twin recomputes globally —
+    merge-vs-rescan equivalence is exactly what the sketch guarantees)."""
+    o = t(spark, sf_dir, "orders")
+    sketches = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_custs"),
+        F.hll_sketch_agg("o_custkey").alias("__sk__"),
+    )
+    merged = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk__")).alias("approx_g")
+    )
+    exact_g = o.agg(F.countDistinct("o_custkey").alias("exact_global"))
+    return (
+        sketches.withColumn(
+            "__approx__", F.hll_sketch_estimate(F.col("__sk__"))
+        )
+        .crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(exact_g))
+        .select(
+            "o_orderpriority",
+            "exact_custs",
+            (
+                F.abs(F.col("__approx__") - F.col("exact_custs"))
+                <= 0.05 * F.col("exact_custs")
+            ).alias("grp_within_tol"),
+            "exact_global",
+            (
+                F.abs(F.col("approx_g") - F.col("exact_global"))
+                <= 0.05 * F.col("exact_global")
+            ).alias("global_within_tol"),
+        )
+    )
+
+
+@register(
     "rel_percentiles_exact",
     oracle=f"""
     SELECT o_orderstatus,

@@ -717,3 +717,93 @@ def test_hard_negatives_label_disjoint(spark):
     for r in out:
         assert labels[r.qid] != labels[r.cid]
         assert 1 <= r.rk <= 5
+
+
+# -- PII scrub / n-gram stats / decontamination ----------------------------
+
+
+def test_pii_scrub_categories_and_redaction(spark):
+    """Every doc gets exactly one injected PII category (doc_id % 3) and
+    the scrubbed text must not re-match any PII pattern."""
+    import re
+
+    from randas_spark.queries import queries
+
+    rows = queries()["llm_pii_scrub"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        cat = r.doc_id % 3
+        if cat == 0:
+            assert r.n_emails >= 1
+        elif cat == 1:
+            assert r.n_ips >= 1
+        else:
+            assert r.n_longnums >= 1
+    # independent redaction check: apply the same scrub in Python on one
+    # doc and compare the md5
+    import hashlib
+
+    from randas_spark.queries import t as _t
+
+    doc = _t(spark, SF_DIR, "documents").filter(F.col("doc_id") == 0).collect()[0]
+    body = doc.text.lower() + " reach user0@example.com now"
+    clean = re.sub(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>", body)
+    clean = re.sub(r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>", clean)
+    clean = re.sub(r"[0-9]{9,}", "<NUM>", clean)
+    got = {r.doc_id: r.scrub_md5 for r in rows}[0]
+    assert got == hashlib.md5(clean.encode()).hexdigest()
+
+
+def test_ngram_top20_matches_python_counts(spark):
+    """Top-20 trigram table must equal a driver-side recount exactly
+    (same multiset semantics, same (cnt desc, ngram) tiebreak)."""
+    from collections import Counter
+
+    from randas_spark.queries import queries, t as _t
+
+    texts = [r.text for r in _t(spark, SF_DIR, "documents").collect()]
+    counts = Counter()
+    for txt in texts:
+        toks = txt.lower().split(" ")
+        n = max(len(toks) - 2, 1)
+        for i in range(n):
+            g = " ".join(toks[i : i + 3])
+            if g:
+                counts[g] += 1
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r.ngram, r.cnt)
+        for r in sorted(
+            queries()["llm_ngram_top20"](spark, SF_DIR).collect(), key=lambda r: r.rk
+        )
+    ]
+    assert got == expected
+
+
+def test_decontaminate_matches_python_ground_truth(spark):
+    """Contamination flags must equal a driver-side 8-gram collision
+    check against the %11 pseudo-benchmark."""
+    from randas_spark.queries import queries, t as _t
+
+    docs = {r.doc_id: r.text for r in _t(spark, SF_DIR, "documents").collect()}
+
+    def grams(text):
+        toks = text.lower().split(" ")
+        n = max(len(toks) - 7, 1)
+        return {" ".join(toks[i : i + 8]) for i in range(n)}
+
+    bench = {i: grams(t) for i, t in docs.items() if i % 11 == 0}
+    expected = {}
+    for i, txt in docs.items():
+        if i % 11 == 0:
+            continue
+        g = grams(txt)
+        hit_docs = {b for b, bg in bench.items() if g & bg}
+        if hit_docs:
+            shared = set().union(*[g & bench[b] for b in hit_docs])
+            expected[i] = (len(hit_docs), len(shared))
+    got = {
+        r.doc_id: (r.n_bench_docs, r.n_shared_ngrams)
+        for r in queries()["llm_decontaminate"](spark, SF_DIR).collect()
+    }
+    assert got == expected

@@ -105,6 +105,19 @@ def test_asof_join_semantics(spark):
     assert got == {(1, 5): 10.0, (1, 12): 20.0, (2, 3): None}
 
 
+def test_hll_sketch_merge_matches_rescan(spark):
+    """Unioning per-group HLL sketches must estimate the global distinct
+    count within 5% of exact — the mergeability property that lets 100 TB
+    rollups answer global questions without rescanning facts."""
+    from randas_spark.queries import queries
+
+    rows = queries()["rel_hll_sketch_mergeable"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.grp_within_tol, (r.o_orderpriority, r.exact_custs)
+        assert r.global_within_tol, r.exact_global
+
+
 def test_asof_join_column_collision(spark):
     """Shared non-key column names: without a suffix the join must raise
     (the union construction would silently null the left values);
