@@ -157,6 +157,41 @@ def sql_quality_score(text: str) -> str:
     )
 
 
+#: Fixed logistic-regression weights for the quality classifier —
+#: (bias, len_term, sw_term, alpha_ratio). Stand-in for a trained
+#: fastText/LR quality model: the *serving* path (feature extraction +
+#: linear score, all codegen'd scan-side) is what matters at 100 TB;
+#: swapping learned weights in changes nothing structurally.
+CLASSIFIER_WEIGHTS = (-2.0, 2.5, 1.5, 1.0)
+
+
+def quality_classifier_prob(text: Column) -> Column:
+    """P(high-quality) from a fixed linear model over the quality
+    features: sigmoid(w·x). Same feature terms as quality_score, so the
+    whole classifier is one codegen'd expression — no model server, no
+    UDF, no Python in the row path."""
+    w0, w1, w2, w3 = CLASSIFIER_WEIGHTS
+    m = quality_metrics(text)
+    len_term = F.least(m["n_tokens"] / 100.0, F.lit(1.0))
+    sw_term = F.least(m["stopword_ratio"] * 5.0, F.lit(1.0))
+    logit = len_term * w1 + sw_term * w2 + m["alpha_ratio"] * w3 + w0
+    return F.lit(1.0) / (F.exp(-logit) + 1.0)
+
+
+def sql_quality_classifier_prob(text: str) -> str:
+    """DuckDB twin of :func:`quality_classifier_prob` — identical term
+    order so the IEEE op sequence matches bit-for-bit (exp() may differ
+    in the last ulp between libm builds; oracles fround to absorb it)."""
+    w0, w1, w2, w3 = CLASSIFIER_WEIGHTS
+    p = sql_quality_parts(text)
+    logit = (
+        f"least(({p['n_tokens']}) / 100.0, 1.0) * {w1}"
+        f" + least(({p['stopword_ratio']}) * 5.0, 1.0) * {w2}"
+        f" + ({p['alpha_ratio']}) * {w3} + {w0}"
+    )
+    return f"1.0 / (exp(-({logit})) + 1.0)"
+
+
 def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of the whitespace-normalized, lowercased
     text — the exact-dedup key. (Near-dup fingerprints: see

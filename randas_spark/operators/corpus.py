@@ -1,0 +1,171 @@
+"""Corpus-curation operators for training-data pipelines: per-domain
+quotas, source-mixture sampling, vocabulary building, and corpus-level
+boilerplate detection.
+
+The reference has none of these (its surface stops at single-frame ops,
+SURVEY.md §2.12); they are beyond-reference operators a 100 TB corpus
+build needs between raw crawl and tokenizer:
+
+- :func:`domain_quota_cap` — at most ``cap`` docs per domain, selected
+  by md5(id) order so the kept set is deterministic across runs,
+  partitionings, and engines (same contract as operators/sampling.py).
+- :func:`mixture_sample` — per-source Bernoulli rates (the "data
+  mixture" step that rebalances crawl/books/code/wiki proportions),
+  again via the engine-portable md5 threshold.
+- :func:`vocab_build` — top-N token vocabulary with dense ids.
+- :func:`boilerplate_coverage` — corpus-frequent k-gram detection and
+  per-doc boilerplate coverage (the CCNet/C4-style template filter).
+
+Scale notes:
+- domain_quota_cap ranks inside a window PARTITIONED by domain — never
+  global. A single hot domain (half the crawl is one host) serializes
+  its own rank; at web scale pre-thin hot domains first with
+  ``hash_sample(rate ≈ 2·cap / est_count)`` from an approximate
+  per-domain count, then rank exactly — the cheap pass bounds the
+  window input without changing the selected set's determinism.
+- mixture_sample is a pure scan-side filter (codegen'd md5 + compare),
+  no shuffle at all.
+- vocab_build aggregates token counts with map-side partial aggregation
+  and takes the top-N via ``orderBy().limit()`` — Spark plans
+  TakeOrderedAndProject (per-partition heap + driver merge), not a
+  global sort; the dense-id window runs on the N-row result only.
+- boilerplate_coverage shuffles shingles once on the shingle key; the
+  doc-frequency agg and the boilerplate semi-join share that
+  partitioning. The frequent-shingle set is NOT assumed broadcastable
+  (at 100 TB it can be billions of rows) — the semi-join is a shuffle
+  join on the same key, and Spark's AQE will downgrade it to broadcast
+  when the corpus makes it small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from randas_spark.functions.text import shingles, tokens
+from randas_spark.operators.sampling import _hash_below, _md5_hex
+
+
+def domain_quota_cap(df: DataFrame, domain_col: str, id_col: str, cap: int) -> DataFrame:
+    """Keep at most ``cap`` rows per domain, md5(id)-ordered.
+
+    The md5 order is a deterministic shuffle within the domain, so the
+    kept subset is stable across engines and re-runs — the property a
+    resumable 100 TB curation run needs. Adds the within-domain rank as
+    ``rk`` (1-based, dense by construction of row_number).
+    """
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    w = Window.partitionBy(domain_col).orderBy(_md5_hex(F.col(id_col)), F.col(id_col))
+    return df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= cap)
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float,
+) -> DataFrame:
+    """Per-source Bernoulli sampling: source s keeps ``rates.get(s,
+    default_rate)`` of its rows via the deterministic md5(id) threshold.
+
+    This is the data-mixture step: given target proportions for
+    crawl/books/code/wiki, the caller converts them to per-source rates
+    and this filter realizes them reproducibly. Scan-side only — no
+    shuffle, no RNG state, membership recomputable from the key alone.
+    """
+    for src, rate in {**rates, "<default>": default_rate}.items():
+        if not (0.0 <= rate <= 1.0):
+            raise ValueError(f"rate for {src!r} must be in [0,1], got {rate}")
+    keep = _hash_below(F.col(id_col), default_rate)
+    for src in sorted(rates):
+        keep = F.when(F.col(domain_col) == src, _hash_below(F.col(id_col), rates[src])).otherwise(
+            keep
+        )
+    return df.filter(keep)
+
+
+def sql_mixture_keep(domain_expr: str, id_expr: str, rates: dict[str, float], default_rate: float) -> str:
+    """DuckDB twin of mixture_sample's keep predicate (same thresholds,
+    same 8-hex-digit resolution as operators/sampling._hash_below)."""
+
+    def below(rate: float) -> str:
+        if rate >= 1.0:
+            return "TRUE"
+        return f"md5(CAST({id_expr} AS VARCHAR)) < '{format(int(rate * 16**8), '08x')}'"
+
+    cases = " ".join(
+        f"WHEN {domain_expr} = '{src}' THEN {below(rates[src])}" for src in sorted(rates)
+    )
+    return f"CASE {cases} ELSE {below(default_rate)} END"
+
+
+def vocab_build(df: DataFrame, text_col: str, top_n: int) -> DataFrame:
+    """Top-N token vocabulary: (token, cnt, token_id) with dense ids
+    assigned in (cnt desc, token) order — the tokenizer-training /
+    feature-hashing precursor.
+
+    Counts aggregate with map-side combine; the top-N is
+    ``orderBy().limit()`` (TakeOrderedAndProject — parallel heaps, no
+    global sort); the id window ranks only the N surviving rows.
+    """
+    if top_n <= 0:
+        raise ValueError(f"top_n must be positive, got {top_n}")
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), "token").limit(top_n)
+    w = Window.orderBy(F.desc("cnt"), "token")
+    return top.withColumn("token_id", F.row_number().over(w).cast("long"))
+
+
+def boilerplate_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_df: int = 2,
+    drop_threshold: float = 0.5,
+) -> DataFrame:
+    """Per-doc boilerplate coverage: the fraction of a doc's distinct
+    k-gram shingles that are corpus-frequent (appearing in >= ``min_df``
+    docs), plus a drop flag at ``drop_threshold`` — the template/
+    boilerplate filter (headers, footers, cookie banners) that exact
+    and near dedup both miss because the surrounding text differs.
+
+    Output: (doc_id, n_shingles, n_boiler, coverage, drop).
+    """
+    if min_df < 2:
+        raise ValueError(f"min_df < 2 would mark every shingle boilerplate, got {min_df}")
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), k)).alias("s")
+    )
+    # shingles() is array_distinct per doc, so count(*) per shingle IS
+    # its document frequency.
+    frequent = (
+        sh.groupBy("s").agg(F.count(F.lit(1)).alias("dfreq")).filter(F.col("dfreq") >= min_df)
+    )
+    n_boiler = (
+        sh.join(frequent.select("s"), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    sizes = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(shingles(F.col(text_col), k)).cast("long").alias("n_shingles"),
+    )
+    cov = F.col("n_boiler").cast("double") / F.col("n_shingles")
+    return (
+        sizes.join(n_boiler, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_boiler", F.lit(0).cast("long")).alias("n_boiler"),
+        )
+        .withColumn("coverage", cov)
+        .withColumn("drop", cov >= drop_threshold)
+    )

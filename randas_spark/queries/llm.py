@@ -1256,3 +1256,153 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("s").alias("n_shared_ngrams"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus curation: quotas, mixtures, vocab, boilerplate, quality classifier
+# --------------------------------------------------------------------------
+
+from randas_spark.operators.sampling import sql_md5_hex as _sql_md5_hex
+
+
+@register(
+    "llm_domain_quota",
+    oracle=f"""
+    SELECT doc_id, source, rk
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_sql_md5_hex('doc_id')}, doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= 10
+    """,
+)
+def llm_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping (operators/corpus.domain_quota_cap):
+    keep at most 10 docs per source, chosen by deterministic md5(doc_id)
+    order — the crawl-rebalancing step that stops one hot host from
+    dominating the corpus. Rank window is PARTITIONED by source (never
+    global); selection is engine-portable, so the oracle picks the
+    identical rows."""
+    from randas_spark.operators.corpus import domain_quota_cap
+
+    d = t(spark, sf_dir, "documents")
+    return domain_quota_cap(d, "source", "doc_id", 10).select("doc_id", "source", "rk")
+
+
+_MIXTURE_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25}
+_MIXTURE_DEFAULT = 0.1
+
+from randas_spark.operators.corpus import sql_mixture_keep as _sql_mixture_keep
+
+
+@register(
+    "llm_mixture_sample",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_sql_mixture_keep('source', 'doc_id', _MIXTURE_RATES, _MIXTURE_DEFAULT)}
+    """,
+)
+def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture sampling (operators/corpus.mixture_sample): keep
+    100%/75%/50%/25% of src0..src3 and 10% of everything else via the
+    md5(doc_id) threshold — the data-mixture rebalancing pass, as a pure
+    scan-side codegen filter (no shuffle, no RNG state; membership
+    recomputable from the key alone on any engine)."""
+    from randas_spark.operators.corpus import mixture_sample
+
+    d = t(spark, sf_dir, "documents")
+    return mixture_sample(d, "source", "doc_id", _MIXTURE_RATES, _MIXTURE_DEFAULT).select(
+        "doc_id", "source"
+    )
+
+
+@register(
+    "llm_vocab_build",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({sql_tokens('text')}) AS token FROM documents
+    ),
+    counted AS (
+        SELECT token, count(*) AS cnt FROM toks WHERE token <> '' GROUP BY token
+    ),
+    top AS (SELECT token, cnt FROM counted ORDER BY cnt DESC, token LIMIT 200)
+    SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS token_id
+    FROM top
+    """,
+)
+def llm_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 token vocabulary with dense ids (operators/corpus.
+    vocab_build) — the tokenizer-training precursor. Count shuffle has
+    map-side partial agg; the cut is orderBy().limit() =
+    TakeOrderedAndProject; the id window ranks only the 200-row
+    result."""
+    from randas_spark.operators.corpus import vocab_build
+
+    return vocab_build(t(spark, sf_dir, "documents"), "text", 200)
+
+
+@register(
+    "llm_boilerplate_coverage",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_sql_shingles('text', 5)}) AS s FROM documents
+    ),
+    frequent AS (
+        SELECT s FROM sh GROUP BY s HAVING count(*) >= 2
+    ),
+    boiler AS (
+        SELECT doc_id, count(*) AS n_boiler
+        FROM sh WHERE s IN (SELECT s FROM frequent)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len({_sql_shingles('d.text', 5)}) AS BIGINT) AS n_shingles,
+           COALESCE(b.n_boiler, 0) AS n_boiler,
+           CAST(COALESCE(b.n_boiler, 0) AS DOUBLE)
+               / len({_sql_shingles('d.text', 5)}) AS coverage,
+           CAST(COALESCE(b.n_boiler, 0) AS DOUBLE)
+               / len({_sql_shingles('d.text', 5)}) >= 0.5 AS drop
+    FROM documents d LEFT JOIN boiler b USING (doc_id)
+    """,
+)
+def llm_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequent 5-gram boilerplate coverage per doc
+    (operators/corpus.boilerplate_coverage, min_df=2, drop at 50%) —
+    the CCNet/C4-style template filter catching repeated headers/
+    footers that near-dedup misses. One shingle shuffle shared by the
+    doc-frequency agg and the semi-join."""
+    from randas_spark.operators.corpus import boilerplate_coverage
+
+    d = t(spark, sf_dir, "documents")
+    return boilerplate_coverage(d, "doc_id", "text", k=5, min_df=2, drop_threshold=0.5)
+
+
+from randas_spark.functions.text import (
+    quality_classifier_prob as _qcls,
+    sql_quality_classifier_prob as _sql_qcls,
+)
+
+
+@register(
+    "llm_quality_classifier",
+    oracle=f"""
+    SELECT doc_id,
+           {sql_fround(_sql_qcls('text'), 6)} AS prob,
+           {_sql_qcls('text')} >= 0.5 AS keep
+    FROM documents
+    """,
+)
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier (functions/text.quality_classifier_prob):
+    sigmoid over the Gopher-style feature vector with fixed weights —
+    the model-based quality filter as ONE codegen'd expression (no model
+    server, no UDF). fround(6) absorbs cross-libm exp() ulp drift."""
+    d = t(spark, sf_dir, "documents")
+    prob = _qcls(F.col("text"))
+    return d.select(
+        "doc_id",
+        fround(prob, 6).alias("prob"),
+        (prob >= 0.5).alias("keep"),
+    )

@@ -807,3 +807,128 @@ def test_decontaminate_matches_python_ground_truth(spark):
         for r in queries()["llm_decontaminate"](spark, SF_DIR).collect()
     }
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# Corpus curation (operators/corpus.py)
+# --------------------------------------------------------------------------
+
+
+def test_domain_quota_cap_bites_and_is_partition_invariant(spark, docs):
+    """Cap <= per-source count must bite; and the kept doc_id set must be
+    identical after an adversarial repartition (determinism is from the
+    data, not the physical layout)."""
+    from randas_spark.operators.corpus import domain_quota_cap
+
+    kept = domain_quota_cap(docs, "source", "doc_id", 5)
+    per_src = kept.groupBy("source").count().collect()
+    assert per_src and all(r["count"] <= 5 for r in per_src)
+    ids = {r.doc_id for r in kept.collect()}
+    ids2 = {
+        r.doc_id
+        for r in domain_quota_cap(docs.repartition(17), "source", "doc_id", 5).collect()
+    }
+    assert ids == ids2
+
+
+def test_mixture_sample_matches_hashlib_ground_truth(spark, docs):
+    """Spark's kept set must equal a driver-side recomputation of the
+    md5-threshold mixture — bit-identical hashing, no RNG."""
+    import hashlib
+
+    from randas_spark.operators.corpus import mixture_sample
+
+    rates = {"src0": 1.0, "src1": 0.5}
+    default = 0.2
+
+    def keeps(doc_id: int, source: str) -> bool:
+        rate = rates.get(source, default)
+        if rate >= 1.0:
+            return True
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return h < format(int(rate * 16**8), "08x")
+
+    rows = docs.select("doc_id", "source").collect()
+    expected = {r.doc_id for r in rows if keeps(r.doc_id, r.source)}
+    got = {
+        r.doc_id
+        for r in mixture_sample(docs, "source", "doc_id", rates, default).collect()
+    }
+    assert got == expected
+
+
+def test_vocab_build_matches_counter(spark, docs):
+    """(token, cnt, token_id) must equal a Counter recount with the
+    (cnt desc, token) tiebreak."""
+    from collections import Counter
+
+    from randas_spark.operators.corpus import vocab_build
+
+    counts = Counter()
+    for r in docs.select("text").collect():
+        for w in r.text.lower().split(" "):
+            if w:
+                counts[w] += 1
+    expected = [
+        (tok, cnt, i + 1)
+        for i, (tok, cnt) in enumerate(
+            sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        )
+    ]
+    got = [
+        (r.token, r.cnt, r.token_id)
+        for r in sorted(vocab_build(docs, "text", 10).collect(), key=lambda r: r.token_id)
+    ]
+    assert got == expected
+
+
+def test_boilerplate_coverage_python_truth(spark, docs):
+    """coverage must equal the driver-side shingle-df recount; drop flag
+    consistent with the 0.5 threshold."""
+    from randas_spark.operators.corpus import boilerplate_coverage
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+
+    def sh(text: str) -> set[str]:
+        toks = text.lower().split(" ")
+        n = max(len(toks) - 4, 1)
+        return {" ".join(toks[i : i + 5]) for i in range(n)}
+
+    dfreq = {}
+    for s_set in map(sh, texts.values()):
+        for s in s_set:
+            dfreq[s] = dfreq.get(s, 0) + 1
+    out = boilerplate_coverage(docs, "doc_id", "text", k=5, min_df=2).collect()
+    assert len(out) == len(texts)
+    for r in out:
+        mine = sh(texts[r.doc_id])
+        n_boiler = sum(1 for s in mine if dfreq[s] >= 2)
+        assert (r.n_shingles, r.n_boiler) == (len(mine), n_boiler)
+        assert r.drop == (n_boiler / len(mine) >= 0.5)
+
+
+def test_quality_classifier_prob_matches_python_sigmoid(spark, docs):
+    """Classifier prob must match a driver-side sigmoid over the same
+    features to 1e-9 (exp may differ in the last ulp across libms)."""
+    import math
+
+    from randas_spark.functions.text import CLASSIFIER_WEIGHTS, quality_classifier_prob
+    from randas_spark.functions.text import LANG_MARKERS
+
+    w0, w1, w2, w3 = CLASSIFIER_WEIGHTS
+    rows = docs.limit(20).select(
+        "doc_id", "text", quality_classifier_prob(F.col("text")).alias("p")
+    ).collect()
+    en = set(LANG_MARKERS["en"])
+    for r in rows:
+        toks = r.text.lower().split(" ")
+        n_tok = len(toks)
+        sw = sum(1 for x in toks if x in en)
+        alpha = sum(1 for c in r.text if c.isalpha() and c.isascii())
+        logit = (
+            min(n_tok / 100.0, 1.0) * w1
+            + min(sw / n_tok * 5.0, 1.0) * w2
+            + alpha / len(r.text) * w3
+            + w0
+        )
+        assert abs(r.p - 1.0 / (1.0 + math.exp(-logit))) < 1e-9
