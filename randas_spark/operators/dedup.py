@@ -681,3 +681,89 @@ def dedup_cluster_assignments(
         F.coalesce("comp", F.col("node")).alias("cluster"),
     )
     return full.withColumn("keep", F.col(id_col) == F.col("cluster"))
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Banded MinHash-LSH near-dup pairs with ENGINE-PORTABLE hashing:
+    permutation p of shingle s is md5(p || '|' || s), so the signatures —
+    and therefore the candidate set and the final verified pairs — are
+    bit-identical on any engine with an md5() (Spark, DuckDB, Python).
+    This is the cross-engine-auditable twin of :func:`minhash_lsh_pairs`
+    (whose xxhash64 seeds are JVM-specific): a 100 TB dedup run can be
+    spot-audited per-shard by ANY engine recomputing the same pairs.
+
+    Same S-curve as the xxhash variant (bands × rows split of num_perm;
+    min over hex strings = min over the 128-bit numbers since the width
+    is fixed). Candidates come only from band-bucket equi-joins — no
+    O(n²) stage; verification joins shingle sets for candidate docs
+    only (semi-join pruning before the pair join).
+
+    Cost note: md5-as-string costs ~3-4× xxhash64-as-long in hash + 
+    shuffle width — the price of auditability. Use the xxhash variant
+    for the steady-state pipeline and this one for verification shards.
+    """
+    rows_per_band = num_perm // bands
+    if rows_per_band * bands != num_perm:
+        raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), k)).alias("s")
+    )
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws("|", F.lit(str(p)), F.col("s")).cast("binary"))).alias(
+                f"m{p}"
+            )
+            for p in range(num_perm)
+        ]
+    )
+    banded = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "|", *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("bk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.band_id", "x.bk")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band_id", "bk"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    cand_ids = cand.select(F.col("id_a").alias("doc_id")).union(
+        cand.select(F.col("id_b").alias("doc_id"))
+    ).distinct()
+    sh_c = sh.join(cand_ids, "doc_id", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(sh_c.select(F.col("doc_id").alias("id_a"), "s"), "id_a")
+        .join(sh_c.select(F.col("doc_id").alias("id_b"), "s"), ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", jac.alias("jaccard"))
+    )

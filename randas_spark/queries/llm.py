@@ -1406,3 +1406,70 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(prob, 6).alias("prob"),
         (prob >= 0.5).alias("keep"),
     )
+
+
+def _sql_minhash_lsh(num_perm: int = 32, bands: int = 8, k: int = 5, threshold: float = 0.6) -> str:
+    """DuckDB twin of operators/dedup.minhash_lsh_pairs_portable: same
+    md5-derived permutations, band keys, candidate join, and exact-
+    Jaccard verification — generated from the same constants so the two
+    engines can't drift."""
+    rpb = num_perm // bands
+    min_cols = ",\n               ".join(
+        f"min(md5('{p}' || '|' || s)) AS m{p}" for p in range(num_perm)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {key} AS bk FROM mins".format(
+            b=b,
+            key=" || '|' || ".join(f"m{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_sql_shingles('text', k)}) AS s FROM documents
+    ),
+    mins AS (
+        SELECT doc_id,
+               {min_cols}
+        FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           {sql_fround('CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)', 6)} AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
+    """
+
+
+@register("llm_dedup_minhash_det", oracle=_sql_minhash_lsh())
+def llm_dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable MinHash-LSH near-dup pairs (operators/dedup.
+    minhash_lsh_pairs_portable; 32 md5-derived perms × 8 bands,
+    exact-Jaccard >= 0.6 verified): bit-identical signatures on any
+    engine with md5(), so — unlike the xxhash64 production variant
+    llm_dedup_minhash_lsh — the FULL pipeline (signatures → candidate
+    buckets → verified pairs) carries a value-hash DuckDB oracle. The
+    audit shard of a 100 TB dedup run."""
+    from randas_spark.operators.dedup import minhash_lsh_pairs_portable
+
+    d = t(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs_portable(d, "doc_id", "text", num_perm=32, bands=8, threshold=0.6)
+    return out.select("id_a", "id_b", fround(F.col("jaccard"), 6).alias("jaccard"))

@@ -932,3 +932,43 @@ def test_quality_classifier_prob_matches_python_sigmoid(spark, docs):
             + w0
         )
         assert abs(r.p - 1.0 / (1.0 + math.exp(-logit))) < 1e-9
+
+
+def test_minhash_portable_precision_recall_and_determinism(spark, docs):
+    """Portable-md5 MinHash pairs must (a) all truly exceed the Jaccard
+    threshold (verification stage = perfect precision), (b) find every
+    pair with exact Jaccard >= 0.9 (8 bands x 4 rows: catch prob
+    ~1-1e-6 there), and (c) be invariant under repartition."""
+    from randas_spark.operators.dedup import minhash_lsh_pairs_portable
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+
+    def sh(text: str) -> set[str]:
+        toks = text.lower().split(" ")
+        n = max(len(toks) - 4, 1)
+        return {" ".join(toks[i : i + 5]) for i in range(n)}
+
+    sets = {i: sh(t) for i, t in texts.items()}
+    ids = sorted(sets)
+    exact = {}
+    for i_pos, a in enumerate(ids):
+        for b in ids[i_pos + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = inter / (len(sets[a]) + len(sets[b]) - inter)
+                if j >= 0.6:
+                    exact[(a, b)] = j
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs_portable(docs, "doc_id", "text").collect()
+    }
+    assert set(got) <= set(exact)  # precision: only true near-dups
+    must_find = {p for p, j in exact.items() if j >= 0.9}
+    assert must_find <= set(got)  # recall at high similarity
+    for p, j in got.items():
+        assert abs(j - exact[p]) < 1e-9
+    got2 = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs_portable(docs.repartition(13), "doc_id", "text").collect()
+    }
+    assert got2 == set(got)
