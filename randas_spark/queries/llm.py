@@ -686,14 +686,50 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_dedup_clusters", oracle=None)
+@register(
+    "llm_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(lower(text), ' ')) - 4, 1)),
+            i -> array_to_string(string_split(lower(text), ' ')[i:i+4], ' ')))) AS s
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
+    ), und AS (
+        SELECT id_a AS u, id_b AS v FROM edges
+        UNION
+        SELECT id_b, id_a FROM edges
+    ), reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.node, e.v FROM reach r JOIN und e ON e.u = r.lbl
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster, node = min(lbl) AS keep
+    FROM reach GROUP BY node
+    """,
+)
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup clusters: n-gram Jaccard pair edges (>= 0.3)
     closed under connectivity via iterative min-label propagation
     (operators/dedup.connected_components), every doc assigned a cluster
-    and a keep flag on the cluster minimum. Rows-only: the iteration is
-    driver-side control flow (SURVEY.md §2.12 'iterative algorithms');
-    pytest verifies against a driver-side union-find."""
+    and a keep flag on the cluster minimum. The Spark iteration is
+    driver-side control flow over distributed join+min-agg rounds
+    (SURVEY.md §2.12 'iterative algorithms'); the oracle expresses the
+    same fixpoint as a DuckDB RECURSIVE CTE (reachability closure →
+    min reachable label), so the full clustering carries a value-hash
+    check; pytest additionally verifies against a driver-side
+    union-find."""
     from randas_spark.operators.dedup import dedup_cluster_assignments, ngram_jaccard_pairs
 
     d = t(spark, sf_dir, "documents")

@@ -1300,13 +1300,34 @@ def rel_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_ffill(e, "ts", "user_id", "hour", fround(F.sum("value"), 2))
 
 
-@register("rel_ewma_user_value", oracle=None)
+@register(
+    "rel_ewma_user_value",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts::TIMESTAMP AS ts, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id) AS rn
+        FROM events WHERE user_id < 10
+    )
+    SELECT user_id, ts, value,
+           {sql_fround(
+               "list_reduce(list(value) OVER ("
+               "PARTITION BY user_id ORDER BY rn "
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+               "(acc, x) -> 0.2 * x + 0.8 * acc)", 6)} AS ewma
+    FROM ordered
+    """,
+)
 def rel_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA (α=0.2) of event values in event-time order
-    (operators/timeseries.ewma_by_key — grouped-map Pandas recurrence;
-    no SQL oracle: the recurrence isn't expressible in DuckDB's dialect
-    without recursive CTE gymnastics; pytest checks against
-    pandas.ewm on the driver)."""
+    (operators/timeseries.ewma_by_key — grouped-map Pandas recurrence).
+    The oracle folds the same recurrence with DuckDB's list_reduce over
+    a windowed prefix list: y_1 = x_1, y_t = α·x_t + (1-α)·y_{t-1} —
+    float-add commutativity makes the per-step IEEE ops identical to
+    pandas.ewm(adjust=False), and fround(6) absorbs any residual ulp.
+    (O(n²) prefix lists are oracle-only gymnastics — fine at sf0.01;
+    the Spark side stays the linear grouped-map.) pytest also checks
+    against pandas.ewm on the driver."""
     from randas_spark.operators.timeseries import ewma_by_key
 
     e = t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
