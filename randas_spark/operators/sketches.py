@@ -1,0 +1,138 @@
+"""Mergeable frequency sketches — Count-Min, engine-portable.
+
+Companion to the HLL distinct-count sketches (queries/relational.py
+rel_hll_sketch_mergeable): where HLL answers "how many distinct", a
+Count-Min sketch answers "how often does key k occur" in O(depth×width)
+space with a one-sided error (never undercounts; overcounts by at most
+ε·N with probability 1−δ, ε = e/width, δ = e^−depth — Cormode &
+Muthukrishnan 2005).
+
+Unlike Spark's HLL (whose estimate is engine-specific), this CMS derives
+its bucket indices from md5 — ``bucket_d(key) = value of the first two
+hex digits of md5(d || '|' || key)`` — so the ENTIRE sketch (cells,
+merge, estimates) is bit-identical on any engine with md5() and
+instr(): Spark, DuckDB, Python. The sketch of a 100 TB shard can be
+rebuilt and audited by a different engine, and shard sketches merge by
+cell-wise addition (count agg is associative/commutative) — the
+property that lets per-day / per-shard sketches roll up without
+rescanning the facts.
+
+Scale: the build is one groupBy over (depth × width) ≤ a few thousand
+cells — map-side partial agg reduces every partition to sketch size
+before the shuffle, so the shuffle volume is O(cells), not O(rows).
+Estimation joins the (small) key list against the (tiny) cell table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+
+def _bucket_sql(key_expr: str, d: int, spark_dialect: bool) -> str:
+    """Bucket index in [0, 256): value of the first two hex digits of
+    md5(d || '|' || key). Spark's md5 needs a binary cast, DuckDB's a
+    varchar — everything else is the same text, so the two dialects
+    cannot drift."""
+    if spark_dialect:
+        h = f"md5(cast(concat('{d}', '|', cast({key_expr} as string)) as binary))"
+    else:
+        h = f"md5('{d}' || '|' || CAST({key_expr} AS VARCHAR))"
+    d1 = f"(instr('{_HEX}', substr({h}, 1, 1)) - 1)"
+    d2 = f"(instr('{_HEX}', substr({h}, 2, 1)) - 1)"
+    return f"({d1} * 16 + {d2})"
+
+
+def countmin_cells(df: DataFrame, key_col: str, shard_col: str, depth: int = 4) -> DataFrame:
+    """Per-shard CMS cells: (shard, d, bucket, cnt). Shard sketches are
+    the mergeable unit — cell-wise SUM merges any subset of shards."""
+    rows = df.select(
+        F.col(shard_col).alias("shard"),
+        *[F.expr(_bucket_sql(key_col, d, True)).alias(f"b{d}") for d in range(depth)],
+    )
+    return (
+        rows.select(
+            "shard",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(d).alias("d"), F.col(f"b{d}").alias("bucket"))
+                        for d in range(depth)
+                    ]
+                )
+            ).alias("x"),
+        )
+        .groupBy("shard", F.col("x.d").alias("d"), F.col("x.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimate(df: DataFrame, key_col: str, shard_col: str, depth: int = 4) -> DataFrame:
+    """(key, exact_cnt, est_cnt, no_undercount): build per-shard
+    sketches, merge them cell-wise, estimate every key as
+    min_d cell[d][bucket_d(key)], and carry the exact count + the CMS
+    one-sided-error verdict alongside. Deterministic cross-engine."""
+    cells = countmin_cells(df, key_col, shard_col, depth)
+    merged = cells.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    keys = df.groupBy(F.col(key_col).alias("key")).agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = keys.select(
+        "key",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.expr(_bucket_sql("key", d, True)).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("x"),
+    ).select("key", "exact_cnt", "x.d", "x.bucket")
+    est = (
+        probes.join(F.broadcast(merged), ["d", "bucket"])
+        .groupBy("key", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return est.select(
+        "key",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") >= F.col("exact_cnt")).alias("no_undercount"),
+    )
+
+
+def sql_countmin_estimate(
+    table: str, key_col: str, shard_col: str, depth: int = 4
+) -> str:
+    """DuckDB twin of :func:`countmin_estimate` — generated from the
+    same bucket formula so the engines cannot drift."""
+    bucket_rows = "\n            UNION ALL ".join(
+        f"SELECT {shard_col} AS shard, {d} AS d, {_bucket_sql(key_col, d, False)} AS bucket FROM {table}"
+        for d in range(depth)
+    )
+    probe_rows = "\n            UNION ALL ".join(
+        f"SELECT key, exact_cnt, {d} AS d, {_bucket_sql('key', d, False)} AS bucket FROM keys"
+        for d in range(depth)
+    )
+    return f"""
+    WITH cells AS (
+        SELECT shard, d, bucket, count(*) AS cnt FROM (
+            {bucket_rows}
+        ) GROUP BY shard, d, bucket
+    ),
+    merged AS (SELECT d, bucket, sum(cnt) AS cnt FROM cells GROUP BY d, bucket),
+    keys AS (
+        SELECT {key_col} AS key, count(*) AS exact_cnt FROM {table} GROUP BY {key_col}
+    ),
+    probes AS (
+        {probe_rows}
+    )
+    SELECT key, exact_cnt, min(cnt) AS est_cnt,
+           min(cnt) >= exact_cnt AS no_undercount
+    FROM probes JOIN merged USING (d, bucket)
+    GROUP BY key, exact_cnt
+    """

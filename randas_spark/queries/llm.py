@@ -1509,3 +1509,60 @@ def llm_dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     out = minhash_lsh_pairs_portable(d, "doc_id", "text", num_perm=32, bands=8, threshold=0.6)
     return out.select("id_a", "id_b", fround(F.col("jaccard"), 6).alias("jaccard"))
+
+
+@register(
+    "llm_embedding_quantize",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, embedding,
+               greatest(list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
+                        1e-30) / 127.0 AS scale
+        FROM embeddings
+    ),
+    qq AS (
+        SELECT vec_id, embedding, scale,
+               list_transform(embedding,
+                   v -> CAST(greatest(-127, least(127,
+                        floor(CAST(v AS DOUBLE) / scale + 0.5))) AS BIGINT)) AS q
+        FROM q
+    )
+    SELECT vec_id,
+           {sql_fround('scale', 9)} AS scale,
+           q,
+           {sql_fround(sql_cosine('embedding', 'list_transform(q, v -> CAST(v AS DOUBLE) * scale)'), 6)} AS cos_fidelity
+    FROM qq
+    """,
+)
+def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization — the 4× memory/shuffle
+    reduction that makes billion-vector ANN shards fit executor memory:
+    per-vector scale = max|x|/127, elements round-half-up into
+    [-127, 127], plus the cosine between the original and dequantized
+    vector (fidelity ≈ 1). One codegen'd scan — no UDF, no shuffle; the
+    quantized array + scale are exact cross-engine (portable floor
+    rounding), so the oracle hash covers every int8 value."""
+    e = t(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    scale = (
+        F.greatest(
+            F.array_max(F.transform(x, lambda v: F.abs(v.cast("double")))), F.lit(1e-30)
+        )
+        / 127.0
+    )
+    d = e.select("vec_id", x.alias("embedding"), scale.alias("scale"))
+    q = F.transform(
+        F.col("embedding"),
+        lambda v: F.greatest(
+            F.lit(-127).cast("double"),
+            F.least(F.lit(127).cast("double"), F.floor(v.cast("double") / F.col("scale") + 0.5)),
+        ).cast("long"),
+    )
+    d = d.withColumn("q", q)
+    deq = F.transform(F.col("q"), lambda v: v.cast("double") * F.col("scale"))
+    return d.select(
+        "vec_id",
+        fround(F.col("scale"), 9).alias("scale"),
+        "q",
+        fround(cosine(F.col("embedding"), deq), 6).alias("cos_fidelity"),
+    )

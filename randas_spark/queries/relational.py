@@ -1608,3 +1608,27 @@ def rel_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(F.col("r_regionkey"), F.lit(0)).alias("rk"), "r_name"
     )
     return n.join(F.broadcast(r), n.rk.eqNullSafe(r.rk)).select("n_nationkey", "r_name")
+
+
+@register(
+    "rel_countmin_sketch",
+    oracle="SELECT key AS user_id, exact_cnt, est_cnt, no_undercount FROM ("
+    + __import__(
+        "randas_spark.operators.sketches", fromlist=["sql_countmin_estimate"]
+    ).sql_countmin_estimate("events", "user_id", "event_type", depth=4)
+    + ")",
+)
+def rel_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Count-Min frequency sketch (operators/sketches.py):
+    per-event-type shard sketches (depth 4 × width 256, md5-derived
+    buckets) merged cell-wise, then every user's event count estimated
+    as min-over-rows — with the exact count and the CMS one-sided
+    guarantee (est >= exact, always) alongside. Bucket hashing is
+    engine-portable, so unlike the HLL twin (tolerance verdict) this
+    carries an EXACT value-hash oracle: sketch cells, merge, and every
+    estimate are bit-identical in DuckDB."""
+    from randas_spark.operators.sketches import countmin_estimate
+
+    e = t(spark, sf_dir, "events")
+    out = countmin_estimate(e, "user_id", "event_type", depth=4)
+    return out.withColumnRenamed("key", "user_id")

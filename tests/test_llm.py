@@ -972,3 +972,23 @@ def test_minhash_portable_precision_recall_and_determinism(spark, docs):
         for r in minhash_lsh_pairs_portable(docs.repartition(13), "doc_id", "text").collect()
     }
     assert got2 == set(got)
+
+
+def test_embedding_quantize_bounds_and_fidelity(spark, emb):
+    """int8 range respected, reconstruction error <= scale/2 per element,
+    and cosine fidelity near 1 — the invariants that make the 4x-smaller
+    representation safe for ANN shortlists."""
+    from randas_spark.queries import queries
+    from tests.conftest import SF_DIR
+
+    out = queries()["llm_embedding_quantize"](spark, SF_DIR).collect()
+    origs = {r.vec_id: r.embedding for r in emb.collect()}
+    assert out
+    for r in out:
+        assert all(-127 <= v <= 127 for v in r.q)
+        assert r.cos_fidelity > 0.995
+        x = origs[r.vec_id]
+        assert len(r.q) == len(x)
+        for xi, qi in zip(x, r.q):
+            if abs(qi) < 127:  # inside the clamp, error is at most scale/2
+                assert abs(xi - qi * r.scale) <= r.scale / 2 + 1e-9

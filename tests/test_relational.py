@@ -199,3 +199,48 @@ def test_profile_single_scan_and_values(spark):
     assert rows["o_custkey"].n_distinct == o.select("o_custkey").distinct().count()
     assert rows["o_orderstatus"].n_nonnull == o.filter("o_orderstatus IS NOT NULL").count()
     assert rows["o_orderstatus"].min_value <= rows["o_orderstatus"].max_value
+
+
+def test_countmin_sketch_one_sided_and_portable_buckets(spark):
+    """CMS must never undercount any key (one-sided error), shard-merge
+    must equal a direct global build, and bucket indices must match a
+    driver-side hashlib recomputation (engine portability)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.sketches import countmin_cells, countmin_estimate
+    from randas_spark.queries import t
+    from tests.conftest import SF_DIR
+
+    e = t(spark, SF_DIR, "events")
+    out = countmin_estimate(e, "user_id", "event_type", depth=4).collect()
+    assert out and all(r.no_undercount for r in out)
+    assert all(r.est_cnt >= r.exact_cnt for r in out)
+
+    # shard-merged cells == one global build (mergeability)
+    per_shard = countmin_cells(e, "user_id", "event_type", depth=4)
+    merged = {
+        (r.d, r.bucket): r.cnt
+        for r in per_shard.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    direct = {
+        (r.d, r.bucket): r.cnt
+        for r in countmin_cells(e.withColumn("one", F.lit(1)), "user_id", "one", depth=4)
+        .select("d", "bucket", "cnt")
+        .collect()
+    }
+    assert merged == direct
+
+    # bucket portability: recompute one user's probe row driver-side
+    uid = out[0].key if hasattr(out[0], "key") else out[0][0]
+    for d in range(4):
+        h = hashlib.md5(f"{d}|{uid}".encode()).hexdigest()
+        expected_bucket = int(h[:2], 16)
+        got = spark.sql(
+            f"SELECT (instr('0123456789abcdef', substr(md5(cast(concat('{d}', '|', "
+            f"cast({uid} as string)) as binary)), 1, 1)) - 1) * 16 + "
+            f"(instr('0123456789abcdef', substr(md5(cast(concat('{d}', '|', "
+            f"cast({uid} as string)) as binary)), 2, 1)) - 1) AS b"
+        ).collect()[0].b
+        assert got == expected_bucket
