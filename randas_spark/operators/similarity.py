@@ -207,3 +207,74 @@ def _sq_euclid(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def quantize_int8(vec: Column) -> tuple[Column, Column]:
+    """(q, scale): symmetric int8 quantization of a float vector —
+    scale = max|x|/127, elements round-half-up into [-127, 127] with the
+    engine-portable floor(x+0.5). Same formula as the
+    llm_embedding_quantize query; factored here for the ANN path."""
+    scale = (
+        F.greatest(F.array_max(F.transform(vec, lambda v: F.abs(v.cast("double")))), F.lit(1e-30))
+        / 127.0
+    )
+    q = F.transform(
+        vec,
+        lambda v: F.greatest(
+            F.lit(-127).cast("double"),
+            F.least(F.lit(127).cast("double"), F.floor(v.cast("double") / scale + 0.5)),
+        ).cast("long"),
+    )
+    return q, scale
+
+
+def knn_quantized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-k over int8-quantized vectors: per-vector scales CANCEL in
+    cosine — cos(deq(a), deq(b)) = Σaᵢbᵢ / (√Σaᵢ²·√Σbᵢ²) on the raw
+    int8 values — so scoring is an integer dot product against
+    precomputed integer norms²: ~4× less scan/shuffle width than
+    float32, zero float accumulation in the hot loop, and bit-identical
+    results on any engine (int64 sums are exact; IEEE sqrt/divide are
+    correctly rounded everywhere). The memory-bound layer under an IVF
+    or LSH shortlist at billion-vector scale.
+
+    Same plan shape as knn_bruteforce: broadcast query set, single
+    corpus scan, per-query rank window.
+    """
+
+    def prep(df: DataFrame, id_col: str, out_id: str) -> DataFrame:
+        q, _ = quantize_int8(F.col(vec_col))
+        d = df.select(F.col(id_col).alias(out_id), q.alias("q"))
+        n2 = F.aggregate(
+            F.col("q"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        )
+        return d.withColumn("n2", n2)
+
+    qs = prep(queries, query_id, "qid").withColumnsRenamed({"q": "qq", "n2": "qn2"})
+    cs = prep(corpus, corpus_id, "cid")
+    dot_int = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qcos = dot_int.cast("double") / (
+        F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("n2").cast("double"))
+    )
+    scored = (
+        cs.crossJoin(F.broadcast(qs))
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("qcos", qcos)
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= top_k)
+        .select("qid", "cid", "qcos", "rk")
+    )

@@ -1566,3 +1566,55 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q",
         fround(cosine(F.col("embedding"), deq), 6).alias("cos_fidelity"),
     )
+
+
+_SQL_Q_INT8 = (
+    "list_transform({v}, v -> CAST(greatest(-127, least(127, "
+    "floor(CAST(v AS DOUBLE) / (greatest(list_max(list_transform({v}, "
+    "u -> abs(CAST(u AS DOUBLE)))), 1e-30) / 127.0) + 0.5))) AS BIGINT))"
+)
+
+
+@register(
+    "llm_knn_quantized",
+    oracle=f"""
+    WITH prep AS (
+        SELECT vec_id AS id, {_SQL_Q_INT8.format(v='embedding')} AS q
+        FROM embeddings
+    ),
+    withn AS (
+        SELECT id, q,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(q, x -> x * x)), (a, b) -> a + b) AS n2
+        FROM prep
+    ),
+    scored AS (
+        SELECT qu.id AS qid, c.id AS cid,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(generate_series(1, len(qu.q)),
+                                       i -> qu.q[i] * c.q[i])), (a, b) -> a + b)
+                    AS DOUBLE)
+               / (sqrt(CAST(qu.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS qcos
+        FROM withn c CROSS JOIN (SELECT * FROM withn WHERE id < 5) qu
+        WHERE c.id <> qu.id
+    )
+    SELECT qid, cid, qcos, rk FROM (
+        SELECT qid, cid, qcos,
+               row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, cid) AS rk
+        FROM scored
+    ) WHERE rk <= 10
+    """,
+)
+def llm_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized top-10 for 5 query vectors (operators/similarity.
+    knn_quantized): scales cancel in cosine, so scoring is an integer
+    dot product over 4×-smaller vectors with precomputed int norms² —
+    exact cross-engine (int64 sums; correctly-rounded sqrt/divide), so
+    the FULL ANN ranking carries a value-hash oracle with no rounding
+    slack. The memory-bound inner loop under an IVF/LSH shortlist at
+    billion-vector scale."""
+    from randas_spark.operators.similarity import knn_quantized
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    return knn_quantized(qs, emb, "vec_id", "vec_id", "embedding", top_k=10)

@@ -992,3 +992,24 @@ def test_embedding_quantize_bounds_and_fidelity(spark, emb):
         for xi, qi in zip(x, r.q):
             if abs(qi) < 127:  # inside the clamp, error is at most scale/2
                 assert abs(xi - qi * r.scale) <= r.scale / 2 + 1e-9
+
+
+def test_knn_quantized_tracks_exact_bruteforce(spark, emb):
+    """Quantized scores must track exact cosine within int8 error, and
+    the quantized top-10 must heavily overlap the exact top-10 (the
+    fidelity an int8 ANN inner loop needs to be usable)."""
+    from randas_spark.operators.similarity import knn_bruteforce, knn_quantized
+
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = knn_bruteforce(qs, emb, "vec_id", "vec_id", "embedding", top_k=10).collect()
+    quant = knn_quantized(qs, emb, "vec_id", "vec_id", "embedding", top_k=10).collect()
+    exact_cos = {(r.qid, r.cid): r.cos for r in exact}
+    quant_cos = {(r.qid, r.cid): r.qcos for r in quant}
+    # per-query overlap >= 8/10
+    for qid in {r.qid for r in exact}:
+        e_set = {r.cid for r in exact if r.qid == qid}
+        q_set = {r.cid for r in quant if r.qid == qid}
+        assert len(e_set & q_set) >= 8, (qid, e_set, q_set)
+    # scores agree to int8 resolution on the common pairs
+    for p in set(exact_cos) & set(quant_cos):
+        assert abs(exact_cos[p] - quant_cos[p]) < 0.02
