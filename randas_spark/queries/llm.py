@@ -1618,3 +1618,56 @@ def llm_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5)
     return knn_quantized(qs, emb, "vec_id", "vec_id", "embedding", top_k=10)
+
+
+def _sql_hyperplane_bucket(vec: str, dim: int, n_planes: int) -> str:
+    """DuckDB twin of operators/similarity.project_buckets: sign-bit
+    bucket from the SAME md5-derived hyperplanes, embedded as exact
+    round-trip double literals (repr(float) parses to the identical
+    IEEE double in every engine), dotted with the same index-order
+    left fold as sql_dot."""
+    from randas_spark.operators.similarity import _hyperplane
+
+    bits = []
+    for p in range(n_planes):
+        plane = "[" + ", ".join(repr(v) for v in _hyperplane(dim, p)) + "]"
+        d = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, len({vec})), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * CAST(({plane})[i] AS DOUBLE))), "
+            f"(acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN ({d}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+@register(
+    "llm_dedup_embedding_lsh",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               {_sql_hyperplane_bucket('embedding', 64, 4)} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {sql_cosine('a.embedding', 'b.embedding')} AS cos
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ({sql_cosine('a.embedding', 'b.embedding')}) >= 0.35
+    """,
+)
+def llm_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style bucketed embedding dedup — the SCALE path of
+    llm_dedup_embedding: both sides carry a 4-hyperplane sign bucket
+    (16 cells) and the pair join is an EQUI-join on the bucket, so the
+    shuffle partitions by bucket and only same-bucket pairs are scored
+    (no all-pairs stage). The hyperplanes are md5-derived constants, so
+    — uniquely for an LSH — the oracle replays the identical bucketing
+    from literal planes and the full approximate pipeline carries a
+    value-hash check."""
+    from randas_spark.operators.dedup import embedding_near_pairs
+
+    return embedding_near_pairs(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.35, n_planes=4, dim=64,
+    )

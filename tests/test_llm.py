@@ -1013,3 +1013,25 @@ def test_knn_quantized_tracks_exact_bruteforce(spark, emb):
     # scores agree to int8 resolution on the common pairs
     for p in set(exact_cos) & set(quant_cos):
         assert abs(exact_cos[p] - quant_cos[p]) < 0.02
+
+
+def test_embedding_lsh_pairs_subset_of_exact_with_same_scores(spark, emb):
+    """Bucketed pairs must be a subset of the exact all-pairs result
+    with bit-identical cosines (the equi-join changes candidates, never
+    scores), and same-bucket filtering must actually prune."""
+    from randas_spark.operators.dedup import embedding_near_pairs
+
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_near_pairs(emb, "vec_id", "embedding", threshold=0.3).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_near_pairs(
+            emb, "vec_id", "embedding", threshold=0.3, n_planes=4, dim=64
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert len(lsh) < len(exact)  # 16 buckets prune some candidate pairs
+    for p, c in lsh.items():
+        assert c == exact[p]
