@@ -767,3 +767,189 @@ def minhash_lsh_pairs_portable(
         .filter(jac >= threshold)
         .select("id_a", "id_b", jac.alias("jaccard"))
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    min_span: int = 20,
+) -> DataFrame:
+    """Exact duplicated token SPANS across documents (the substring-
+    level dedup of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", re-expressed relationally): every maximal
+    run of >= min_span tokens shared verbatim between two docs, located
+    by position in both.
+
+    Plan: position-aware k-grams (posexplode — scan-side), equi-join on
+    the gram (same Σfreq² cost bound as shingle Jaccard, never
+    all-pairs), then a gaps-and-islands window per (pair, diagonal):
+    matches at positions (i, j) with equal i−j and consecutive i form
+    one island = one maximal shared span of length island_len + k − 1.
+    The window partitions by (id_a, id_b, diag) — never global.
+
+    Output: (id_a, id_b, start_a, start_b, span_len), span_len in
+    tokens. A suffix-array build is the single-node way to this answer;
+    the k-gram join + islands window is the shuffle-native way.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        ).alias("pos", "g"),
+    )
+    a = grams.select(F.col("doc_id").alias("id_a"), F.col("pos").alias("i"), "g")
+    b = grams.select(F.col("doc_id").alias("id_b"), F.col("pos").alias("j"), "g")
+    matches = a.join(b, "g").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "i", "j", (F.col("i") - F.col("j")).alias("diag")
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("i")
+    islands = matches.withColumn("island", F.col("i") - F.row_number().over(w))
+    return (
+        islands.groupBy("id_a", "id_b", "diag", "island")
+        .agg(
+            F.min("i").alias("start_a"),
+            F.min("j").alias("start_b"),
+            (F.max("i") - F.min("i") + k).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_span)
+        .select("id_a", "id_b", "start_a", "start_b", "span_len")
+    )
+
+
+_HEX_DIGITS = "0123456789abcdef"
+
+
+def simhash_portable_fp(text_col, n_bits: int = 16):
+    """Engine-portable SimHash fingerprint: over the doc's DISTINCT
+    tokens, bit b's weight is Σ_tok (2·bit_b(md5(tok)) − 1) with
+    bit_b read from the hex digits of md5 (instr-based digit value —
+    the same primitive the Count-Min buckets use), and the fingerprint
+    sets bit b iff the weight is >= 0. Integer arithmetic end-to-end →
+    bit-identical on Spark / DuckDB / Python.
+
+    n_bits=16 (4 hex digits) keeps the expression tree sane; hamming
+    banding below needs only short fingerprints anyway.
+    """
+    # Hash each distinct token ONCE, then read every bit off the cached
+    # hex strings — n_bits aggregates over precomputed hashes instead of
+    # n_bits md5 calls per token (32× less hashing on both engines).
+    hashes = F.transform(
+        F.array_distinct(F.split(F.lower(text_col), " ")),
+        lambda t: F.md5(t.cast("binary")),
+    )
+
+    def bit_sum(b: int):
+        pos, shift = b // 4 + 1, 3 - (b % 4)
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + (
+                (
+                    F.shiftright(
+                        F.instr(F.lit(_HEX_DIGITS), F.substring(h, pos, 1)) - 1,
+                        shift,
+                    )
+                    % 2
+                )
+                * 2
+                - 1
+            ),
+        )
+
+    fp = F.lit(0)
+    for b in range(n_bits):
+        fp = fp + F.when(bit_sum(b) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return fp.cast("long")
+
+
+def sql_simhash_portable_fp(n_bits: int = 16) -> str:
+    """DuckDB twin of :func:`simhash_portable_fp` — same digit/shift
+    arithmetic, generated from the same constants."""
+    # Two-part contract: callers materialize sql_simhash_hashes(text) AS
+    # hs in a CTE (md5 once per token), then this expression reads every
+    # bit off the cached `hs` column.
+    parts = []
+    for b in range(n_bits):
+        pos, shift = b // 4 + 1, 3 - (b % 4)
+        w = (
+            f"list_sum(list_transform(hs, h -> "
+            f"(((instr('{_HEX_DIGITS}', substr(h, {pos}, 1)) - 1) >> {shift}) % 2)"
+            f" * 2 - 1))"
+        )
+        parts.append(f"(CASE WHEN ({w}) >= 0 THEN {1 << b} ELSE 0 END)")
+    return "CAST((" + " + ".join(parts) + ") AS BIGINT)"
+
+
+def sql_simhash_hashes(text: str) -> str:
+    """Per-token md5 list for :func:`sql_simhash_portable_fp`'s ``hs``."""
+    return f"list_transform(list_distinct(string_split(lower({text}), ' ')), t -> md5(t))"
+
+
+def simhash_portable_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by portable-SimHash hamming distance <= max_hamming,
+    candidate-blocked by the pigeonhole principle: split the fingerprint
+    into ``bands`` equal bit-bands; any pair within hamming k < bands
+    must agree exactly on >= 1 band, so candidates come from an
+    equi-join on (band_id, band_bits) — never all-pairs. Verification
+    is bit_count(xor) — exact, engine-portable.
+
+    Output: (id_a, id_b, hamming).
+    """
+    bits_per_band = n_bits // bands
+    if bits_per_band * bands != n_bits:
+        raise ValueError(f"bands={bands} must divide n_bits={n_bits}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole needs max_hamming < bands, got {max_hamming} >= {bands}"
+        )
+    fps = df.select(
+        F.col(id_col).alias("doc_id"), simhash_portable_fp(F.col(text_col), n_bits).alias("fp")
+    )
+    mask = (1 << bits_per_band) - 1
+    banded = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        (F.shiftright("fp", b * bits_per_band) % (mask + 1)).alias("bb"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", "fp", "x.band_id", "x.bb")
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b_, ["band_id", "bb"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

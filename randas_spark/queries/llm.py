@@ -174,11 +174,49 @@ def llm_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(queries, emb, "vec_id", "vec_id", "embedding", top_k=10)
 
 
-@register("llm_knn_lsh", oracle=None)
+def _knn_lsh_oracle() -> str:
+    # _sql_hyperplane_bucket is defined later in this module (import-time
+    # ordering is fine: this helper runs at registration, after the whole
+    # module body executes only if called lazily — so inline the import).
+    from randas_spark.operators.similarity import _hyperplane
+
+    bits = []
+    for p in range(4):
+        plane = "[" + ", ".join(repr(v) for v in _hyperplane(64, p)) + "]"
+        d = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, len(embedding)), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * CAST(({plane})[i] AS DOUBLE))), "
+            f"(acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN ({d}) >= 0 THEN {1 << p} ELSE 0 END)")
+    bucket = "(" + " + ".join(bits) + ")"
+    return f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM b WHERE vec_id < 5),
+    scored AS (
+        SELECT qid, c.vec_id AS cid, {sql_cosine('qv', 'c.embedding')} AS cos
+        FROM b c JOIN q USING (bucket) WHERE qid <> c.vec_id
+    )
+    SELECT qid, cid, cos, rk FROM (
+        SELECT qid, cid, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        FROM scored
+    ) WHERE rk <= 10
+    """
+
+
+@register("llm_knn_lsh", oracle=_knn_lsh_oracle())
 def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH buckets (4 planes →
-    16 buckets) — the scale path (operators/similarity.knn_lsh). pytest
-    bounds recall vs llm_knn_bruteforce."""
+    16 buckets) — the scale path (operators/similarity.knn_lsh). The
+    hyperplanes are md5-derived constants, so the oracle replays the
+    identical bucketing from literal planes (same trick as
+    llm_dedup_embedding_lsh) and the approximate ranking itself is
+    value-hash-checked; pytest additionally bounds recall vs
+    llm_knn_bruteforce."""
     from randas_spark.operators.similarity import knn_lsh
 
     emb = t(spark, sf_dir, "embeddings")
@@ -1671,3 +1709,97 @@ def llm_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         threshold=0.35, n_planes=4, dim=64,
     )
+
+
+@register(
+    "llm_substring_dedup",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(tk) - 9, 1)),
+                   i -> struct_pack(pos := i - 1,
+                                    g := array_to_string(tk[i:i+9], ' ')))) AS x
+        FROM toks
+    ),
+    flat AS (SELECT doc_id, x.pos AS pos, x.g AS g FROM grams),
+    m AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS i, b.pos AS j,
+               a.pos - b.pos AS diag
+        FROM flat a JOIN flat b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT id_a, id_b, diag, i, j,
+               i - row_number() OVER (
+                   PARTITION BY id_a, id_b, diag ORDER BY i) AS island
+        FROM m
+    )
+    SELECT id_a, id_b, min(i) AS start_a, min(j) AS start_b,
+           max(i) - min(i) + 10 AS span_len
+    FROM isl GROUP BY id_a, id_b, diag, island
+    HAVING max(i) - min(i) + 10 >= 20
+    """,
+)
+def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated token spans >= 20 tokens between doc pairs
+    (operators/dedup.duplicated_spans, k=10): the substring-level dedup
+    of Lee et al. 2022 re-expressed relationally — position-aware
+    10-gram equi-join, then a gaps-and-islands window per (pair,
+    diagonal) merges consecutive matches into maximal spans. No
+    suffix array, no all-pairs stage; the islands window partitions by
+    (id_a, id_b, diag), never globally."""
+    from randas_spark.operators.dedup import duplicated_spans
+
+    d = t(spark, sf_dir, "documents")
+    return duplicated_spans(d, "doc_id", "text", k=10, min_span=20)
+
+
+def _simhash_det_oracle() -> str:
+    from randas_spark.operators.dedup import (
+        sql_simhash_hashes,
+        sql_simhash_portable_fp,
+    )
+
+    fp = sql_simhash_portable_fp(32)
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, fp, {b} AS band_id, (fp >> {b * 8}) % 256 AS bb FROM fps"
+        for b in range(4)
+    )
+    return f"""
+    WITH hs_t AS (
+        SELECT doc_id, {sql_simhash_hashes('text')} AS hs FROM documents
+    ),
+    fps AS (
+        SELECT doc_id, {fp} AS fp FROM hs_t
+    ),
+    banded AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               any_value(a.fp) AS fp_a, any_value(b.fp) AS fp_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.bb = b.bb AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(fp_a, fp_b)) <= 3
+    """
+
+
+@register("llm_dedup_simhash_det", oracle=_simhash_det_oracle())
+def llm_dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable SimHash near-dup pairs (operators/dedup.
+    simhash_portable_pairs): 32-bit md5-digit fingerprints, pigeonhole
+    banding (4 bands of 8 bits → hamming <= 3 pairs must share a band),
+    exact bit_count(xor) verification — integer arithmetic end-to-end,
+    so unlike the 64-bit pandas_udf variant (llm_dedup_simhash) the
+    whole pipeline carries a cross-engine value-hash oracle."""
+    from randas_spark.operators.dedup import simhash_portable_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return simhash_portable_pairs(d, "doc_id", "text", n_bits=32, bands=4, max_hamming=3)

@@ -1035,3 +1035,74 @@ def test_embedding_lsh_pairs_subset_of_exact_with_same_scores(spark, emb):
     assert len(lsh) < len(exact)  # 16 buckets prune some candidate pairs
     for p, c in lsh.items():
         assert c == exact[p]
+
+
+def test_duplicated_spans_finds_exact_positions(spark):
+    """A planted 25-token shared span (different offsets in each doc)
+    must come back with exact start positions and length; unrelated
+    text must produce nothing."""
+    from randas_spark.operators.dedup import duplicated_spans
+
+    span = " ".join(f"s{i}" for i in range(25))
+    pre_a = " ".join(f"a{i}" for i in range(7))
+    pre_b = " ".join(f"b{i}" for i in range(13))
+    post = " ".join(f"p{i}" for i in range(11))
+    df = spark.createDataFrame(
+        [
+            (1, f"{pre_a} {span} {post}"),
+            (2, f"{pre_b} {span}"),
+            (3, " ".join(f"z{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicated_spans(df, "doc_id", "text", k=10, min_span=20).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert (r.start_a, r.start_b, r.span_len) == (7, 13, 25)
+
+    # below min_span: same corpus, min_span raised past the span length
+    assert not duplicated_spans(df, "doc_id", "text", k=10, min_span=26).collect()
+
+
+def test_simhash_portable_matches_python_and_is_complete(spark, docs):
+    """Portable-SimHash fingerprints must equal a hashlib recomputation
+    bit-for-bit, and the banded pair set must equal ALL pairs at
+    hamming <= 3 (pigeonhole blocking loses nothing below bands)."""
+    import hashlib
+
+    from randas_spark.operators.dedup import simhash_portable_fp, simhash_portable_pairs
+
+    def py_fp(text: str, n_bits: int = 32) -> int:
+        toks = list(dict.fromkeys(text.lower().split(" ")))
+        hs = [hashlib.md5(t.encode()).hexdigest() for t in toks]
+        fp = 0
+        for b in range(n_bits):
+            pos, shift = b // 4, 3 - (b % 4)
+            w = sum((((int(h[pos], 16) >> shift) % 2) * 2 - 1) for h in hs)
+            if w >= 0:
+                fp |= 1 << b
+        return fp
+
+    rows = docs.select(
+        "doc_id", "text", simhash_portable_fp(F.col("text"), 32).alias("fp")
+    ).collect()
+    fps = {}
+    for r in rows:
+        assert r.fp == py_fp(r.text), r.doc_id
+        fps[r.doc_id] = r.fp
+
+    ids = sorted(fps)
+    expected = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_portable_pairs(
+            docs, "doc_id", "text", n_bits=32, bands=4, max_hamming=3
+        ).collect()
+    }
+    assert got == expected
