@@ -278,3 +278,64 @@ def knn_quantized(
         .filter(F.col("rk") <= top_k)
         .select("qid", "cid", "qcos", "rk")
     )
+
+
+def knn_ivf_det(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    top_k: int = 10,
+) -> DataFrame:
+    """IVF top-k with DETERMINISTIC seeding: centroids are real corpus
+    vectors chosen by md5(id) order (a reproducible uniform sample —
+    k-means seeding without the Lloyd iterations), so the whole index —
+    cells, assignments, probes, ranking — is a pure function of the
+    data and carries a cross-engine oracle, unlike the MLlib-KMeans
+    variant (knn_ivf) whose centroids are fit-dependent.
+
+    Same three stages as knn_ivf: seed centroids (TakeOrdered on the
+    md5 order — no global sort), broadcast-assign every corpus vector
+    to its max-cosine cell (window partitioned by vector), probe the
+    n_probe nearest cells per query, score candidates only. Lloyd
+    refinement improves cell balance, never correctness — the
+    deterministic index is what a resumable/auditable 100 TB build
+    ships, re-clustering offline when drift warrants.
+    """
+    from randas_spark.operators.sampling import _md5_hex
+
+    cent = (
+        corpus.orderBy(_md5_hex(F.col(corpus_id)), F.col(corpus_id))
+        .limit(n_cells)
+        .select(F.col(corpus_id).alias("cell"), F.col(vec_col).alias("center"))
+    )
+    c = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cv"))
+    wa = Window.partitionBy("cid").orderBy(F.col("ccos").desc(), F.col("cell"))
+    assign = (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", cosine(F.col("cv"), F.col("center")))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("cid", "cv", "cell")
+    )
+    q = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"))
+    wp = Window.partitionBy("qid").orderBy(F.col("ccos").desc(), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", cosine(F.col("qv"), F.col("center")))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("qid", "qv", "cell")
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        probes.join(assign, "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rk", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rk") <= top_k)
+        .select("qid", "cid", "cos", "rk")
+    )

@@ -1803,3 +1803,57 @@ def llm_dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return simhash_portable_pairs(d, "doc_id", "text", n_bits=32, bands=4, max_hamming=3)
+
+
+@register(
+    "llm_knn_ivf_det",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cell, embedding AS center
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    assign AS (
+        SELECT cid, cv, cell FROM (
+            SELECT c.vec_id AS cid, c.embedding AS cv, ct.cell,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY {sql_cosine('c.embedding', 'ct.center')} DESC, ct.cell
+                   ) AS rn
+            FROM embeddings c CROSS JOIN cent ct
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT qid, qv, cell FROM (
+            SELECT q.vec_id AS qid, q.embedding AS qv, ct.cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {sql_cosine('q.embedding', 'ct.center')} DESC, ct.cell
+                   ) AS rn
+            FROM embeddings q CROSS JOIN cent ct
+            WHERE q.vec_id < 5
+        ) WHERE rn <= 4
+    )
+    SELECT qid, cid, cos, rk FROM (
+        SELECT p.qid, a.cid, {sql_cosine('p.qv', 'a.cv')} AS cos,
+               row_number() OVER (
+                   PARTITION BY p.qid
+                   ORDER BY {sql_cosine('p.qv', 'a.cv')} DESC, a.cid) AS rk
+        FROM probes p JOIN assign a USING (cell)
+        WHERE p.qid <> a.cid
+    ) WHERE rk <= 10
+    """,
+)
+def llm_knn_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-seed IVF top-10 (operators/similarity.knn_ivf_det;
+    16 md5-sampled centroid cells, 4-cell probe): the reproducible,
+    cross-engine-auditable IVF index — every stage (seeding, cell
+    assignment, probing, ranking) is a pure function of the data, so
+    the FULL approximate pipeline carries a value-hash oracle, unlike
+    the KMeans variant llm_knn_ivf (fit-dependent centroids,
+    rows-only)."""
+    from randas_spark.operators.similarity import knn_ivf_det
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    return knn_ivf_det(qs, emb, "vec_id", "vec_id", "embedding", n_cells=16, n_probe=4, top_k=10)

@@ -226,3 +226,30 @@ def stream_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "n_users", "n_events")
     )
+
+
+def _countmin_cells_oracle() -> str:
+    from randas_spark.operators.sketches import _bucket_sql
+
+    unions = "\n        UNION ALL ".join(
+        f"SELECT {d} AS d, {_bucket_sql('user_id', d, False)} AS bucket FROM events"
+        for d in range(4)
+    )
+    return f"""
+    SELECT d, bucket, count(*) AS cnt FROM (
+        {unions}
+    ) GROUP BY d, bucket
+    """
+
+
+@register("stream_countmin_cells", oracle=_countmin_cells_oracle())
+def stream_countmin_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained Count-Min sketch cells
+    (engine.countmin_stream_cells): a streaming aggregation whose state
+    is the depth×256-cell sketch itself — constant memory however long
+    the stream runs, and bit-identical to a batch rebuild (and to this
+    DuckDB oracle) because the buckets are md5-derived. pytest replays
+    the same builder over readStream and asserts cell-level equality."""
+    from randas_spark.streaming.engine import countmin_stream_cells
+
+    return countmin_stream_cells(t(spark, sf_dir, "events"), "user_id", depth=4)

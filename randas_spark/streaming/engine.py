@@ -326,3 +326,34 @@ def dedup_ingest_stream(
     q.processAllAvailable()
     q.stop()
     return store_path
+
+
+def countmin_stream_cells(df: DataFrame, key_col: str = "user_id", depth: int = 4) -> DataFrame:
+    """Streaming Count-Min maintenance: the sketch IS a streaming
+    aggregation — cells (d, bucket, cnt) update incrementally per
+    micro-batch (map-side partial agg inside each batch; state bounded
+    at depth × 256 rows regardless of stream length), so complete/update
+    mode always holds the current sketch of everything seen. The same
+    md5-derived buckets as operators/sketches.countmin_cells, so a
+    batch rebuild — or a DuckDB audit — reproduces the streamed sketch
+    bit-for-bit. Works identically on batch and streaming frames.
+    """
+    from randas_spark.operators.sketches import _bucket_sql
+
+    rows = df.select(
+        *[F.expr(_bucket_sql(key_col, d, True)).alias(f"b{d}") for d in range(depth)]
+    )
+    return (
+        rows.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(d).alias("d"), F.col(f"b{d}").alias("bucket"))
+                        for d in range(depth)
+                    ]
+                )
+            ).alias("x")
+        )
+        .groupBy(F.col("x.d").alias("d"), F.col("x.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

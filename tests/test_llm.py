@@ -1106,3 +1106,32 @@ def test_simhash_portable_matches_python_and_is_complete(spark, docs):
         ).collect()
     }
     assert got == expected
+
+
+def test_knn_ivf_det_exact_at_full_probe_and_subset_below(spark, emb):
+    """n_probe = n_cells must reproduce brute force exactly (the IVF
+    recall dial's endpoint); below it, results are a subset of the
+    scored universe with bit-identical cosines."""
+    from randas_spark.operators.similarity import knn_bruteforce, knn_ivf_det
+
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.qid, r.cid): (r.cos, r.rk)
+        for r in knn_bruteforce(qs, emb, "vec_id", "vec_id", "embedding", top_k=10).collect()
+    }
+    full = {
+        (r.qid, r.cid): (r.cos, r.rk)
+        for r in knn_ivf_det(
+            qs, emb, "vec_id", "vec_id", "embedding", n_cells=8, n_probe=8, top_k=10
+        ).collect()
+    }
+    assert full == exact
+    part = knn_ivf_det(
+        qs, emb, "vec_id", "vec_id", "embedding", n_cells=8, n_probe=2, top_k=10
+    ).collect()
+    exact_cos = {
+        (r.qid, r.cid): r.cos
+        for r in knn_bruteforce(qs, emb, "vec_id", "vec_id", "embedding", top_k=10**9).collect()
+    }
+    for r in part:
+        assert exact_cos[(r.qid, r.cid)] == r.cos

@@ -321,3 +321,19 @@ def test_incremental_dedup_ingest_matches_batch(spark, tmp_path):
     got_ids = {r.doc_id for r in got.select("doc_id").collect()}
     exp_ids = {r.doc_id for r in expected.collect()}
     assert got_ids == exp_ids
+
+
+def test_countmin_stream_matches_batch_sketch(spark, batch_events):
+    """The streamed sketch (incremental per-micro-batch updates in
+    complete mode) must equal the batch-built sketch cell-for-cell —
+    the mergeability guarantee, exercised through readStream."""
+    from randas_spark.streaming.engine import countmin_stream_cells
+
+    batch = countmin_stream_cells(batch_events, "user_id", depth=4)
+    streamed = _run_stream(
+        spark,
+        lambda s: countmin_stream_cells(s, "user_id", depth=4),
+        "t_countmin",
+        files_per_trigger=1,
+    )
+    assert _collect_sorted(streamed) == _collect_sorted(batch)
