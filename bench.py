@@ -39,6 +39,11 @@ HEADLINE = [
     "rel_gap_fill_ffill",
     "llm_bm25_topk",
     "llm_chunk_documents",
+    # round-2 additions (one per new family; BASELINE.md has their rows)
+    "llm_knn_quantized",
+    "rel_countmin_sketch",
+    "llm_substring_dedup",
+    "llm_quality_classifier",
 ]
 
 
