@@ -775,14 +775,19 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_cluster_assignments(d, pairs, "doc_id")
 
 
-@register("llm_dedup_clusters_star", oracle=None)
+from randas_spark.queries import REGISTRY as _REGISTRY
+
+
+@register("llm_dedup_clusters_star", oracle=_REGISTRY["llm_dedup_clusters"].oracle)
 def llm_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same transitive closure via alternating large-star/small-star
     (operators/dedup.connected_components_star, Kiveris et al.) — the
     O(log² n)-round variant for high-diameter / adversarial graphs where
-    min-label propagation's O(diameter) rounds don't hold. Rows-only
-    (iterative); pytest proves equality with label propagation and
-    union-find plus the round-count advantage on a chain graph."""
+    min-label propagation's O(diameter) rounds don't hold. Star CC
+    converges to min-label rooted stars, so the SAME recursive-CTE
+    oracle as llm_dedup_clusters value-hash-checks it; pytest
+    additionally proves equality with label propagation and union-find
+    plus the round-count advantage on a chain graph."""
     from randas_spark.operators.dedup import connected_components_star, ngram_jaccard_pairs
 
     d = t(spark, sf_dir, "documents")

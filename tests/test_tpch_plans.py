@@ -137,3 +137,60 @@ def test_scd2_single_join(spark, qs):
     explode rewrite): exactly one join operator in the merged branch."""
     plan = _plan(spark, qs, "rel_scd2_customer_dim")
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+# -- round-2 operator families ------------------------------------------------
+
+
+def test_vocab_build_plans_take_ordered_not_global_sort(spark, qs):
+    """The vocab top-N cut must plan TakeOrderedAndProject (parallel
+    per-partition heaps), never a global Sort + Exchange single-partition
+    pattern before the limit."""
+    plan = _plan(spark, qs, "llm_vocab_build")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mixture_sample_is_scan_side_no_exchange(spark, qs):
+    """Mixture sampling is a pure codegen filter on the scan: the plan
+    must contain NO Exchange at all (nothing to shuffle)."""
+    plan = _plan(spark, qs, "llm_mixture_sample")
+    assert "Exchange" not in plan
+
+
+def test_quality_classifier_is_scan_side_no_exchange(spark, qs):
+    """The linear classifier is one codegen expression over the scan:
+    no Exchange, no Python evals in the plan."""
+    plan = _plan(spark, qs, "llm_quality_classifier")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_domain_quota_window_is_partitioned(spark, qs):
+    """The quota rank must hash-partition by source — a single-partition
+    Exchange would be the global-window scale killer."""
+    plan = _plan(spark, qs, "llm_domain_quota")
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_knn_quantized_broadcasts_queries_no_python(spark, qs):
+    """int8 ANN: query side broadcast (single corpus scan), integer
+    scoring stays codegen — no Python eval nodes."""
+    plan = _plan(spark, qs, "llm_knn_quantized")
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_countmin_sketch_partial_aggregates_before_shuffle(spark, qs):
+    """Sketch cells must partial-agg map-side: the shuffle carries
+    O(depth×width) rows per partition, not O(rows)."""
+    plan = _plan(spark, qs, "rel_countmin_sketch")
+    assert "partial_" in plan
+
+
+def test_substring_dedup_windows_partition_by_pair_diag(spark, qs):
+    """The islands window must partition by (id_a, id_b, diag) — never a
+    global ORDER BY over all matches."""
+    plan = _plan(spark, qs, "llm_substring_dedup")
+    assert "hashpartitioning(id_a" in plan
+    assert "SinglePartition" not in plan
