@@ -775,6 +775,7 @@ def duplicated_spans(
     text_col: str,
     k: int = 10,
     min_span: int = 20,
+    max_gram_freq: int | None = None,
 ) -> DataFrame:
     """Exact duplicated token SPANS across documents (the substring-
     level dedup of Lee et al. 2022, "Deduplicating Training Data Makes
@@ -792,6 +793,16 @@ def duplicated_spans(
     Output: (id_a, id_b, start_a, start_b, span_len), span_len in
     tokens. A suffix-array build is the single-node way to this answer;
     the k-gram join + islands window is the shuffle-native way.
+
+    ``max_gram_freq`` is the same hot-key cap as ngram_jaccard_pairs'
+    max_shingle_freq: a boilerplate k-gram occurring in f corpus
+    positions fans out f² rows on ONE join key; the cap drops grams
+    above the frequency BEFORE the self-join (window count partitioned
+    on the join key itself — shares the join's shuffle). Effect on
+    results: a span whose every k-gram is ultra-common disappears, one
+    with any sub-cap gram splits at the hot spots — capped output is a
+    conservative subset, never a false span. A 100 TB run ships with
+    the cap on.
     """
     toks = F.split(F.lower(F.col(text_col)), " ")
     grams = df.select(
@@ -803,6 +814,13 @@ def duplicated_spans(
             )
         ).alias("pos", "g"),
     )
+    if max_gram_freq is not None:
+        wf = Window.partitionBy("g")
+        grams = (
+            grams.withColumn("__freq__", F.count(F.lit(1)).over(wf))
+            .filter(F.col("__freq__") <= max_gram_freq)
+            .drop("__freq__")
+        )
     a = grams.select(F.col("doc_id").alias("id_a"), F.col("pos").alias("i"), "g")
     b = grams.select(F.col("doc_id").alias("id_b"), F.col("pos").alias("j"), "g")
     matches = a.join(b, "g").filter(F.col("id_a") < F.col("id_b")).select(

@@ -213,3 +213,93 @@ def sample_frames(
             )
 
     return df.mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Audio modality (real dependency-free WAV path — operators/wav.py)
+# --------------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, modality string, n_bytes long, sample_rate long, "
+    "feature array<double>"
+)
+
+
+def decode_audio(payload: bytes, fake: bool = False) -> tuple[list[float], int]:
+    """Audio decode kernel: RIFF/PCM16 WAV payloads decode FOR REAL via
+    the dependency-free codec in operators/wav.py (struct parsing +
+    channel averaging). Compressed codecs (MP3/AAC/OGG) need a library
+    this container lacks: they raise unless fake=True, which substitutes
+    a deterministic md5-derived stub stream."""
+    from randas_spark.operators.wav import WAV_MAGIC, decode_wav
+
+    if bytes(payload[:4]) == WAV_MAGIC:
+        return decode_wav(bytes(payload))
+    if not fake:
+        raise NotImplementedError(
+            "compressed audio decode requires a codec library not present in "
+            "this container; run with fake=True for the deterministic stub"
+        )
+    h = hashlib.md5(payload).digest()
+    return [b / 128.0 - 1.0 for b in h], 8000
+
+
+def attach_wav_payload(
+    df: DataFrame, id_col: str, text_col: str, sample_rate: int = 8000, n_samples: int = 512
+) -> DataFrame:
+    """Simulate an audio corpus with REAL WAV bytes: each document gets
+    a PCM16 mono tone whose frequency/phase derive deterministically
+    from md5(text), so the decode stage downstream exercises the actual
+    RIFF parser. Same Arrow-batched shape as attach_png_payload."""
+    import math
+
+    import pandas as pd  # noqa: F811
+
+    from randas_spark.operators.wav import encode_wav
+
+    @F.pandas_udf("binary")
+    def wav_of(texts: pd.Series) -> pd.Series:
+        def make(text: str) -> bytes:
+            seed = hashlib.md5(text.encode()).digest()
+            freq = 100 + seed[0] * 8  # 100..2140 Hz
+            phase = seed[1] / 255.0 * 2 * math.pi
+            samples = [
+                int(30000 * math.sin(2 * math.pi * freq * i / sample_rate + phase))
+                for i in range(n_samples)
+            ]
+            return encode_wav(samples, sample_rate)
+
+        return texts.map(make)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        wav_of(F.col(text_col)).alias("payload"),
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.lit(n_samples * 2 + 44).cast("long").alias("n_bytes"),
+            F.lit(sample_rate).cast("long").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """mapInPandas audio feature extraction: decode (real WAV path) →
+    8-dim deterministic features (duration/RMS/peak/ZCR/...). Same
+    embarrassingly-parallel, Arrow-batched, shuffle-free plumbing as
+    the image stage."""
+    from randas_spark.operators.wav import audio_features
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_audio(p, fake=fake) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": [m["mime"].split("/")[0] for m in pdf["meta"]],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "sample_rate": [r for _, r in decoded],
+                    "feature": [audio_features(s, r) for s, r in decoded],
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=AUDIO_FEATURE_SCHEMA)

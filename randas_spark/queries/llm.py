@@ -1862,3 +1862,17 @@ def llm_knn_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5)
     return knn_ivf_det(qs, emb, "vec_id", "vec_id", "embedding", n_cells=16, n_probe=4, top_k=10)
+
+
+@register("llm_multimodal_audio", oracle=None)
+def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline over REAL WAV bytes (operators/multimodal.
+    attach_wav_payload → extract_audio_features): deterministic PCM16
+    tones synthesized per doc, decoded by the dependency-free RIFF codec
+    (operators/wav.py), 8-dim features via Arrow-batched mapInPandas.
+    Rows-only (binary payloads have no SQL twin); pytest checks feature
+    goldens against a driver-side decode of the same bytes."""
+    from randas_spark.operators.multimodal import attach_wav_payload, extract_audio_features
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return extract_audio_features(attach_wav_payload(d, "doc_id", "text"), fake=False)

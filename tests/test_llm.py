@@ -1135,3 +1135,71 @@ def test_knn_ivf_det_exact_at_full_probe_and_subset_below(spark, emb):
     }
     for r in part:
         assert exact_cos[(r.qid, r.cid)] == r.cos
+
+
+def test_duplicated_spans_gram_cap_bounds_candidates(spark):
+    """On a boilerplate-heavy corpus (one 10-gram repeated across many
+    docs), the hot-gram cap must prune the quadratic fan-out while
+    leaving genuinely-duplicated long spans intact."""
+    from randas_spark.operators.dedup import duplicated_spans
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    span = " ".join(f"s{i}" for i in range(30))
+    rows = [(i, f"{boiler} " + " ".join(f"u{i}_{j}" for j in range(20))) for i in range(40)]
+    rows += [(100, f"x0 {span}"), (101, f"y0 y1 {span}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = duplicated_spans(df, "doc_id", "text", k=10, min_span=10).collect()
+    capped = duplicated_spans(
+        df, "doc_id", "text", k=10, min_span=10, max_gram_freq=5
+    ).collect()
+    # boilerplate pairs: 40*39/2 spans uncapped, all gone under the cap
+    assert len(uncapped) > 700
+    capped_pairs = {(r.id_a, r.id_b) for r in capped}
+    assert capped_pairs == {(100, 101)}
+    r = [x for x in capped if (x.id_a, x.id_b) == (100, 101)][0]
+    assert (r.start_a, r.start_b, r.span_len) == (1, 2, 30)
+
+
+def test_wav_roundtrip_and_audio_features_golden(spark):
+    """encode→decode must round-trip PCM16 exactly (mono and stereo),
+    and the Spark audio pipeline's features must equal a driver-side
+    decode of identical bytes."""
+    import hashlib
+    import math
+
+    from randas_spark.operators.wav import audio_features, decode_wav, encode_wav
+    from randas_spark.operators.multimodal import attach_wav_payload, extract_audio_features
+
+    samples = [int(20000 * math.sin(i / 5)) for i in range(200)]
+    dec, rate = decode_wav(encode_wav(samples, 8000))
+    assert rate == 8000
+    assert [int(s * 32768) for s in dec] == samples
+
+    df = spark.createDataFrame([(1, "hello world"), (2, "other text")], "doc_id long, text string")
+    out = {r.doc_id: r for r in extract_audio_features(
+        attach_wav_payload(df, "doc_id", "text"), fake=False
+    ).collect()}
+    assert set(out) == {1, 2}
+    for doc_id, text in [(1, "hello world"), (2, "other text")]:
+        seed = hashlib.md5(text.encode()).digest()
+        freq = 100 + seed[0] * 8
+        phase = seed[1] / 255.0 * 2 * math.pi
+        expected_samples = [
+            int(30000 * math.sin(2 * math.pi * freq * i / 8000 + phase)) for i in range(512)
+        ]
+        exp = audio_features([s / 32768.0 for s in expected_samples], 8000)
+        got = out[doc_id]
+        assert got.modality == "audio" and got.sample_rate == 8000
+        assert list(got.feature) == exp
+
+
+def test_decode_audio_rejects_compressed_without_fake(spark):
+    import pytest as _pytest
+
+    from randas_spark.operators.multimodal import decode_audio
+
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"\xff\xfbMP3DATA...", fake=False)
+    s, r = decode_audio(b"\xff\xfbMP3DATA...", fake=True)
+    assert r == 8000 and len(s) == 16
