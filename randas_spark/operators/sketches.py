@@ -136,3 +136,54 @@ def sql_countmin_estimate(
     FROM probes JOIN merged USING (d, bucket)
     GROUP BY key, exact_cnt
     """
+
+
+def bloom_bits(df: DataFrame, key_col: str, n_bits: int = 4096, n_hashes: int = 3) -> DataFrame:
+    """One-row Bloom filter of a key set: (bit_positions array<long>).
+
+    Bit positions derive from md5 hex digits (three 3-digit slices →
+    positions mod n_bits when n_bits = 16^3 = 4096), so membership is
+    engine-portable like the Count-Min buckets. Build is a groupBy-free
+    aggregate: explode each key to its n_hashes positions, collect the
+    DISTINCT positions — at most n_bits longs however many keys went in
+    (the mergeable, broadcastable summary a semi-join reduction ships).
+    """
+    if n_bits != 4096 or n_hashes > 10:
+        raise ValueError("this portable build is fixed at n_bits=4096 (16^3), n_hashes<=10")
+    pos_cols = [
+        F.expr(_bloom_pos_sql(key_col, h, True)).alias(f"p{h}") for h in range(n_hashes)
+    ]
+    return (
+        df.select(*pos_cols)
+        .select(F.explode(F.array(*[F.col(f"p{h}") for h in range(n_hashes)])).alias("pos"))
+        .agg(F.array_sort(F.collect_set("pos")).alias("bits"))
+    )
+
+
+def _bloom_pos_sql(key_expr: str, h: int, spark_dialect: bool) -> str:
+    """Bit position h in [0, 4096): value of hex digits [3h+1, 3h+3] of
+    md5(h || '|' || key) — same instr-digit primitive as the CMS."""
+    if spark_dialect:
+        hx = f"md5(cast(concat('b{h}', '|', cast({key_expr} as string)) as binary))"
+    else:
+        hx = f"md5('b{h}' || '|' || CAST({key_expr} AS VARCHAR))"
+    digits = [
+        f"(instr('{_HEX}', substr({hx}, {i + 1}, 1)) - 1)" for i in range(3)
+    ]
+    return f"({digits[0]} * 256 + {digits[1]} * 16 + {digits[2]})"
+
+
+def bloom_prefilter(fact: DataFrame, key_col: str, bloom: DataFrame, n_hashes: int = 3) -> DataFrame:
+    """Keep fact rows whose key MIGHT be in the bloomed set (all
+    n_hashes positions present): the semi-join reduction that prunes a
+    100 TB probe side BEFORE the join shuffle, shipping a <=4096-long
+    array instead of the key set. False positives pass (the join
+    re-checks); false negatives are impossible — the property the
+    oracle proves cross-engine."""
+    b = F.broadcast(bloom).hint("broadcast")
+    crossed = fact.crossJoin(b)
+    cond = None
+    for h in range(n_hashes):
+        c = F.array_contains(F.col("bits"), F.expr(_bloom_pos_sql(key_col, h, True)))
+        cond = c if cond is None else (cond & c)
+    return crossed.filter(cond).drop("bits")

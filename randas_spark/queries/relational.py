@@ -1632,3 +1632,91 @@ def rel_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     out = countmin_estimate(e, "user_id", "event_type", depth=4)
     return out.withColumnRenamed("key", "user_id")
+
+
+def _bloom_oracle() -> str:
+    from randas_spark.operators.sketches import _bloom_pos_sql
+
+    pos = [_bloom_pos_sql("c_custkey", h, False) for h in range(3)]
+    opos = [_bloom_pos_sql("o_custkey", h, False) for h in range(3)]
+    pos_union = "\n            UNION ALL ".join(
+        f"SELECT {p} AS pos FROM dimkeys" for p in pos
+    )
+    membership = " AND ".join(f"({p}) IN (SELECT pos FROM bits)" for p in opos)
+    return f"""
+    WITH dimkeys AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    bits AS (
+        SELECT DISTINCT pos FROM (
+            {pos_union}
+        )
+    ),
+    passed AS (
+        SELECT o_orderpriority, o_custkey FROM orders WHERE {membership}
+    )
+    SELECT p.o_orderpriority,
+           count(*) AS n_bloom_passed,
+           count(d.c_custkey) AS n_joined
+    FROM passed p LEFT JOIN dimkeys d ON d.c_custkey = p.o_custkey
+    GROUP BY p.o_orderpriority
+    """
+
+
+@register("rel_bloom_join_reduction", oracle=_bloom_oracle())
+def rel_bloom_join_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (operators/sketches.bloom_bits /
+    bloom_prefilter): the BUILDING-segment customer keys compress into a
+    <=4096-position portable bloom that prefilters orders BEFORE any
+    join — at 100 TB this ships ~32 KB to every scan task instead of
+    shuffling the probe side, and the join afterwards discards the
+    bloom's false positives. Output per priority: rows passing the
+    bloom vs rows actually joining — the oracle replays the identical
+    md5-derived bloom in DuckDB, so the value hash proves both engines
+    agree on every membership verdict (and a false NEGATIVE anywhere
+    would break the n_joined equality)."""
+    from randas_spark.operators.sketches import bloom_bits, bloom_prefilter
+
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders")
+    bloom = bloom_bits(c.select("c_custkey"), "c_custkey")
+    passed = bloom_prefilter(o.select("o_orderpriority", "o_custkey"), "o_custkey", bloom)
+    dim = c.select("c_custkey")
+    return (
+        passed.join(
+            F.broadcast(dim), passed.o_custkey == dim.c_custkey, "left"
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_bloom_passed"),
+            F.count("c_custkey").alias("n_joined"),
+        )
+    )
+
+
+@register(
+    "rel_heavy_hitters",
+    oracle="SELECT key AS user_id, exact_cnt, est_cnt FROM ("
+    + __import__(
+        "randas_spark.operators.sketches", fromlist=["sql_countmin_estimate"]
+    ).sql_countmin_estimate("events", "user_id", "event_type", depth=4)
+    + ") CROSS JOIN (SELECT count(*) AS n FROM events) WHERE est_cnt >= 0.01 * n",
+)
+def rel_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ-heavy hitters from the Count-Min sketch (φ=1%): keys whose
+    ESTIMATE clears φ·N. CMS's one-sided error makes this recall-perfect
+    (a true heavy hitter can never estimate low), so the sketch answers
+    the top-talkers question without a per-key exact count at scale —
+    the exact counts here ride along only for the oracle's audit. Same
+    deterministic buckets as rel_countmin_sketch → exact value-hash
+    oracle."""
+    from randas_spark.operators.sketches import countmin_estimate
+
+    e = t(spark, sf_dir, "events")
+    est = countmin_estimate(e, "user_id", "event_type", depth=4)
+    total = e.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est_cnt") >= 0.01 * F.col("n"))
+        .select(F.col("key").alias("user_id"), "exact_cnt", "est_cnt")
+    )

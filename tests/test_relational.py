@@ -244,3 +244,32 @@ def test_countmin_sketch_one_sided_and_portable_buckets(spark):
             f"cast({uid} as string)) as binary)), 2, 1)) - 1) AS b"
         ).collect()[0].b
         assert got == expected_bucket
+
+
+def test_bloom_prefilter_never_drops_true_matches(spark):
+    """Semi-join reduction safety: bloom-prefiltered-then-joined must
+    equal plain join exactly (no false negatives), and the prefilter
+    must actually prune non-matching keys."""
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.sketches import bloom_bits, bloom_prefilter
+    from randas_spark.queries import t
+    from tests.conftest import SF_DIR
+
+    c = t(spark, SF_DIR, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    bloom = bloom_bits(c.select("c_custkey"), "c_custkey")
+    passed = bloom_prefilter(o, "o_custkey", bloom)
+
+    plain = sorted(
+        (r.o_orderkey, r.o_custkey)
+        for r in o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "o_custkey").collect()
+    )
+    reduced = sorted(
+        (r.o_orderkey, r.o_custkey)
+        for r in passed.join(c, passed.o_custkey == c.c_custkey)
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    )
+    assert reduced == plain
+    assert passed.count() < o.count()  # the bloom prunes
