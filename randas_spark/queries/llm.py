@@ -94,8 +94,9 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH near-dup pairs, exact-Jaccard verified
     (operators/dedup.minhash_lsh_pairs; 64 perms × 16 bands). No SQL
-    oracle (xxhash64 seeds are engine-specific); pytest checks recall
-    against llm_dedup_ngram_jaccard. Runs with the at-scale posture:
+    oracle (xxhash64 seeds are engine-specific; the md5-twin
+    llm_dedup_minhash_det carries the full value-hash oracle for this
+    family); pytest checks recall against llm_dedup_ngram_jaccard. Runs with the at-scale posture:
     max_bucket_size=1000 caps boilerplate band buckets (a no-op on this
     corpus — every bucket is far smaller — but the config a 100 TB run
     must ship with; pytest test_minhash_bucket_cap_bounds_candidates
@@ -111,8 +112,10 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("llm_dedup_simhash", oracle=None)
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3) via pigeonhole banding
-    (operators/dedup.simhash_near_pairs). Pandas-UDF fingerprint;
-    pytest property-checks hamming symmetry and self-distance."""
+    (operators/dedup.simhash_near_pairs). Pandas-UDF fingerprint
+    (engine-specific hash → rows-only; the portable twin
+    llm_dedup_simhash_det carries the full oracle); pytest
+    property-checks hamming symmetry and self-distance."""
     from randas_spark.operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
@@ -228,8 +231,10 @@ def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via an IVF index: k-means coarse quantizer (16
     cells), 4-cell probe (operators/similarity.knn_ivf). No SQL oracle
-    (k-means initialization is engine-specific); pytest asserts exactness
-    at n_probe=n_cells and subset-score vs brute force below it."""
+    (k-means initialization is engine-specific; the deterministic-seed
+    twin llm_knn_ivf_det carries the full oracle); pytest asserts
+    exactness at n_probe=n_cells and subset-score vs brute force below
+    it."""
     from randas_spark.operators.similarity import knn_ivf
 
     emb = t(spark, sf_dir, "embeddings")
