@@ -1720,3 +1720,81 @@ def rel_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_cnt") >= 0.01 * F.col("n"))
         .select(F.col("key").alias("user_id"), "exact_cnt", "est_cnt")
     )
+
+
+@register(
+    "rel_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('day', min(ts::TIMESTAMP)) AS TIMESTAMP) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               datediff('day', f.cohort_day,
+                        CAST(date_trunc('day', e.ts::TIMESTAMP) AS TIMESTAMP)) AS day_offset
+        FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_day, day_offset, count(*) AS n_active
+    FROM activity GROUP BY cohort_day, day_offset
+    """,
+)
+def rel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucket into their first-seen day,
+    and each (cohort, day-offset) cell counts distinct users active that
+    many days later — the product-analytics staple. One shuffle keyed on
+    user_id computes first-seen (map-side partial min); the offset agg
+    groups on the (small) cohort×offset grid. The cohort join is a
+    fact⋈aggregate self-join on user_id — at scale the same
+    partitioning as the min-agg, so AQE reuses the exchange."""
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+
+
+@register(
+    "rel_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n_transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def rel_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix (Markov counts): per user,
+    each event pairs with its successor in event-time order (lead window
+    PARTITIONED by user — never global), then transitions aggregate on
+    the tiny type×type grid with map-side combine. The sequence-mining
+    primitive under funnels, next-action models, and session-path
+    reports."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    return seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )

@@ -273,3 +273,57 @@ def test_bloom_prefilter_never_drops_true_matches(spark):
     )
     assert reduced == plain
     assert passed.count() < o.count()  # the bloom prunes
+
+
+def test_retention_cohorts_python_ground_truth(spark):
+    """Cohort/offset cells must equal a driver-side recount."""
+    from collections import Counter
+
+    from randas_spark.queries import queries, t
+    from tests.conftest import SF_DIR
+
+    rows = t(spark, SF_DIR, "events").select("user_id", "ts").collect()
+    first = {}
+    for r in rows:
+        d = r.ts.date()
+        if r.user_id not in first or d < first[r.user_id]:
+            first[r.user_id] = d
+    cells = Counter()
+    seen = set()
+    for r in rows:
+        off = (r.ts.date() - first[r.user_id]).days
+        key = (r.user_id, off)
+        if key not in seen:
+            seen.add(key)
+            cells[(first[r.user_id], off)] += 1
+    got = {
+        (r.cohort_day.date(), r.day_offset): r.n_active
+        for r in queries()["rel_retention_cohorts"](spark, SF_DIR).collect()
+    }
+    assert got == dict(cells)
+
+
+def test_event_transitions_python_ground_truth(spark):
+    """Transition counts must equal a driver-side per-user sequence walk
+    with the same (ts, event_id) ordering."""
+    from collections import Counter, defaultdict
+
+    from randas_spark.queries import queries, t
+    from tests.conftest import SF_DIR
+
+    rows = t(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    counts = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            counts[(a, b)] += 1
+    got = {
+        (r.event_type, r.next_type): r.n_transitions
+        for r in queries()["rel_event_transitions"](spark, SF_DIR).collect()
+    }
+    assert got == dict(counts)
