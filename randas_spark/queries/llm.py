@@ -1881,3 +1881,45 @@ def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return extract_audio_features(attach_wav_payload(d, "doc_id", "text"), fake=False)
+
+
+@register(
+    "llm_length_buckets",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, {sql_token_count_bpe_ish('text')} AS n_tok FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id, n_tok,
+               CAST(floor(ln(greatest(n_tok, 1)) / ln(2)) AS BIGINT) AS bucket
+        FROM sized
+    )
+    SELECT bucket,
+           CAST(pow(2, bucket) AS BIGINT) AS bucket_min_tok,
+           count(*) AS n_docs,
+           sum(n_tok) AS sum_tok,
+           max(n_tok) AS max_tok,
+           {sql_fround('1.0 - CAST(sum(n_tok) AS DOUBLE) / (max(n_tok) * count(*))', 6)} AS padding_waste
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching stats: docs bucket by floor(log2(token
+    count)) — the static bucketing a training data loader uses to batch
+    similar-length sequences — and each bucket reports its padding
+    waste (1 − Σtok / (max·n)): the fraction of compute a naive
+    pad-to-max batch would burn. Pure scan-side arithmetic + one tiny
+    agg; log2 via ln/ln so both engines run the identical IEEE ops."""
+    d = t(spark, sf_dir, "documents")
+    n_tok = token_count_bpe_ish(F.col("text"))
+    bucket = F.floor(F.log(F.greatest(n_tok, F.lit(1)).cast("double")) / F.log(F.lit(2.0))).cast("long")
+    sized = d.select(n_tok.alias("n_tok"), bucket.alias("bucket"))
+    return sized.groupBy("bucket").agg(
+        F.pow(F.lit(2.0), F.col("bucket")).cast("long").alias("bucket_min_tok"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tok"),
+        F.max("n_tok").alias("max_tok"),
+        fround(
+            1.0 - F.sum("n_tok").cast("double") / (F.max("n_tok") * F.count(F.lit(1))), 6
+        ).alias("padding_waste"),
+    )

@@ -1203,3 +1203,28 @@ def test_decode_audio_rejects_compressed_without_fake(spark):
         decode_audio(b"\xff\xfbMP3DATA...", fake=False)
     s, r = decode_audio(b"\xff\xfbMP3DATA...", fake=True)
     assert r == 8000 and len(s) == 16
+
+
+def test_length_buckets_padding_waste_recount(spark, docs):
+    """Bucket populations and padding-waste must equal a driver-side
+    recount of the BPE-ish token estimate."""
+    import math
+    from collections import defaultdict
+
+    from randas_spark.queries import queries
+    from tests.conftest import SF_DIR
+
+    def n_tok(text: str) -> int:
+        return sum(max(1, math.ceil(len(w) / 4)) for w in text.lower().split(" "))
+
+    buckets = defaultdict(list)
+    for r in docs.select("text").collect():
+        n = n_tok(r.text)
+        buckets[int(math.floor(math.log(max(n, 1)) / math.log(2)))].append(n)
+    got = {r.bucket: r for r in queries()["llm_length_buckets"](spark, SF_DIR).collect()}
+    assert set(got) == set(buckets)
+    for b, toks in buckets.items():
+        r = got[b]
+        assert (r.n_docs, r.sum_tok, r.max_tok) == (len(toks), sum(toks), max(toks))
+        # query output is fround(6)-truncated → 5e-7 resolution
+        assert abs(r.padding_waste - (1.0 - sum(toks) / (max(toks) * len(toks)))) < 1e-6
