@@ -1780,7 +1780,8 @@ def _simhash_det_oracle() -> str:
     )
     return f"""
     WITH hs_t AS (
-        SELECT doc_id, {sql_simhash_hashes('text')} AS hs FROM documents
+        SELECT doc_id, {sql_simhash_hashes('text')} AS hs
+        FROM documents WHERE doc_id % 2 = 0
     ),
     fps AS (
         SELECT doc_id, {fp} AS fp FROM hs_t
@@ -1808,10 +1809,14 @@ def llm_dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding (4 bands of 8 bits → hamming <= 3 pairs must share a band),
     exact bit_count(xor) verification — integer arithmetic end-to-end,
     so unlike the 64-bit pandas_udf variant (llm_dedup_simhash) the
-    whole pipeline carries a cross-engine value-hash oracle."""
+    whole pipeline carries a cross-engine value-hash oracle. Runs on
+    the even-doc_id half of the corpus: the portability proof needs
+    every stage exercised, not every row — SimHash pair volume on this
+    topically-clustered synthetic corpus grows ~n², and the driver's
+    sweep shares a time budget across ~150 queries."""
     from randas_spark.operators.dedup import simhash_portable_pairs
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
     return simhash_portable_pairs(d, "doc_id", "text", n_bits=32, bands=4, max_hamming=3)
 
 
@@ -1923,3 +1928,73 @@ def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.sum("n_tok").cast("double") / (F.max("n_tok") * F.count(F.lit(1))), 6
         ).alias("padding_waste"),
     )
+
+
+def _graph_rank_oracle(iters: int = 3, damping: float = 0.85) -> str:
+    jacc_edges = """
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(lower(text), ' ')) - 4, 1)),
+            i -> array_to_string(string_split(lower(text), ' ')[i:i+4], ' ')))) AS s
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
+    ), und AS (
+        SELECT id_a AS u, id_b AS v FROM edges
+        UNION ALL
+        SELECT id_b, id_a FROM edges
+    ), deg AS (
+        SELECT u, count(*) AS deg FROM und GROUP BY u
+    ), nn AS (SELECT count(*) AS n FROM documents),
+    r0 AS (
+        SELECT doc_id AS node, 1.0 / n AS r FROM documents CROSS JOIN nn
+    )"""
+    body = jacc_edges
+    for i in range(iters):
+        body += f""",
+    r{i + 1} AS (
+        SELECT base.node,
+               (1 - {damping}) / nn.n
+               + {damping} * COALESCE(sm.s, 0.0) AS r
+        FROM (SELECT doc_id AS node FROM documents) base
+        CROSS JOIN nn
+        LEFT JOIN (
+            SELECT und.v AS node, sum(p.r / deg.deg) AS s
+            FROM und JOIN r{i} p ON p.node = und.u JOIN deg ON deg.u = und.u
+            GROUP BY und.v
+        ) sm ON sm.node = base.node
+    )"""
+    return f"""
+    WITH {body}
+    SELECT node AS doc_id, {sql_fround('r', 9)} AS rank FROM r{iters}
+    """
+
+
+@register("llm_graph_rank", oracle=_graph_rank_oracle())
+def llm_graph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 bounded iterations, d=0.85) over the 5-gram-Jaccard
+    near-dup graph (operators/dedup.graph_pagerank): authority-based
+    canonical-doc selection / graph quality propagation. The unroll is
+    a single lazy plan of chained join+agg rounds — each round shuffles
+    on the node key only — and the oracle replays the identical rounds
+    as chained CTEs, so the iterative algorithm itself is value-hash
+    checked (fround(9): float sum order may differ between engines by
+    ~1e-16 relative, far under the rounding)."""
+    from randas_spark.operators.dedup import graph_pagerank, ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.3)
+    ranks = graph_pagerank(
+        d.select(F.col("doc_id").alias("node")), pairs, "node", iters=3, damping=0.85
+    )
+    return ranks.select(F.col("node").alias("doc_id"), fround(F.col("r"), 9).alias("rank"))
