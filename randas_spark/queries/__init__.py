@@ -42,14 +42,38 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return wrap
 
 
+def events_ts_is_nanos(path: str) -> bool:
+    """True when ``events.parquet`` stores ``ts`` as int64 nanos (or parquet
+    TIMESTAMP(NANOS), which Spark only reads via the nanosAsLong legacy
+    conf) rather than a native micro/milli timestamp the reader handles
+    directly. Decided from the parquet footer (pyarrow) so the Spark read
+    never throws on either generation of the testdata."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        inner = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        if not inner:
+            return False
+        path = os.path.join(path, inner[0])
+    ts_type = str(pq.read_schema(path).field("ts").type)
+    return ts_type in ("int64", "timestamp[ns]")
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (parquet scan).
 
-    ``events.parquet`` carries nanosecond timestamps, which Spark's parquet
-    reader rejects; read them as long (legacy conf) and convert to
-    microsecond timestamps (integer div — double division would lose
-    precision past 2^53). DuckDB's TIMESTAMP_NS → TIMESTAMP cast truncates
-    identically, so oracles use ``ts::TIMESTAMP``.
+    ``events.parquet`` has shipped with two different ``ts`` physical
+    types across testdata generations, so the loader branches on the
+    parquet footer:
+
+    - int64 / TIMESTAMP(NANOS): read as long (legacy conf) and convert
+      with integer div (double division would lose precision past 2^53);
+    - TIMESTAMP(MICROS/MILLIS) (current generation): read natively and
+      cast to session-tz timestamp (session tz is pinned UTC, so the
+      NTZ→LTZ cast is value-preserving).
+
+    DuckDB truncates ``ts::TIMESTAMP`` identically in both cases, so
+    oracles keep using that cast.
     """
     from pyspark.sql import functions as F
 
@@ -58,9 +82,14 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # runtime so queries behave identically on the driver's own session.
     spark.conf.set("spark.sql.ansi.enabled", "false")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        path = os.path.join(sf_dir, "events.parquet")
+        if events_ts_is_nanos(path):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

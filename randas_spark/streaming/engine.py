@@ -206,24 +206,29 @@ def events_schema(spark: SparkSession, sf_dir: str):
 def events_stream(spark: SparkSession, sf_dir: str, files_per_trigger: int = 1):
     """File-source stream replaying the events table.
 
-    The parquet stores nanosecond timestamps (see queries.t); the stream
-    source reads them as long and converts — same loader semantics as
-    batch so replay-equivalence is exact. The file is staged into a temp
-    dir because file sources watch directories.
+    The ts conversion mirrors queries.t's footer-driven branch (nanos-as-
+    long legacy testdata vs native timestamp[us]) so replay-equivalence
+    with the batch loader is exact. The file is staged into a temp dir
+    because file sources watch directories.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from randas_spark.queries import events_ts_is_nanos
+
+    src = os.path.join(sf_dir, "events.parquet")
+    nanos = events_ts_is_nanos(src)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true" if nanos else "false")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     stage = tempfile.mkdtemp(prefix="events_stream_")
-    shutil.copy(os.path.join(sf_dir, "events.parquet"), stage)
-    raw_schema = (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    )
+    shutil.copy(src, stage)
+    raw_schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if nanos:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream, stage
 
 
