@@ -52,9 +52,12 @@ def token_count_bpe_ish(text: Column) -> Column:
 
 
 def sql_token_count_bpe_ish(text: str) -> str:
+    # Outer CAST matters: DuckDB's list_sum over BIGINT returns HUGEINT,
+    # which pandas surfaces as float64 — flipping the driver's value hash
+    # against Spark's int64 even though the numbers are equal.
     return (
-        f"list_sum(list_transform({sql_tokens(text)},"
-        f" w -> greatest(1, CAST(ceil(length(w) / 4.0) AS BIGINT))))"
+        f"CAST(list_sum(list_transform({sql_tokens(text)},"
+        f" w -> greatest(1, CAST(ceil(length(w) / 4.0) AS BIGINT)))) AS BIGINT)"
     )
 
 

@@ -40,6 +40,9 @@ def sql_table_checksum(table: str, cols: list[str]) -> str:
     """DuckDB twin of :func:`table_checksum`."""
     canon = ", ".join(f"coalesce(CAST({c} AS VARCHAR), chr(0) || 'NULL')" for c in cols)
     row_hash = f"(('0x' || substr(md5(concat_ws('|', {canon})), 1, 8))::BIGINT)"
+    # CAST: DuckDB sums BIGINT into HUGEINT, which pandas renders float64
+    # — the driver's hash then disagrees with Spark's int64 column.
     return (
-        f"SELECT count(*) AS n_rows, sum({row_hash}) AS checksum FROM {table}"
+        f"SELECT count(*) AS n_rows, CAST(sum({row_hash}) AS BIGINT) AS checksum "
+        f"FROM {table}"
     )

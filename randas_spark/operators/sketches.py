@@ -124,7 +124,8 @@ def sql_countmin_estimate(
             {bucket_rows}
         ) GROUP BY shard, d, bucket
     ),
-    merged AS (SELECT d, bucket, sum(cnt) AS cnt FROM cells GROUP BY d, bucket),
+    merged AS (SELECT d, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+               FROM cells GROUP BY d, bucket),
     keys AS (
         SELECT {key_col} AS key, count(*) AS exact_cnt FROM {table} GROUP BY {key_col}
     ),

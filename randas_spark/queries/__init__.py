@@ -130,16 +130,20 @@ def load_all() -> None:
     )
 
 
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 def _driver_history() -> tuple[dict[str, int], set[str]]:
     """Per-query driver-check history from CORRECTNESS_r*.json at the repo
-    root: (clean-row counts, names whose rows carried an err)."""
+    root: (clean-row counts, names whose rows carried an err OR a failed
+    value hash — a hash-fail is a wrong answer, not a clean check)."""
     import glob
     import json
 
     clean: dict[str, int] = {}
     errs: set[str] = set()
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    for path in sorted(glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -148,29 +152,69 @@ def _driver_history() -> tuple[dict[str, int], set[str]]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("err"):
+            if row.get("err") or row.get("hash_match") is False:
                 errs.add(name)
             else:
                 clean[name] = clean.get(name, 0) + 1
     return clean, errs
 
 
+def source_hash(qd: QueryDef) -> str:
+    """Content hash of a query's observable definition: the Spark fn's
+    source plus the oracle SQL text. Oracle strings are built at import
+    time, so shared SQL-helper edits change them (and the hash); Spark-side
+    helper edits are visible only when the fn body changes — the known
+    approximation."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(qd.fn)
+    except (OSError, TypeError):
+        src = qd.fn.__code__.co_code.hex()
+    return hashlib.sha256((src + "\x00" + (qd.oracle or "")).encode()).hexdigest()[:16]
+
+
+def _hash_snapshot() -> dict[str, str]:
+    """name → source hash as of each query's last clean driver row
+    (QUERY_HASHES.json, maintained by tools/update_query_hashes.py and
+    committed with the round)."""
+    import json
+
+    try:
+        with open(os.path.join(_repo_root(), "QUERY_HASHES.json")) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    return {k: v for k, v in data.items() if isinstance(v, str)}
+
+
 def _ordered_names() -> list[str]:
-    """Registry names, least-driver-checked first.
+    """Registry names in sweep-priority order (deterministic: inputs are
+    the committed CORRECTNESS_r*.json + QUERY_HASHES.json + source).
 
     The driver's per-round correctness sweep caps at ~50 queries taken in
-    dict order; this ordering makes each round's sweep cover a fresh
-    slice of the registry until all queries have a green row:
+    dict order; this ordering makes each round's sweep re-verify what most
+    needs verifying instead of letting a regression hide behind an old
+    green row:
 
-    1. queries whose past driver row carried an err but that NOW register
+    1. queries whose fn/oracle source hash CHANGED since their last clean
+       driver row (modified code must re-verify first — closes the
+       evade-by-editing-a-green-query hole);
+    2. queries whose past rows were only err/hash-fail but that register
        an oracle (fixed since — re-verify immediately);
-    2. queries with no clean driver row yet, alphabetical;
-    3. already-green queries, least-often-checked first.
+    3. queries with no clean driver row yet, alphabetical;
+    4. already-green queries, least-often-checked first.
     """
     clean, errs = _driver_history()
+    snap = _hash_snapshot()
 
     def key(n: str):
-        if n in errs and clean.get(n, 0) == 0 and REGISTRY[n].oracle is not None:
+        qd = REGISTRY[n]
+        rec = snap.get(n)
+        if clean.get(n, 0) > 0 and rec is not None and rec != source_hash(qd):
+            pri = -2
+        elif n in errs and clean.get(n, 0) == 0 and qd.oracle is not None:
             pri = -1
         else:
             pri = clean.get(n, 0)

@@ -347,7 +347,10 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from randas_spark.operators.multimodal import attach_png_payload, extract_features
 
     d = t(spark, sf_dir, "documents")
-    return extract_features(attach_png_payload(d, "doc_id", "text"), fake=False)
+    out = extract_features(attach_png_payload(d, "doc_id", "text"), fake=False)
+    # Driver-canon discipline: array columns are not pandas-hashable, so
+    # the feature vector ships as its JSON rendering (deterministic).
+    return out.withColumn("feature", F.to_json("feature"))
 
 
 @register("llm_multimodal_pipeline", oracle=None)
@@ -630,7 +633,8 @@ def llm_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_inverted_index",
     oracle=f"""
-    SELECT term, count(*) AS df, list_sort(list(doc_id)) AS postings
+    SELECT term, count(*) AS df,
+           CAST(to_json(list_sort(list(doc_id))) AS VARCHAR) AS postings
     FROM (
         SELECT DISTINCT doc_id, term FROM (
             SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
@@ -643,10 +647,13 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index over the corpus: term → (document frequency,
     sorted posting list) via explode + groupBy + sort_array
     (operators/retrieval.inverted_index — postings sorted so the result
-    is deterministic and mergeable)."""
+    is deterministic and mergeable). The posting list ships as its JSON
+    rendering (`[1,5,9]` — identical formatting on both engines) because
+    the driver's pandas canonicalizer can't hash list cells."""
     from randas_spark.operators.retrieval import inverted_index
 
-    return inverted_index(t(spark, sf_dir, "documents"), "doc_id", "text")
+    out = inverted_index(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.withColumn("postings", F.to_json("postings"))
 
 
 @register(
@@ -1024,8 +1031,8 @@ def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            count(*) AS n_docs,
-           sum(n_chunks) AS n_chunks,
-           sum(n_toks) AS n_tokens
+           CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens
     FROM chunked GROUP BY lang
     """,
 )
@@ -1577,7 +1584,7 @@ def llm_dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            {sql_fround('scale', 9)} AS scale,
-           q,
+           CAST(to_json(q) AS VARCHAR) AS q,
            {sql_fround(sql_cosine('embedding', 'list_transform(q, v -> CAST(v AS DOUBLE) * scale)'), 6)} AS cos_fidelity
     FROM qq
     """,
@@ -1611,7 +1618,7 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "vec_id",
         fround(F.col("scale"), 9).alias("scale"),
-        "q",
+        F.to_json("q").alias("q"),
         fround(cosine(F.col("embedding"), deq), 6).alias("cos_fidelity"),
     )
 
@@ -1885,7 +1892,10 @@ def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from randas_spark.operators.multimodal import attach_wav_payload, extract_audio_features
 
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    return extract_audio_features(attach_wav_payload(d, "doc_id", "text"), fake=False)
+    out = extract_audio_features(attach_wav_payload(d, "doc_id", "text"), fake=False)
+    # Driver-canon discipline: serialize the array column (see
+    # llm_multimodal_features).
+    return out.withColumn("feature", F.to_json("feature"))
 
 
 @register(
@@ -1896,13 +1906,13 @@ def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bucketed AS (
         SELECT doc_id, n_tok,
-               CAST(floor(ln(greatest(n_tok, 1)) / ln(2)) AS BIGINT) AS bucket
+               CAST(length(bin(greatest(n_tok, 1))) - 1 AS BIGINT) AS bucket
         FROM sized
     )
     SELECT bucket,
            CAST(pow(2, bucket) AS BIGINT) AS bucket_min_tok,
            count(*) AS n_docs,
-           sum(n_tok) AS sum_tok,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok,
            max(n_tok) AS max_tok,
            {sql_fround('1.0 - CAST(sum(n_tok) AS DOUBLE) / (max(n_tok) * count(*))', 6)} AS padding_waste
     FROM bucketed GROUP BY bucket
@@ -1914,10 +1924,12 @@ def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     similar-length sequences — and each bucket reports its padding
     waste (1 − Σtok / (max·n)): the fraction of compute a naive
     pad-to-max batch would burn. Pure scan-side arithmetic + one tiny
-    agg; log2 via ln/ln so both engines run the identical IEEE ops."""
+    agg; floor(log2 n) computed as length(bin(n)) − 1 — pure integer, so
+    both engines agree even at exact powers of two where the ln/ln float
+    path sits on a rounding knife-edge."""
     d = t(spark, sf_dir, "documents")
     n_tok = token_count_bpe_ish(F.col("text"))
-    bucket = F.floor(F.log(F.greatest(n_tok, F.lit(1)).cast("double")) / F.log(F.lit(2.0))).cast("long")
+    bucket = (F.length(F.bin(F.greatest(n_tok, F.lit(1)))) - 1).cast("long")
     sized = d.select(n_tok.alias("n_tok"), bucket.alias("bucket"))
     return sized.groupBy("bucket").agg(
         F.pow(F.lit(2.0), F.col("bucket")).cast("long").alias("bucket_min_tok"),

@@ -875,8 +875,9 @@ def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
         SELECT user_id, ts, value,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS sess_id
         FROM flagged
     )
     SELECT user_id, sess_id, count(*) AS n_events,
@@ -919,8 +920,9 @@ def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT)      AS k_json,
            CAST(json_extract_string(props, '$.k') AS BIGINT)      AS k_map,
-           json_keys(props)                                        AS prop_keys,
-           list_transform(string_split(event_type, 'i'), t -> upper(t)) AS toks_upper,
+           CAST(to_json(json_keys(props)) AS VARCHAR)              AS prop_keys,
+           CAST(to_json(list_transform(string_split(event_type, 'i'),
+                                       t -> upper(t))) AS VARCHAR) AS toks_upper,
            CAST(len(string_split(event_type, 'i')) AS BIGINT)      AS n_toks,
            list_contains(string_split(event_type, 'i'), 'cl')      AS has_cl,
            to_json({'event_id': event_id})                         AS as_json
@@ -938,8 +940,10 @@ def rel_array_map_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k_json"),
         F.from_json("props", "map<string,long>")["k"].alias("k_map"),
-        F.json_object_keys("props").alias("prop_keys"),
-        F.transform(toks, lambda c: F.upper(c)).alias("toks_upper"),
+        # arrays ship as JSON strings — identical rendering on both
+        # engines, and the driver's pandas canon can't hash list cells
+        F.to_json(F.json_object_keys("props")).alias("prop_keys"),
+        F.to_json(F.transform(toks, lambda c: F.upper(c))).alias("toks_upper"),
         F.size(toks).cast("long").alias("n_toks"),
         F.array_contains(toks, "cl").alias("has_cl"),
         F.to_json(F.struct("event_id")).alias("as_json"),
@@ -1459,7 +1463,8 @@ def rel_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_ordered_array_agg",
     oracle="""
     SELECT user_id,
-           (list(event_type ORDER BY ts, event_id))[1:5] AS first_events
+           CAST(to_json((list(event_type ORDER BY ts, event_id))[1:5]) AS VARCHAR)
+               AS first_events
     FROM events
     WHERE user_id < 20
     GROUP BY user_id
@@ -1472,6 +1477,7 @@ def rel_ordered_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the portable construction collects (ts, event_id, type) structs,
     sort_array's them (struct comparison = lexicographic on fields —
     event_id breaks ts ties), then projects the type — all codegen'd.
+    The array ships as its JSON rendering (driver-canon discipline).
 
     Scale: one shuffle on user_id; the slice caps payload at 5 elements
     but collect_list holds each user's full set first — for huge keys,
@@ -1480,13 +1486,15 @@ def rel_ordered_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     return e.groupBy("user_id").agg(
-        F.slice(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
-                lambda s: s.event_type,
-            ),
-            1,
-            5,
+        F.to_json(
+            F.slice(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda s: s.event_type,
+                ),
+                1,
+                5,
+            )
         ).alias("first_events")
     )
 

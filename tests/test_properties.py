@@ -10,7 +10,7 @@ import math
 
 import duckdb
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 
@@ -62,23 +62,30 @@ def test_parse_query_no_eq_raises():
     st.integers(min_value=0, max_value=6),
 )
 @settings(max_examples=60, deadline=None)
+@example(x=-900719925474.4375, digits=3)  # regression: decimal-literal parse trap
 def test_fround_matches_duckdb(x, digits):
     """The engine-portable rounding formula must produce bit-identical
     results in Python and DuckDB whenever |x|·10^d < 2^53 — this is the
     invariant the oracle-hash discipline rests on. (Beyond 2^53 the
     engines legitimately diverge: Spark/Python floor() produces an exact
     int64 while DuckDB stays in double — documented on fround; headline
-    aggregates stay orders of magnitude below the bound.)"""
+    aggregates stay orders of magnitude below the bound.)
+
+    The input must reach DuckDB as a NATIVE double (parameter binding),
+    the same way parquet doubles reach oracle queries. Embedding repr(x)
+    as a SQL literal routes through DECIMAL(38,n) typing, whose int128
+    mantissa can exceed 2^53 and double-round on the DECIMAL→DOUBLE cast
+    (e.g. -900719925474.4375 parses to ...4376) — a divergence of the
+    test channel, not of fround: oracle columns are born DOUBLE and
+    never take the decimal-literal path."""
     from randas_spark.queries import sql_fround
 
     scale = 10**digits
     if abs(x) * scale >= 2**53:
         return
     py = math.floor(x * scale + 0.5) / scale
-    # cast: DuckDB types a bare decimal literal as DECIMAL, but the engine
-    # only ever applies sql_fround to DOUBLE columns
-    dd = duckdb.sql(
-        f"SELECT {sql_fround(f'CAST({x!r} AS DOUBLE)', digits)} AS v"
+    dd = duckdb.execute(
+        f"SELECT {sql_fround('CAST(? AS DOUBLE)', digits)} AS v", [x]
     ).fetchone()[0]
     assert py == dd or (math.isnan(py) and math.isnan(dd))
 
