@@ -622,7 +622,15 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
-    all_nodes = sym(e).select("u").distinct().localCheckpoint()
+    # node universe from the RAW endpoints (before self-loop removal): a
+    # node appearing only in self-loop edges is still a node and must
+    # label itself — matching connected_components' singleton semantics
+    all_nodes = (
+        raw.select("u")
+        .union(raw.select(F.col("v").alias("u")))
+        .distinct()
+        .localCheckpoint()
+    )
 
     rounds = 0
     for _ in range(max_iter):
@@ -805,13 +813,16 @@ def duplicated_spans(
     the cap on.
     """
     toks = F.split(F.lower(F.col(text_col)), " ")
+    # docs shorter than k tokens emit NO grams (a truncated gram would
+    # match another short doc and report span_len = k — overstating a
+    # shared run of fewer than k tokens)
+    gram_idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
     grams = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-            )
+            F.transform(gram_idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
         ).alias("pos", "g"),
     )
     if max_gram_freq is not None:

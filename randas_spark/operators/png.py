@@ -154,7 +154,9 @@ def pixel_features(width: int, height: int, channels: int, pixels: bytes) -> lis
     n = len(pixels)
     s = sum(pixels)
     mean = s / n
-    var = sum((p - mean) ** 2 for p in pixels) / n
+    # explicit multiply (not **2): x*x is a single IEEE op both here and in
+    # the DuckDB oracle's (p-mean)*(p-mean), with no libm pow() in the loop
+    var = sum((p - mean) * (p - mean) for p in pixels) / n
     c0 = pixels[0::channels]
     return [
         float(width),

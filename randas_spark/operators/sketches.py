@@ -162,8 +162,10 @@ def bloom_bits(df: DataFrame, key_col: str, n_bits: int = 4096, n_hashes: int = 
 
 
 def _bloom_pos_sql(key_expr: str, h: int, spark_dialect: bool) -> str:
-    """Bit position h in [0, 4096): value of hex digits [3h+1, 3h+3] of
-    md5(h || '|' || key) — same instr-digit primitive as the CMS."""
+    """Bit position for hash h in [0, 4096): the FIRST three hex digits
+    of md5('b{h}' || '|' || key) — each hash salts the md5 INPUT with its
+    index and reads digits 1..3, the same instr-digit primitive as the
+    CMS buckets."""
     if spark_dialect:
         hx = f"md5(cast(concat('b{h}', '|', cast({key_expr} as string)) as binary))"
     else:

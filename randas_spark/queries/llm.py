@@ -90,17 +90,18 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_dedup_minhash_lsh", oracle=None)
 def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH near-dup pairs, exact-Jaccard verified
-    (operators/dedup.minhash_lsh_pairs; 64 perms × 16 bands). No SQL
-    oracle (xxhash64 seeds are engine-specific; the md5-twin
-    llm_dedup_minhash_det carries the full value-hash oracle for this
-    family); pytest checks recall against llm_dedup_ngram_jaccard. Runs with the at-scale posture:
-    max_bucket_size=1000 caps boilerplate band buckets (a no-op on this
-    corpus — every bucket is far smaller — but the config a 100 TB run
-    must ship with; pytest test_minhash_bucket_cap_bounds_candidates
-    proves the cap bites on a hot-key corpus)."""
+    (operators/dedup.minhash_lsh_pairs; 64 perms × 16 bands). NOT in the
+    driver registry: xxhash64 seeds are engine-specific, so no DuckDB
+    oracle can replay it — the md5 twin llm_dedup_minhash_det carries the
+    full value-hash oracle for this family, and pytest checks this
+    variant's recall against llm_dedup_ngram_jaccard. Runs with the
+    at-scale posture: max_bucket_size=1000 caps boilerplate band buckets
+    (a no-op on this corpus — every bucket is far smaller — but the
+    config a 100 TB run must ship with; pytest
+    test_minhash_bucket_cap_bounds_candidates proves the cap bites on a
+    hot-key corpus)."""
     from randas_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
@@ -109,13 +110,12 @@ def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_dedup_simhash", oracle=None)
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3) via pigeonhole banding
-    (operators/dedup.simhash_near_pairs). Pandas-UDF fingerprint
-    (engine-specific hash → rows-only; the portable twin
-    llm_dedup_simhash_det carries the full oracle); pytest
-    property-checks hamming symmetry and self-distance."""
+    (operators/dedup.simhash_near_pairs). NOT in the driver registry:
+    the pandas-UDF fingerprint hash is engine-specific, so the portable
+    twin llm_dedup_simhash_det carries the full oracle; pytest
+    property-checks hamming symmetry and self-distance here."""
     from randas_spark.operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
@@ -227,14 +227,13 @@ def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_lsh(queries, emb, "vec_id", "vec_id", "embedding", dim=64, top_k=10, n_planes=4)
 
 
-@register("llm_knn_ivf", oracle=None)
 def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via an IVF index: k-means coarse quantizer (16
-    cells), 4-cell probe (operators/similarity.knn_ivf). No SQL oracle
-    (k-means initialization is engine-specific; the deterministic-seed
-    twin llm_knn_ivf_det carries the full oracle); pytest asserts
-    exactness at n_probe=n_cells and subset-score vs brute force below
-    it."""
+    cells), 4-cell probe (operators/similarity.knn_ivf). NOT in the
+    driver registry: k-means fit state is not SQL-replayable, so the
+    deterministic-seed twin llm_knn_ivf_det carries the full oracle;
+    pytest asserts exactness at n_probe=n_cells and subset-score vs
+    brute force below it."""
     from randas_spark.operators.similarity import knn_ivf
 
     emb = t(spark, sf_dir, "embeddings")
@@ -336,30 +335,89 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register("llm_multimodal_features", oracle=None)
+@register(
+    "llm_multimodal_features",
+    oracle=f"""
+    WITH dig AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 15),
+                   k -> CAST(('0x' || substr(md5(text), 2*k + 1, 2)) AS INT)) AS dg
+        FROM documents
+    ), px AS (
+        SELECT doc_id, dg,
+               flatten(list_transform(generate_series(1, 12), r -> dg)) AS pixels,
+               CAST(list_sum(dg) * 12 AS DOUBLE) / 192 AS mean_px
+        FROM dig
+    ), stats AS (
+        SELECT doc_id, mean_px,
+               list_reduce(list_transform(pixels,
+                               p -> (p - mean_px) * (p - mean_px)),
+                           (a, b) -> a + b) / 192 AS var_px,
+               CAST(list_min(dg) AS DOUBLE) AS minp,
+               CAST(list_max(dg) AS DOUBLE) AS maxp,
+               CAST(list_sum(list_transform(generate_series(0, 63),
+                                 k -> dg[((3*k) % 16) + 1])) AS DOUBLE) / 64 AS c0m
+        FROM px
+    )
+    SELECT doc_id, 'image' AS modality,
+           CAST(8 AS DOUBLE) AS f_width, CAST(8 AS DOUBLE) AS f_height,
+           CAST(3 AS DOUBLE) AS f_channels,
+           {sql_fround('mean_px / 255', 6)} AS f_mean,
+           {sql_fround('sqrt(var_px) / 255', 6)} AS f_std,
+           {sql_fround('minp / 255', 6)} AS f_min,
+           {sql_fround('maxp / 255', 6)} AS f_max,
+           {sql_fround('c0m / 255', 6)} AS f_c0
+    FROM stats
+    """,
+)
 def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode end-to-end: every document carries a valid RGB
-    PNG (attach_png_payload — deterministic md5-seeded pixels, encoded by
-    the stdlib codec) and extract_features decodes the actual scanlines
-    via operators/png.decode_png inside the mapInPandas stage — no stub
-    in this path (fake=False). Rows-only for the driver (binary payloads
-    aren't SQL-comparable); pytest pins golden feature values."""
+    """REAL image decode end-to-end: every document carries a valid 8×8
+    RGB PNG (attach_png_payload — md5(text)-seeded pixels, encoded by the
+    stdlib codec) and extract_features decodes the actual scanlines via
+    operators/png.decode_png inside the mapInPandas stage — no stub in
+    this path (fake=False). The oracle recomputes every feature FROM
+    FIRST PRINCIPLES in DuckDB: pixel bytes are the md5 digest tiled 12×,
+    so digest arithmetic (same IEEE op order as png.pixel_features)
+    must reproduce the decoded-pixel statistics exactly — a value-hash
+    proof that encode → decode round-trips bit-perfectly."""
     from randas_spark.operators.multimodal import attach_png_payload, extract_features
 
     d = t(spark, sf_dir, "documents")
     out = extract_features(attach_png_payload(d, "doc_id", "text"), fake=False)
-    # Driver-canon discipline: array columns are not pandas-hashable, so
-    # the feature vector ships as its JSON rendering (deterministic).
-    return out.withColumn("feature", F.to_json("feature"))
+    f = F.col("feature")
+    return out.select(
+        "doc_id",
+        "modality",
+        f[0].alias("f_width"),
+        f[1].alias("f_height"),
+        f[2].alias("f_channels"),
+        fround(f[3], 6).alias("f_mean"),
+        fround(f[4], 6).alias("f_std"),
+        fround(f[5], 6).alias("f_min"),
+        fround(f[6], 6).alias("f_max"),
+        fround(f[7], 6).alias("f_c0"),
+    )
 
 
-@register("llm_multimodal_pipeline", oracle=None)
+@register(
+    "llm_multimodal_pipeline",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 AS BIGINT) AS n_frames,
+           CAST(64 AS BIGINT) AS total_frame_bytes
+    FROM documents
+    """,
+)
 def llm_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal chain: attach payload → resize → frame-sample →
     per-document frame stats (operators/multimodal). Three chained
     mapInPandas stages plus one aggregation — the canonical decode/
     transform/sample pipeline shape; kernels are the deterministic fakes
-    (real ones are lib-gated)."""
+    (real ones are lib-gated). The fake resize emits a fixed 64-byte
+    budget (64×64//64) and the sampler slices min(4, 64//16) = 4 frames
+    of 16 bytes, so the oracle's per-doc constants (4 frames, 64 bytes)
+    verify the row-expansion multiplicity and byte accounting of the
+    whole chain end-to-end."""
     from randas_spark.operators.multimodal import (
         attach_fake_payload,
         resize_images,
@@ -1737,7 +1795,7 @@ def llm_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams AS (
         SELECT doc_id,
                unnest(list_transform(
-                   generate_series(1, greatest(len(tk) - 9, 1)),
+                   generate_series(1, len(tk) - 9),
                    i -> struct_pack(pos := i - 1,
                                     g := array_to_string(tk[i:i+9], ' ')))) AS x
         FROM toks
@@ -1881,21 +1939,77 @@ def llm_knn_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf_det(qs, emb, "vec_id", "vec_id", "embedding", n_cells=16, n_probe=4, top_k=10)
 
 
-@register("llm_multimodal_audio", oracle=None)
+@register(
+    "llm_multimodal_audio",
+    oracle=f"""
+    WITH seedp AS (
+        SELECT doc_id,
+               100 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) * 8 AS freq,
+               CAST(('0x' || substr(md5(text), 3, 2)) AS INT) / 255.0 * 2 * pi() AS phase
+        FROM documents WHERE doc_id < 50
+    ), smp AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 511),
+                   i -> trunc(30000 * sin(2 * pi() * freq * i / 8000 + phase))
+                        / 32768) AS s
+        FROM seedp
+    ), feat AS (
+        SELECT doc_id,
+               list_reduce(list_transform(s, x -> x * x), (a, b) -> a + b) AS ss,
+               list_reduce(s, (a, b) -> a + b) AS sm,
+               list_reduce(list_transform(s, x -> abs(x)), (a, b) -> a + b) AS sa,
+               list_max(list_transform(s, x -> abs(x))) AS peak,
+               CAST(len(list_filter(generate_series(2, 512),
+                        i -> (s[i-1] < 0) <> (s[i] < 0))) AS DOUBLE) / 511 AS zcr,
+               list_reduce(list_transform(s[1:256], x -> x * x), (a, b) -> a + b) AS e1r,
+               list_reduce(list_transform(s[257:512], x -> x * x), (a, b) -> a + b) AS e2r
+        FROM smp
+    )
+    SELECT doc_id, 'audio' AS modality,
+           CAST(1068 AS BIGINT) AS n_bytes,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           {sql_fround('CAST(512 AS DOUBLE) / 8000', 6)} AS f_dur,
+           {sql_fround('sqrt(ss / 512)', 6)} AS f_rms,
+           {sql_fround('peak', 6)} AS f_peak,
+           {sql_fround('zcr', 6)} AS f_zcr,
+           {sql_fround('sm / 512', 6)} AS f_mean,
+           {sql_fround('sa / 512', 6)} AS f_meanabs,
+           {sql_fround('(CASE WHEN e1r = 0 THEN 1e-30 ELSE e1r END) / '
+                       '(CASE WHEN e2r = 0 THEN 1e-30 ELSE e2r END)', 6)} AS f_eratio,
+           {sql_fround('zcr * 8000 / 2.0', 6)} AS f_centroid
+    FROM feat
+    """,
+)
 def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio pipeline over REAL WAV bytes (operators/multimodal.
     attach_wav_payload → extract_audio_features): deterministic PCM16
     tones synthesized per doc, decoded by the dependency-free RIFF codec
     (operators/wav.py), 8-dim features via Arrow-batched mapInPandas.
-    Rows-only (binary payloads have no SQL twin); pytest checks feature
-    goldens against a driver-side decode of the same bytes."""
+    The oracle resynthesizes the tone FROM FIRST PRINCIPLES in DuckDB —
+    md5-seeded freq/phase, the same trunc(30000·sin(...)) sample loop in
+    the same IEEE op order, ordered list_reduce sums mirroring Python's
+    left-to-right accumulation — so the value hash proves the WAV encode
+    → RIFF parse → feature chain is bit-exact (n_bytes 1068 = 44-byte
+    canonical header + 1024 PCM bytes, also asserted)."""
     from randas_spark.operators.multimodal import attach_wav_payload, extract_audio_features
 
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     out = extract_audio_features(attach_wav_payload(d, "doc_id", "text"), fake=False)
-    # Driver-canon discipline: serialize the array column (see
-    # llm_multimodal_features).
-    return out.withColumn("feature", F.to_json("feature"))
+    f = F.col("feature")
+    return out.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "sample_rate",
+        fround(f[0], 6).alias("f_dur"),
+        fround(f[1], 6).alias("f_rms"),
+        fround(f[2], 6).alias("f_peak"),
+        fround(f[3], 6).alias("f_zcr"),
+        fround(f[4], 6).alias("f_mean"),
+        fround(f[5], 6).alias("f_meanabs"),
+        fround(f[6], 6).alias("f_eratio"),
+        fround(f[7], 6).alias("f_centroid"),
+    )
 
 
 @register(

@@ -377,7 +377,15 @@ def test_multimodal_features_query_real_decode(spark):
     seed = hashlib.md5(text.encode()).digest()
     pixels = (seed * (8 * 8 * 3 // 16 + 1))[: 8 * 8 * 3]
     expected = pixel_features(*decode_png(encode_png(pixels, 8, 8, 3)))
-    assert list(row.feature) == expected
+
+    def fr6(x: float) -> float:  # query applies fround(·, 6) to the stats
+        import math
+
+        return math.floor(x * 10**6 + 0.5) / 10**6
+
+    got = [row.f_width, row.f_height, row.f_channels,
+           row.f_mean, row.f_std, row.f_min, row.f_max, row.f_c0]
+    assert got == expected[:3] + [fr6(v) for v in expected[3:]]
     assert row.modality == "image"
 
 
@@ -575,6 +583,43 @@ def test_star_cc_fewer_rounds_on_chain(spark):
     assert lp == star
     assert star_stats["rounds"] <= 8, star_stats
     assert lp_stats["rounds"] > 2 * star_stats["rounds"], (lp_stats, star_stats)
+
+
+def test_star_cc_keeps_self_loop_only_nodes(spark):
+    """A node that appears ONLY in self-loop edges is still a node: both
+    CC variants must label it as its own singleton component (regression:
+    star CC derived its node universe from the self-loop-filtered edge
+    set and dropped such nodes entirely)."""
+    from randas_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (5, 5), (9, 9), (2, 3)], "id_a long, id_b long"
+    )
+    want = {1: 1, 2: 1, 3: 1, 5: 5, 9: 9}
+    lp = {r.node: r.comp for r in connected_components(df).collect()}
+    star = {r.node: r.comp for r in connected_components_star(df).collect()}
+    assert lp == want
+    assert star == want
+
+
+def test_duplicated_spans_no_truncated_grams_on_short_docs(spark):
+    """Docs shorter than k tokens must emit no spans (regression: the
+    truncated single gram of a short doc matched another short doc and
+    reported span_len = k, overstating a sub-k shared run), while genuine
+    >= k-token duplication still surfaces."""
+    from randas_spark.operators.dedup import duplicated_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "x y z w"), (4, "x y z w")],
+        "doc_id long, text string",
+    )
+    out = duplicated_spans(df, "doc_id", "text", k=3, min_span=3).collect()
+    pairs = {(r.id_a, r.id_b): r.span_len for r in out}
+    assert (1, 2) not in pairs  # 2-token docs: no 3-gram exists
+    assert pairs.get((3, 4)) == 4  # full 4-token duplicate still found
 
 
 def test_rrf_fuse_properties(spark):
@@ -981,15 +1026,18 @@ def test_embedding_quantize_bounds_and_fidelity(spark, emb):
     from randas_spark.queries import queries
     from tests.conftest import SF_DIR
 
+    import json
+
     out = queries()["llm_embedding_quantize"](spark, SF_DIR).collect()
     origs = {r.vec_id: r.embedding for r in emb.collect()}
     assert out
     for r in out:
-        assert all(-127 <= v <= 127 for v in r.q)
+        q = json.loads(r.q)  # query ships the array as JSON (driver canon)
+        assert all(-127 <= v <= 127 for v in q)
         assert r.cos_fidelity > 0.995
         x = origs[r.vec_id]
-        assert len(r.q) == len(x)
-        for xi, qi in zip(x, r.q):
+        assert len(q) == len(x)
+        for xi, qi in zip(x, q):
             if abs(qi) < 127:  # inside the clamp, error is at most scale/2
                 assert abs(xi - qi * r.scale) <= r.scale / 2 + 1e-9
 
