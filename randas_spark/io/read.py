@@ -96,18 +96,16 @@ def read_json(spark: SparkSession, path: str, multiline: bool = True) -> RandasF
 def read_excel(
     spark: SparkSession, path: str, sheet: str | None = None
 ) -> RandasFrame:
-    """Excel via driver-side pandas (calamine equivalent, read.rs:18-67):
-    first sheet by default, row 1 = header. Gated: openpyxl may be absent
-    in this container → clear ImportError."""
-    import pandas as pd
+    """Excel via the dependency-free stdlib codec (io/xlsx.py — the
+    calamine equivalent of read.rs:18-67): first sheet by default, row 1
+    = header. Handles shared strings, inline strings, numbers, booleans
+    and blank cells; driver-side by design (an xlsx is inherently one
+    small file — cluster-scale tabular ingest is the parquet/csv path)."""
+    from randas_spark.io.xlsx import read_xlsx
 
-    try:
-        pdf = pd.read_excel(path, sheet_name=sheet or 0)
-    except ImportError as ex:  # pragma: no cover - env-dependent
-        raise ImportError(
-            "read_excel needs an excel engine (openpyxl); not present in this container"
-        ) from ex
-    return RandasFrame(spark.createDataFrame(pdf))
+    cols, rows = read_xlsx(path, sheet)
+    data: dict[str, list] = {c: [r[i] for r in rows] for i, c in enumerate(cols)}
+    return RandasFrame.new(spark, data, cols)
 
 
 def read_sql(spark: SparkSession, conn, query: str) -> RandasFrame:

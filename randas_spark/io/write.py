@@ -35,16 +35,19 @@ def to_json(frame: RandasFrame, path: str) -> None:
 
 
 def to_excel(frame: RandasFrame, path: str, sheet: str = "Sheet1") -> None:
-    """Driver-side Excel writer with the reference's formatting quirks."""
+    """Driver-side Excel writer (dependency-free io/xlsx.py codec) with
+    the reference's formatting quirks applied per cell (write.rs:10-69:
+    bool → "TRUE"/"FALSE" strings, datetime → "%Y-%m-%d %H:%M:%S",
+    null → blank)."""
+    from randas_spark.io.xlsx import write_xlsx
+
     pdf = frame.to_pandas()
-    for col in pdf.columns:
-        pdf[col] = pdf[col].map(_excel_cell)
-    try:
-        pdf.to_excel(path, sheet_name=sheet, index=False)
-    except ImportError as ex:  # pragma: no cover - env-dependent
-        raise ImportError(
-            "to_excel needs an excel engine (openpyxl); not present in this container"
-        ) from ex
+    cols = list(pdf.columns)
+    rows = [
+        tuple(_excel_cell(v) for v in rec)
+        for rec in pdf.itertuples(index=False, name=None)
+    ]
+    write_xlsx(path, cols, rows, sheet=sheet)
 
 
 def _excel_cell(v):

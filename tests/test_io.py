@@ -139,19 +139,60 @@ def test_sql_bad_if_exists_raises(people):
 
 
 def test_excel_round_trip_or_gated(spark, people, tmp):
-    """Excel path: full round-trip when an engine is present, else the
-    documented ImportError gate (no pip installs in this container)."""
+    """Excel path: full round-trip through the dependency-free stdlib
+    codec (io/xlsx.py) — no engine gate since r4."""
     from randas_spark.io.read import read_excel
     from randas_spark.io.write import to_excel
 
     path = os.path.join(tmp, "people.xlsx")
-    try:
-        to_excel(people, path)
-    except ImportError:
-        pytest.skip("no excel engine in container — gate verified")
+    to_excel(people, path)
     back = read_excel(spark, path)
     assert back.columns == people.columns
     assert sorted(_values(back)) == sorted(_values(people))
+
+
+def test_xlsx_codec_cell_types_and_blanks(tmp):
+    """Codec-level: numbers/bools/strings/None round-trip with correct
+    Python types; blank cells read as None; shared-string files (the
+    form Excel itself writes) parse too."""
+    import zipfile
+
+    from randas_spark.io.xlsx import col_letters, read_xlsx, write_xlsx
+
+    assert [col_letters(i) for i in (0, 25, 26, 701, 702)] == ["A", "Z", "AA", "ZZ", "AAA"]
+
+    path = os.path.join(tmp, "t.xlsx")
+    write_xlsx(
+        path,
+        ["id", "name", "score", "ok"],
+        [(1, "ann", 9.5, True), (2, None, -3, False), (3, "x <&> y", 0.25, True)],
+    )
+    cols, rows = read_xlsx(path)
+    assert cols == ["id", "name", "score", "ok"]
+    assert rows[0] == [1, "ann", 9.5, True]
+    assert rows[1] == [2, None, -3, False]
+    assert rows[2] == [3, "x <&> y", 0.25, True]
+
+    # shared-strings variant (what Excel/openpyxl write for string cells)
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    sst_path = os.path.join(tmp, "sst.xlsx")
+    with zipfile.ZipFile(path) as src, zipfile.ZipFile(sst_path, "w") as dst:
+        for item in src.namelist():
+            if item != "xl/worksheets/sheet1.xml":
+                dst.writestr(item, src.read(item))
+        dst.writestr(
+            "xl/sharedStrings.xml",
+            f'<?xml version="1.0"?><sst {ns}><si><t>hdr</t></si><si><t>val</t></si></sst>',
+        )
+        dst.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+            '<row r="2"><c r="A2" t="s"><v>1</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+    cols2, rows2 = read_xlsx(sst_path)
+    assert cols2 == ["hdr"] and rows2 == [["val"]]
 
 
 def test_read_csv_missing_file_raises(spark):
