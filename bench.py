@@ -60,11 +60,13 @@ def main() -> None:
     qs = e.queries()
     names = [n for n in HEADLINE if n in qs] or list(qs)[:8]
 
-    # Warm pass (JVM/codegen/file cache), then 3 interleaved timing rounds.
-    # Interleaving + min defends against the box's intermittent external
-    # contention (measured: multi-second windows that inflate whichever
-    # query is running 5-10x) — back-to-back repeats of one query can land
-    # entirely inside such a window; spread rounds make that improbable.
+    # Warm pass (JVM/codegen/file cache), then 3 interleaved timing rounds,
+    # reported as MEDIAN-of-3 — the BASELINE.md protocol stat. Interleaving
+    # defends against the box's intermittent external contention (measured:
+    # multi-second windows that inflate whichever query is running 5-10x) —
+    # back-to-back repeats of one query can land entirely inside such a
+    # window; spread rounds make that improbable, and the median discards
+    # a single contaminated round entirely.
     samples: dict[str, list[float]] = {n: [] for n in names}
     for name in names:
         qs[name](spark, sf_dir).collect()
@@ -77,7 +79,7 @@ def main() -> None:
             # drop caches operators pin (minhash signatures, q15 revenue)
             # so heap pressure doesn't accumulate across measurements
             spark.catalog.clearCache()
-    results = {n: round(min(ts), 4) for n, ts in samples.items()}
+    results = {n: round(statistics.median(ts), 4) for n, ts in samples.items()}
 
     total = round(sum(results.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -1558,13 +1558,21 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash_lsh(num_perm: int = 32, bands: int = 8, k: int = 5, threshold: float = 0.6) -> str:
-    """DuckDB twin of operators/dedup.minhash_lsh_pairs_portable: same
-    md5-derived permutations, band keys, candidate join, and exact-
-    Jaccard verification — generated from the same constants so the two
+    """DuckDB twin of operators/dedup.minhash_lsh_pairs_portable: the
+    same shared md5→32-bit shingle hash and (a_p·h + b_p) mod P integer
+    permutation family (constants imported from the SAME generator), band
+    keys, candidate join, and exact-Jaccard verification — so the two
     engines can't drift."""
+    from randas_spark.operators.dedup import (
+        MINHASH_MOD,
+        minhash_perm_consts,
+        sql_minhash_h32,
+    )
+
     rpb = num_perm // bands
     min_cols = ",\n               ".join(
-        f"min(md5('{p}' || '|' || s)) AS m{p}" for p in range(num_perm)
+        f"min(({a} * h + {b}) % {MINHASH_MOD}) AS m{p}"
+        for p, (a, b) in enumerate(minhash_perm_consts(num_perm))
     )
     band_selects = "\n        UNION ALL ".join(
         "SELECT doc_id, {b} AS band_id, {key} AS bk FROM mins".format(
@@ -1577,10 +1585,13 @@ def _sql_minhash_lsh(num_perm: int = 32, bands: int = 8, k: int = 5, threshold: 
     WITH sh AS (
         SELECT doc_id, unnest({_sql_shingles('text', k)}) AS s FROM documents
     ),
+    shh AS (
+        SELECT doc_id, s, {sql_minhash_h32('s')} AS h FROM sh
+    ),
     mins AS (
         SELECT doc_id,
                {min_cols}
-        FROM sh GROUP BY doc_id
+        FROM shh GROUP BY doc_id
     ),
     banded AS (
         {band_selects}
