@@ -37,6 +37,24 @@ from randas_spark.functions.text import fingerprint, shingles
 _LOG = logging.getLogger(__name__)
 
 
+def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Ensure scan parallelism before a CPU-heavy per-row stage.
+
+    A small single parquet file arrives as ONE input split, so shingling /
+    hashing / token expansion then runs single-threaded no matter how many
+    cores the session has — the dominant cost of the dedup operators at
+    test scale. At cluster scale inputs are many-file/many-split and this
+    is a no-op (the frame is returned unchanged whenever it already has at
+    least `min_parts` partitions); when it does fire, it shuffles only the
+    raw input rows, orders of magnitude lighter than the expansion stage
+    it unlocks."""
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 # --------------------------------------------------------------------------
 # 1. exact dedup
 # --------------------------------------------------------------------------
@@ -101,7 +119,7 @@ def ngram_jaccard_pairs(
     hot shingles were dropped. Default None preserves exact semantics;
     beyond the cap, MinHash-LSH (below) is the scale path.
     """
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
     )
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
@@ -230,7 +248,7 @@ def minhash_lsh_pairs(
     # downstream works on HASHED shingles (array<long>): set-identical to
     # the strings for intersect/union (xxhash64 collisions are ~n²/2⁶⁴),
     # ~5-10× lighter to shuffle and compare.
-    base = df.select(
+    base = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(
             F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
@@ -748,7 +766,7 @@ def minhash_lsh_pairs_portable(
     rows_per_band = num_perm // bands
     if rows_per_band * bands != num_perm:
         raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), k)).alias("s")
     )
     h32 = F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 8), 16, 10).cast("long")
@@ -846,7 +864,7 @@ def duplicated_spans(
     gram_idx = F.when(
         F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
     ).otherwise(F.array().cast("array<int>"))
-    grams = df.select(
+    grams = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
             F.transform(gram_idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
