@@ -48,6 +48,11 @@ def _bucket_sql(key_expr: str, d: int, spark_dialect: bool) -> str:
 def countmin_cells(df: DataFrame, key_col: str, shard_col: str, depth: int = 4) -> DataFrame:
     """Per-shard CMS cells: (shard, d, bucket, cnt). Shard sketches are
     the mergeable unit — cell-wise SUM merges any subset of shards."""
+    from randas_spark.operators.dedup import fan_out
+
+    # depth md5 calls per input row: fan a single-split input out to core
+    # count before the hash stage (no-op on many-split cluster inputs)
+    df = fan_out(df)
     rows = df.select(
         F.col(shard_col).alias("shard"),
         *[F.expr(_bucket_sql(key_col, d, True)).alias(f"b{d}") for d in range(depth)],
