@@ -130,7 +130,9 @@ def read_xlsx(path: str, sheet: str | None = None) -> tuple[list[str], list[list
                 break
         if sheet_path is None:
             raise KeyError(f"sheet {sheet!r} not found in {path}")
-        if not sheet_path.startswith("/"):
+        if sheet_path.startswith("/"):  # absolute part name → zip path
+            sheet_path = sheet_path.lstrip("/")
+        else:
             sheet_path = "xl/" + sheet_path.removeprefix("xl/")
 
         shared: list[str] = []

@@ -62,9 +62,11 @@ def main() -> None:
     from randas_spark.session import get_spark
 
     spark = get_spark("make_scaled_sf")
-    # events.parquet carries TIMESTAMP(NANOS): read the column as a plain
-    # long and write it back as BIGINT — queries.t() handles both layouts
-    # (its `ts div 1000` conversion works on either).
+    # events.parquet has shipped as both TIMESTAMP(NANOS) and
+    # timestamp[us] across testdata generations; nanosAsLong makes the
+    # nanos generation readable (harmless for native timestamps) and the
+    # ts column is written back unchanged — queries.t() branches on the
+    # output footer and handles either layout.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     import shutil
