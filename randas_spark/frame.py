@@ -241,7 +241,9 @@ class RandasFrame:
 
     def to_spark(self) -> DataFrame:
         """The underlying Spark DataFrame without the index columns."""
-        return self._sdf.select(*self.columns)
+        # backtick-quote: a literal dot in a column name (e.g. the x.1
+        # dedup suffix from read_excel) must not parse as field access
+        return self._sdf.select(*[F.col(f"`{c}`") for c in self.columns])
 
     @property
     def sdf(self) -> DataFrame:
@@ -260,10 +262,12 @@ class RandasFrame:
     # -- projections / access (dataframe.rs:106-182, 379-466) --------------
 
     def column(self, name: str) -> list[Any] | None:
-        """`column` → values in row order, None if absent (dataframe.rs:106)."""
+        """`column` → values in row order, None if absent (dataframe.rs:106).
+        Names are backtick-quoted so a literal dot (x.1) is a name, not a
+        struct-field path."""
         if name not in self.columns:
             return None
-        return [r[name] for r in self._ordered().select(name).collect()]
+        return [r[name] for r in self._ordered().select(F.col(f"`{name}`")).collect()]
 
     def collect_column_values(self, name: str) -> list[Any]:
         """`collect_column_values` — missing column raises (dataframe.rs:379)."""

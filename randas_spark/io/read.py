@@ -104,8 +104,19 @@ def read_excel(
     from randas_spark.io.xlsx import read_xlsx
 
     cols, rows = read_xlsx(path, sheet)
-    data: dict[str, list] = {c: [r[i] for r in rows] for i, c in enumerate(cols)}
-    return RandasFrame.new(spark, data, cols)
+    # pandas-style dedup of repeated headers (x, x.1, x.2 ...) so no
+    # column's data is silently collapsed into a dict key collision
+    seen: dict[str, int] = {}
+    uniq: list[str] = []
+    for c in cols:
+        if c in seen:
+            seen[c] += 1
+            uniq.append(f"{c}.{seen[c]}")
+        else:
+            seen[c] = 0
+            uniq.append(c)
+    data: dict[str, list] = {c: [r[i] for r in rows] for i, c in enumerate(uniq)}
+    return RandasFrame.new(spark, data, uniq)
 
 
 def read_sql(spark: SparkSession, conn, query: str) -> RandasFrame:

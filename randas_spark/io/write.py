@@ -53,6 +53,8 @@ def to_excel(frame: RandasFrame, path: str, sheet: str = "Sheet1") -> None:
 def _excel_cell(v):
     if v is None:
         return ""
+    if isinstance(v, float) and v != v:  # NaN (what toPandas makes of a
+        return ""  # nulled numeric column) is null → blank, write.rs:10-69
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"  # write.rs:31-38
     if isinstance(v, datetime.datetime):

@@ -20,7 +20,7 @@ from __future__ import annotations
 import re
 import xml.etree.ElementTree as ET
 import zipfile
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _CELL_REF = re.compile(r"([A-Z]+)(\d+)")
@@ -75,7 +75,7 @@ def write_xlsx(path: str, columns: list[str], rows: list[tuple], sheet: str = "S
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
         'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-        f'<sheets><sheet name="{escape(sheet)}" sheetId="1" r:id="rId1"/></sheets></workbook>'
+        f"<sheets><sheet name={quoteattr(sheet)} sheetId=\"1\" r:id=\"rId1\"/></sheets></workbook>"
     )
     wb_rels = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -147,6 +147,11 @@ def read_xlsx(path: str, sheet: str | None = None) -> tuple[list[str], list[list
         grid: dict[int, dict[int, object]] = {}
         max_col = -1
         for row in ws.iter(f"{_NS}row"):
+            # register the row even if every cell is blank (all-null rows
+            # must survive the round trip with their position)
+            r_attr = row.get("r")
+            if r_attr is not None:
+                grid.setdefault(int(r_attr) - 1, {})
             for c in row.findall(f"{_NS}c"):
                 m = _CELL_REF.match(c.get("r", ""))
                 if not m:
@@ -178,11 +183,12 @@ def read_xlsx(path: str, sheet: str | None = None) -> tuple[list[str], list[list
     if not grid:
         return [], []
     n_cols = max_col + 1
-    header_cells = grid.get(min(grid), {})
+    first = min(grid)
+    header_cells = grid[first]
     header = [str(header_cells.get(i, f"col{i}")) for i in range(n_cols)]
     data = []
     for rix in sorted(grid):
-        if rix == min(grid):
+        if rix == first:
             continue
         cells = grid[rix]
         data.append([cells.get(i) for i in range(n_cols)])

@@ -42,12 +42,17 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return wrap
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def events_ts_is_nanos(path: str) -> bool:
     """True when ``events.parquet`` stores ``ts`` as int64 nanos (or parquet
     TIMESTAMP(NANOS), which Spark only reads via the nanosAsLong legacy
     conf) rather than a native micro/milli timestamp the reader handles
     directly. Decided from the parquet footer (pyarrow) so the Spark read
-    never throws on either generation of the testdata."""
+    never throws on either generation of the testdata. Cached per path —
+    the answer is constant per file and every events query calls this."""
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):

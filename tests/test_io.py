@@ -195,6 +195,45 @@ def test_xlsx_codec_cell_types_and_blanks(tmp):
     assert cols2 == ["hdr"] and rows2 == [["val"]]
 
 
+def test_xlsx_edge_cases(spark, tmp):
+    """Review-driven regressions: all-null rows keep their position,
+    NaN writes as blank (null quirk), quoted sheet names stay
+    well-formed, duplicate headers dedup pandas-style instead of
+    silently collapsing a column."""
+    import math
+
+    from randas_spark.frame import RandasFrame
+    from randas_spark.io.read import read_excel
+    from randas_spark.io.write import to_excel
+    from randas_spark.io.xlsx import read_xlsx, write_xlsx
+
+    # all-null row survives with its position
+    p1 = os.path.join(tmp, "nullrow.xlsx")
+    write_xlsx(p1, ["a", "b"], [(None, None), (2, 3)])
+    _, rows = read_xlsx(p1)
+    assert rows == [[None, None], [2, 3]]
+
+    # NaN → blank cell, and a quoted sheet name round-trips
+    f = RandasFrame.new(spark, {"x": [1.5, float("nan")]}, ["x"])
+    p2 = os.path.join(tmp, "nan.xlsx")
+    to_excel(f, p2, sheet='Q1 "final"')
+    cols, rows = read_xlsx(p2, sheet='Q1 "final"')
+    assert cols == ["x"]
+    assert rows == [[1.5], [None]]
+    assert not any(
+        isinstance(v, float) and math.isnan(v) for r in rows for v in r
+    )
+
+    # duplicate headers: both columns' data preserved under x / x.1
+    p3 = os.path.join(tmp, "dup.xlsx")
+    write_xlsx(p3, ["x", "x"], [(1, 10), (2, 20)])
+    back = read_excel(spark, p3)
+    assert back.columns == ["x", "x.1"]
+    got = {tuple(r) for r in zip(back.collect_column_values("x"),
+                                 back.collect_column_values("x.1"))}
+    assert got == {(1, 10), (2, 20)}
+
+
 def test_read_csv_missing_file_raises(spark):
     from pyspark.errors import AnalysisException
 

@@ -44,7 +44,14 @@ def canon_frame(df: pd.DataFrame) -> pd.DataFrame:
         for c in df.columns:
             if df[c].dtype == object:
                 pd.factorize(df[c].to_numpy())
-        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+        # string-render sort key: mixed-type object columns (int + str
+        # rows) are orderable the way the driver's Categorical codes are,
+        # instead of raising on int < str
+        df = df.sort_values(
+            by=list(df.columns),
+            kind="mergesort",
+            key=lambda col: col.map(lambda v: str(v)) if col.dtype == object else col,
+        ).reset_index(drop=True)
     return df
 
 
