@@ -130,6 +130,53 @@ def test_perm_constants_are_odd_and_stable(i):
     assert -(2**63) <= a < 2**63 and -(2**63) <= b < 2**63
 
 
+# -- xlsx codec round trip ---------------------------------------------------
+
+
+_XLSX_CELL = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=40, alphabet=st.characters(codec="utf-8", exclude_categories=("Cs", "Cc"))),
+)
+
+
+@given(
+    st.integers(min_value=1, max_value=4),
+    st.lists(st.lists(_XLSX_CELL, min_size=1, max_size=4), min_size=0, max_size=6),
+)
+@settings(max_examples=40, deadline=None)
+def test_xlsx_round_trip_property(n_cols, raw_rows):
+    """write_xlsx → read_xlsx preserves every cell up to the documented
+    normalizations: empty string → blank (None), integral floats may
+    read back as int (numeric value equality is what's promised)."""
+    import os
+    import tempfile
+
+    from randas_spark.io.xlsx import read_xlsx, write_xlsx
+
+    cols = [f"c{i}" for i in range(n_cols)]
+    rows = [tuple((r[i] if i < len(r) else None) for i in range(n_cols)) for r in raw_rows]
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.xlsx")
+        write_xlsx(path, cols, rows)
+        got_cols, got_rows = read_xlsx(path)
+    assert got_cols == cols
+    assert len(got_rows) == len(rows)
+    for want_row, got_row in zip(rows, got_rows):
+        for want, got in zip(want_row, got_row):
+            if want is None or want == "":
+                assert got is None
+            elif isinstance(want, bool):
+                assert got is want
+            elif isinstance(want, (int, float)):
+                assert isinstance(got, (int, float)) and not isinstance(got, bool)
+                assert float(got) == float(want)
+            else:
+                assert got == want
+
+
 # -- Spark-backed frame properties (bounded examples) ------------------------
 
 
