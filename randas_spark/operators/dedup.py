@@ -48,6 +48,8 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     least `min_parts` partitions); when it does fire, it shuffles only the
     raw input rows, orders of magnitude lighter than the expansion stage
     it unlocks."""
+    if df.isStreaming:  # partitioning is the source's concern in a stream
+        return df
     spark = df.sparkSession
     target = min_parts or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
