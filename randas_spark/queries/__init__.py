@@ -85,7 +85,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Spark 4 defaults to ANSI mode; the engine's parity semantics (silent
     # numeric coercion, wraparound minhash multiplies) need it off. Set at
     # runtime so queries behave identically on the driver's own session.
+    # Session tz pinned UTC for the same reason: the events NTZ→LTZ cast
+    # and every unix_* / window bucket must not shift with the host tz.
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         path = os.path.join(sf_dir, "events.parquet")
         if events_ts_is_nanos(path):
