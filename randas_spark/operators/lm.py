@@ -43,7 +43,9 @@ def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, n_bigrams, lm_score): mean smoothed bigram log-prob under
     corpus-trained counts. Self-trained: the same frame is both the
     training corpus and the scored set."""
-    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("txt"))
+    from randas_spark.operators.dedup import fan_out
+
+    base = fan_out(df).select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("txt"))
     bg = base.select("doc_id", F.explode(_bigrams(F.col("txt"))).alias("bg"))
     ug = base.select(F.explode(tokens(F.col("txt"))).alias("w"))
 
