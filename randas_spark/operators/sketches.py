@@ -188,8 +188,11 @@ def bloom_prefilter(fact: DataFrame, key_col: str, bloom: DataFrame, n_hashes: i
     array instead of the key set. False positives pass (the join
     re-checks); false negatives are impossible — the property the
     oracle proves cross-engine."""
+    from randas_spark.operators.dedup import fan_out
+
     b = F.broadcast(bloom).hint("broadcast")
-    crossed = fact.crossJoin(b)
+    # n_hashes md5 calls per fact row — parallelize a single-split scan
+    crossed = fan_out(fact).crossJoin(b)
     cond = None
     for h in range(n_hashes):
         c = F.array_contains(F.col("bits"), F.expr(_bloom_pos_sql(key_col, h, True)))
