@@ -194,3 +194,25 @@ def test_substring_dedup_windows_partition_by_pair_diag(spark, qs):
     plan = _plan(spark, qs, "llm_substring_dedup")
     assert "hashpartitioning(id_a" in plan
     assert "SinglePartition" not in plan
+
+
+def test_levenshtein_length_band_is_hash_join(spark, qs):
+    """The length band must be part of the join KEY (hash equi-join on
+    blocks + bucket), never a nested-loop pair filter — the difference
+    between |block|² pairs and the banded candidate set (measured 145×
+    at sf0.1)."""
+    plan = _plan(spark, qs, "llm_dedup_levenshtein")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan  # some hash/sort-merge equi-join survives
+
+
+def test_fan_out_repartitions_single_split_input(spark):
+    """fan_out must widen a sub-core-count input and leave an already
+    parallel (or streaming) frame untouched."""
+    from randas_spark.operators.dedup import fan_out
+
+    one = spark.range(1000).coalesce(1)
+    target = spark.sparkContext.defaultParallelism
+    assert fan_out(one).rdd.getNumPartitions() == target
+    wide = spark.range(1000).repartition(target + 3)
+    assert fan_out(wide).rdd.getNumPartitions() == target + 3
