@@ -25,6 +25,23 @@ from xml.sax.saxutils import escape, quoteattr
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _CELL_REF = re.compile(r"([A-Z]+)(\d+)")
 
+# OOXML _xHHHH_ escaping (ECMA-376 §22.9.2.19 ST_Xstring): characters
+# invalid in XML 1.0 (control chars, U+FFFE/FFFF, surrogates) are encoded
+# as _xHHHH_ in cell strings; a literal "_xHHHH_" in the data escapes its
+# leading underscore as _x005F_ so decode is unambiguous.
+_XML_INVALID = re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff￾￿]|_(?=x[0-9A-Fa-f]{4}_)"
+)
+_X_ESC = re.compile("_x([0-9A-Fa-f]{4})_")
+
+
+def _xstring_encode(s: str) -> str:
+    return _XML_INVALID.sub(lambda m: f"_x{ord(m.group(0)):04X}_", s)
+
+
+def _xstring_decode(s: str) -> str:
+    return _X_ESC.sub(lambda m: chr(int(m.group(1), 16)), s)
+
 
 def col_letters(idx: int) -> str:
     """0-based column index → A1-style letters (0→A, 25→Z, 26→AA)."""
@@ -62,7 +79,7 @@ def write_xlsx(path: str, columns: list[str], rows: list[tuple], sheet: str = "S
             else:
                 cells.append(
                     f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
-                    f"{escape(str(v))}</t></is></c>"
+                    f"{escape(_xstring_encode(str(v)))}</t></is></c>"
                 )
         body.append(f'<row r="{rix}">' + "".join(cells) + "</row>")
 
@@ -139,7 +156,9 @@ def read_xlsx(path: str, sheet: str | None = None) -> tuple[list[str], list[list
         try:
             sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in sst.findall(f"{_NS}si"):
-                shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+                shared.append(
+                    _xstring_decode("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+                )
         except KeyError:
             pass
 
@@ -160,8 +179,8 @@ def read_xlsx(path: str, sheet: str | None = None) -> tuple[list[str], list[list
                 t = c.get("t", "n")
                 if t == "inlineStr":
                     is_el = c.find(f"{_NS}is")
-                    val: object = "".join(
-                        el.text or "" for el in is_el.iter(f"{_NS}t")
+                    val: object = _xstring_decode(
+                        "".join(el.text or "" for el in is_el.iter(f"{_NS}t"))
                     ) if is_el is not None else None
                 else:
                     v_el = c.find(f"{_NS}v")
@@ -173,7 +192,7 @@ def read_xlsx(path: str, sheet: str | None = None) -> tuple[list[str], list[list
                     elif t == "b":
                         val = raw.strip() in ("1", "true", "TRUE")
                     elif t == "str":
-                        val = raw
+                        val = _xstring_decode(raw)
                     else:
                         f = float(raw)
                         val = int(f) if f.is_integer() and "e" not in raw.lower() and "." not in raw else f

@@ -520,12 +520,14 @@ def levenshtein_near_pairs(
     )
     w = max(max_len_diff, 1)
     bkt = (F.col("n_len") / w).cast("long")
-    a = base.withColumn("bkt", F.explode(F.array(bkt - 1, bkt, bkt + 1))).alias("a")
-    b = base.withColumn("bkt", bkt).alias("b")
+    # dunder name so a caller's own "bkt" block column can't collide
+    # (same convention as exact_dedup's __fp__/__rk__)
+    a = base.withColumn("__bkt__", F.explode(F.array(bkt - 1, bkt, bkt + 1))).alias("a")
+    b = base.withColumn("__bkt__", bkt).alias("b")
     cond = (F.col("a.doc_id") < F.col("b.doc_id")) & (
         F.abs(F.col("a.n_len") - F.col("b.n_len")) <= max_len_diff
     )
-    for c in block_cols + ["bkt"]:
+    for c in block_cols + ["__bkt__"]:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     return (
         a.join(b, cond)

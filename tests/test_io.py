@@ -224,6 +224,14 @@ def test_xlsx_edge_cases(spark, tmp):
         isinstance(v, float) and math.isnan(v) for r in rows for v in r
     )
 
+    # XML-invalid chars and literal _xHHHH_ sequences survive via the
+    # ECMA-376 ST_Xstring escaping
+    p_esc = os.path.join(tmp, "esc.xlsx")
+    tricky = ["a\x00b", "nonchar:￾", "lit:_x0041_", "\x1b[31mansi"]
+    write_xlsx(p_esc, ["s"], [(v,) for v in tricky])
+    _, esc_rows = read_xlsx(p_esc)
+    assert [r[0] for r in esc_rows] == tricky
+
     # duplicate headers: both columns' data preserved under x / x.1
     p3 = os.path.join(tmp, "dup.xlsx")
     write_xlsx(p3, ["x", "x"], [(1, 10), (2, 20)])

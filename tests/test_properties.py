@@ -138,7 +138,9 @@ _XLSX_CELL = st.one_of(
     st.booleans(),
     st.integers(min_value=-(2**53), max_value=2**53),
     st.floats(allow_nan=False, allow_infinity=False, width=64),
-    st.text(max_size=40, alphabet=st.characters(codec="utf-8", exclude_categories=("Cs", "Cc"))),
+    # full utf-8 range incl. control chars and noncharacters — the codec's
+    # ST_Xstring _xHHHH_ escaping must make any encodable string survive
+    st.text(max_size=40, alphabet=st.characters(codec="utf-8")),
 )
 
 

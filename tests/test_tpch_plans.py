@@ -216,3 +216,5 @@ def test_fan_out_repartitions_single_split_input(spark):
     assert fan_out(one).rdd.getNumPartitions() == target
     wide = spark.range(1000).repartition(target + 3)
     assert fan_out(wide).rdd.getNumPartitions() == target + 3
+    stream = spark.readStream.format("rate").load()
+    assert fan_out(stream) is stream  # .rdd would throw on a stream
