@@ -134,3 +134,20 @@ def read_parquet(spark: SparkSession, path: str) -> RandasFrame:
     """Native deserialization (replaces the reference's bincode pickle,
     dataframe.rs:775-781)."""
     return RandasFrame.read_from_file(spark, path)
+
+
+def read_orc(spark: SparkSession, path: str) -> RandasFrame:
+    """ORC (beyond the reference's formats): Spark-native columnar scan
+    with the same pushdown/pruning behavior as parquet — the other
+    columnar format large ingestion pipelines standardize on."""
+    return RandasFrame(spark.read.orc(path))
+
+
+def read_text(spark: SparkSession, path: str, column: str = "value") -> RandasFrame:
+    """Line-delimited text → one string column, one row per line (the
+    raw-crawl ingest shape: each line a document/record to parse
+    downstream). Split-parallel like csv."""
+    df = spark.read.text(path)
+    if column != "value":
+        df = df.withColumnRenamed("value", column)
+    return RandasFrame(df)

@@ -34,6 +34,26 @@ def to_json(frame: RandasFrame, path: str) -> None:
     frame.to_spark().write.mode("overwrite").json(path)
 
 
+def to_orc(frame: RandasFrame, path: str) -> None:
+    frame.to_spark().write.mode("overwrite").orc(path)
+
+
+def to_text(frame: RandasFrame, path: str, column: str | None = None) -> None:
+    """Line-delimited text sink: exactly one string column (named via
+    ``column`` or the frame's single column) becomes one line per row."""
+    cols = frame.columns
+    name = column or (cols[0] if len(cols) == 1 else None)
+    if name is None or name not in cols:
+        raise ValueError(
+            f"to_text needs a single string column (or column=...); frame has {cols}"
+        )
+    from pyspark.sql import functions as F
+
+    frame.to_spark().select(F.col(f"`{name}`").cast("string")).write.mode(
+        "overwrite"
+    ).text(path)
+
+
 def to_excel(frame: RandasFrame, path: str, sheet: str = "Sheet1") -> None:
     """Driver-side Excel writer (dependency-free io/xlsx.py codec) with
     the reference's formatting quirks applied per cell (write.rs:10-69:

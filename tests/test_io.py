@@ -242,6 +242,42 @@ def test_xlsx_edge_cases(spark, tmp):
     assert got == {(1, 10), (2, 20)}
 
 
+def test_orc_round_trip(spark, people, tmp):
+    """ORC sink/source: full-fidelity columnar round trip (same pushdown
+    family as parquet)."""
+    from randas_spark.io.read import read_orc
+    from randas_spark.io.write import to_orc
+
+    path = os.path.join(tmp, "people_orc")
+    to_orc(people, path)
+    back = read_orc(spark, path)
+    assert sorted(back.columns) == sorted(people.columns)
+    assert sorted(_values(back)) == sorted(_values(people))
+
+
+def test_text_round_trip_and_column_rules(spark, tmp):
+    """Line-text sink/source: one line per row, rename on read, and the
+    multi-column frame needs an explicit column choice."""
+    import pytest as _pytest
+
+    from randas_spark.frame import RandasFrame
+    from randas_spark.io.read import read_text
+    from randas_spark.io.write import to_text
+
+    f = RandasFrame.new(spark, {"line": ["alpha", "beta", "gamma"]}, ["line"])
+    path = os.path.join(tmp, "lines_txt")
+    to_text(f, path)
+    back = read_text(spark, path, column="line")
+    assert back.columns == ["line"]
+    assert sorted(back.collect_column_values("line")) == ["alpha", "beta", "gamma"]
+
+    multi = RandasFrame.new(spark, {"a": ["x"], "b": ["y"]}, ["a", "b"])
+    with _pytest.raises(ValueError):
+        to_text(multi, os.path.join(tmp, "nope_txt"))
+    to_text(multi, os.path.join(tmp, "b_txt"), column="b")
+    assert read_text(spark, os.path.join(tmp, "b_txt")).collect_column_values("value") == ["y"]
+
+
 def test_read_csv_missing_file_raises(spark):
     from pyspark.errors import AnalysisException
 
