@@ -1571,6 +1571,75 @@ def rel_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_data_quality_audit",
+    oracle="""
+    SELECT 'customer_key_unique' AS "check",
+           CAST(count(*) AS BIGINT) AS n_violations
+    FROM (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk', CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE l_orderkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_partkey_fk', CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE l_partkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem_suppkey_fk', CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE l_suppkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'orders_custkey_fk', CAST(count(*) AS BIGINT)
+    FROM orders o
+    WHERE o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'orders_key_unique', CAST(count(*) AS BIGINT)
+    FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'documents_text_not_null', CAST(count(*) AS BIGINT)
+    FROM documents WHERE text IS NULL
+    ORDER BY "check"
+    """,
+)
+def rel_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-wide data-quality audit (operators/quality.py — the
+    dbt-test/Deequ shape): referential integrity of every TPC-H foreign
+    key (left-anti joins; AQE broadcasts small parents), primary-key
+    uniqueness (groupBy-count-filter), and a not-null gate — unioned
+    into one tiny (check, n_violations) table a pipeline gates a
+    snapshot publish on. Each check is at most one shuffle; nothing
+    collects driver-side."""
+    from randas_spark.operators.quality import (
+        audit,
+        not_null_check,
+        orphan_check,
+        unique_check,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    d = t(spark, sf_dir, "documents")
+    return audit(
+        [
+            orphan_check(li, "l_orderkey", o, "o_orderkey", "lineitem_orderkey_fk"),
+            orphan_check(li, "l_partkey", p, "p_partkey", "lineitem_partkey_fk"),
+            orphan_check(li, "l_suppkey", s, "s_suppkey", "lineitem_suppkey_fk"),
+            orphan_check(o, "o_custkey", c, "c_custkey", "orders_custkey_fk"),
+            unique_check(o, "o_orderkey", "orders_key_unique"),
+            unique_check(c, "c_custkey", "customer_key_unique"),
+            not_null_check(d, "text", "documents_text_not_null"),
+        ]
+    )
+
+
+@register(
     "rel_table_checksum",
     oracle=sql_table_checksum(
         "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"]

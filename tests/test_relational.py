@@ -327,3 +327,33 @@ def test_event_transitions_python_ground_truth(spark):
         for r in queries()["rel_event_transitions"](spark, SF_DIR).collect()
     }
     assert got == dict(counts)
+
+
+def test_quality_audit_detects_violations(spark):
+    """The audit must actually FIRE on bad data — orphaned FKs, duplicate
+    keys, and nulls each count correctly (clean-testdata zeros alone
+    would not prove the checks work)."""
+    from randas_spark.operators.quality import (
+        audit,
+        not_null_check,
+        orphan_check,
+        unique_check,
+    )
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    child = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (9, "orphan"), (8, "orphan"), (None, "null-fk")],
+        "fk long, v string",
+    )
+    dup = spark.createDataFrame([(1,), (1,), (2,), (3,), (3,), (3,)], "k long")
+    out = {
+        r.check: r.n_violations
+        for r in audit(
+            [
+                orphan_check(child, "fk", parent, "pk", "fk_ok"),
+                unique_check(dup, "k", "k_unique"),
+                not_null_check(child, "fk", "fk_not_null"),
+            ]
+        ).collect()
+    }
+    assert out == {"fk_ok": 2, "k_unique": 2, "fk_not_null": 1}
