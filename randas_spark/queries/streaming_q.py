@@ -49,7 +49,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM base, (SELECT unnest([0, 1]) AS k)
         WHERE ts < b5 - to_seconds(k * 300) + to_seconds(600)
     )
-    SELECT window_start, count(*) AS n_events
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start, count(*) AS n_events
     FROM expanded GROUP BY window_start
     """,
 )

@@ -55,6 +55,43 @@ def canon_frame(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_mismatch(ds, do) -> str | None:
+    """Driver-visible schema split between two pandas dtypes, or None.
+
+    Dimensions the driver's canon distinguishes: numeric kind (int64 vs
+    float64), datetime tz-awareness and tz identity, and datetime unit
+    (s/ms/us/ns). Kinds outside those (object vs object) compare equal —
+    the value pass covers them.
+    """
+    ks, ko = ds.kind, do.kind
+    if ks == ko == "M":
+        ts, to = getattr(ds, "tz", None), getattr(do, "tz", None)
+        if (ts is None) != (to is None) or str(ts) != str(to):
+            return "tz-awareness"
+
+        def _unit(d):  # numpy datetime64 dtypes lack .unit; DatetimeTZDtype has it
+            u = getattr(d, "unit", None)
+            return u if u is not None else np.datetime_data(d)[0]
+
+        if _unit(ds) != _unit(do):
+            return "datetime unit"
+        return None
+    if ks != ko:
+        if {ks, ko} <= {"i", "u"}:
+            return None  # int width/signedness: driver canon treats as equal ints
+        if {ks, ko} <= {"i", "u", "f"}:
+            return "int vs float"
+        # object columns absorb strings/decimals/None on either side; a
+        # concrete non-object kind against object is still a driver split
+        # when it's datetime-vs-object? No — Spark surfaces date32 as
+        # object while DuckDB gives datetime64; the value pass decides
+        # those. Only flag unambiguous numeric/bool/datetime kind splits.
+        if "O" in (ks, ko):
+            return None
+        return f"kind {ks} vs {ko}"
+    return None
+
+
 def cells_equal(a, b) -> bool:
     if a is None or b is None or a is pd.NaT or b is pd.NaT:
         return (a is None or a is pd.NaT) and (b is None or b is pd.NaT)
@@ -91,13 +128,17 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame, max_diffs: int = 5)
     except TypeError as ex:
         print(f"FAIL  {name}: driver canon would crash: {ex}")
         return False
-    # int-vs-float dtype kind mismatch flips the driver's value hash even
-    # when the numbers are equal (DuckDB HUGEINT sums surface as float64);
-    # treat it as a failure.
+    # The driver compares schemas on pandas dtypes before hashing values:
+    # int-vs-float (DuckDB HUGEINT sums surface as float64), tz-aware vs
+    # naive timestamps (DuckDB to_timestamp yields TIMESTAMPTZ →
+    # datetime64[us, UTC] while Spark is naive — the r4
+    # stream_sliding_window red), and datetime resolution all flip it even
+    # when every value agrees. Fail on any of those here so local PASS
+    # implies driver pass.
     for c in s.columns:
-        ks, ko = s[c].dtype.kind, o[c].dtype.kind
-        if ks != ko and {ks, ko} <= {"i", "u", "f"} and ("f" in (ks, ko)):
-            print(f"DTYPE {name}[{c}]: spark={s[c].dtype} duckdb={o[c].dtype}")
+        m = dtype_mismatch(s[c].dtype, o[c].dtype)
+        if m:
+            print(f"DTYPE {name}[{c}]: spark={s[c].dtype} duckdb={o[c].dtype} ({m})")
             ok = False
     shown = 0
     for c in s.columns:
