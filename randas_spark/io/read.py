@@ -107,14 +107,22 @@ def read_excel(
     # pandas-style dedup of repeated headers (x, x.1, x.2 ...) so no
     # column's data is silently collapsed into a dict key collision
     seen: dict[str, int] = {}
+    taken: set[str] = set()
     uniq: list[str] = []
     for c in cols:
+        cand = c
         if c in seen:
-            seen[c] += 1
-            uniq.append(f"{c}.{seen[c]}")
+            # keep bumping the suffix until free: headers like
+            # ['x', 'x.1', 'x'] must not collide on a literal 'x.1'
+            while True:
+                seen[c] += 1
+                cand = f"{c}.{seen[c]}"
+                if cand not in taken:
+                    break
         else:
             seen[c] = 0
-            uniq.append(c)
+        taken.add(cand)
+        uniq.append(cand)
     data: dict[str, list] = {c: [r[i] for r in rows] for i, c in enumerate(uniq)}
     return RandasFrame.new(spark, data, uniq)
 

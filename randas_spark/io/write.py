@@ -73,8 +73,12 @@ def to_excel(frame: RandasFrame, path: str, sheet: str = "Sheet1") -> None:
 def _excel_cell(v):
     if v is None:
         return ""
-    if isinstance(v, float) and v != v:  # NaN (what toPandas makes of a
-        return ""  # nulled numeric column) is null → blank, write.rs:10-69
+    try:
+        if v != v:  # float NaN and pd.NaT (a datetime.datetime subclass
+            return ""  # whose strftime raises) are null → blank,
+            # write.rs:10-69; array cells raise on truthiness — fall through
+    except ValueError:
+        pass
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"  # write.rs:31-38
     if isinstance(v, datetime.datetime):

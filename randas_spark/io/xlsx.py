@@ -28,9 +28,13 @@ _CELL_REF = re.compile(r"([A-Z]+)(\d+)")
 # OOXML _xHHHH_ escaping (ECMA-376 §22.9.2.19 ST_Xstring): characters
 # invalid in XML 1.0 (control chars, U+FFFE/FFFF, surrogates) are encoded
 # as _xHHHH_ in cell strings; a literal "_xHHHH_" in the data escapes its
-# leading underscore as _x005F_ so decode is unambiguous.
+# leading underscore as _x005F_ so decode is unambiguous. \r is included
+# even though it is valid XML: XML 1.0 line-ending normalization rewrites
+# a literal \r (and \r\n) to \n on read, so a raw CR cannot round-trip —
+# real Excel writers emit _x000D_ for exactly this reason. \t and \n are
+# NOT escaped: element content (unlike attribute values) preserves them.
 _XML_INVALID = re.compile(
-    "[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff￾￿]|_(?=x[0-9A-Fa-f]{4}_)"
+    "[\x00-\x08\x0b-\x1f\ud800-\udfff￾￿]|_(?=x[0-9A-Fa-f]{4}_)"
 )
 _X_ESC = re.compile("_x([0-9A-Fa-f]{4})_")
 
@@ -165,17 +169,24 @@ def read_xlsx(path: str, sheet: str | None = None) -> tuple[list[str], list[list
         ws = ET.fromstring(z.read(sheet_path))
         grid: dict[int, dict[int, object]] = {}
         max_col = -1
+        next_rix = 0  # implied row when <row> lacks r (optional in OOXML)
         for row in ws.iter(f"{_NS}row"):
             # register the row even if every cell is blank (all-null rows
             # must survive the round trip with their position)
             r_attr = row.get("r")
-            if r_attr is not None:
-                grid.setdefault(int(r_attr) - 1, {})
+            rrix = int(r_attr) - 1 if r_attr is not None else next_rix
+            next_rix = rrix + 1
+            grid.setdefault(rrix, {})
+            next_cix = 0  # implied column: one past the previous cell
             for c in row.findall(f"{_NS}c"):
                 m = _CELL_REF.match(c.get("r", ""))
-                if not m:
-                    continue
-                cix, rix = _letters_to_idx(m.group(1)), int(m.group(2)) - 1
+                if m:
+                    cix, rix = _letters_to_idx(m.group(1)), int(m.group(2)) - 1
+                else:
+                    # the r attribute is optional; streaming writers omit
+                    # it — infer position instead of silently dropping
+                    cix, rix = next_cix, rrix
+                next_cix = cix + 1
                 t = c.get("t", "n")
                 if t == "inlineStr":
                     is_el = c.find(f"{_NS}is")

@@ -5,6 +5,7 @@ write → read back → compare, error paths, in-memory SQLite per test.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import sqlite3
@@ -240,6 +241,68 @@ def test_xlsx_edge_cases(spark, tmp):
     got = {tuple(r) for r in zip(back.collect_column_values("x"),
                                  back.collect_column_values("x.1"))}
     assert got == {(1, 10), (2, 20)}
+
+
+def test_xlsx_advice_regressions(spark, tmp):
+    """Round-5 review regressions: \\r escapes as _x000D_ (XML 1.0
+    normalization would eat it), NaT datetime cells write as blank,
+    colliding header dedup ('x','x.1','x') stays injective, and cells
+    whose <c> lacks the optional r attribute keep their implied
+    position."""
+    import zipfile
+
+    from randas_spark.frame import RandasFrame
+    from randas_spark.io.read import read_excel
+    from randas_spark.io.write import to_excel
+    from randas_spark.io.xlsx import read_xlsx, write_xlsx
+
+    # \r round-trips (encoded as _x000D_ per ECMA-376 ST_Xstring)
+    p = os.path.join(tmp, "cr.xlsx")
+    write_xlsx(p, ["s"], [("a\rb",), ("\r",), ("a\r\nb",)])
+    _, rows = read_xlsx(p)
+    assert [r[0] for r in rows] == ["a\rb", "\r", "a\r\nb"]
+    with zipfile.ZipFile(p) as z:
+        assert b"_x000D_" in z.read("xl/worksheets/sheet1.xml")
+
+    # nullable timestamp: NaT must write as blank, not crash strftime
+    f = RandasFrame.new(
+        spark,
+        {"ts": [datetime.datetime(2024, 1, 2, 3, 4, 5), None], "x": [1, 2]},
+        ["ts", "x"],
+    )
+    p2 = os.path.join(tmp, "nat.xlsx")
+    to_excel(f, p2)
+    cols, rows2 = read_xlsx(p2)
+    assert cols == ["ts", "x"]
+    by_x = {r[1]: r[0] for r in rows2}
+    assert by_x[1] == "2024-01-02 03:04:05"
+    assert by_x[2] is None
+
+    # header dedup collision: ['x', 'x.1', 'x'] → injective names
+    p3 = os.path.join(tmp, "collide.xlsx")
+    write_xlsx(p3, ["x", "x.1", "x"], [(1, 2, 3)])
+    back = read_excel(spark, p3)
+    assert back.columns == ["x", "x.1", "x.2"]
+    assert [back.collect_column_values(c)[0] for c in back.columns] == [1, 2, 3]
+
+    # cells without r attributes: implied positions, no silent drops
+    p4 = os.path.join(tmp, "noref.xlsx")
+    write_xlsx(p4, ["a", "b"], [(1, 2)])
+    with zipfile.ZipFile(p4) as z:
+        names = z.namelist()
+        parts = {n: z.read(n) for n in names}
+    import re as _re
+
+    sheet = parts["xl/worksheets/sheet1.xml"].decode()
+    stripped = _re.sub(r' r="[A-Z]+\d+"', "", _re.sub(r' r="\d+"', "", sheet))
+    assert ' r="' not in stripped
+    parts["xl/worksheets/sheet1.xml"] = stripped.encode()
+    with zipfile.ZipFile(p4, "w") as z:
+        for n, data in parts.items():
+            z.writestr(n, data)
+    cols4, rows4 = read_xlsx(p4)
+    assert cols4 == ["a", "b"]
+    assert rows4 == [[1, 2]]
 
 
 def test_orc_round_trip(spark, people, tmp):

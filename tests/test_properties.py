@@ -149,6 +149,10 @@ _XLSX_CELL = st.one_of(
     st.lists(st.lists(_XLSX_CELL, min_size=1, max_size=4), min_size=0, max_size=6),
 )
 @settings(max_examples=40, deadline=None)
+@example(
+    n_cols=1,
+    raw_rows=[['\r']],
+).via('discovered failure')
 def test_xlsx_round_trip_property(n_cols, raw_rows):
     """write_xlsx → read_xlsx preserves every cell up to the documented
     normalizations: empty string → blank (None), integral floats may
