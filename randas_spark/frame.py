@@ -666,7 +666,8 @@ class RandasFrame:
 
         Driver-side convenience, not a query-engine op (SURVEY.md §2.9):
         numeric extraction is distributed, rendering happens on the
-        driver. Gated — no plotting library ships in this container.
+        driver via the dependency-free rasterizer (operators/plot.py over
+        the stdlib PNG encoder) — no plotting library needed.
         """
         xs = self.extract_numeric_values(x)
         ys = self.extract_numeric_values(y)
@@ -674,18 +675,7 @@ class RandasFrame:
             raise ValueError(
                 f"scatter_plot needs equal numeric lengths, got {len(xs)} vs {len(ys)}"
             )
-        try:
-            import matplotlib  # noqa: F401
-        except ImportError as ex:
-            raise ImportError(
-                "scatter_plot needs matplotlib, which is not present in "
-                "this container"
-            ) from ex
-        import matplotlib.pyplot as plt  # pragma: no cover - env-dependent
+        from randas_spark.operators.plot import render_scatter
 
-        fig, ax = plt.subplots()
-        ax.scatter(xs, ys)
-        ax.set_xlabel(x)
-        ax.set_ylabel(y)
-        fig.savefig(path)
-        plt.close(fig)
+        with open(path, "wb") as fh:
+            fh.write(render_scatter(xs, ys))

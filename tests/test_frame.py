@@ -290,9 +290,11 @@ def test_equals(spark, people):
     assert not people.equals(same.remove_column("Score"))
 
 
-def test_scatter_plot_gated_or_writes(people, tmp_path):
+def test_scatter_plot_renders_png(people, tmp_path):
     """scatter_plot parity (dataframe.rs:888-944): numeric length check
-    runs distributed; rendering is gated on a plotting lib."""
+    runs distributed; rendering is the dependency-free stdlib rasterizer
+    (operators/plot.py) — un-gated since round 5. The written PNG decodes
+    with the repo's own codec and contains axis and point pixels."""
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
@@ -301,13 +303,43 @@ def test_scatter_plot_gated_or_writes(people, tmp_path):
             "Z", [1.0, 2.0]
         ).scatter_plot("Score", "Name", str(tmp_path / "x.png"))
     path = str(tmp_path / "s.png")
-    try:
-        people.scatter_plot("ID", "Score", path)
-    except ImportError:
-        return  # gate verified — no plotting lib in this container
-    import os
+    people.scatter_plot("ID", "Score", path)
 
-    assert os.path.getsize(path) > 0
+    from randas_spark.operators.png import decode_png
+
+    with open(path, "rb") as fh:
+        w, h, ch, pixels = decode_png(fh.read())
+    assert (w, h, ch) == (640, 480, 3)
+    colors = {tuple(pixels[i : i + 3]) for i in range(0, len(pixels), 3)}
+    assert (255, 255, 255) in colors  # background
+    assert (0, 0, 0) in colors  # axes
+    assert (31, 119, 180) in colors  # points
+    # 3 points of radius 2 → at least 3 * ~13 px of point color, minus overlap
+    n_point_px = sum(
+        1
+        for i in range(0, len(pixels), 3)
+        if tuple(pixels[i : i + 3]) == (31, 119, 180)
+    )
+    assert n_point_px >= 26
+
+
+def test_render_scatter_edge_cases(tmp_path):
+    """Degenerate ranges center points; empty input and length mismatch
+    raise like the reference's asserts."""
+    import pytest as _pytest
+
+    from randas_spark.operators.plot import render_scatter
+    from randas_spark.operators.png import decode_png
+
+    with _pytest.raises(ValueError):
+        render_scatter([], [])
+    with _pytest.raises(ValueError):
+        render_scatter([1.0], [1.0, 2.0])
+    # constant x and y → single centered dot, still a valid PNG
+    w, h, ch, pixels = decode_png(render_scatter([5.0, 5.0], [7.0, 7.0]))
+    assert (w, h, ch) == (640, 480, 3)
+    center_off = ((h // 2) * w + w // 2) * 3
+    assert tuple(pixels[center_off : center_off + 3]) == (31, 119, 180)
 
 
 def test_to_string_display(people):

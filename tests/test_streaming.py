@@ -181,6 +181,119 @@ def test_watermark_bounds_state_and_emits_once(spark, tmp_path):
     assert final_state == 1  # only the hour-6 window remains open
 
 
+def _staggered_stream(spark, tmp_path, files):
+    """Write (name, ts, n_rows, user_id) parquet files in order (file
+    source triggers by modification time) and return a 1-file-per-trigger
+    readStream over them."""
+    import time as _time
+    from datetime import datetime as _dt  # noqa: F401
+
+    stage = tmp_path / "late_stream"
+    stage.mkdir()
+    schema = "event_id long, ts timestamp, event_type string, value double, user_id long"
+    for name, ts, n, user in files:
+        rows = [(i, ts, "x", 1.0, user) for i in range(n)]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(stage / name))
+        _time.sleep(1.1)
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage) + "/*")
+    )
+
+
+def _run_append(spark, agg, name):
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    progress = list(q.recentProgress)
+    q.stop()
+    return spark.table(name), progress
+
+
+def _state_counters(progress):
+    removed = sum(
+        p["stateOperators"][0]["numRowsRemoved"] for p in progress if p["stateOperators"]
+    )
+    final_state = [
+        p["stateOperators"][0]["numRowsTotal"] for p in progress if p["stateOperators"]
+    ][-1]
+    return removed, final_state
+
+
+def test_sliding_watermark_emits_once_and_evicts(spark, tmp_path):
+    """Sliding windows under a watermark, replayed with a late file
+    (VERDICT r4 item 7): hour-2 rows, then out-of-order hour-0 rows, then
+    an hour-6 row that pushes the watermark past both. Guarantees
+    asserted: each (window_start) emitted exactly once, the hour-2
+    windows finalized with exactly their own rows in all width/slide
+    covering windows, and finalized window state EVICTED (the
+    bounded-state property; late data beyond the watermark may or may not
+    be dropped, so the drop itself is not asserted)."""
+    from collections import Counter
+    from datetime import datetime
+
+    from randas_spark.streaming.engine import sliding_counts
+
+    stream = _staggered_stream(
+        spark,
+        tmp_path,
+        [
+            ("a", datetime(2024, 1, 1, 2, 10), 10, 1),  # current
+            ("b", datetime(2024, 1, 1, 0, 5), 5, 1),    # out-of-order
+            ("c", datetime(2024, 1, 1, 6, 0), 1, 1),    # advances watermark
+        ],
+    )
+    agg = sliding_counts(stream, width="1 hour", slide="30 minutes", watermark="30 minutes")
+    table, progress = _run_append(spark, agg, "t_sliding_late")
+
+    emitted = Counter(r.window_start for r in table.collect())
+    assert emitted and all(n == 1 for n in emitted.values()), emitted
+    # hour-2 event at 02:10 lands in the 01:30 and 02:00 windows (width 1h,
+    # slide 30m → 2 covering windows), each finalized with its 10 rows
+    for ws in ("2024-01-01 01:30:00", "2024-01-01 02:00:00"):
+        row = table.filter(f"window_start = timestamp '{ws}'").first()
+        assert row is not None and row.n_events == 10, ws
+    removed, final_state = _state_counters(progress)
+    assert removed >= 2  # finalized sliding windows were evicted
+    assert final_state == 2  # only the hour-6 event's 2 covering windows open
+
+
+def test_session_watermark_emits_once_and_evicts(spark, tmp_path):
+    """Session windows under a watermark with a late file: sessions are
+    emitted exactly once when the watermark passes session end + gap, a
+    finalized session carries exactly its rows, and its state is evicted
+    (merging-session state is the expensive one at 100TB — eviction is
+    the property that keeps it bounded)."""
+    from collections import Counter
+    from datetime import datetime
+
+    from randas_spark.streaming.engine import session_agg
+
+    stream = _staggered_stream(
+        spark,
+        tmp_path,
+        [
+            ("a", datetime(2024, 1, 1, 2, 10), 10, 1),  # user 1 session
+            ("b", datetime(2024, 1, 1, 0, 5), 5, 2),    # late user 2 session
+            ("c", datetime(2024, 1, 1, 6, 0), 1, 3),    # advances watermark
+        ],
+    )
+    agg = session_agg(stream, gap="30 minutes", watermark="30 minutes")
+    table, progress = _run_append(spark, agg, "t_session_late")
+
+    emitted = Counter((r.user_id, r.sess_start) for r in table.collect())
+    assert emitted and all(n == 1 for n in emitted.values()), emitted
+    # user 1's session: all 10 rows at 02:10, end = last + gap
+    row = table.filter("user_id = 1").first()
+    assert row is not None
+    assert row.n_events == 10
+    assert row.sess_start == datetime(2024, 1, 1, 2, 10)
+    assert row.sess_end == datetime(2024, 1, 1, 2, 40)
+    removed, final_state = _state_counters(progress)
+    assert removed >= 1  # finalized session state evicted
+    assert final_state == 1  # only user 3's open session remains
+
+
 def test_foreach_batch_parquet_sink_replays_to_batch_result(spark, batch_events, tmp_path):
     """foreachBatch → parquet with checkpoint: the final state of the
     complete-mode aggregate (last batch's emission) must equal the batch
