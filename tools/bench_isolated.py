@@ -1,0 +1,65 @@
+"""Isolated per-query benchmark: one fresh measurement block per query.
+
+bench.py interleaves the whole headline set to defend against box-level
+contention; that makes individual numbers comparable run-to-run but means
+a query's figure includes cross-query heap/GC interactions. When a single
+query's number needs adjudication (e.g. a >1.3x move vs a BASELINE.md
+row), run it here: warm once, then median-of-3 back-to-back, nothing else
+on the session.
+
+Usage: python tools/bench_isolated.py [sf_dir] query [query ...]
+Prints one JSON line: {"queries": {name: sec}, "sf": ..., "protocol": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = (
+        args.pop(0)
+        if args and os.path.isdir(args[0])
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    if not args:
+        raise SystemExit("usage: bench_isolated.py [sf_dir] query [query ...]")
+
+    import __spark_entry__ as e
+    from randas_spark.session import get_spark
+
+    spark = get_spark("bench-isolated")
+    qs = e.queries()
+    results: dict[str, float] = {}
+    for name in args:
+        qs[name](spark, sf_dir).collect()  # warm: codegen + file cache
+        spark.catalog.clearCache()
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            ts.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        results[name] = round(statistics.median(ts), 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "queries": results,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "protocol": "isolated median-of-3 after warm",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
