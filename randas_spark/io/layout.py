@@ -69,3 +69,81 @@ def read_pruned(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFra
     caller prune directories before any file I/O (check
     `.explain` → PartitionFilters)."""
     return spark.read.format(fmt).load(path)
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits_per_dim: int = 8) -> "Column":
+    """Morton (Z-order) key over 2+ numeric/timestamp columns.
+
+    Each column is rank-bucketed into 2^bits_per_dim quantile buckets
+    (edges from approxQuantile on a sample — skew-robust, unlike linear
+    min/max scaling), then the bucket bits are interleaved. Sorting by
+    the interleaved key clusters rows so that EVERY keyed column's
+    min/max footer stats are tight per file — a range predicate on ANY
+    of the dimensions skips most files, where a plain sort gives tight
+    stats on the leading column only. The whole expression is built-in
+    bit arithmetic (codegen, no UDF); the only driver-side step is the
+    one-time quantile sample.
+    """
+    from pyspark.sql import functions as F
+
+    n_buckets = 1 << bits_per_dim
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bucketed = []
+    for c in cols:
+        col = F.col(c)
+        dt = dict(df.dtypes)[c]
+        if dt == "timestamp":
+            col = col.cast("long")
+            probe = df.select(col.alias(c))
+        else:
+            probe = df.select(F.col(c).cast("double").alias(c))
+        edges = probe.approxQuantile(c, qs, 0.01)
+        # strictly-increasing edge list (duplicate quantiles collapse)
+        uniq: list[float] = []
+        for e in edges:
+            if not uniq or e > uniq[-1]:
+                uniq.append(e)
+        arr = F.lit(uniq) if uniq else F.array().cast("array<double>")
+        # bucket = #edges <= value (array filter: codegen, no shuffle)
+        bucketed.append(
+            F.size(F.filter(arr, lambda e: e <= col.cast("double"))).cast("long")
+        )
+    # interleave: bit i of dim d lands at position i*ndims + d
+    ndims = len(cols)
+    z = F.lit(0).cast("long")
+    for d, b in enumerate(bucketed):
+        for i in range(bits_per_dim):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * ndims + d)
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    num_files: int = 32,
+    bits_per_dim: int = 8,
+) -> None:
+    """Write parquet clustered on a Z-order curve over ``zorder_cols``.
+
+    The multi-dimensional cousin of ``write_bucketed``: range-partition
+    by the Morton key (num_files contiguous curve segments → that many
+    files), sort within partitions, write. Afterwards parquet footer
+    min/max stats are tight on every keyed column, so Catalyst's
+    pushed-down range filters skip non-overlapping files/row-groups on
+    any dimension — at 100 TB, the difference between scanning the
+    dataset and scanning the handful of files a (user, time-range) probe
+    actually touches. The curve segments are computed with one extra
+    column and a range shuffle — same cost shape as a plain global sort.
+    """
+    z = zorder_key(df, zorder_cols, bits_per_dim)
+    (
+        df.withColumn("__z__", z)
+        .repartitionByRange(num_files, "__z__")
+        .sortWithinPartitions("__z__")
+        .drop("__z__")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

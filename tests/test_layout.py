@@ -81,3 +81,94 @@ def test_unbucketed_same_join_does_exchange(spark, orders):
         assert "Exchange" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+
+
+def _file_stats(path, cols):
+    """Per-parquet-file (min, max) for each col, from footer metadata —
+    what Spark's scan uses to skip files/row-groups."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        mins = {c: None for c in cols}
+        maxs = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for i in range(row_group.num_columns):
+                col = row_group.column(i)
+                c = col.path_in_schema
+                if c in cols and col.statistics is not None:
+                    st = col.statistics
+                    mins[c] = st.min if mins[c] is None else min(mins[c], st.min)
+                    maxs[c] = st.max if maxs[c] is None else max(maxs[c], st.max)
+        out.append({c: (mins[c], maxs[c]) for c in cols})
+    return out
+
+
+def test_zorder_layout_skips_on_both_dims(spark, tmp_path):
+    """Z-order clustering must give tight per-file min/max stats on BOTH
+    keyed columns: a 2-D box predicate overlaps far fewer files than
+    under a plain single-column sort layout (where the trailing dimension
+    spans its full range in every file), and results are identical."""
+    from pyspark.sql import functions as F
+
+    from randas_spark.io.layout import write_zordered
+    from randas_spark.queries import t
+
+    events = t(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    n_files = 16
+
+    z_path = str(tmp_path / "z")
+    write_zordered(events, z_path, ["user_id", "value"], num_files=n_files)
+
+    s_path = str(tmp_path / "s")  # control: plain sort by the leading col
+    (
+        events.repartitionByRange(n_files, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(s_path)
+    )
+
+    # a selective box on both dimensions, derived from the data's actual
+    # ranges (~a thin slice of each)
+    ustats = events.agg(F.min("user_id"), F.max("user_id")).first()
+    u_span = ustats[1] - ustats[0]
+    lo_u = int(ustats[0] + 0.40 * u_span)
+    hi_u = int(ustats[0] + 0.50 * u_span)
+    stats = events.agg(F.min("value"), F.max("value")).first()
+    v_span = stats[1] - stats[0]
+    lo_v, hi_v = stats[0] + 0.4 * v_span, stats[0] + 0.45 * v_span
+
+    def overlapping(path):
+        files = _file_stats(path, ["user_id", "value"])
+        assert files, path
+        return sum(
+            1
+            for f in files
+            if f["user_id"][0] <= hi_u
+            and f["user_id"][1] >= lo_u
+            and f["value"][0] <= hi_v
+            and f["value"][1] >= lo_v
+        ), len(files)
+
+    z_hit, z_total = overlapping(z_path)
+    s_hit, s_total = overlapping(s_path)
+    assert z_total >= n_files // 2 and s_total >= n_files // 2
+    # plain sort: user_id prunes, value spans everything → nearly all
+    # user-matching files overlap. Z-order: both dims prune.
+    assert z_hit < s_hit, (z_hit, z_total, s_hit, s_total)
+    assert z_hit <= z_total // 2, (z_hit, z_total)
+
+    # correctness: identical result set through the z-ordered layout
+    pred = (
+        (F.col("user_id").between(lo_u, hi_u))
+        & (F.col("value").between(lo_v, hi_v))
+    )
+    want = sorted(r.event_id for r in events.filter(pred).collect())
+    got = sorted(
+        r.event_id for r in spark.read.parquet(z_path).filter(pred).collect()
+    )
+    assert got == want
