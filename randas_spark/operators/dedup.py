@@ -813,12 +813,35 @@ def minhash_lsh_pairs_portable(
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
+        # cand is referenced by cand_ids, inter, and the final emit; a
+        # lazy local checkpoint pins the LSH-bounded pair set (a sliver of
+        # the corpus) so the signature pipeline — full-corpus md5 + banded
+        # self-join — executes exactly once instead of once per reference
+        .localCheckpoint(eager=False)
     )
     cand_ids = cand.select(F.col("id_a").alias("doc_id")).union(
         cand.select(F.col("id_b").alias("doc_id"))
     ).distinct()
-    sh_c = sh.join(cand_ids, "doc_id", "left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # verification shingles ONLY candidate docs: the semi-join lands
+    # BELOW the explode (doc granularity), so the pass scans |candidates|
+    # docs instead of shingling the whole corpus and semi-joining the
+    # exploded rows — at 100 TB candidates are a sliver of the corpus
+    sh_c = (
+        fan_out(df)
+        .join(cand_ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles(F.col(text_col), k)).alias("s"),
+        )
+        # referenced 3x (sizes + both sides of inter); candidates-only, so
+        # small enough to pin
+        .localCheckpoint(eager=False)
+    )
+    # sh_c holds the COMPLETE shingle set of every candidate doc, and only
+    # candidate ids reach the final joins — so sizes comes from sh_c, not
+    # from a third full-corpus shingling pass (shingles() is distinct per
+    # doc, so count(1) here equals the old whole-corpus count)
+    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cand.join(sh_c.select(F.col("doc_id").alias("id_a"), "s"), "id_a")
         .join(sh_c.select(F.col("doc_id").alias("id_b"), "s"), ["id_b", "s"])
