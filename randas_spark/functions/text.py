@@ -195,6 +195,30 @@ def sql_quality_classifier_prob(text: str) -> str:
     return f"1.0 / (exp(-({logit})) + 1.0)"
 
 
+#: Characters scrubbed by clean_text: C0 controls, DEL, zero-width
+#: (ZWSP/ZWNJ/ZWJ/BOM). Spelled as \xNN / literal chars so the SAME
+#: pattern parses identically under Java regex (Spark) and RE2 (DuckDB).
+_CLEAN_CLASS = "[\\x00-\\x1f\\x7f​‌‍﻿]"
+
+
+def clean_text(text: Column) -> Column:
+    """Pipeline text cleaning, fully JVM-side: C0-control / DEL /
+    zero-width chars → space, whitespace runs collapsed, trimmed. The
+    codegen'd prelude to :func:`randas_spark.functions.udfs.nfc_normalize`
+    (the only stage needing Python); everything here is regexp built-ins
+    so 100 TB pays zero Python cost for the common case."""
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(text, _CLEAN_CLASS, " "), "\\s+", " ")
+    )
+
+
+def sql_clean_text(text: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace({text}, '{_CLEAN_CLASS}', ' ', 'g'),"
+        f" '\\s+', ' ', 'g'))"
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of the whitespace-normalized, lowercased
     text — the exact-dedup key. (Near-dup fingerprints: see

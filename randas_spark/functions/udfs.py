@@ -28,6 +28,18 @@ def weighted_mean(values: pd.Series, weights: pd.Series) -> float:  # type: igno
     return float((values * weights).sum() / denom) if denom else float("nan")
 
 
+@pandas_udf("string")
+def nfc_normalize(s: pd.Series) -> pd.Series:  # type: ignore[misc]
+    """Unicode NFC normalization, Arrow-batched (pandas ``str.normalize``
+    → Python ``unicodedata`` under the hood). The ONE text-pipeline stage
+    the JVM built-ins cannot express — composed code points (e + U+0301
+    vs precomposed é) must canonicalize before hashing/dedup or visually
+    identical docs fingerprint differently. DuckDB twin:
+    ``nfc_normalize(...)`` (oracle-verified bit-identical). Nulls pass
+    through as nulls."""
+    return s.str.normalize("NFC")
+
+
 @udtf(returnType="word string, pos int")
 class SplitWords:
     """Python UDTF: text → one row per word with its position. The

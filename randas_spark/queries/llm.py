@@ -18,6 +18,7 @@ from randas_spark.functions.text import (
     lang_id,
     quality_metrics,
     quality_score,
+    sql_clean_text,
     sql_fingerprint,
     sql_lang_id,
     sql_quality_parts,
@@ -1308,6 +1309,60 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_longnums"
         ),
         F.md5(clean.cast("binary")).alias("scrub_md5"),
+    )
+
+
+#: Deterministic "dirty unicode" suffix for llm_text_normalize: combining
+#: acute (U+0301, composes under NFC), ZWSP (U+200B) and a tab — built
+#: with chr() in SQL and a Python literal in Spark so both engines append
+#: identical bytes. Synthetic docs are ASCII-clean, so this injection is
+#: what exercises the normalizer.
+_DIRTY_SUFFIX = " cafe\u0301 \u200bx\ty"  # decomposed e+combining-acute: mirrors chr(769)
+_SQL_DIRTY_SUFFIX = "' cafe' || chr(769) || ' ' || chr(8203) || 'x' || chr(9) || 'y'"
+
+
+@register(
+    "llm_text_normalize",
+    oracle=f"""
+    WITH dirty AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 3 = 0 THEN {_SQL_DIRTY_SUFFIX}
+                       ELSE '' END AS body
+        FROM documents
+    ),
+    norm AS (
+        SELECT doc_id, body, nfc_normalize({sql_clean_text('body')}) AS norm FROM dirty
+    )
+    SELECT doc_id, md5(norm) AS norm_fp, length(norm) AS n_chars,
+           (norm <> body) AS changed
+    FROM norm
+    """,
+)
+def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization — the stage that must precede hashing /
+    dedup on a real crawl corpus (visually identical text with composed
+    vs combining code points fingerprints differently until NFC'd).
+    Control/zero-width strip + whitespace collapse run as codegen'd
+    regexp built-ins (functions/text.clean_text); only the NFC step is
+    Python, as an Arrow-batched scalar pandas_udf
+    (functions/udfs.nfc_normalize) — one narrow projection, no shuffle,
+    so 100 TB costs one scan plus the Arrow hop on the rows that reach
+    it. Oracle: DuckDB's native nfc_normalize over the identical cleaned
+    text, compared by md5 — normalization verified byte-for-byte."""
+    from randas_spark.functions.text import clean_text
+    from randas_spark.functions.udfs import nfc_normalize
+
+    d = t(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_DIRTY_SUFFIX)).otherwise(F.lit("")),
+    )
+    norm = nfc_normalize(clean_text(body))
+    return d.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("norm_fp"),
+        F.length(norm).alias("n_chars"),
+        (norm != body).alias("changed"),
     )
 
 

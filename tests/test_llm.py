@@ -1276,3 +1276,45 @@ def test_length_buckets_padding_waste_recount(spark, docs):
         assert (r.n_docs, r.sum_tok, r.max_tok) == (len(toks), sum(toks), max(toks))
         # query output is fround(6)-truncated → 5e-7 resolution
         assert abs(r.padding_waste - (1.0 - sum(toks) / (max(toks) * len(toks)))) < 1e-6
+
+
+# -- text normalization ----------------------------------------------------
+
+
+def test_clean_text_and_nfc_normalize(spark):
+    """clean_text strips controls/zero-width and collapses whitespace
+    JVM-side; nfc_normalize composes combining sequences so visually
+    identical strings fingerprint identically. Golden values computed
+    independently with Python unicodedata."""
+    import unicodedata
+
+    from pyspark.sql import functions as F
+
+    from randas_spark.functions.text import clean_text
+    from randas_spark.functions.udfs import nfc_normalize
+
+    decomposed = "cafe\u0301 du\x00mp\u200b  a\tb"
+    df = spark.createDataFrame([(decomposed,), (None,)], ["s"])
+    out = df.select(
+        nfc_normalize(clean_text(F.col("s"))).alias("n")
+    ).collect()
+    # independent spelling of the same pipeline: control/zero-width ->
+    # space, collapse, trim, then NFC (which composes e+U+0301 -> U+00E9)
+    assert out[0].n == unicodedata.normalize("NFC", "cafe\u0301 du mp a b")
+    assert out[0].n.startswith("caf\u00e9")  # composed single code point
+    assert "\u0301" not in out[0].n
+    assert out[1].n is None
+
+
+def test_text_normalize_query_changed_flags(spark):
+    """Injected dirty docs (doc_id % 3 == 0) must always flag changed;
+    n_chars shrinks relative to the dirty body (zero-width + composition
+    both shorten)."""
+    from randas_spark.queries import queries
+
+    rows = queries()["llm_text_normalize"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r.doc_id % 3 == 0:
+            assert r.changed
+        assert len(r.norm_fp) == 32 and r.n_chars > 0
