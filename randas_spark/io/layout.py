@@ -71,6 +71,108 @@ def read_pruned(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFra
     return spark.read.format(fmt).load(path)
 
 
+def dataset_file_stats(spark: SparkSession, path: str) -> dict:
+    """File-level stats for a dataset directory via the Hadoop FileSystem
+    API (works on any storage Spark can reach — local, HDFS, object
+    stores): data-file count, total bytes, min/max/mean file bytes.
+    Checkpoint this before/after maintenance; a mean far below the
+    target file size is the small-files problem (per-file open/footer
+    overhead and task-scheduling cost dominate the scan at 100 TB)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    sizes = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if f.isFile() and not name.startswith(("_", ".")):
+            sizes.append(f.getLen())
+    total = sum(sizes)
+    return {
+        "n_files": len(sizes),
+        "total_bytes": total,
+        "min_file_bytes": min(sizes) if sizes else 0,
+        "max_file_bytes": max(sizes) if sizes else 0,
+        "mean_file_bytes": total // len(sizes) if sizes else 0,
+    }
+
+
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    partition_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> dict:
+    """Rewrite a dataset into ~``target_file_bytes`` files (the OPTIMIZE /
+    small-file compaction of lakehouse engines). Streaming ingest,
+    per-batch appends, and fine-grained partitioning all accrete files far
+    below the efficient scan size; compaction is the periodic maintenance
+    that restores it.
+
+    - Unpartitioned: one ``repartition(ceil(total/target))`` rewrite.
+    - Partitioned: the directory tree is preserved (``partitionBy`` on the
+      same columns, so pruning keeps working) and rows are re-split on
+      (partition cols, hash-slice) where the slice count is sized from the
+      LARGEST partition directory — small directories over-split slightly
+      rather than any directory exceeding target; per-directory exact
+      sizing would need one repartition per directory.
+
+    The rewrite lands in a sibling temp dir, then swaps in via FS rename
+    (delete-original + rename-temp) — readers never observe a partial
+    dataset directory. Returns {files_before, files_after, total_bytes}.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(conf)
+
+    before = dataset_file_stats(spark, path)
+    df = spark.read.format(fmt).load(path)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+
+    if partition_cols:
+        # largest partition directory decides the slice count
+        dir_bytes: dict[str, int] = {}
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            f = it.next()
+            name = f.getPath().getName()
+            if f.isFile() and not name.startswith(("_", ".")):
+                parent = f.getPath().getParent().toString()
+                dir_bytes[parent] = dir_bytes.get(parent, 0) + f.getLen()
+        biggest = max(dir_bytes.values(), default=0)
+        slices = max(1, math.ceil(biggest / target_file_bytes))
+        data_cols = [c for c in df.columns if c not in partition_cols]
+        slice_col = F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.lit(slices))
+        (
+            df.repartition(*partition_cols, slice_col)
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .format(fmt)
+            .save(tmp)
+        )
+    else:
+        n = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
+        df.repartition(n).write.mode("overwrite").format(fmt).save(tmp)
+
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(jpath, True)
+    fs.rename(jtmp, jpath)
+    after = dataset_file_stats(spark, path)
+    return {
+        "files_before": before["n_files"],
+        "files_after": after["n_files"],
+        "total_bytes": after["total_bytes"],
+    }
+
+
 def zorder_key(df: DataFrame, cols: list[str], bits_per_dim: int = 8) -> "Column":
     """Morton (Z-order) key over 2+ numeric/timestamp columns.
 

@@ -172,3 +172,62 @@ def test_zorder_layout_skips_on_both_dims(spark, tmp_path):
         r.event_id for r in spark.read.parquet(z_path).filter(pred).collect()
     )
     assert got == want
+
+
+def test_compact_dataset_unpartitioned(spark, orders, tmp_path):
+    """40 tiny files compact to the byte-computed target count with
+    identical content."""
+    from randas_spark.io.layout import compact_dataset, dataset_file_stats
+
+    path = str(tmp_path / "orders_small_files")
+    orders.repartition(40).write.parquet(path)
+    before = dataset_file_stats(spark, path)
+    assert before["n_files"] == 40
+
+    rows_before = sorted(
+        spark.read.parquet(path).collect(), key=lambda r: r.o_orderkey
+    )
+    # target sized so the whole table fits in a couple of files
+    target = max(1, before["total_bytes"] // 2)
+    out = compact_dataset(spark, path, target_file_bytes=target)
+    assert out["files_before"] == 40
+    assert out["files_after"] <= 4  # ceil(total/target)=2 + writer rounding
+    rows_after = sorted(
+        spark.read.parquet(path).collect(), key=lambda r: r.o_orderkey
+    )
+    assert rows_before == rows_after
+    # no temp dir left behind
+    assert not os.path.exists(path + ".__compact_tmp__")
+
+
+def test_compact_dataset_partitioned_preserves_pruning(spark, orders, tmp_path):
+    """Partitioned compaction keeps the hive directory tree (pruning
+    still works) while collapsing the per-directory file count."""
+    from randas_spark.io.layout import compact_dataset, dataset_file_stats
+
+    path = str(tmp_path / "orders_part_small")
+    (
+        orders.repartition(20)
+        .write.partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    before = dataset_file_stats(spark, path)
+    assert before["n_files"] > 20  # ~20 per status directory
+
+    out = compact_dataset(
+        spark,
+        path,
+        target_file_bytes=before["total_bytes"] * 2,
+        partition_cols=["o_orderstatus"],
+    )
+    assert out["files_after"] < out["files_before"]
+    # directory tree intact → pruning predicate still a PartitionFilter
+    assert any(d.startswith("o_orderstatus=") for d in os.listdir(path))
+    pruned = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    # content identical
+    n = spark.read.parquet(path).count()
+    assert n == orders.count()
