@@ -89,6 +89,59 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    ledger: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW ingestion batch against the fingerprint LEDGER of all
+    prior runs — continuous-ingestion dedup, where re-deduping the whole
+    accumulated corpus per batch would be quadratic over the pipeline's
+    lifetime.
+
+    ``ledger`` holds (fp, doc_id) of previously-kept docs. Returns
+    ``(labeled, new_ledger)``:
+
+    - ``labeled``: every batch row with ``status`` —
+      ``dup_vs_ledger`` (fingerprint already in the ledger),
+      ``dup_in_batch`` (not in the ledger, but another batch row with
+      the same fingerprint has a smaller id), or ``kept``.
+    - ``new_ledger``: ledger ∪ kept rows' (fp, doc_id) — feed it to the
+      next batch.
+
+    Scale shape: one window over fp within the batch (small), one join
+    against the ledger on fp. At 100 TB the ledger side dwarfs the
+    batch: keep the ledger parquet BUCKETED on fp (io/layout.
+    write_bucketed) so the per-batch join shuffles only the batch, and
+    put a Bloom prefilter (operators/sketches.bloom_join_reduction) in
+    front when the dup rate is low so most batch rows never reach the
+    join.
+    """
+    w = Window.partitionBy("fp").orderBy(F.col(id_col))
+    fps = batch.select(
+        F.col(id_col),
+        fingerprint(F.col(text_col)).alias("fp"),
+    ).withColumn("rk", F.row_number().over(w))
+    led = ledger.select(F.col("fp"), F.lit(True).alias("in_ledger")).distinct()
+    labeled = (
+        fps.join(led, "fp", "left")
+        .select(
+            F.col(id_col),
+            F.col("fp"),
+            F.when(F.col("in_ledger"), F.lit("dup_vs_ledger"))
+            .when(F.col("rk") > 1, F.lit("dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+    kept = labeled.filter(F.col("status") == "kept").select(
+        "fp", F.col(id_col).alias("doc_id")
+    )
+    new_ledger = ledger.select("fp", "doc_id").unionByName(kept)
+    return labeled, new_ledger
+
+
 # --------------------------------------------------------------------------
 # 2. exact n-gram Jaccard pairs (the ground truth for the fuzzy variants)
 # --------------------------------------------------------------------------

@@ -59,6 +59,56 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_dedup_incremental",
+    oracle=f"""
+    WITH src AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 3 THEN 'common duplicated body'
+                    ELSE text END AS body
+        FROM documents
+    ),
+    fps AS (SELECT doc_id, {sql_fingerprint('body')} AS fp FROM src),
+    ledger AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+    batch AS (
+        SELECT doc_id, fp,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+        FROM fps WHERE doc_id % 2 = 1
+    )
+    SELECT b.doc_id, b.fp,
+           CASE WHEN l.fp IS NOT NULL THEN 'dup_vs_ledger'
+                WHEN b.rk > 1 THEN 'dup_in_batch'
+                ELSE 'kept' END AS status
+    FROM batch b LEFT JOIN ledger l ON b.fp = l.fp
+    """,
+)
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup (operators/dedup.incremental_dedup):
+    a new batch (odd doc_ids) is deduped against the fingerprint LEDGER
+    of a prior run (even doc_ids) — the per-batch anti-join pattern that
+    keeps lifetime cost linear where re-deduping the accumulated corpus
+    each day would be quadratic. Synthetic docs are dup-free, so every
+    doc_id % 7 == 3 gets an identical injected body on both engines,
+    creating within-batch AND cross-batch duplicates; each batch row is
+    labeled kept / dup_in_batch / dup_vs_ledger and the full labeling is
+    oracle-verified."""
+    from randas_spark.operators.dedup import incremental_dedup
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "body",
+        F.when(F.col("doc_id") % 7 == 3, F.lit("common duplicated body")).otherwise(
+            F.col("text")
+        ),
+    )
+    prior = d.filter(F.col("doc_id") % 2 == 0)
+    ledger = prior.select(
+        fingerprint(F.col("body")).alias("fp"), F.col("doc_id")
+    ).groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    labeled, _new_ledger = incremental_dedup(batch, ledger, "doc_id", "body")
+    return labeled.select("doc_id", "fp", "status")
+
+
+@register(
     "llm_dedup_ngram_jaccard",
     oracle="""
     WITH sh AS (

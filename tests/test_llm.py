@@ -1318,3 +1318,32 @@ def test_text_normalize_query_changed_flags(spark):
         if r.doc_id % 3 == 0:
             assert r.changed
         assert len(r.norm_fp) == 32 and r.n_chars > 0
+
+
+def test_incremental_dedup_ledger_evolution(spark):
+    """Feeding batch N's new_ledger into batch N+1 suppresses everything
+    already kept; statuses partition the batch."""
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.dedup import incremental_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha"), (4, "gamma"),
+         (5, "beta"), (6, "delta"), (7, "delta")],
+        ["doc_id", "text"],
+    )
+    empty_ledger = spark.createDataFrame([], "fp string, doc_id long")
+    b1 = docs.filter(F.col("doc_id") <= 4)
+    lab1, led1 = incremental_dedup(b1, empty_ledger, "doc_id", "text")
+    s1 = {r.doc_id: r.status for r in lab1.collect()}
+    assert s1 == {1: "kept", 2: "kept", 3: "dup_in_batch", 4: "kept"}
+    assert led1.count() == 3  # alpha, beta, gamma
+
+    b2 = docs.filter(F.col("doc_id") > 4)
+    lab2, led2 = incremental_dedup(b2, led1, "doc_id", "text")
+    s2 = {r.doc_id: r.status for r in lab2.collect()}
+    assert s2 == {5: "dup_vs_ledger", 6: "kept", 7: "dup_in_batch"}
+    assert led2.count() == 4  # + delta
+    # replaying batch 2 against its own output ledger kills everything
+    lab3, _ = incremental_dedup(b2, led2, "doc_id", "text")
+    assert {r.status for r in lab3.collect()} == {"dup_vs_ledger"}
