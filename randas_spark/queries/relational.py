@@ -1688,6 +1688,44 @@ def rel_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_join_salted",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def rel_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact⋈dim join (operators/skew.salted_join): each
+    lineitem row draws one of 16 salts, the supplier side is exploded 16
+    ways, and the join runs on (suppkey, salt) — spreading any
+    pathological hot key over 16 shuffle partitions. The oracle is the
+    PLAIN join: salting must be row-identical, and this query proves it
+    value-exactly on every (nation, count, sum) aggregate. Use when one
+    key dominates (null-heavy or celebrity keys) and AQE's skew split
+    can't help — e.g. a broadcast-ineligible dim or an aggregation-side
+    hotspot."""
+    from randas_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity"
+    )
+    su = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, su, "suppkey", num_salts=16)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )
+
+
+@register(
     "rel_countmin_sketch",
     oracle="SELECT key AS user_id, exact_cnt, est_cnt, no_undercount FROM ("
     + __import__(
