@@ -128,3 +128,107 @@ def ewma_by_key(
 
     cols = [key, ts_col, value_col] + ([id_col] if id_col else [])
     return df.select(*cols).groupBy(key).applyInPandas(kernel, out_schema)
+
+
+# --------------------------------------------------------------------------
+# similarity search over per-key series (GEMINI lower-bound prune)
+# --------------------------------------------------------------------------
+
+
+def hourly_profile(df: DataFrame, key: str, ts_col: str) -> DataFrame:
+    """(key, series): each key's activity as a 24-slot hour-of-day count
+    vector — the fixed-length series similarity search needs. Built as
+    24 conditional sums in ONE groupBy (single shuffle, map-side partial
+    agg; no pivot, no window), so the construction is a plain aggregate
+    at any scale."""
+    hr = F.hour(F.col(ts_col))
+    return df.groupBy(key).agg(
+        F.array(
+            *[
+                F.sum(F.when(hr == h, 1).otherwise(0)).cast("double")
+                for h in range(24)
+            ]
+        ).alias("series")
+    )
+
+
+def znorm(arr, n: int):
+    """Z-normalized copy of a fixed-length array column: (v - mean)/std
+    with a 1e-9 std floor (constant series map to all-zeros instead of
+    NaN). Population std — mirror any SQL twin exactly."""
+    mean = F.aggregate(arr, F.lit(0.0), lambda a, v: a + v) / n
+    var = (
+        F.aggregate(arr, F.lit(0.0), lambda a, v: a + (v - mean) * (v - mean)) / n
+    )
+    std = F.greatest(F.sqrt(var), F.lit(1e-9))
+    return F.transform(arr, lambda v: (v - mean) / std)
+
+
+def zdist(a, b):
+    """Euclidean distance between two equal-length array columns."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def paa(arr, n: int, segments: int):
+    """Piecewise Aggregate Approximation: per-segment means of an
+    n-length array (n divisible by segments). The classic dimensionality
+    reduction for series indexing (Keogh et al.); with z-normalized
+    input, sqrt(w)·dist(paa_a, paa_b) LOWER-BOUNDS the true Euclidean
+    distance (the GEMINI containment guarantee), so PAA-space pruning
+    never drops a true match."""
+    w = n // segments
+    if w * segments != n:
+        raise ValueError(f"segments={segments} must divide n={n}")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(segments - 1)),
+        lambda j: F.aggregate(
+            F.slice(arr, j * w + 1, w), F.lit(0.0), lambda a, v: a + v
+        )
+        / w,
+    )
+
+
+def ts_range_search(
+    series_df: DataFrame,
+    key: str,
+    query_key,
+    radius: float,
+    n: int = 24,
+    segments: int = 6,
+) -> DataFrame:
+    """All keys whose z-normalized series lies within ``radius`` of the
+    query key's series — lossless PAA-pruned range search (REPOSE/
+    Odyssey-style distributed series search, GEMINI framework):
+
+    1. z-normalize every series; broadcast the query's.
+    2. PAA lower bound sqrt(w)·dist(paa, paa_q) computed per key — rows
+       with LB > radius are pruned WITHOUT ever computing the full
+       distance (at real series lengths the exact distance is the
+       expensive part; the prune is the scale story).
+    3. exact distance only for survivors; filter dist <= radius.
+
+    Lossless because LB <= true distance for every pair. Returns
+    (key, dist) excluding the query itself.
+    """
+    w = n // segments
+    z = series_df.select(F.col(key), znorm(F.col("series"), n).alias("z"))
+    q = z.filter(F.col(key) == query_key).select(
+        F.col("z").alias("qz"), paa(F.col("z"), n, segments).alias("qp")
+    )
+    cand = (
+        z.filter(F.col(key) != query_key)
+        .crossJoin(F.broadcast(q))
+        .withColumn("lb", F.sqrt(F.lit(float(w))) * zdist(paa(F.col("z"), n, segments), F.col("qp")))
+        .filter(F.col("lb") <= radius)
+    )
+    return (
+        cand.withColumn("dist", zdist(F.col("z"), F.col("qz")))
+        .filter(F.col("dist") <= radius)
+        .select(F.col(key), F.col("dist"))
+    )

@@ -1687,6 +1687,54 @@ def rel_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.join(F.broadcast(r), n.rk.eqNullSafe(r.rk)).select("n_nationkey", "r_name")
 
 
+_TS_SIM_CASES = ", ".join(
+    f"CAST(sum(CASE WHEN hour(ts::TIMESTAMP)={h} THEN 1 ELSE 0 END) AS DOUBLE)"
+    for h in range(24)
+)
+
+
+@register(
+    "rel_ts_similarity_paa",
+    oracle=f"""
+    WITH prof AS (
+        SELECT user_id, [{_TS_SIM_CASES}] AS series FROM events GROUP BY user_id
+    ),
+    m AS (SELECT user_id, series, list_sum(series)/24.0 AS mu FROM prof),
+    s AS (
+        SELECT user_id, series, mu,
+               greatest(sqrt(list_sum(list_transform(series,
+                   v -> (v-mu)*(v-mu)))/24.0), 1e-9) AS sd
+        FROM m
+    ),
+    zn AS (SELECT user_id, list_transform(series, v -> (v-mu)/sd) AS z FROM s),
+    q AS (SELECT z AS qz FROM zn WHERE user_id = 0)
+    SELECT zn.user_id,
+           {sql_fround("sqrt(list_sum(list_transform(generate_series(1,24), i -> (z[i]-qz[i])*(z[i]-qz[i]))))", 6)} AS dist
+    FROM zn, q
+    WHERE zn.user_id <> 0
+      AND sqrt(list_sum(list_transform(generate_series(1,24),
+              i -> (z[i]-qz[i])*(z[i]-qz[i])))) <= 6.0
+    """,
+)
+def rel_ts_similarity_paa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed series-similarity range search (REPOSE ICDE'21 /
+    Odyssey VLDB'23 family, GEMINI lower-bound framework): each user's
+    hour-of-day activity profile (operators/timeseries.hourly_profile —
+    24 conditional sums, one shuffle) is z-normalized; candidates are
+    pruned by the PAA lower bound sqrt(w)·dist(paa, paa_q) <= r BEFORE
+    the exact distance is computed, which is lossless (LB never exceeds
+    the true distance) — the oracle computes exact distances with NO
+    pruning and must agree row-for-row, proving the prune drops nothing.
+    All array arithmetic is built-in HOFs (codegen, no UDF); the query
+    series is a broadcast single row."""
+    from randas_spark.operators.timeseries import hourly_profile, ts_range_search
+
+    e = t(spark, sf_dir, "events")
+    prof = hourly_profile(e, "user_id", "ts")
+    out = ts_range_search(prof, "user_id", 0, radius=6.0, n=24, segments=6)
+    return out.select("user_id", fround(F.col("dist"), 6).alias("dist"))
+
+
 @register(
     "rel_join_salted",
     oracle="""

@@ -97,3 +97,92 @@ def test_resample_equals_manual_bucketing(spark, events):
         F.date_trunc("day", "ts").alias("bucket_start"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, manual.collect()))
+
+
+# -- series similarity (PAA lower-bound range search) ----------------------
+
+
+def test_paa_lower_bound_and_losslessness(spark):
+    """sqrt(w)*dist(paa_a, paa_q) must never exceed the true z-distance
+    (GEMINI containment), so the pruned search equals brute force."""
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.timeseries import (
+        hourly_profile,
+        paa,
+        ts_range_search,
+        zdist,
+        znorm,
+    )
+    from randas_spark.queries import t
+
+    e = t(spark, SF_DIR, "events")
+    prof = hourly_profile(e, "user_id", "ts")
+    # every series has 24 slots summing to the user's event count
+    r0 = prof.limit(5).collect()
+    assert all(len(r.series) == 24 for r in r0)
+
+    # LB <= true distance, for every user against the query
+    z = prof.select("user_id", znorm(F.col("series"), 24).alias("z"))
+    q = z.filter(F.col("user_id") == 0).select(
+        F.col("z").alias("qz"), paa(F.col("z"), 24, 6).alias("qp")
+    )
+    both = (
+        z.filter(F.col("user_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            (F.sqrt(F.lit(4.0)) * zdist(paa(F.col("z"), 24, 6), F.col("qp"))).alias("lb"),
+            zdist(F.col("z"), F.col("qz")).alias("d"),
+        )
+        .collect()
+    )
+    assert both
+    for r in both:
+        assert r.lb <= r.d + 1e-9
+
+    # pruned result == brute force, and the prune is non-trivial
+    brute = {
+        (r.user_id, round(r.d, 6))
+        for r in z.filter(F.col("user_id") != 0)
+        .crossJoin(F.broadcast(q.select("qz")))
+        .select("user_id", zdist(F.col("z"), F.col("qz")).alias("d"))
+        .filter(F.col("d") <= 6.0)
+        .collect()
+    }
+    pruned = {
+        (r.user_id, round(r.dist, 6))
+        for r in ts_range_search(prof, "user_id", 0, radius=6.0).collect()
+    }
+    assert pruned == brute
+
+    # the prune must actually bite when series are structured: two
+    # families of shapes (ramp-up vs ramp-down) — cross-family PAA
+    # distance alone already exceeds the radius
+    rows = []
+    for uid in range(8):
+        up = uid < 4
+        series = [float((h if up else 23 - h) + (uid % 4)) for h in range(24)]
+        rows.append((uid, series))
+    synth = spark.createDataFrame(rows, "user_id long, series array<double>")
+    zs = synth.select("user_id", znorm(F.col("series"), 24).alias("z"))
+    qs = zs.filter(F.col("user_id") == 0).select(
+        F.col("z").alias("qz"), paa(F.col("z"), 24, 6).alias("qp")
+    )
+    sb = (
+        zs.filter(F.col("user_id") != 0)
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "user_id",
+            (F.sqrt(F.lit(4.0)) * zdist(paa(F.col("z"), 24, 6), F.col("qp"))).alias("lb"),
+            zdist(F.col("z"), F.col("qz")).alias("d"),
+        )
+        .collect()
+    )
+    radius = 1.0
+    assert sum(1 for r in sb if r.lb <= radius) < len(sb)  # prune bites
+    spruned = {
+        (r.user_id, round(r.dist, 6))
+        for r in ts_range_search(synth, "user_id", 0, radius=radius).collect()
+    }
+    sbrute = {(r.user_id, round(r.d, 6)) for r in sb if r.d <= radius}
+    assert spruned == sbrute and sbrute  # non-empty and lossless
