@@ -71,7 +71,20 @@ def main() -> None:
     for name in names:
         qs[name](spark, sf_dir).collect()
         spark.catalog.clearCache()
+
+    def calib() -> float:
+        # Fixed-size JVM workload (constant work, no I/O): its wall time
+        # moves ONLY with external box contention, so each round's number
+        # is a contamination witness recorded alongside the results — a
+        # round with calib 2-10x its floor means the query numbers of
+        # that round carry the same inflation.
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id * 3 + 1)").collect()
+        return time.perf_counter() - t0
+
+    calibs: list[float] = []
     for _ in range(3):
+        calibs.append(round(calib(), 4))
         for name in names:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).collect()
@@ -80,6 +93,13 @@ def main() -> None:
             # so heap pressure doesn't accumulate across measurements
             spark.catalog.clearCache()
     results = {n: round(statistics.median(ts), 4) for n, ts in samples.items()}
+    # Auxiliary floor stat: min-of-3 per query. NOT the protocol number
+    # (BASELINE.md's stat is the median) — recorded because the box's
+    # multi-minute external-contention windows can cover the same phase
+    # of all three rounds; the floor plus calib_rounds_sec lets a reader
+    # separate plan regressions (floor moves) from contention (floor
+    # steady, median inflated).
+    floors = {n: round(min(ts), 4) for n, ts in samples.items()}
 
     total = round(sum(results.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -90,6 +110,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
+                "queries_floor_min3": floors,
+                "calib_rounds_sec": calibs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
