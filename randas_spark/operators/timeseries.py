@@ -217,7 +217,37 @@ def ts_range_search(
     (key, dist) excluding the query itself.
     """
     w = n // segments
-    z = series_df.select(F.col(key), znorm(F.col("series"), n).alias("z"))
+    # mean/std staged as projected COLUMNS, then referenced as plain
+    # attributes inside the transform lambda — inlining znorm()'s Column
+    # form here would re-expand the mean subtree per array element and
+    # the whole aggregate subtree again for std (HOF lambdas sit outside
+    # codegen subexpression elimination; same lesson as the SimHash
+    # single-pass rewrite), ballooning compile time and per-row work
+    z = (
+        series_df.withColumn(
+            "mu", F.aggregate(F.col("series"), F.lit(0.0), lambda a, v: a + v) / n
+        )
+        .withColumn(
+            "sd",
+            F.greatest(
+                F.sqrt(
+                    F.aggregate(
+                        F.col("series"),
+                        F.lit(0.0),
+                        lambda a, v: a + (v - F.col("mu")) * (v - F.col("mu")),
+                    )
+                    / n
+                ),
+                F.lit(1e-9),
+            ),
+        )
+        .select(
+            F.col(key),
+            F.transform(
+                F.col("series"), lambda v: (v - F.col("mu")) / F.col("sd")
+            ).alias("z"),
+        )
+    )
     q = z.filter(F.col(key) == query_key).select(
         F.col("z").alias("qz"), paa(F.col("z"), n, segments).alias("qp")
     )
