@@ -836,12 +836,20 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     total, distinct, dup = repetition_stats(F.col("text"), 3)
     d = t(spark, sf_dir, "documents")
-    return d.select(
+    # two-stage select: the distinct-shingle count is an interpreted HOF
+    # subtree (no codegen CSE), so deriving dup_frac and keep directly
+    # from `dup` would re-evaluate the shingling once per output column;
+    # staged as columns it runs once per row
+    counts = d.select(
+        "doc_id", total.alias("n_grams"), distinct.alias("n_distinct")
+    )
+    dup_c = (F.col("n_grams") - F.col("n_distinct")).cast("double") / F.col("n_grams")
+    return counts.select(
         "doc_id",
-        total.alias("n_grams"),
-        distinct.alias("n_distinct"),
-        fround(dup, 6).alias("dup_frac"),
-        (dup <= 0.2).alias("keep"),
+        "n_grams",
+        "n_distinct",
+        fround(dup_c, 6).alias("dup_frac"),
+        (dup_c <= 0.2).alias("keep"),
     )
 
 
