@@ -357,3 +357,22 @@ def test_quality_audit_detects_violations(spark):
         ).collect()
     }
     assert out == {"fk_ok": 2, "k_unique": 2, "fk_not_null": 1}
+
+
+def test_anomaly_zscore_semantics(spark):
+    """Trailing-window anomaly gate: warm-up rows (fewer than 5 trailing
+    events) are never flagged and carry null z; flagged rows genuinely
+    deviate from their trailing window."""
+    from pyspark.sql import functions as F
+
+    from randas_spark.queries import queries
+
+    rows = queries()["rel_anomaly_zscore"](spark, SF_DIR).collect()
+    assert rows
+    flagged = [r for r in rows if r.anomaly]
+    assert flagged  # the synthetic stream contains outliers
+    for r in rows:
+        if r.zscore is None:
+            assert not r.anomaly  # warm-up rows can't flag
+        if r.anomaly:
+            assert abs(r.zscore) > 3.0
