@@ -47,6 +47,10 @@ HEADLINE = [
     "rel_countmin_sketch",
     "llm_substring_dedup",
     "llm_quality_classifier",
+    # round-5 additions: the Arrow/pandas_udf path (NFC normalize) and the
+    # PAA-pruned series search; isolated baseline rows in BASELINE.md r5
+    "llm_text_normalize",
+    "rel_ts_similarity_paa",
 ]
 
 
