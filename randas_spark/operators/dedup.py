@@ -866,11 +866,13 @@ def minhash_lsh_pairs_portable(
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
-        # cand is referenced by cand_ids, inter, and the final emit; a
-        # lazy local checkpoint pins the LSH-bounded pair set (a sliver of
-        # the corpus) so the signature pipeline — full-corpus md5 + banded
-        # self-join — executes exactly once instead of once per reference
-        .localCheckpoint(eager=False)
+        # cand is referenced by cand_ids, inter, and the final emit; the
+        # EAGER local checkpoint pins the LSH-bounded pair set (a sliver
+        # of the corpus) so the signature pipeline — full-corpus md5 +
+        # banded self-join — executes exactly once instead of once per
+        # reference (eager, matching minhash_lsh_pairs:316 — lazy
+        # checkpoints re-materialize under AQE stage re-execution)
+        .localCheckpoint()
     )
     cand_ids = cand.select(F.col("id_a").alias("doc_id")).union(
         cand.select(F.col("id_b").alias("doc_id"))
@@ -887,8 +889,8 @@ def minhash_lsh_pairs_portable(
             F.explode(shingles(F.col(text_col), k)).alias("s"),
         )
         # referenced 3x (sizes + both sides of inter); candidates-only, so
-        # small enough to pin
-        .localCheckpoint(eager=False)
+        # small enough to pin eagerly
+        .localCheckpoint()
     )
     # sh_c holds the COMPLETE shingle set of every candidate doc, and only
     # candidate ids reach the final joins — so sizes comes from sh_c, not
