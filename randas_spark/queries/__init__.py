@@ -134,6 +134,7 @@ def load_all() -> None:
         relational,
         tpch,
         llm,
+        pipeline,
         streaming_q,
     )
 

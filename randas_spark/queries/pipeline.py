@@ -1,0 +1,282 @@
+"""Pipeline-analytics layer, round 5: interval-overlap join (binned),
+marketing attribution, correlation matrix, and CDC merge compaction.
+
+These extend the relational surface (SURVEY.md §2.12 "beyond the
+reference" scope) with four operators a production data pipeline needs
+that no existing registry query expresses:
+
+- ``rel_interval_join_binned`` — the grid-binned interval-overlap join,
+  the standard trick for making interval joins equi-joins at scale;
+- ``rel_attribution_last_touch`` — as-of attribution of conversions to
+  the most recent preceding touch event via an ignore-nulls carry-forward
+  window (no self-join);
+- ``rel_correlation_matrix`` — all pairwise Pearson correlations +
+  sample covariances in ONE aggregation pass;
+- ``rel_merge_upsert`` — CDC merge compaction: keep-latest per key,
+  honoring delete markers (MERGE INTO semantics without a table format).
+
+Every query carries a full DuckDB oracle; float outputs go through the
+engine-portable fround/sql_fround pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from randas_spark.queries import fround, register, sql_fround, t
+
+_SESS_GAP_US = 1_800_000_000  # 30-min inactivity gap, same as rel_sessionize
+
+_SESS_ORACLE_CTE = """
+    flagged AS (
+        SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+               CASE WHEN epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP)) OVER w > 1800000000
+                    OR lag(ts::TIMESTAMP) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess_rows AS (
+        SELECT user_id, ts,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS sess_id
+        FROM flagged
+    ), sess AS (
+        SELECT user_id, sess_id, min(ts) AS sess_start, max(ts) AS sess_end
+        FROM sess_rows GROUP BY user_id, sess_id
+    )
+"""
+
+
+@register(
+    "rel_interval_join_binned",
+    oracle=f"""
+    WITH {_SESS_ORACLE_CTE},
+    busy AS (
+        SELECT hr FROM (
+            SELECT date_trunc('hour', ts::TIMESTAMP) AS hr, count(*) AS n
+            FROM events GROUP BY 1
+        ) ORDER BY n DESC, hr LIMIT 48
+    )
+    SELECT s.user_id, s.sess_id, b.hr AS busy_hour
+    FROM sess s JOIN busy b
+      ON s.sess_start < b.hr + INTERVAL 1 HOUR AND s.sess_end >= b.hr
+    """,
+)
+def rel_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via grid binning: which user sessions were
+    live during the platform's 48 busiest hours?
+
+    The oracle states the semantics as the naive range predicate
+    (``start < hr + 1h AND end >= hr``); the Spark plan implements it as
+    an EQUI-join by exploding each session into the hour-grid cells it
+    spans (``sequence(trunc(start), trunc(end), 1h)``). On the hour grid
+    the two are exactly equivalent (trunc(start) <= hr <= trunc(end) iff
+    the interval overlaps [hr, hr+1h)), so no post-join refine or
+    distinct is needed. Scale: a plain interval join is O(|sessions| x
+    |windows|) (BroadcastNestedLoopJoin at best); the binned form is a
+    hash join whose fan-out is bounded by session duration / grid
+    granularity — the standard formulation for interval joins at 100 TB.
+    Here the busy side is 48 rows → broadcast, zero shuffle beyond the
+    sessionize exchange that produces the intervals."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(micros - F.lag(micros).over(w) > _SESS_GAP_US, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        flagged.withColumn("sess_id", F.sum("new_sess").over(w2))
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("ts").alias("sess_start"), F.max("ts").alias("sess_end"))
+    )
+    busy = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("hr"))
+        .limit(48)
+        .select("hr")
+    )
+    spanned = sess.select(
+        "user_id",
+        "sess_id",
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('hour', sess_start),"
+                " date_trunc('hour', sess_end), interval 1 hour)"
+            )
+        ).alias("busy_hour"),
+    )
+    return spanned.join(F.broadcast(busy), spanned.busy_hour == busy.hr).select(
+        "user_id", "sess_id", "busy_hour"
+    )
+
+
+@register(
+    "rel_attribution_last_touch",
+    oracle=f"""
+    WITH scored AS (
+        SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts,
+               last_value(CASE WHEN event_type IN ('click','view')
+                               THEN event_id END IGNORE NULLS) OVER w AS touch_event_id,
+               last_value(CASE WHEN event_type IN ('click','view')
+                               THEN event_type END IGNORE NULLS) OVER w AS touch_type,
+               last_value(CASE WHEN event_type IN ('click','view')
+                               THEN epoch_us(ts::TIMESTAMP) END IGNORE NULLS) OVER w AS touch_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id AS purchase_event_id, ts AS purchase_ts,
+           CASE WHEN epoch_us(ts) - touch_us <= 259200000000
+                THEN touch_event_id END AS touch_event_id,
+           CASE WHEN epoch_us(ts) - touch_us <= 259200000000
+                THEN touch_type END AS touch_type,
+           CASE WHEN epoch_us(ts) - touch_us <= 259200000000
+                THEN {sql_fround('(epoch_us(ts) - touch_us) / 60000000.0', 3)}
+           END AS mins_since_touch
+    FROM scored WHERE event_type = 'purchase'
+    """,
+)
+def rel_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent STRICTLY PRECEDING click/view within a 72-hour lookback;
+    purchases with no in-window touch keep NULL attribution columns.
+
+    Expressed as one ignore-nulls ``last()`` carry-forward window over
+    the mixed event stream — the as-of-join-free formulation: no
+    touches-vs-conversions self-join, one shuffle on user_id, constant
+    per-row state, and the frame ends at ``-1 PRECEDING`` so a purchase
+    sharing a timestamp tie is broken by event_id exactly as the oracle
+    does. At 100 TB this is the shape that survives: the self-join
+    alternative shuffles the events table twice and skews on hot users.
+    The lookback guard is integer microsecond arithmetic on both engines
+    (no float drift); minutes are divided out as doubles and rounded via
+    the portable fround pair."""
+    lookback_us = 259_200_000_000  # 72h
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    scored = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("touch_event_id0"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type0"),
+        F.last(F.when(is_touch, F.unix_micros(F.col("ts"))), ignorenulls=True)
+        .over(w)
+        .alias("touch_us"),
+    ).filter(F.col("event_type") == "purchase")
+    in_window = (F.unix_micros(F.col("ts")) - F.col("touch_us")) <= lookback_us
+    mins = (F.unix_micros(F.col("ts")) - F.col("touch_us")) / F.lit(60_000_000.0)
+    return scored.select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.when(in_window, F.col("touch_event_id0")).alias("touch_event_id"),
+        F.when(in_window, F.col("touch_type0")).alias("touch_type"),
+        F.when(in_window, fround(mins, 3)).alias("mins_since_touch"),
+    )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_PAIRS = [
+    (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+]
+
+_CORR_ORACLE_ROWS = " UNION ALL ".join(
+    f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+    f"{sql_fround(f'corr({a}, {b})', 6)} AS corr, "
+    f"{sql_fround(f'covar_samp({a}, {b})', 6)} AS covar "
+    f"FROM agg_src"
+    for a, b in _CORR_PAIRS
+)
+
+
+@register(
+    "rel_correlation_matrix",
+    oracle=f"""
+    WITH agg_src AS (SELECT l_quantity, l_extendedprice, l_discount, l_tax
+                     FROM lineitem)
+    {_CORR_ORACLE_ROWS}
+    """,
+)
+def rel_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation + sample covariance over the four
+    lineitem measures, long format (col_a, col_b, corr, covar).
+
+    ONE aggregation pass computes all 12 statistics (6 pairs x 2) as
+    map-side-combinable moments — a single scan + a 1-row shuffle — then
+    a stack() unpivots driver-light to long form. The naive alternative
+    (one job per pair, or worse ``df.stat.corr`` in a loop) scans the
+    fact table 6 times. Pruned scan: only the 4 measure columns are
+    read. corr/covar accumulate identically (Welford-style merge) on
+    both engines; fround(6) absorbs the summation-order ulp."""
+    li = t(spark, sf_dir, "lineitem").select(*_CORR_COLS)
+    aggs = []
+    for a, b in _CORR_PAIRS:
+        aggs.append(fround(F.corr(a, b), 6).alias(f"corr__{a}__{b}"))
+        aggs.append(fround(F.covar_samp(a, b), 6).alias(f"covar__{a}__{b}"))
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', corr__{a}__{b}, covar__{a}__{b}" for a, b in _CORR_PAIRS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_CORR_PAIRS)}, {stack_args}) AS (col_a, col_b, corr, covar)"
+        )
+    )
+
+
+@register(
+    "rel_merge_upsert",
+    oracle="""
+    SELECT user_id, ts::TIMESTAMP AS last_ts, event_type AS last_op,
+           value AS last_value,
+           CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+      AND event_type <> 'error'
+    """,
+)
+def rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge compaction (MERGE INTO semantics without a table
+    format): the event stream is a change feed keyed by user_id, ordered
+    by (ts, event_id); the latest op wins, and a key whose latest op is
+    the delete marker ('error') vanishes from the compacted state.
+    Non-latest deletes are correctly ignored.
+
+    One window over one shuffle on the merge key: row_number picks the
+    survivor, a count over the same partition audits op volume (the
+    exchange is reused — one Exchange in the plan). This is the
+    compaction kernel under every upsert table format; at 100 TB the
+    feed is bucketed by key at ingest so the shuffle disappears
+    entirely (io/layout.write_bucketed demonstrates the layout)."""
+    e = t(spark, sf_dir, "events")
+    wk = Window.partitionBy("user_id")
+    w = wk.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_op"),
+            F.col("value").alias("last_value"),
+            F.count(F.lit(1)).over(wk).alias("n_ops"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter((F.col("rn") == 1) & (F.col("last_op") != "error"))
+        .drop("rn")
+    )
