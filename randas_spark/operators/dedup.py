@@ -223,6 +223,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """DIRECTED near-duplicate containment: pairs (a, b) where
+    C(a→b) = |S(a) ∩ S(b)| / |S(a)| >= threshold — "most of a's k-shingles
+    also appear in b". The asymmetric complement of Jaccard: a short doc
+    quoted wholesale inside a long one scores C ≈ 1 while Jaccard stays
+    tiny, so symmetric dedup never finds it. This is the
+    subset/quotation/boilerplate-absorption detector (and the measure
+    behind MinHash-containment sketches in web dedup).
+
+    Plan: identical shingle equi-join skeleton as ngram_jaccard_pairs —
+    cost Σ_shingle(freq²), never n²; ``max_shingle_freq`` caps hot-shingle
+    fan-out the same way (capped containment is a lower bound, pairs can
+    only drop). The join emits BOTH directions (a≠b, not a<b) because
+    containment is directed; the output is still ≤2× the undirected pair
+    count above the threshold.
+    """
+    sh = fan_out(df).select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
+    )
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    exploded = sh.select("doc_id", F.explode("sh").alias("s"))
+    if max_shingle_freq is not None:
+        wf = Window.partitionBy("s")
+        exploded = (
+            exploded.withColumn("__freq__", F.count(F.lit(1)).over(wf))
+            .filter(F.col("__freq__") <= max_shingle_freq)
+            .drop("__freq__")
+        )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    return (
+        inter.join(sa, "id_a")
+        .withColumn("containment", F.col("n_inter").cast("double") / F.col("n_a"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 # --------------------------------------------------------------------------
 # 3. MinHash + LSH
 # --------------------------------------------------------------------------

@@ -141,6 +141,39 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from randas_spark.functions.text import sql_shingles as _sql_sh5
+
+
+@register(
+    "llm_dedup_containment",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_sql_sh5('text', 5)}) AS s FROM documents
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(n_inter AS DOUBLE) / sa.n_sh AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+    WHERE CAST(n_inter AS DOUBLE) / sa.n_sh >= 0.8
+    """,
+)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-containment pairs (C(a→b) >= 0.8): catches a doc
+    whose text is mostly CONTAINED in another (quotation, boilerplate
+    absorption, subset pages) — invisible to symmetric Jaccard dedup
+    (operators/dedup.containment_pairs; same Σfreq² equi-join skeleton,
+    never n²)."""
+    from randas_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=5, threshold=0.8
+    )
+
+
 def llm_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH near-dup pairs, exact-Jaccard verified
     (operators/dedup.minhash_lsh_pairs; 64 perms × 16 bands). NOT in the

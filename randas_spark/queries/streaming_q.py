@@ -14,7 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from randas_spark.queries import fround, register, sql_fround, t
-from randas_spark.streaming.engine import session_agg, sliding_counts, tumbling_counts
+from randas_spark.streaming.engine import (
+    session_agg,
+    sliding_counts,
+    topk_types_per_window,
+    tumbling_counts,
+)
 
 
 @register(
@@ -34,6 +39,35 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tumbling_counts(t(spark, sf_dir, "events"), width="1 hour")
     return out.select(
         "window_start", "event_type", "n_events", fround(out.sum_value, 2).alias("sum_value")
+    )
+
+
+@register(
+    "stream_topk_per_window",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(date_trunc('hour', ts::TIMESTAMP) AS TIMESTAMP) AS window_start,
+               event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events,
+           CAST(row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n_events DESC, event_type) AS BIGINT) AS rank
+    FROM c
+    QUALIFY row_number() OVER (PARTITION BY window_start
+                               ORDER BY n_events DESC, event_type) <= 3
+    """,
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per tumbling hour (engine.topk_types_per_window
+    over engine.tumbling_counts — the trending-now kernel). The counting
+    stage is the streaming-legal windowed agg; the rank is the
+    per-snapshot finisher (see the builder docstring for why rank can't
+    run in append mode). pytest replays the same pair over readStream and
+    asserts snapshot equivalence."""
+    counts = tumbling_counts(t(spark, sf_dir, "events"), width="1 hour")
+    return topk_types_per_window(counts, k=3).select(
+        "window_start", "event_type", "n_events", "rank"
     )
 
 

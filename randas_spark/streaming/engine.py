@@ -55,6 +55,27 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str | N
     )
 
 
+def topk_types_per_window(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Finishing transform over tumbling_counts output: the top-k event
+    types per window by count (ties broken by event_type, rank 1-based).
+
+    Rank-over-aggregate is not append-mode legal in Structured Streaming
+    (the rank of a window's types can change until the window closes), so
+    on a stream this runs as the per-snapshot finisher — over the
+    complete/update sink or inside foreachBatch after the watermark
+    finalizes each window; on batch it composes directly. Either way the
+    heavy lifting (per-type counting) stays in the map-side-combinable
+    windowed aggregation; the rank touches only |windows| x |types| rows.
+    """
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def sliding_counts(
     events: DataFrame,
     width: str = "10 minutes",

@@ -120,6 +120,36 @@ def test_exact_dedup_keeps_min_id(spark):
     assert kept == [1, 9]
 
 
+def test_containment_is_directed_and_caps_bound(spark):
+    """A short doc quoted inside a long one: containment short→long ≈ 1,
+    long→short well below threshold, and Jaccard misses the pair entirely
+    — the asymmetric case the operator exists for. Hot-shingle cap only
+    removes pairs, never adds."""
+    from randas_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long = short + " " + " ".join(f"filler{i} word{i} pad{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally unrelated text about nothing here")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(df, "doc_id", "text", k=5, threshold=0.8).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.8
+    assert (2, 1) not in pairs  # directed: long is NOT contained in short
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", k=5, threshold=0.6).collect()
+    assert not jac  # symmetric Jaccard misses the quotation pair
+    capped = {
+        (r.id_a, r.id_b)
+        for r in containment_pairs(
+            df, "doc_id", "text", k=5, threshold=0.8, max_shingle_freq=1
+        ).collect()
+    }
+    assert capped <= set(pairs)
+
+
 # -- SimHash ---------------------------------------------------------------
 
 

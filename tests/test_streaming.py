@@ -70,6 +70,19 @@ def test_sliding_batch_stream_equivalence(spark, batch_events):
     assert _collect_sorted(streamed) == _collect_sorted(batch)
 
 
+def test_topk_per_window_batch_stream_equivalence(spark, batch_events):
+    """The counting stage streams (complete-mode snapshot); the rank
+    finisher runs over the snapshot — must equal the pure-batch compose."""
+    from randas_spark.streaming.engine import topk_types_per_window, tumbling_counts
+
+    batch = topk_types_per_window(tumbling_counts(batch_events, width="1 hour"), k=3)
+    counts_snapshot = _run_stream(
+        spark, lambda s: tumbling_counts(s, width="1 hour"), "t_topk_counts"
+    )
+    streamed = topk_types_per_window(counts_snapshot, k=3)
+    assert _collect_sorted(streamed) == _collect_sorted(batch)
+
+
 def test_session_batch_stream_equivalence(spark, batch_events):
     from randas_spark.streaming.engine import session_agg
 
