@@ -2097,6 +2097,60 @@ def llm_knn_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_knn_graph",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS cell, embedding AS center
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    assign AS (
+        SELECT cid, cv, cell FROM (
+            SELECT c.vec_id AS cid, c.embedding AS cv, ct.cell,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY {sql_cosine('c.embedding', 'ct.center')} DESC, ct.cell
+                   ) AS rn
+            FROM embeddings c CROSS JOIN cent ct
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT qid, qv, cell FROM (
+            SELECT q.vec_id AS qid, q.embedding AS qv, ct.cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {sql_cosine('q.embedding', 'ct.center')} DESC, ct.cell
+                   ) AS rn
+            FROM embeddings q CROSS JOIN cent ct
+        ) WHERE rn <= 4
+    )
+    SELECT qid, cid, cos, rk FROM (
+        SELECT p.qid, a.cid, {sql_cosine('p.qv', 'a.cv')} AS cos,
+               row_number() OVER (
+                   PARTITION BY p.qid
+                   ORDER BY {sql_cosine('p.qv', 'a.cv')} DESC, a.cid) AS rk
+        FROM probes p JOIN assign a USING (cell)
+        WHERE p.qid <> a.cid
+    ) WHERE rk <= 5
+    """,
+)
+def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN GRAPH: every vector gets its top-5 neighbors —
+    the all-points primitive under semantic dedup (SemDeDup-style
+    clustering), diversity sampling, and graph-based retrieval indexes.
+    Same deterministic IVF index as llm_knn_ivf_det, but the query set
+    IS the corpus, which changes the scale shape that matters: probes
+    (N x n_probe rows) join assignments (N rows) as a shuffle EQUI-JOIN
+    keyed on the cell id — per-cell fan-out bounded by cell size, never
+    the broadcast-the-queries plan (impossible when queries = corpus)
+    and never N². Centroid assignment stays a 16-row broadcast."""
+    from randas_spark.operators.similarity import knn_ivf_det
+
+    emb = t(spark, sf_dir, "embeddings")
+    return knn_ivf_det(emb, emb, "vec_id", "vec_id", "embedding", n_cells=16, n_probe=4, top_k=5)
+
+
+@register(
     "llm_multimodal_audio",
     oracle=f"""
     WITH seedp AS (

@@ -120,6 +120,22 @@ def test_exact_dedup_keeps_min_id(spark):
     assert kept == [1, 9]
 
 
+def test_knn_graph_covers_every_vector_no_self_edges(spark):
+    """Self-join kNN graph: every vector is a query, k<=5 neighbors
+    each, never itself, ranks contiguous from 1."""
+    from randas_spark.queries.llm import llm_knn_graph
+
+    rows = llm_knn_graph(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        assert r.qid != r.cid
+        by_q.setdefault(r.qid, []).append(r.rk)
+    n_vecs = 500
+    assert len(by_q) == n_vecs
+    assert all(sorted(rks) == list(range(1, len(rks) + 1)) and len(rks) <= 5
+               for rks in by_q.values())
+
+
 def test_containment_is_directed_and_caps_bound(spark):
     """A short doc quoted inside a long one: containment short→long ≈ 1,
     long→short well below threshold, and Jaccard misses the pair entirely
