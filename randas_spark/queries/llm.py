@@ -2102,7 +2102,7 @@ def llm_knn_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cent AS (
         SELECT vec_id AS cell, embedding AS center
         FROM embeddings
-        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64
     ),
     assign AS (
         SELECT cid, cv, cell FROM (
@@ -2143,11 +2143,13 @@ def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N x n_probe rows) join assignments (N rows) as a shuffle EQUI-JOIN
     keyed on the cell id — per-cell fan-out bounded by cell size, never
     the broadcast-the-queries plan (impossible when queries = corpus)
-    and never N². Centroid assignment stays a 16-row broadcast."""
-    from randas_spark.operators.similarity import knn_ivf_det
+    and never N². Centroid scoring stays a 64-row broadcast; cells are
+    sized ~sqrt(N) because candidate volume is N*n_probe*N/n_cells (see
+    operators/similarity.knn_graph_ivf for the staging rationale)."""
+    from randas_spark.operators.similarity import knn_graph_ivf
 
     emb = t(spark, sf_dir, "embeddings")
-    return knn_ivf_det(emb, emb, "vec_id", "vec_id", "embedding", n_cells=16, n_probe=4, top_k=5)
+    return knn_graph_ivf(emb, "vec_id", "embedding", n_cells=64, n_probe=4, top_k=5)
 
 
 @register(
