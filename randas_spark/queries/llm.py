@@ -2102,7 +2102,8 @@ def llm_knn_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cent AS (
         SELECT vec_id AS cell, embedding AS center
         FROM embeddings
-        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT (SELECT greatest(64, count(*) // 32) FROM embeddings)
     ),
     assign AS (
         SELECT cid, cv, cell FROM (
@@ -2143,13 +2144,17 @@ def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N x n_probe rows) join assignments (N rows) as a shuffle EQUI-JOIN
     keyed on the cell id — per-cell fan-out bounded by cell size, never
     the broadcast-the-queries plan (impossible when queries = corpus)
-    and never N². Centroid scoring stays a 64-row broadcast; cells are
-    sized ~sqrt(N) because candidate volume is N*n_probe*N/n_cells (see
-    operators/similarity.knn_graph_ivf for the staging rationale)."""
+    and never N². Cell count ADAPTS to the corpus (max(64, N/32), one
+    metadata-cheap count job, same formula in the oracle's subquery
+    LIMIT): candidate volume is N*n_probe*cell_size, so fixed cells go
+    quadratic while fixed cell SIZE stays linear — measured 31.6 s
+    (fixed 64) vs 13.0 s (proportional) at 5x vectors, sf0.5. See
+    operators/similarity.knn_graph_ivf for the norm-staging rationale."""
     from randas_spark.operators.similarity import knn_graph_ivf
 
     emb = t(spark, sf_dir, "embeddings")
-    return knn_graph_ivf(emb, "vec_id", "embedding", n_cells=64, n_probe=4, top_k=5)
+    n_cells = max(64, emb.count() // 32)
+    return knn_graph_ivf(emb, "vec_id", "embedding", n_cells=n_cells, n_probe=4, top_k=5)
 
 
 @register(
