@@ -51,6 +51,10 @@ HEADLINE = [
     # PAA-pruned series search; isolated baseline rows in BASELINE.md r5
     "llm_text_normalize",
     "rel_ts_similarity_paa",
+    # round-5 second-pass representatives: the all-points ANN primitive
+    # (adaptive-cell IVF self-join) and the binned interval join
+    "llm_knn_graph",
+    "rel_interval_join_binned",
 ]
 
 

@@ -159,3 +159,47 @@ def read_text(spark: SparkSession, path: str, column: str = "value") -> RandasFr
     if column != "value":
         df = df.withColumnRenamed("value", column)
     return RandasFrame(df)
+
+
+def read_arrow_ipc(spark: SparkSession, path: str) -> RandasFrame:
+    """Arrow IPC / Feather V2 source (beyond the reference's formats) —
+    the zero-copy interchange format ML tooling emits (datasets,
+    DataFrame libraries, feature stores).
+
+    DISTRIBUTED read: Spark has no native IPC reader, so the plumbing is
+    the canonical per-file decode shape — ``binaryFile`` listing (one
+    task per file, whole files are the split unit because IPC files are
+    not block-splittable) → ``mapInPandas`` decoding each file with
+    pyarrow inside the executor (Arrow-batched, never row-at-a-time).
+    The output schema is fixed up front by reading ONE file's schema
+    footer driver-side (metadata-only, no data pages) and converting via
+    pyspark's own arrow-schema mapping, so Catalyst plans against real
+    types and executors just stream batches. At 100 TB the parallelism
+    unit is the file — exactly how such exports are laid out."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.ipc as pa_ipc
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    first = path
+    if _os.path.isdir(path):
+        cands = sorted(_glob.glob(_os.path.join(path, "*")))
+        if not cands:
+            raise FileNotFoundError(f"no files under {path}")
+        first = cands[0]
+    with open(first, "rb") as f:
+        arrow_schema = pa_ipc.open_file(f).schema
+    spark_schema = from_arrow_schema(arrow_schema)
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def _decode(batches):
+        for pdf in batches:
+            for blob in pdf["content"]:
+                reader = pa_ipc.open_file(pa.BufferReader(bytes(blob)))
+                tbl = reader.read_all()
+                yield tbl.to_pandas()
+
+    return RandasFrame(files.mapInPandas(_decode, schema=spark_schema))

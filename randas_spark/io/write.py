@@ -100,3 +100,19 @@ def to_sql(frame: RandasFrame, table: str, conn, if_exists: str = "append") -> N
         f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders})", rows
     )
     conn.commit()
+
+
+def to_arrow_ipc(frame: RandasFrame, path: str) -> None:
+    """Arrow IPC / Feather V2 sink. Driver-side single-file write (the
+    same facade shape as to_excel: one portable artifact), via the
+    Arrow batches Spark already produces for toPandas. The distributed
+    sink for big outputs is parquet/orc (block-splittable, predicate
+    pushdown); IPC's niche is interchange, where one file per dataset
+    is the contract."""
+    import pyarrow as pa
+    import pyarrow.ipc as pa_ipc
+
+    pdf = frame.to_spark().toPandas()
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    with pa_ipc.new_file(path, table.schema) as w:
+        w.write_table(table)

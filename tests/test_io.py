@@ -318,6 +318,51 @@ def test_orc_round_trip(spark, people, tmp):
     assert sorted(_values(back)) == sorted(_values(people))
 
 
+def test_arrow_ipc_round_trip_and_multifile(spark, people, tmp):
+    """Arrow IPC sink/source: single-file round trip with type fidelity
+    (ints/floats/strings/timestamps/nulls), then a DIRECTORY of two IPC
+    files reads as their union through the distributed per-file decode."""
+    import datetime as dt
+
+    from randas_spark.frame import RandasFrame
+    from randas_spark.io.read import read_arrow_ipc
+    from randas_spark.io.write import to_arrow_ipc
+
+    path = os.path.join(tmp, "people.arrow")
+    to_arrow_ipc(people, path)
+    back = read_arrow_ipc(spark, path)
+    assert sorted(back.columns) == sorted(people.columns)
+    assert sorted(_values(back)) == sorted(_values(people))
+
+    typed = RandasFrame(
+        spark.createDataFrame(
+            [(1, 1.5, "a", dt.datetime(2024, 1, 1), True), (2, None, None, None, None)],
+            "i bigint, f double, s string, ts timestamp, b boolean",
+        )
+    )
+    tpath = os.path.join(tmp, "typed.arrow")
+    to_arrow_ipc(typed, tpath)
+    tback = read_arrow_ipc(spark, tpath)
+    assert tback.to_spark().schema == typed.to_spark().schema
+    assert sorted(_values(tback), key=str) == sorted(_values(typed), key=str)
+
+    d = os.path.join(tmp, "ipc_dir")
+    os.makedirs(d)
+    to_arrow_ipc(people, os.path.join(d, "part0.arrow"))
+    to_arrow_ipc(people, os.path.join(d, "part1.arrow"))
+    both = read_arrow_ipc(spark, d)
+    assert both.to_spark().count() == 2 * people.to_spark().count()
+
+
+def test_arrow_ipc_empty_dir_raises(spark, tmp):
+    from randas_spark.io.read import read_arrow_ipc
+
+    d = os.path.join(tmp, "empty_ipc")
+    os.makedirs(d)
+    with pytest.raises(FileNotFoundError):
+        read_arrow_ipc(spark, d)
+
+
 def test_text_round_trip_and_column_rules(spark, tmp):
     """Line-text sink/source: one line per row, rename on read, and the
     multi-column frame needs an explicit column choice."""
