@@ -2158,6 +2158,93 @@ def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE cent AS (
+        SELECT vec_id AS cell, embedding AS center
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT (SELECT greatest(64, count(*) // 32) FROM embeddings)
+    ),
+    assign AS (
+        SELECT cid, cv, cell FROM (
+            SELECT c.vec_id AS cid, c.embedding AS cv, ct.cell,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY {sql_cosine('c.embedding', 'ct.center')} DESC, ct.cell
+                   ) AS rn
+            FROM embeddings c CROSS JOIN cent ct
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT qid, qv, cell FROM (
+            SELECT q.vec_id AS qid, q.embedding AS qv, ct.cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {sql_cosine('q.embedding', 'ct.center')} DESC, ct.cell
+                   ) AS rn
+            FROM embeddings q CROSS JOIN cent ct
+        ) WHERE rn <= 4
+    ),
+    graph AS (
+        SELECT qid, cid, cos FROM (
+            SELECT p.qid, a.cid, {sql_cosine('p.qv', 'a.cv')} AS cos,
+                   row_number() OVER (
+                       PARTITION BY p.qid
+                       ORDER BY {sql_cosine('p.qv', 'a.cv')} DESC, a.cid) AS rk
+            FROM probes p JOIN assign a USING (cell)
+            WHERE p.qid <> a.cid
+        ) WHERE rk <= 5
+    ),
+    edges AS (SELECT qid AS id_a, cid AS id_b FROM graph WHERE cos >= 0.35),
+    und AS (
+        SELECT id_a AS u, id_b AS v FROM edges
+        UNION
+        SELECT id_b, id_a FROM edges
+    ),
+    reach(node, lbl) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT r.node, e.v FROM reach r JOIN und e ON e.u = r.lbl
+    )
+    SELECT node AS vec_id, min(lbl) AS cluster, node = min(lbl) AS keep
+    FROM reach GROUP BY node
+    """,
+)
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: edges are kNN-graph
+    neighbors with cosine >= 0.35 (the near-orthogonal synthetic corpus'
+    near-dup band, as llm_dedup_embedding), closed transitively via
+    min-label-propagation connected components; every vector gets
+    (cluster, keep-on-minimum). The composition that matters at 100 TB:
+    the candidate edge set comes from the LINEAR adaptive-cell IVF graph
+    (never all pairs), and the closure runs in O(diameter) distributed
+    rounds with only convergence counts on the driver. Closure uses
+    large/small-star CC, not min-label propagation: the kNN-graph edge
+    set forms long sparse chains through embedding space (measured
+    diameter > 20 already at sf0.1), exactly the high-diameter topology
+    where O(diameter) label rounds stall and O(log² n) star rounds
+    don't. Oracle replays the full chain — graph CTEs + recursive
+    reachability closure."""
+    from randas_spark.operators.dedup import connected_components_star
+    from randas_spark.operators.similarity import knn_graph_ivf
+
+    emb = t(spark, sf_dir, "embeddings")
+    n_cells = max(64, emb.count() // 32)
+    graph = knn_graph_ivf(emb, "vec_id", "embedding", n_cells=n_cells, n_probe=4, top_k=5)
+    edges = graph.filter(F.col("cos") >= 0.35).select(
+        F.col("qid").alias("id_a"), F.col("cid").alias("id_b")
+    )
+    comp = connected_components_star(edges)
+    ids = emb.select(F.col("vec_id").alias("node"))
+    full = ids.join(comp, "node", "left").select(
+        F.col("node").alias("vec_id"),
+        F.coalesce("comp", F.col("node")).alias("cluster"),
+    )
+    return full.withColumn("keep", F.col("vec_id") == F.col("cluster"))
+
+
+@register(
     "llm_multimodal_audio",
     oracle=f"""
     WITH seedp AS (
