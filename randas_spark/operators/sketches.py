@@ -198,3 +198,86 @@ def bloom_prefilter(fact: DataFrame, key_col: str, bloom: DataFrame, n_hashes: i
         c = F.array_contains(F.col("bits"), F.expr(_bloom_pos_sql(key_col, h, True)))
         cond = c if cond is None else (cond & c)
     return crossed.filter(cond).drop("bits")
+
+
+# --------------------------------------------------------------------------
+# Mergeable quantile sketch (binary-mantissa histogram)
+# --------------------------------------------------------------------------
+#
+# Companion to CMS (frequencies) and HLL (distinct counts): a mergeable
+# APPROXIMATE-QUANTILE sketch. Values (in integer cents) are binned by
+# their binary magnitude plus 4 mantissa bits:
+#
+#   msb     = length(bin(cents))            -- highest set bit, 1-based
+#   k       = max(msb - 5, 0)               -- dropped low bits
+#   shifted = floor(cents / 2^k)            -- leading 5 bits (16..31), or
+#                                              the exact value when < 32
+#   bin_key = msb * 32 + shifted            -- order-preserving, unique
+#
+# Relative bin width is <= 1/16, so any quantile read off the bin
+# midpoints has <= ~3.2% relative error — t-digest accuracy class with
+# NONE of its engine-specific centroid state. Every step is integer
+# arithmetic plus exact powers of two, so the sketch is bit-identical
+# on Spark, DuckDB, or Python: a 100 TB shard's sketch can be rebuilt
+# and audited by a different engine.
+#
+# Mergeability is trivial by construction — a sketch is a (bin_key ->
+# count) map and merge is cell-wise addition — which is what lets
+# per-shard / per-day sketches roll up into corpus quantiles without
+# rescanning facts. The build is one partial-agg groupBy: the shuffle
+# carries O(bins) cells per partition, not rows.
+
+
+def quantile_sketch_bins(df: DataFrame, value_col: str, group_cols: list[str] | None = None) -> DataFrame:
+    """(group..., bin_key, k, shifted, cnt) histogram sketch of
+    floor(value*100) cents; non-positive values are excluded (the money
+    domain). One map-side-combinable groupBy."""
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    base = df.select(*(group_cols or []), cents.alias("cents")).filter(F.col("cents") >= 1)
+    msb = F.length(F.bin(F.col("cents")))
+    k = F.greatest(msb - F.lit(5), F.lit(0))
+    divisor = F.pow(F.lit(2.0), k)
+    shifted = F.floor(F.col("cents") / divisor).cast("long")
+    binned = base.select(
+        *(group_cols or []),
+        (msb * 32 + shifted).cast("long").alias("bin_key"),
+        k.cast("long").alias("k"),
+        shifted.alias("shifted"),
+    )
+    return binned.groupBy(*(group_cols or []), "bin_key", "k", "shifted").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def quantile_sketch_merge(bins: DataFrame) -> DataFrame:
+    """Merge sketches (drop group columns, sum cells) — cell-wise
+    addition is the whole merge law."""
+    return bins.groupBy("bin_key", "k", "shifted").agg(F.sum("cnt").alias("cnt"))
+
+
+def quantile_sketch_estimate(bins: DataFrame, quantiles: dict[str, float]) -> DataFrame:
+    """(q_label, n_total, est): for each q, the midpoint of the first
+    bin whose cumulative count reaches ceil(q*n). The cumulative walk
+    runs over the (tiny) bin table, never the facts."""
+    from pyspark.sql import Window
+
+    spark = bins.sparkSession
+    w = Window.orderBy("bin_key").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = bins.select(
+        "bin_key",
+        ((F.col("shifted") + F.lit(0.5)) * F.pow(F.lit(2.0), F.col("k")) / F.lit(100.0)).alias("mid"),
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n_total"),
+    )
+    qs = spark.createDataFrame(
+        sorted(quantiles.items()), "q_label string, q double"
+    )
+    hit = qs.crossJoin(cum).filter(
+        F.col("cum") >= F.ceil(F.col("q") * F.col("n_total"))
+    )
+    from randas_spark.queries import fround
+
+    return hit.groupBy("q_label").agg(
+        F.max("n_total").alias("n_total"),
+        fround(F.min_by("mid", "bin_key"), 6).alias("est"),
+    )

@@ -635,6 +635,62 @@ def rel_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_quantile_sketch_mergeable",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem WHERE floor(l_extendedprice * 100) >= 1
+    ), b AS (
+        SELECT msb, greatest(msb - 5, 0) AS k,
+               CAST(floor(cents / pow(2, greatest(msb - 5, 0))) AS BIGINT) AS shifted
+        FROM (SELECT cents, length(bin(cents)) AS msb FROM c)
+    ), bins AS (
+        SELECT CAST(msb * 32 + shifted AS BIGINT) AS bin_key, k, shifted,
+               count(*) AS cnt
+        FROM b GROUP BY 1, 2, 3
+    ), cum AS (
+        SELECT bin_key,
+               (shifted + 0.5) * pow(2, k) / 100.0 AS mid,
+               CAST(sum(cnt) OVER (ORDER BY bin_key) AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER () AS BIGINT) AS n_total
+        FROM bins
+    ), qs AS (
+        SELECT q_label, CAST(q AS DOUBLE) AS q
+        FROM (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99)) AS t(q_label, q)
+    )
+    SELECT q_label, max(n_total) AS n_total,
+           {sql_fround('arg_min(mid, bin_key)', 6)} AS est
+    FROM qs JOIN cum ON cum >= CAST(ceil(q * n_total) AS BIGINT)
+    GROUP BY q_label
+    """,
+)
+def rel_quantile_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (operators/sketches.quantile_sketch_*):
+    binary-mantissa histogram bins (integer msb + 4 mantissa bits, <=
+    ~3.2% relative error) built PER RETURNFLAG, merged by cell-wise
+    addition, then p50/p90/p99 of l_extendedprice read off the merged
+    CDF. The oracle builds the global sketch DIRECTLY, so the value-hash
+    equality is a cross-engine proof of the merge law (merge-of-shards
+    == direct build) — the property that lets per-day/per-shard sketches
+    roll up into corpus quantiles without rescanning 100 TB of facts.
+    Unlike approx_percentile (engine-specific digest), every bin index
+    and midpoint here is integer math + exact powers of two: bit-
+    identical on both engines, no tolerance verdict needed. Build is one
+    map-side-combinable groupBy; shuffle volume O(bins), not O(rows);
+    the quantile walk runs over ~hundreds of cells."""
+    from randas_spark.operators.sketches import (
+        quantile_sketch_bins,
+        quantile_sketch_estimate,
+        quantile_sketch_merge,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    per_flag = quantile_sketch_bins(li, "l_extendedprice", ["l_returnflag"])
+    merged = quantile_sketch_merge(per_flag)
+    return quantile_sketch_estimate(merged, {"p50": 0.5, "p90": 0.9, "p99": 0.99})
+
+
+@register(
     "rel_hll_sketch_mergeable",
     oracle="""
     WITH per_group AS (

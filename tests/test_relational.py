@@ -201,6 +201,40 @@ def test_profile_single_scan_and_values(spark):
     assert rows["o_orderstatus"].min_value <= rows["o_orderstatus"].max_value
 
 
+def test_quantile_sketch_error_bound_and_merge_law(spark):
+    """Every estimated quantile must sit within the sketch's designed
+    relative error (bin half-width, 1/32 of the value) of the EXACT
+    percentile; and merging per-group sketches must equal the direct
+    global build cell-for-cell, for an arbitrary grouping."""
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.sketches import (
+        quantile_sketch_bins,
+        quantile_sketch_estimate,
+        quantile_sketch_merge,
+    )
+    from randas_spark.queries import t
+
+    li = t(spark, SF_DIR, "lineitem")
+    qs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+
+    direct = quantile_sketch_bins(li, "l_extendedprice")
+    est = {r.q_label: r.est for r in quantile_sketch_estimate(direct, qs).collect()}
+    exact = li.selectExpr(
+        *(f"percentile(l_extendedprice, {q}) AS `{lbl}`" for lbl, q in qs.items())
+    ).collect()[0]
+    for lbl in qs:
+        rel_err = abs(est[lbl] - exact[lbl]) / exact[lbl]
+        assert rel_err <= 1 / 32 + 1e-6, (lbl, est[lbl], exact[lbl], rel_err)
+
+    grouped = quantile_sketch_bins(
+        li.withColumn("g", F.col("l_orderkey") % 7), "l_extendedprice", ["g"]
+    )
+    merged = quantile_sketch_merge(grouped)
+    key = lambda r: (r.bin_key, r.k, r.shifted, r.cnt)
+    assert sorted(map(key, merged.collect())) == sorted(map(key, direct.collect()))
+
+
 def test_countmin_sketch_one_sided_and_portable_buckets(spark):
     """CMS must never undercount any key (one-sided error), shard-merge
     must equal a direct global build, and bucket indices must match a
