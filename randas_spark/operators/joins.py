@@ -22,6 +22,7 @@ def asof_join(
     ts: str,
     direction: str = "backward",
     suffix: str | None = None,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right.ts <= left.ts`` (direction="backward"; "forward" = earliest
@@ -31,6 +32,13 @@ def asof_join(
     with ``suffix`` (pandas merge_asof's suffixes behavior); without a
     suffix a collision raises — the union construction below would
     otherwise silently null-out the left values.
+
+    ``tolerance`` (an INTERVAL literal, e.g. "2 hours") nulls the
+    attached payload when the matched row is farther than that from the
+    left timestamp — pandas merge_asof's tolerance semantics (the
+    nearest candidate is the only one that could qualify, so
+    match-then-null is exact, not an approximation). Costs one extra
+    carried column (the matched ts), no extra shuffle.
 
     Implementation: union both sides tagged, one window per key ordered by
     (ts, side), and ``last(payload, ignorenulls=True)`` carries the right
@@ -82,17 +90,34 @@ def asof_join(
             .orderBy(F.col(ts).asc(), F.col(_SIDE).asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in payload]
     else:
         w = (
             Window.partitionBy(on)
             .orderBy(F.col(ts).desc(), F.col(_SIDE).asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in payload]
+    carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in payload]
 
-    out = u.select(on, ts, _SIDE, *left_only, *carried)
-    return out.filter(F.col(_SIDE) == 1).drop(_SIDE)
+    if tolerance is None:
+        out = u.select(on, ts, _SIDE, *left_only, *carried)
+        return out.filter(F.col(_SIDE) == 1).drop(_SIDE)
+
+    rts = F.last(
+        F.when(F.col(_SIDE) == 0, F.col(ts)), ignorenulls=True
+    ).over(w).alias("__rts__")
+    out = u.select(on, ts, _SIDE, *left_only, *carried, rts).filter(
+        F.col(_SIDE) == 1
+    )
+    gap = (
+        F.col(ts) - F.col("__rts__")
+        if direction == "backward"
+        else F.col("__rts__") - F.col(ts)
+    )
+    within = F.col("__rts__").isNotNull() & (
+        gap <= F.expr(f"INTERVAL {tolerance}")
+    )
+    gated = [F.when(within, F.col(c)).alias(c) for c in payload]
+    return out.select(on, ts, *left_only, *gated)
 
 
 def range_join_bucketed(

@@ -885,6 +885,38 @@ def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_asof_join_forward_tol",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts,
+           CASE WHEN r.ts - l.ts <= INTERVAL 2 HOUR THEN r.value END AS next_purchase_value
+    FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events WHERE event_type = 'signup') l
+    ASOF LEFT JOIN
+         (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events WHERE event_type = 'purchase') r
+    ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def rel_asof_join_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a tolerance: each signup attaches the
+    user's NEXT purchase value, nulled when it is more than 2 hours out
+    (pandas merge_asof direction='forward', tolerance semantics — the
+    nearest candidate is the only one that could qualify, so
+    match-then-null is exact). Same union+window shape as rel_asof_join
+    — one shuffle on the key, no pair explosion — with one extra carried
+    column (the matched ts) paying for the tolerance gate. Oracle:
+    DuckDB's native forward ASOF + interval CASE."""
+    from randas_spark.operators.joins import asof_join
+
+    e = t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("next_purchase_value")
+    )
+    return asof_join(
+        left, right, on="user_id", ts="ts", direction="forward", tolerance="2 HOURS"
+    ).select("event_id", "user_id", "ts", "next_purchase_value")
+
+
+@register(
     "rel_range_join",
     oracle="""
     SELECT a.event_id AS signup_event, count(b.event_id) AS n_follow_5min

@@ -105,6 +105,43 @@ def test_asof_join_semantics(spark):
     assert got == {(1, 5): 10.0, (1, 12): 20.0, (2, 3): None}
 
 
+def test_asof_join_forward_and_tolerance(spark):
+    """direction='forward' pairs each left row with the EARLIEST right
+    row at-or-after it; tolerance nulls a match farther than the
+    interval but keeps the row (left join shape preserved)."""
+    import datetime as dt
+
+    from randas_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    left = spark.createDataFrame(
+        [(1, ts(0), "x"), (1, ts(50), "y"), (2, ts(0), "z")],
+        "key long, ts timestamp, pay string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(-5), 1.0), (1, ts(10), 2.0), (1, ts(200), 3.0)],
+        "key long, ts timestamp, px double",
+    )
+    fwd = {
+        (r.key, r.ts): r.px
+        for r in asof_join(left, right, on="key", ts="ts", direction="forward").collect()
+    }
+    assert fwd == {(1, ts(0)): 2.0, (1, ts(50)): 3.0, (2, ts(0)): None}
+
+    tol = {
+        (r.key, r.ts): r.px
+        for r in asof_join(
+            left, right, on="key", ts="ts", direction="forward", tolerance="1 HOUR"
+        ).collect()
+    }
+    # (1, ts(50))'s nearest follower is 150 min away -> nulled by tolerance
+    assert tol == {(1, ts(0)): 2.0, (1, ts(50)): None, (2, ts(0)): None}
+
+
 def test_hll_sketch_merge_matches_rescan(spark):
     """Unioning per-group HLL sketches must estimate the global distinct
     count within 5% of exact — the mergeability property that lets 100 TB
