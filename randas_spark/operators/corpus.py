@@ -123,6 +123,33 @@ def vocab_build(df: DataFrame, text_col: str, top_n: int) -> DataFrame:
     return top.withColumn("token_id", F.row_number().over(w).cast("long"))
 
 
+def vocab_apply(df: DataFrame, id_col: str, text_col: str, vocab: DataFrame) -> DataFrame:
+    """Encode documents against a built vocabulary: per doc, total token
+    count, out-of-vocabulary count/rate, and an order-independent
+    token-id checksum (sum of matched ids) — the vocabulary-application
+    stage of corpus prep, and the signal (OOV rate) that decides whether
+    the vocab needs retraining on drifted data.
+
+    Scale: the vocab is top-N rows → BROADCAST into the token explode;
+    the only shuffle is the per-doc aggregation, with map-side combine.
+    Hot tokens are harmless (broadcast hash lookup, no skewed join key).
+    Docs with zero tokens produce no row (nothing to encode) — same on
+    both engines by construction.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    joined = toks.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    )
+    n_oov = F.sum(F.when(F.col("token_id").isNull(), 1).otherwise(0))
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        n_oov.cast("long").alias("n_oov"),
+        F.sum(F.coalesce(F.col("token_id"), F.lit(0))).cast("long").alias("ids_checksum"),
+    )
+
+
 def boilerplate_coverage(
     df: DataFrame,
     id_col: str,

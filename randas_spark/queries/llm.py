@@ -1639,6 +1639,52 @@ def llm_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_vocab_apply",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({sql_tokens('text')}) AS token FROM documents
+    ),
+    toks2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    counted AS (
+        SELECT token, count(*) AS cnt FROM toks2 GROUP BY token
+    ),
+    top AS (SELECT token, cnt FROM counted ORDER BY cnt DESC, token LIMIT 200),
+    vocab AS (
+        SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS token_id
+        FROM top
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           {sql_fround('CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)', 6)} AS oov_rate,
+           CAST(sum(coalesce(v.token_id, 0)) AS BIGINT) AS ids_checksum
+    FROM toks2 LEFT JOIN vocab v USING (token)
+    GROUP BY doc_id
+    """,
+)
+def llm_vocab_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary APPLICATION (operators/corpus.vocab_apply over the
+    top-200 vocab_build): per doc, token count, OOV count/rate, and an
+    order-independent token-id checksum — the encode stage of corpus
+    prep, and the drift signal that schedules vocab retraining. The
+    vocab broadcasts into the token explode; the only shuffle is the
+    per-doc agg (map-side combined). Hot tokens are harmless: broadcast
+    hash lookup, never a skewed join key."""
+    from randas_spark.operators.corpus import vocab_apply, vocab_build
+
+    d = t(spark, sf_dir, "documents")
+    vocab = vocab_build(d, "text", 200)
+    enc = vocab_apply(d, "doc_id", "text", vocab)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        fround(F.col("n_oov").cast("double") / F.col("n_tokens"), 6).alias("oov_rate"),
+        "ids_checksum",
+    )
+
+
+@register(
     "llm_boilerplate_coverage",
     oracle=f"""
     WITH sh AS (
