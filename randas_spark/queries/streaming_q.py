@@ -276,6 +276,37 @@ def _countmin_cells_oracle() -> str:
     """
 
 
+@register(
+    "stream_quantile_cells",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE floor(value * 100) >= 1
+    ), b AS (
+        SELECT msb, greatest(msb - 5, 0) AS k,
+               CAST(floor(cents / pow(2, greatest(msb - 5, 0))) AS BIGINT) AS shifted
+        FROM (SELECT cents, length(bin(cents)) AS msb FROM c)
+    )
+    SELECT CAST(msb * 32 + shifted AS BIGINT) AS bin_key, k, shifted,
+           count(*) AS cnt
+    FROM b GROUP BY 1, 2, 3
+    """,
+)
+def stream_quantile_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained QUANTILE sketch cells: the binary-
+    mantissa histogram (operators/sketches.quantile_sketch_bins) is a
+    plain groupBy aggregation, so on a stream the sketch state IS the
+    streaming agg state — O(bins) rows forever, update/complete mode
+    always holds the current CDF of everything seen, and any engine can
+    rebuild it bit-identically (integer bins). The streaming percentile
+    companion to stream_countmin_cells (frequencies) and the batch
+    rel_quantile_sketch_mergeable (merge law). pytest replays the same
+    builder over readStream and asserts cell-level equality."""
+    from randas_spark.operators.sketches import quantile_sketch_bins
+
+    return quantile_sketch_bins(t(spark, sf_dir, "events"), "value")
+
+
 @register("stream_countmin_cells", oracle=_countmin_cells_oracle())
 def stream_countmin_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained Count-Min sketch cells

@@ -463,3 +463,18 @@ def test_countmin_stream_matches_batch_sketch(spark, batch_events):
         files_per_trigger=1,
     )
     assert _collect_sorted(streamed) == _collect_sorted(batch)
+
+
+def test_quantile_sketch_stream_matches_batch_bins(spark, batch_events):
+    """The streamed quantile-sketch histogram (groupBy state = the bins)
+    must equal the batch-built bins cell-for-cell through readStream."""
+    from randas_spark.operators.sketches import quantile_sketch_bins
+
+    batch = quantile_sketch_bins(batch_events, "value")
+    streamed = _run_stream(
+        spark,
+        lambda s: quantile_sketch_bins(s, "value"),
+        "t_qsketch",
+        files_per_trigger=1,
+    )
+    assert _collect_sorted(streamed) == _collect_sorted(batch)
