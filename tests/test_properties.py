@@ -218,3 +218,101 @@ def test_concat_rows_is_count_additive(spark, data):
     f = RandasFrame.new(spark, {"a": ints, "b": floats}, ["a", "b"])
     both = f.concat(f, axis=0)
     assert both.shape() == (2 * len(ints), 2)
+
+
+def _py_qsketch_bins(values):
+    """Driver-side ground truth for the binary-mantissa quantile sketch
+    (operators/sketches.quantile_sketch_bins) — pure-python recompute."""
+    from collections import Counter
+
+    bins = Counter()
+    meta = {}
+    for v in values:
+        cents = int(math.floor(v * 100))
+        if cents < 1:
+            continue
+        msb = cents.bit_length()
+        k = max(msb - 5, 0)
+        shifted = cents >> k
+        key = msb * 32 + shifted
+        bins[key] += 1
+        meta[key] = (k, shifted)
+    return bins, meta
+
+
+@given(
+    st.lists(
+        st.floats(min_value=0.011, max_value=1e9, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_quantile_sketch_bins_match_python_and_bound_error(spark, values):
+    """For arbitrary positive values: (1) the Spark-built bins equal a
+    pure-python recompute exactly (integer binning is engine-portable by
+    construction), (2) every bin's reconstruction midpoint is within
+    half a bin width of any member value (the error-bound invariant the
+    quantile estimate inherits)."""
+    from randas_spark.operators.sketches import quantile_sketch_bins
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    got = {
+        r.bin_key: (r.k, r.shifted, r.cnt)
+        for r in quantile_sketch_bins(df, "v").collect()
+    }
+    want_bins, want_meta = _py_qsketch_bins(values)
+    assert {k: v[2] for k, v in got.items()} == dict(want_bins)
+    for key, (k, shifted, _) in got.items():
+        assert (k, shifted) == want_meta[key]
+        lo, hi = shifted * 2**k, (shifted + 1) * 2**k
+        mid = (shifted + 0.5) * 2**k
+        # any member value of this bin lies in [lo, hi) -> midpoint error
+        # is at most half the bin width
+        assert hi - lo <= max(lo / 16, 1)
+        assert lo <= mid < hi
+
+
+def _py_containment(docs, k=3, threshold=0.5):
+    def sh(text):
+        toks = [t for t in text.lower().split(" ") if t]
+        n = max(len(toks) - (k - 1), 1)
+        return {" ".join(toks[i : i + k]) for i in range(n)}
+
+    out = {}
+    for ida, ta in docs:
+        for idb, tb in docs:
+            if ida == idb:
+                continue
+            a, b = sh(ta), sh(tb)
+            if a and len(a & b) / len(a) >= threshold:
+                out[(ida, idb)] = len(a & b) / len(a)
+    return out
+
+
+_WORDS = st.sampled_from("alpha beta gamma delta epsilon zeta".split())
+
+
+@given(
+    st.lists(
+        st.lists(_WORDS, min_size=3, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=5,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_containment_pairs_match_python_ground_truth(spark, texts):
+    """Directed containment pairs equal a driver-side set recompute for
+    arbitrary small corpora (shared tokenizer semantics)."""
+    from randas_spark.operators.dedup import containment_pairs
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(df, "doc_id", "text", k=3, threshold=0.5).collect()
+    }
+    want = _py_containment(docs, k=3, threshold=0.5)
+    assert set(got) == set(want)
+    for pair in got:
+        assert abs(got[pair] - want[pair]) < 1e-12
