@@ -236,6 +236,40 @@ def stream_stream_join_conversions(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "stream_stream_left_outer",
+    oracle="""
+    WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type FROM events)
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id AS user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM (SELECT * FROM e WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click, converted or
+    not — unconverted clicks carry null purchase columns. On the stream
+    (same builder, how='leftOuter', two-sided watermarks) matched rows
+    emit immediately while the null rows emit only once the watermark
+    passes click_ts + horizon, because a match could still arrive — the
+    outer-emission semantics tests/test_streaming.py pins through
+    readStream. State stays O(rate x horizon) exactly as the inner
+    form."""
+    from randas_spark.streaming.engine import click_purchase_conversions
+
+    e = t(spark, sf_dir, "events")
+    return click_purchase_conversions(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+        how="leftOuter",
+    )
+
+
+@register(
     "stream_window_distinct_users",
     oracle="""
     SELECT CAST(date_trunc('hour', ts::TIMESTAMP) AS TIMESTAMP) AS window_start,

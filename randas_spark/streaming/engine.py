@@ -177,6 +177,7 @@ def click_purchase_conversions(
     purchases: DataFrame,
     horizon: str = "1 hour",
     watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval self-join: purchases attributed to a click
     by the same user within ``horizon`` after the click.
@@ -186,6 +187,12 @@ def click_purchase_conversions(
     rows older than watermark + horizon, so state is O(arrival rate ×
     horizon), not O(stream length). Without the time bound a
     stream-stream join would hold both streams forever.
+
+    ``how="leftOuter"`` additionally emits unconverted clicks with null
+    purchase columns — but on a STREAM only once the watermark passes
+    click_ts + horizon (before that a matching purchase could still
+    arrive). Matched rows emit immediately; the null rows are the
+    watermark-gated tail — the semantics tests/test_streaming.py pins.
     """
     c = clicks.select(
         F.col("event_id").alias("click_id"),
@@ -205,7 +212,7 @@ def click_purchase_conversions(
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") < F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
     )
-    return c.join(p, cond).select(
+    return c.join(p, cond, how).select(
         "click_id",
         "purchase_id",
         F.col("click_user").alias("user_id"),

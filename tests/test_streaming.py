@@ -404,6 +404,42 @@ def test_stream_stream_join_equivalence(spark, batch_events):
     assert _collect_sorted(streamed) == _collect_sorted(batch)
 
 
+def test_stream_stream_left_outer_watermark_gated(spark, batch_events):
+    """Left-outer stream-stream join: every MATCHED pair emits and
+    equals the batch inner set; null (unconverted) rows emit ONLY for
+    clicks the final watermark has passed — never for the
+    still-could-match tail — and each emitted null row must exist in
+    the batch left-outer result."""
+    from pyspark.sql import functions as F
+    from randas_spark.streaming.engine import click_purchase_conversions
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    batch = click_purchase_conversions(*split(batch_events), horizon="1 hour", how="leftOuter")
+    batch_rows = {(r.click_id, r.purchase_id) for r in batch.collect()}
+    batch_matched = {p for p in batch_rows if p[1] is not None}
+
+    streamed = _run_stream(
+        spark,
+        lambda s: click_purchase_conversions(
+            *split(s), horizon="1 hour", watermark="2 hours", how="leftOuter"
+        ),
+        "t_ssjoin_lo",
+        output_mode="append",
+    )
+    got = {(r.click_id, r.purchase_id) for r in streamed.collect()}
+    got_matched = {p for p in got if p[1] is not None}
+    assert got_matched == batch_matched  # inner pairs identical
+    assert got <= batch_rows  # every emitted null row is a true non-conversion
+    # the watermark-gated tail: null rows may be withheld, never invented
+    withheld = batch_rows - got
+    assert all(p[1] is None for p in withheld)
+
+
 def test_incremental_dedup_ingest_matches_batch(spark, tmp_path):
     """Streamed corpus ingestion with per-batch anti-join dedup ends up
     with exactly the batch exact-dedup survivor set, even when the SAME
