@@ -852,6 +852,145 @@ def sql_minhash_h32(s_expr: str) -> str:
     return f"(('0x' || substr(md5({s_expr}), 1, 8))::BIGINT)"
 
 
+def portable_banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """(doc_id, band_id, bk) — the engine-portable MinHash band keys
+    (md5→32-bit shingle hash, (a_p·h+b_p) mod P integer permutations,
+    num_perm/bands rows concatenated per band). Shared by the
+    within-corpus LSH (minhash_lsh_pairs_portable) and the incremental
+    ledger variant (incremental_near_dedup); per-doc and deterministic,
+    so signatures computed on any subset equal those computed on the
+    union — the property that lets a stored ledger stay valid."""
+    rows_per_band = num_perm // bands
+    if rows_per_band * bands != num_perm:
+        raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
+    sh = fan_out(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), k)).alias("s")
+    )
+    h32 = F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 8), 16, 10).cast("long")
+    shh = sh.withColumn("h", h32)
+    mins = shh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(f"m{p}")
+            for p, (a, b) in enumerate(minhash_perm_consts(num_perm))
+        ]
+    )
+    return mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "|", *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("bk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.band_id", "x.bk")
+
+
+def incremental_near_dedup(
+    batch: DataFrame,
+    ledger_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """NEAR-duplicate dedup of an ingestion batch against the accumulated
+    corpus — the fuzzy companion of :func:`incremental_dedup` (exact
+    fingerprints). Each batch doc is labeled ``near_dup_vs_ledger``
+    (with its lowest-id verified match and that match's Jaccard) or
+    ``kept``.
+
+    Plan: batch band keys equi-join the LEDGER's band keys (portable
+    MinHash — :func:`portable_banded_signatures`), then exact-Jaccard
+    verification shingles CANDIDATE docs only. Deterministic best match
+    = min ledger id among verified matches (no float tie ordering).
+
+    Scale: lifetime cost stays linear — each batch joins the ledger on
+    band keys, never re-pairing the whole corpus. In production the
+    ledger's (doc_id, band_id, bk) rows are PRECOMPUTED at ingest and
+    stored bucketed on bk (io/layout.write_bucketed), so the per-batch
+    join shuffles only the batch side; this function recomputes them
+    from ``ledger_docs`` for the self-contained form. Signatures are
+    per-doc, so ledger signatures never go stale as the corpus grows.
+    """
+    b_banded = portable_banded_signatures(batch, id_col, text_col, num_perm, bands, k)
+    l_banded = portable_banded_signatures(
+        ledger_docs, id_col, text_col, num_perm, bands, k
+    )
+    cand = (
+        b_banded.alias("a")
+        .join(l_banded.alias("b"), ["band_id", "bk"])
+        .select(F.col("a.doc_id").alias("id_batch"), F.col("b.doc_id").alias("id_led"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def cand_shingles(df: DataFrame, side: str) -> DataFrame:
+        ids = cand.select(F.col(side).alias(id_col)).distinct()
+        return (
+            fan_out(df)
+            .join(ids, id_col, "left_semi")
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(shingles(F.col(text_col), k)).alias("s"),
+            )
+        )
+
+    sh_b = cand_shingles(batch, "id_batch").localCheckpoint()
+    sh_l = cand_shingles(ledger_docs, "id_led").localCheckpoint()
+    sizes_b = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b"))
+    sizes_l = sh_l.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_l"))
+    inter = (
+        cand.join(sh_b.select(F.col("doc_id").alias("id_batch"), "s"), "id_batch")
+        .join(sh_l.select(F.col("doc_id").alias("id_led"), "s"), ["id_led", "s"])
+        .groupBy("id_batch", "id_led")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_b") + F.col("n_l") - F.col("n_inter")
+    )
+    verified = (
+        inter.join(sizes_b.select(F.col("doc_id").alias("id_batch"), "n_b"), "id_batch")
+        .join(sizes_l.select(F.col("doc_id").alias("id_led"), "n_l"), "id_led")
+        .filter(jac >= threshold)
+        .select("id_batch", "id_led", jac.alias("jaccard"))
+    )
+    best = verified.groupBy("id_batch").agg(F.min("id_led").alias("match_id"))
+    best = best.join(
+        verified.select(
+            F.col("id_batch"), F.col("id_led").alias("match_id"), "jaccard"
+        ),
+        ["id_batch", "match_id"],
+    )
+    return (
+        batch.select(F.col(id_col).alias("doc_id"))
+        .join(best.withColumnRenamed("id_batch", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "match_id",
+            "jaccard",
+            F.when(F.col("match_id").isNotNull(), F.lit("near_dup_vs_ledger"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+
+
 def minhash_lsh_pairs_portable(
     df: DataFrame,
     id_col: str,
@@ -881,36 +1020,7 @@ def minhash_lsh_pairs_portable(
     hex-string mins — the audit variant now prices within ~1.5× of
     xxhash64 instead of the 3-4× the per-permutation-md5 design paid.
     """
-    rows_per_band = num_perm // bands
-    if rows_per_band * bands != num_perm:
-        raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
-    sh = fan_out(df).select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), k)).alias("s")
-    )
-    h32 = F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 8), 16, 10).cast("long")
-    shh = sh.withColumn("h", h32)
-    mins = shh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_MOD)).alias(f"m{p}")
-            for p, (a, b) in enumerate(minhash_perm_consts(num_perm))
-        ]
-    )
-    banded = mins.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.concat_ws(
-                            "|", *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
-                        ).alias("bk"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("x"),
-    ).select("doc_id", "x.band_id", "x.bk")
+    banded = portable_banded_signatures(df, id_col, text_col, num_perm, bands, k)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, ["band_id", "bk"])

@@ -1811,6 +1811,107 @@ def _sql_minhash_lsh(num_perm: int = 32, bands: int = 8, k: int = 5, threshold: 
     """
 
 
+def _sql_incremental_near(
+    split_id: int = 400, num_perm: int = 32, bands: int = 8, k: int = 5, threshold: float = 0.6
+) -> str:
+    """DuckDB twin of operators/dedup.incremental_near_dedup on the
+    doc_id<split ledger / doc_id>=split batch partition of documents.
+    Signatures are per-doc, so computing them over ALL documents and
+    splitting sides at the candidate join equals the Spark side's
+    separate subset pipelines exactly."""
+    from randas_spark.operators.dedup import (
+        MINHASH_MOD,
+        minhash_perm_consts,
+        sql_minhash_h32,
+    )
+
+    rpb = num_perm // bands
+    min_cols = ",\n               ".join(
+        f"min(({a} * h + {b}) % {MINHASH_MOD}) AS m{p}"
+        for p, (a, b) in enumerate(minhash_perm_consts(num_perm))
+    )
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {key} AS bk FROM mins".format(
+            b=b,
+            key=" || '|' || ".join(f"m{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_sql_shingles('text', k)}) AS s FROM documents
+    ),
+    shh AS (
+        SELECT doc_id, s, {sql_minhash_h32('s')} AS h FROM sh
+    ),
+    mins AS (
+        SELECT doc_id,
+               {min_cols}
+        FROM shh GROUP BY doc_id
+    ),
+    banded AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT a.doc_id AS id_batch, b.doc_id AS id_led
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.bk = b.bk
+         AND a.doc_id >= {split_id} AND b.doc_id < {split_id}
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    verified AS (
+        SELECT i.id_batch, i.id_led,
+               CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        FROM (
+            SELECT c.id_batch, c.id_led, count(*) AS n_inter
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.id_batch
+            JOIN sh b ON b.doc_id = c.id_led AND b.s = a.s
+            GROUP BY 1, 2
+        ) i
+        JOIN sizes sa ON sa.doc_id = i.id_batch
+        JOIN sizes sb ON sb.doc_id = i.id_led
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
+    ),
+    best AS (
+        SELECT id_batch, min(id_led) AS match_id FROM verified GROUP BY 1
+    ),
+    best_j AS (
+        SELECT b.id_batch, b.match_id, {sql_fround('v.jaccard', 6)} AS jaccard
+        FROM best b JOIN verified v
+          ON v.id_batch = b.id_batch AND v.id_led = b.match_id
+    )
+    SELECT d.doc_id, bj.match_id, bj.jaccard,
+           CASE WHEN bj.match_id IS NOT NULL
+                THEN 'near_dup_vs_ledger' ELSE 'kept' END AS status
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= {split_id}) d
+    LEFT JOIN best_j bj ON bj.id_batch = d.doc_id
+    """
+
+
+@register("llm_dedup_incremental_near", oracle=_sql_incremental_near())
+def llm_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup ingestion dedup vs the accumulated-corpus ledger
+    (operators/dedup.incremental_near_dedup; docs with id < 400 play
+    the ledger, id >= 400 the new batch): batch band keys equi-join
+    ledger band keys, exact-Jaccard verification on candidates only,
+    lowest-id match wins. The fuzzy companion of llm_dedup_incremental
+    — the shape that keeps LIFETIME dedup cost linear while catching
+    near-dups, with the ledger's band keys precomputed+bucketed at
+    scale (docstring on the operator)."""
+    from randas_spark.operators.dedup import incremental_near_dedup
+
+    d = t(spark, sf_dir, "documents")
+    out = incremental_near_dedup(
+        d.filter(F.col("doc_id") >= 400),
+        d.filter(F.col("doc_id") < 400),
+        "doc_id",
+        "text",
+    )
+    return out.select("doc_id", "match_id", fround(F.col("jaccard"), 6).alias("jaccard"), "status")
+
+
 @register("llm_dedup_minhash_det", oracle=_sql_minhash_lsh())
 def llm_dedup_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-portable MinHash-LSH near-dup pairs (operators/dedup.

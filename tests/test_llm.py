@@ -166,6 +166,44 @@ def test_containment_is_directed_and_caps_bound(spark):
     assert capped <= set(pairs)
 
 
+def test_incremental_near_dedup_consistent_with_full_corpus_pairs(spark, docs):
+    """Batch-vs-ledger near-dup labels must agree exactly with the
+    cross-split subset of the full-corpus portable MinHash pairs: same
+    candidates (same band scheme), same verification, min-ledger-id
+    match."""
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.dedup import (
+        incremental_near_dedup,
+        minhash_lsh_pairs_portable,
+    )
+
+    split = 400
+    full = minhash_lsh_pairs_portable(docs, "doc_id", "text").collect()
+    # cross pairs always have id_a (< split) in the ledger: ledger ids
+    # are all below every batch id, and pairs are emitted id_a < id_b
+    expect = {}
+    for r in full:
+        if r.id_a < split <= r.id_b:
+            cur = expect.get(r.id_b)
+            if cur is None or r.id_a < cur[0]:
+                expect[r.id_b] = (r.id_a, r.jaccard)
+
+    out = incremental_near_dedup(
+        docs.filter(F.col("doc_id") >= split),
+        docs.filter(F.col("doc_id") < split),
+        "doc_id",
+        "text",
+    ).collect()
+    assert len(out) == docs.filter(F.col("doc_id") >= split).count()
+    for r in out:
+        if r.status == "near_dup_vs_ledger":
+            assert expect[r.doc_id][0] == r.match_id
+            assert abs(expect[r.doc_id][1] - r.jaccard) < 1e-12
+        else:
+            assert r.doc_id not in expect and r.match_id is None
+
+
 # -- SimHash ---------------------------------------------------------------
 
 
