@@ -40,6 +40,29 @@ def test_partitioned_write_prunes_directories(spark, orders, tmp_path):
     assert pruned.count() == want
 
 
+def test_dynamic_partition_pruning_from_dim_filter(spark, orders, tmp_path):
+    """DYNAMIC partition pruning: when the partition column is only
+    constrained through a join with a filtered dimension, the fact scan
+    must still prune — Spark injects a runtime subquery
+    (``dynamicpruning`` in PartitionFilters) fed by the dim side. This
+    is the 100 TB behavior that makes star-schema date/status filters
+    skip fact partitions without the filter ever being written against
+    the fact."""
+    from randas_spark.io.layout import read_pruned, write_partitioned
+
+    path = str(tmp_path / "orders_dpp")
+    write_partitioned(orders, path, ["o_orderstatus"])
+    fact = read_pruned(spark, path)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")], "status string, label string"
+    ).filter(F.col("label") == "finished")
+    joined = fact.join(dim.hint("broadcast"), fact.o_orderstatus == dim.status)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    want = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert joined.count() == want
+
+
 def test_bucketed_join_has_no_exchange(spark, orders, tmp_path):
     """Two tables bucketed on the join key must sort-merge join with zero
     Exchange operators — the write-once/join-free-forever trade."""
