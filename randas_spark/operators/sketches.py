@@ -232,8 +232,16 @@ def quantile_sketch_bins(df: DataFrame, value_col: str, group_cols: list[str] | 
     """(group..., bin_key, k, shifted, cnt) histogram sketch of
     floor(value*100) cents; non-positive values are excluded (the money
     domain). One map-side-combinable groupBy."""
+    from randas_spark.operators.dedup import fan_out
+
     cents = F.floor(F.col(value_col) * 100).cast("long")
-    base = df.select(*(group_cols or []), cents.alias("cents")).filter(F.col("cents") >= 1)
+    # bin()/length do per-row string work — fan a single-split local
+    # input out to core count (no-op on streams and many-split cluster
+    # scans), AFTER the projection so the exchange carries only
+    # (group_cols, cents), never the full fact row
+    base = fan_out(
+        df.select(*(group_cols or []), cents.alias("cents")).filter(F.col("cents") >= 1)
+    )
     msb = F.length(F.bin(F.col("cents")))
     k = F.greatest(msb - F.lit(5), F.lit(0))
     divisor = F.pow(F.lit(2.0), k)
