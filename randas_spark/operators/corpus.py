@@ -123,6 +123,62 @@ def vocab_build(df: DataFrame, text_col: str, top_n: int) -> DataFrame:
     return top.withColumn("token_id", F.row_number().over(w).cast("long"))
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (the mT5/Pile α-sampling
+    trick): target mixture q_s ∝ n_s^α flattens source imbalance
+    (α=1 keeps natural proportions, α=0 makes them uniform); per-source
+    keep-rates realize an expected ``target_frac`` of the corpus at
+    that mixture, capped at 1.
+
+    Fully in-engine — unlike :func:`mixture_sample` the rates are
+    COMPUTED from the per-source counts (one tiny agg, broadcast back),
+    so the operator rebalances whatever the data is. Membership stays a
+    deterministic pure function of the id: rates are quantized to 1e-6
+    (floor — absorbs cross-libm pow() ulp) and compared against
+    md5(id)'s 32-bit value mod 1e6, identically replayable on any
+    engine. Scan-side otherwise: no shuffle of the corpus, no RNG
+    state.
+    """
+    counts = df.groupBy(F.col(domain_col).alias("__src__")).agg(
+        F.count(F.lit(1)).cast("double").alias("__n__")
+    )
+    tot = counts.agg(
+        F.sum(F.pow(F.col("__n__"), F.lit(alpha))).alias("__z__"),
+        F.sum("__n__").alias("__total__"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "__src__",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (F.col("__total__") * F.lit(target_frac))
+                * (F.pow(F.col("__n__"), F.lit(alpha)) / F.col("__z__"))
+                / F.col("__n__"),
+            )
+            * F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("__thr__"),
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8), 16, 10
+        ).cast("long")
+        % 1_000_000
+    )
+    return (
+        df.join(F.broadcast(rates), df[domain_col] == rates["__src__"])
+        .filter(h < F.col("__thr__"))
+        .drop("__src__", "__thr__")
+    )
+
+
 def vocab_apply(df: DataFrame, id_col: str, text_col: str, vocab: DataFrame) -> DataFrame:
     """Encode documents against a built vocabulary: per doc, total token
     count, out-of-vocabulary count/rate, and an order-independent

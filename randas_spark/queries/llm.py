@@ -1614,6 +1614,41 @@ def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_mixture_temperature",
+    oracle="""
+    WITH counts AS (
+        SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY source
+    ), tot AS (
+        SELECT sum(pow(n, 0.5)) AS z, sum(n) AS total FROM counts
+    ), rates AS (
+        SELECT source,
+               CAST(floor(least(1.0,
+                   (total * 0.5) * (pow(n, 0.5) / z) / n) * 1000000) AS BIGINT) AS thr
+        FROM counts, tot
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r USING (source)
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 1000000 < r.thr
+    """,
+)
+def llm_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture sampling (operators/corpus.
+    temperature_mixture_sample, α=0.5, target 50% of the corpus): keep
+    rates are COMPUTED in-engine from per-source counts as q_s ∝ n_s^α
+    — the mT5/Pile source-rebalancing pass, fully declarative (one tiny
+    count agg broadcast back into a scan-side hash filter; the corpus
+    itself never shuffles). Rates quantize to 1e-6 by floor so both
+    engines agree despite libm pow() ulp."""
+    from randas_spark.operators.corpus import temperature_mixture_sample
+
+    d = t(spark, sf_dir, "documents")
+    return temperature_mixture_sample(
+        d, "source", "doc_id", alpha=0.5, target_frac=0.5
+    ).select("doc_id", "source")
+
+
+@register(
     "llm_vocab_build",
     oracle=f"""
     WITH toks AS (

@@ -242,6 +242,53 @@ def rel_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_rolling_median",
+    oracle=f"""
+    WITH w AS (
+        SELECT user_id, event_id, value,
+               list_sort(list(value) OVER win) AS s,
+               CAST(len(list(value) OVER win) AS BIGINT) AS n
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
+                       ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, value,
+           {sql_fround('(s[CAST((n + 1) // 2 AS BIGINT)] + s[CAST(n // 2 + 1 AS BIGINT)]) / 2.0', 6)} AS rolling_median
+    FROM w
+    """,
+)
+def rel_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median of each user's trailing 11 events — the robust
+    smoother rolling averages can't give you (one outlier moves a mean,
+    not a median). No built-in windowed percentile exists on either
+    engine, so both run the identical explicit form: collect the frame
+    into an array (bounded at 11 elements — constant per-row state, the
+    reason this is safe), sort, pick the middle (mean of the two middle
+    elements on even counts). One shuffle on user_id, same window
+    family as rel_anomaly_zscore. At 100 TB the frame bound is the
+    contract: rolling-collect is only legal with a ROWS frame of
+    constant width."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-10, Window.currentRow)
+    )
+    e = t(spark, sf_dir, "events")
+    s = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(s)
+    staged = e.select(
+        "user_id", "event_id", "value", s.alias("s"), n.alias("n")
+    )
+    med = (
+        F.element_at(F.col("s"), ((F.col("n") + 1) / 2).cast("int"))
+        + F.element_at(F.col("s"), (F.col("n") / 2).cast("int") + 1)
+    ) / F.lit(2.0)
+    return staged.select(
+        "user_id", "event_id", "value", fround(med, 6).alias("rolling_median")
+    )
+
+
+@register(
     "rel_merge_upsert",
     oracle="""
     SELECT user_id, ts::TIMESTAMP AS last_ts, event_type AS last_op,

@@ -113,3 +113,30 @@ def test_sampling_is_scan_side(docs):
     the scan (narrow plan, no Exchange)."""
     plan = hash_sample(docs, "doc_id", 0.5)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_temperature_mixture_flattens_imbalance(spark):
+    """alpha<1 must give the SMALL source a higher keep-rate than the
+    big one (flattening), alpha=1 equal rates (natural proportions);
+    expected totals near target_frac."""
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.corpus import temperature_mixture_sample
+
+    rows = [(i, "big") for i in range(900)] + [(900 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    kept = temperature_mixture_sample(df, "source", "doc_id", alpha=0.5, target_frac=0.5)
+    frac = {
+        r.source: r.k / (900 if r.source == "big" else 100)
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("k")).collect()
+    }
+    assert frac["small"] > frac["big"]  # flattening
+    assert abs(kept.count() / 1000 - 0.5) < 0.1  # near target overall
+
+    natural = temperature_mixture_sample(df, "source", "doc_id", alpha=1.0, target_frac=0.5)
+    nf = {
+        r.source: r.k / (900 if r.source == "big" else 100)
+        for r in natural.groupBy("source").agg(F.count(F.lit(1)).alias("k")).collect()
+    }
+    assert abs(nf["small"] - nf["big"]) < 0.15  # equal rates up to hash noise
