@@ -289,3 +289,66 @@ def quantile_sketch_estimate(bins: DataFrame, quantiles: dict[str, float]) -> Da
         F.max("n_total").alias("n_total"),
         fround(F.min_by("mid", "bin_key"), 6).alias("est"),
     )
+
+
+# --------------------------------------------------------------------------
+# Portable HyperLogLog (md5 registers — bit-identical cross-engine)
+# --------------------------------------------------------------------------
+#
+# Spark's approx_count_distinct is an engine-private HLL: its estimate
+# can only be oracle-checked with a tolerance verdict
+# (rel_approx_count_distinct). This HLL derives everything from md5 —
+# bucket = first 2 hex digits (m=256 registers), rho = leading-zero
+# rank of the next 8 hex digits as a 32-bit word — so registers AND
+# estimates are bit-identical on Spark, DuckDB, and Python:
+#
+# - the harmonic sum Σ 2^-M_j adds exact powers of two spanning ≤ 41
+#   bits (2^-33..2^0 over 256 terms), so every partial sum is exact and
+#   the float result is ORDER-INDEPENDENT — no rounding slack needed
+#   for the sum itself (ln() in the small-range correction is the one
+#   libm call; fround absorbs it);
+# - merge = per-bucket MAX of registers (shards/days roll up without
+#   fact rescans), the HLL merge law;
+# - standard error ~ 1.04/sqrt(256) ≈ 6.5%.
+
+
+def hll_registers(df: DataFrame, key_col: str, group_cols: list[str] | None = None) -> DataFrame:
+    """(group..., bucket, rho) register table; rho = max over keys of
+    (number of leading zeros in the 32-bit hash word) + 1. One
+    map-side-combinable groupBy — shuffle volume O(groups × 256)."""
+    h = F.md5(F.col(key_col).cast("string").cast("binary"))
+    bucket = (F.conv(F.substring(h, 1, 2), 16, 10)).cast("long")
+    word = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
+    # bit_length via bin(): rho = 32 - bit_length(word) + 1; word==0 -> 33
+    rho = F.when(F.col("__w__") == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.bin(F.col("__w__")))
+    )
+    base = df.select(*(group_cols or []), bucket.alias("bucket"), word.alias("__w__"))
+    return (
+        base.withColumn("rho", rho.cast("long"))
+        .groupBy(*(group_cols or []), "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(registers: DataFrame) -> DataFrame:
+    """Merge register shards: per-bucket MAX (group columns dropped)."""
+    return registers.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str] | None = None, m: int = 256) -> DataFrame:
+    """(group..., est): the HLL estimate with the standard small-range
+    (linear counting) correction. Runs over the tiny register table."""
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = registers.groupBy(*(group_cols or [])).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__s__"),
+        F.count(F.lit(1)).alias("__present__"),
+    )
+    zeros = F.lit(m) - F.col("__present__")
+    harm = F.col("__s__") + zeros.cast("double")  # absent buckets add 2^0
+    raw = F.lit(alpha * m * m) / harm
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*(group_cols or []), est.alias("est"))

@@ -690,6 +690,73 @@ def rel_quantile_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame
     return quantile_sketch_estimate(merged, {"p50": 0.5, "p90": 0.9, "p99": 0.99})
 
 
+_HLL_C = repr(0.7213 / (1 + 1.079 / 256) * 256 * 256)  # alpha * m^2, m=256
+
+_HLL_REGS_CTE = """
+    regs AS (
+        SELECT grp, bucket, max(rho) AS rho FROM (
+            SELECT o_orderpriority AS grp,
+                   CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 2)) AS BIGINT) AS bucket,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 3, 8)) AS BIGINT) = 0
+                        THEN 33
+                        ELSE 33 - length(bin(CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 3, 8)) AS BIGINT)))
+                   END AS rho
+            FROM orders
+        ) GROUP BY 1, 2
+    )
+"""
+
+
+def _sql_hll_est(src: str) -> str:
+    raw = f"({_HLL_C}) / (s + (256 - present))"
+    lin = "256.0 * ln(256.0 / (256 - present))"
+    return f"""
+        SELECT grp,
+               CASE WHEN {raw} <= 640.0 AND present < 256 THEN {lin}
+                    ELSE {raw} END AS est0
+        FROM (SELECT grp, sum(pow(2.0, -rho)) AS s, count(*) AS present
+              FROM {src} GROUP BY grp)
+    """
+
+
+@register(
+    "rel_hll_portable",
+    oracle=f"""
+    WITH {_HLL_REGS_CTE},
+    merged AS (
+        SELECT '<all>' AS grp, bucket, max(rho) AS rho FROM regs GROUP BY 2
+    ),
+    est_g AS ({_sql_hll_est('regs')}),
+    est_m AS ({_sql_hll_est('merged')})
+    SELECT grp, {sql_fround('est0', 6)} AS est FROM est_g
+    UNION ALL
+    SELECT grp, {sql_fround('est0', 6)} AS est FROM est_m
+    """,
+)
+def rel_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE HyperLogLog (operators/sketches.hll_registers/merge/
+    estimate): distinct customers per order priority plus the '<all>'
+    row from max-merging the per-group registers — the HLL merge law,
+    cross-engine. Unlike approx_count_distinct (engine-private sketch,
+    tolerance-verdict oracle rel_approx_count_distinct), every register
+    AND estimate here is bit-identical on both engines: md5-derived
+    buckets/ranks, and the harmonic sum adds exact powers of two
+    spanning ≤41 bits so it is order-independent — the only libm call
+    (ln in the small-range correction) sits under fround(6). Build is
+    one map-side-combinable groupBy; shuffle O(groups × 256)."""
+    from randas_spark.operators.sketches import hll_estimate, hll_merge, hll_registers
+
+    o = t(spark, sf_dir, "orders")
+    regs = hll_registers(o, "o_custkey", ["o_orderpriority"])
+    per = hll_estimate(regs, ["o_orderpriority"]).select(
+        F.col("o_orderpriority").alias("grp"), fround(F.col("est"), 6).alias("est")
+    )
+    merged = hll_estimate(hll_merge(regs)).select(
+        F.lit("<all>").alias("grp"), fround(F.col("est"), 6).alias("est")
+    )
+    return per.unionByName(merged)
+
+
 @register(
     "rel_hll_sketch_mergeable",
     oracle="""

@@ -238,6 +238,33 @@ def test_profile_single_scan_and_values(spark):
     assert rows["o_orderstatus"].min_value <= rows["o_orderstatus"].max_value
 
 
+def test_hll_portable_accuracy_and_merge_law(spark):
+    """Portable HLL: every group estimate within 4 sigma (26%) of exact;
+    merging per-group registers equals the direct global build register-
+    for-register (HLL merge law), for an arbitrary grouping."""
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.sketches import hll_estimate, hll_merge, hll_registers
+    from randas_spark.queries import t
+
+    o = t(spark, SF_DIR, "orders")
+    regs = hll_registers(o, "o_custkey", ["o_orderpriority"])
+    est = {r.o_orderpriority: r.est for r in hll_estimate(regs, ["o_orderpriority"]).collect()}
+    exact = {
+        r.o_orderpriority: r.n
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for g, n in exact.items():
+        assert abs(est[g] - n) / n <= 0.26, (g, est[g], n)
+
+    merged = hll_merge(regs)
+    direct = hll_registers(o, "o_custkey")
+    key = lambda r: (r.bucket, r.rho)
+    assert sorted(map(key, merged.collect())) == sorted(map(key, direct.collect()))
+
+
 def test_quantile_sketch_error_bound_and_merge_law(spark):
     """Every estimated quantile must sit within the sketch's designed
     relative error (bin half-width, 1/32 of the value) of the EXACT
