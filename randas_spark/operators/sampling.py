@@ -105,3 +105,21 @@ def train_test_split(df: DataFrame, key: str, test_rate: float, col: str = "spli
 def sql_md5_hex(expr: str) -> str:
     """DuckDB twin of :func:`_md5_hex` for oracle SQL."""
     return f"md5(CAST({expr} AS VARCHAR))"
+
+
+def fixed_size_sample(df: DataFrame, key: str, n: int) -> DataFrame:
+    """EXACTLY-n deterministic sample: the n rows with the smallest
+    md5(key) (ties broken by the key itself). The size-based companion
+    of :func:`hash_sample` (rate-based): "give me exactly 100k docs,
+    the same 100k every run, on any engine".
+
+    Scale: ORDER BY + LIMIT plans as TakeOrderedAndProject — per-
+    partition top-n heaps merged on the driver side of the exchange, no
+    global sort materialization. Growing the corpus only changes the
+    sample incrementally (a doc leaves only when a smaller-hash doc
+    arrives) — the property that keeps downstream caches warm across
+    ingest batches.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    return df.orderBy(_md5_hex(F.col(key)), F.col(key)).limit(n)

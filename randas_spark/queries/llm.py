@@ -695,6 +695,25 @@ def llm_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_sample_topk",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100
+    """,
+)
+def llm_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-100 deterministic sample (operators/sampling.
+    fixed_size_sample): the 100 smallest-md5 docs — size-based
+    reproducible subsetting (vs llm_sample_hash's rate-based form).
+    Plans as TakeOrderedAndProject: per-partition heaps, no global
+    sort; the sample evolves incrementally as the corpus grows."""
+    from randas_spark.operators.sampling import fixed_size_sample
+
+    d = t(spark, sf_dir, "documents")
+    return fixed_size_sample(d, "doc_id", 100).select("doc_id", "source")
+
+
+@register(
     "llm_sample_stratified",
     oracle="""
     SELECT doc_id, lang FROM (

@@ -241,6 +241,48 @@ def rel_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIN_QS = ", ".join(str(q / 10) for q in range(1, 10))
+
+
+@register(
+    "rel_feature_binning",
+    oracle=f"""
+    WITH b AS (
+        SELECT list_transform(quantile_cont(o_totalprice, [{_BIN_QS}]),
+                              x -> {sql_fround('x', 6)}) AS bnds
+        FROM orders
+    )
+    SELECT o_orderkey, o_totalprice,
+           CAST(len(list_filter(b.bnds, bd -> o_totalprice >= bd)) AS BIGINT) AS bucket
+    FROM orders, b
+    """,
+)
+def rel_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth feature binning: every order assigned its o_totalprice
+    DECILE — the feature-engineering discretization step. The
+    scale-correct shape: ONE aggregation computes the 9 boundary values
+    (exact interpolated percentile here for the oracle; production swaps
+    in the mergeable approx_percentile/quantile sketch), broadcast back
+    as a 9-element array, and bucket = count of boundaries <= value (a
+    codegen HOF per row) — never ntile() over a global ORDER BY, which
+    funnels 100 TB through one sort partition. Boundaries are
+    fround(6)-quantized on BOTH engines before comparison, so borderline
+    rows bucket identically despite percentile-interpolation ulp."""
+    o = t(spark, sf_dir, "orders")
+    b = o.agg(
+        F.expr(f"percentile(o_totalprice, array({_BIN_QS}))").alias("bnds0")
+    ).select(F.transform(F.col("bnds0"), lambda x: fround(x, 6)).alias("bnds"))
+    return o.crossJoin(F.broadcast(b)).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.size(
+            F.filter(F.col("bnds"), lambda bd: F.col("o_totalprice") >= bd)
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+
+
 @register(
     "rel_rolling_median",
     oracle=f"""

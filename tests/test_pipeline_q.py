@@ -150,6 +150,19 @@ def test_attribution_lookback_and_ties(spark, monkeypatch):
     assert got[3] == (6, "view", 60.0)
 
 
+def test_feature_binning_is_equi_depth(spark):
+    """Decile binning must produce 10 buckets of near-equal size (the
+    equi-depth property) covering every row."""
+    from randas_spark.queries.pipeline import rel_feature_binning
+
+    out = rel_feature_binning(spark, SF_DIR)
+    sizes = {r.bucket: r.n for r in out.groupBy("bucket").count().withColumnRenamed("count", "n").collect()}
+    total = sum(sizes.values())
+    assert set(sizes) == set(range(10))
+    for b, n in sizes.items():
+        assert abs(n - total / 10) <= total * 0.02 + 2, (b, n, total)
+
+
 def test_correlation_matrix_shape_and_symmetric_pairs(spark):
     """6 unique pairs, no self-pairs, corr in [-1, 1], covar finite."""
     from randas_spark.queries.pipeline import rel_correlation_matrix
