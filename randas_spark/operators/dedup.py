@@ -852,6 +852,74 @@ def sql_minhash_h32(s_expr: str) -> str:
     return f"(('0x' || substr(md5({s_expr}), 1, 8))::BIGINT)"
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    max_fp_freq: int | None = None,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    MOSS plagiarism-detection selection rule): hash every k-gram, slide
+    a window of w consecutive hashes, keep each window's MINIMUM — the
+    selected set (doc_id, fp) is a position-robust fingerprint with
+    guaranteed density ~2/(w+1) and the guarantee that any shared run of
+    >= w+k-1 tokens contributes at least one SHARED fingerprint. The
+    local/robust alternative to whole-document fingerprints
+    (functions/text.fingerprint): insertions far from a match region
+    cannot change the fingerprints it selects.
+
+    Gram hashes are the portable md5→32-bit family (sql twin replayable
+    on any engine). Plan: positional grams (scan-side), a per-doc
+    ordered window (one shuffle on doc_id, constant state), distinct —
+    output is ~2n/(w+1) rows, a fraction of the gram stream.
+    ``max_fp_freq`` mirrors the hot-shingle caps: drop fingerprints in
+    more than that many docs before any pair join on them.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    gram_idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    )
+    grams = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(gram_idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+        ).alias("pos", "g"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 8), 16, 10).cast("long")
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    sel = (
+        grams.select("doc_id", "pos", h.alias("h"))
+        .select("doc_id", "pos", F.min("h").over(win).alias("fp"))
+        .filter(F.col("pos") >= w - 1)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    if max_fp_freq is not None:
+        wf = Window.partitionBy("fp")
+        sel = (
+            sel.withColumn("__freq__", F.count(F.lit(1)).over(wf))
+            .filter(F.col("__freq__") <= max_fp_freq)
+            .drop("__freq__")
+        )
+    return sel
+
+
+def winnowing_shared_pairs(
+    fps: DataFrame, min_shared: int = 3
+) -> DataFrame:
+    """(id_a, id_b, n_shared): doc pairs sharing >= min_shared winnowing
+    fingerprints — same Σfreq² equi-join bound as the shingle joins."""
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def portable_banded_signatures(
     df: DataFrame,
     id_col: str,

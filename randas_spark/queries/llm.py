@@ -1944,6 +1944,58 @@ def _sql_incremental_near(
     """
 
 
+@register(
+    "llm_winnowing",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(tk) - 4),
+                   i -> struct_pack(pos := i - 1,
+                                    g := array_to_string(tk[i:i+4], ' ')))) AS x
+        FROM toks
+    ),
+    flat AS (
+        SELECT doc_id, x.pos AS pos,
+               CAST(('0x' || substr(md5(x.g), 1, 8)) AS BIGINT) AS h
+        FROM grams
+    ),
+    sel0 AS (
+        SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        FROM flat
+    ),
+    sel AS (SELECT DISTINCT doc_id, fp FROM sel0 WHERE pos >= 3)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+)
+def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) plagiarism pairs: doc pairs sharing >= 3
+    winnowing fingerprints (operators/dedup.winnowing_fingerprints,
+    k=5, w=4 — each window of 4 consecutive 5-gram hashes contributes
+    its minimum; density ~2/(w+1), and any shared run of >= 8 tokens is
+    guaranteed a shared fingerprint). The position-robust middle ground
+    between whole-doc fingerprints (llm_fingerprint, brittle to any
+    edit) and full substring dedup (llm_substring_dedup, every gram
+    joined): the pair join here runs on the ~2n/(w+1)-selected
+    fingerprint stream, a fraction of the gram volume."""
+    from randas_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_shared_pairs,
+    )
+
+    fps = winnowing_fingerprints(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=5, w=4
+    )
+    return winnowing_shared_pairs(fps, min_shared=3)
+
+
 @register("llm_dedup_incremental_near", oracle=_sql_incremental_near())
 def llm_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-dup ingestion dedup vs the accumulated-corpus ledger

@@ -166,6 +166,48 @@ def test_containment_is_directed_and_caps_bound(spark):
     assert capped <= set(pairs)
 
 
+def test_winnowing_density_and_shared_run_guarantee(spark, docs):
+    """Winnowing invariants (Schleimer et al.): (1) per-doc fingerprint
+    count is at most the number of selection windows and at least
+    n_windows/w (each window picks one, a value can repeat at most w
+    consecutive windows... lower-bounded loosely); (2) two docs sharing
+    a planted run of >= w+k-1 tokens MUST share a fingerprint."""
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_shared_pairs,
+    )
+
+    k, w = 5, 4
+    fps = winnowing_fingerprints(docs, "doc_id", "text", k=k, w=w)
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.lower(F.col("text")), " ")).alias("n")
+    )
+    counts = {r.doc_id: r.c for r in fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for r in toks.collect():
+        n_windows = r.n - (k - 1) - (w - 1)
+        if n_windows >= 1:
+            assert 1 <= counts[r.doc_id] <= n_windows
+
+    run = "zeta yota kappa lambda mu nu xi omicron pi rho"  # 10 tokens >= w+k-1
+    planted = spark.createDataFrame(
+        [
+            (1, "alpha beta " + run + " gamma delta epsilon one two"),
+            (2, "completely different prefix words here " + run + " and a different tail"),
+            (3, "no shared content in this document at all whatsoever okay"),
+        ],
+        "doc_id long, text string",
+    )
+    pfps = winnowing_fingerprints(planted, "doc_id", "text", k=k, w=w)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in winnowing_shared_pairs(pfps, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
 def test_incremental_near_dedup_consistent_with_full_corpus_pairs(spark, docs):
     """Batch-vs-ledger near-dup labels must agree exactly with the
     cross-split subset of the full-corpus portable MinHash pairs: same
