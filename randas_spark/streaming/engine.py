@@ -148,6 +148,63 @@ def running_user_state(events: DataFrame) -> DataFrame:
     )
 
 
+_ATTR_STATE_SCHEMA = "touch_id long, touch_us long"
+_ATTR_OUT_SCHEMA = "user_id long, purchase_event_id long, touch_event_id long, mins_since_touch double"
+_ATTR_LOOKBACK_US = 259_200_000_000  # 72 h, matching rel_attribution_last_touch
+
+
+def _attribution_state(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful kernel #2: streaming last-touch attribution. The
+    per-user state is ONE (touch_id, touch_us) pair — each trigger
+    walks the user's rows in (ts, event_id) order, updating the carried
+    touch on click/view and emitting an attributed row per purchase.
+    Bounded state by construction (two longs per user, no history)."""
+    touch_id, touch_us = state.get if state.exists else (None, None)
+    out_rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for _, row in pdf.iterrows():
+            et = row["event_type"]
+            ts_us = int(row["ts"].value // 1000)  # pandas ns -> us
+            if et == "purchase":
+                if touch_us is not None and ts_us - touch_us <= _ATTR_LOOKBACK_US:
+                    out_rows.append(
+                        (key[0], int(row["event_id"]), touch_id, (ts_us - touch_us) / 60_000_000.0)
+                    )
+                else:
+                    out_rows.append((key[0], int(row["event_id"]), None, None))
+            elif et in ("click", "view"):
+                touch_id, touch_us = int(row["event_id"]), ts_us
+    state.update((touch_id, touch_us))
+    yield pd.DataFrame(
+        out_rows, columns=["user_id", "purchase_event_id", "touch_event_id", "mins_since_touch"]
+    )
+
+
+def attribution_state(events: DataFrame) -> DataFrame:
+    """Streaming last-touch attribution via applyInPandasWithState —
+    the streaming twin of the batch carry-forward window
+    (queries/pipeline.rel_attribution_last_touch): per-user state is a
+    single carried touch, so attribution streams with O(1) state per
+    user where the window formulation needs the whole history in a
+    batch. Second kernel on the custom-state API (running_user_state is
+    the first), showing the escape hatch generalizes. Within-trigger
+    rows are walked in (ts, event_id) order; cross-trigger correctness
+    holds when triggers respect event-time order per key (file replay
+    here; a kafka source partitioned by user keeps per-key order)."""
+    return events.select("user_id", "event_id", "ts", "event_type").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _attribution_state,
+        outputStructType=_ATTR_OUT_SCHEMA,
+        stateStructType=_ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def segment_hourly_activity(events: DataFrame, customers: DataFrame) -> DataFrame:
     """Stream-static join: enrich the event stream with a slowly-changing
     dimension (customer market segment), then window-aggregate.

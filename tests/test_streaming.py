@@ -404,6 +404,32 @@ def test_stream_stream_join_equivalence(spark, batch_events):
     assert _collect_sorted(streamed) == _collect_sorted(batch)
 
 
+def test_attribution_state_matches_batch_window(spark, batch_events):
+    """Streaming last-touch attribution (O(1)-state custom kernel) must
+    equal the batch ignore-nulls carry-forward window on the same
+    events, row for row (same lookback, same tie order)."""
+    from randas_spark.queries.pipeline import rel_attribution_last_touch
+    from randas_spark.streaming.engine import attribution_state
+
+    batch = {
+        (r.user_id, r.purchase_event_id): (r.touch_event_id, r.mins_since_touch)
+        for r in rel_attribution_last_touch(spark, SF_DIR).collect()
+    }
+    streamed = _run_stream(spark, attribution_state, "t_attr", output_mode="append")
+    got = {
+        (r.user_id, r.purchase_event_id): (r.touch_event_id, r.mins_since_touch)
+        for r in streamed.collect()
+    }
+    assert set(got) == set(batch)
+    for k, (tid, mins) in got.items():
+        btid, bmins = batch[k]
+        assert tid == btid, (k, tid, btid)
+        if mins is None:
+            assert bmins is None
+        else:
+            assert abs(mins - bmins) < 1e-3  # batch rounds via fround(3)
+
+
 def test_stream_stream_left_outer_watermark_gated(spark, batch_events):
     """Left-outer stream-stream join: every MATCHED pair emits and
     equals the batch inner set; null (unconverted) rows emit ONLY for
