@@ -241,6 +241,65 @@ def rel_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import math as _math
+
+_BENFORD = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+# CAST each literal: bare 16-digit decimals type as DECIMAL in DuckDB
+_BENFORD_SQL = "CASE digit " + " ".join(
+    f"WHEN '{d}' THEN CAST({_BENFORD[d]!r} AS DOUBLE)" for d in range(1, 10)
+) + " END"
+
+
+@register(
+    "rel_benford_digits",
+    oracle=f"""
+    WITH d AS (
+        SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ), c AS (
+        SELECT digit, count(*) AS n FROM d GROUP BY digit
+    )
+    SELECT digit, n,
+           {sql_fround('CAST(n AS DOUBLE) / (SELECT sum(n) FROM c)', 6)} AS frac,
+           {sql_fround(_BENFORD_SQL, 6)} AS benford_expected,
+           {sql_fround(f'abs(CAST(n AS DOUBLE) / (SELECT sum(n) FROM c) - ({_BENFORD_SQL}))', 6)} AS abs_dev
+    FROM c
+    """,
+)
+def rel_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit: the observed leading-digit
+    distribution of order totals against Benford's law — the classic
+    fabricated-data / fraud screen, and a data-quality primitive for
+    any monetary column. Digit extraction is INTEGER-SAFE (first char
+    of the floored value's integer string — identical on both engines),
+    never floor(log10(x)), whose libm ulp flips at exact powers of ten.
+    One pruned scan + a 9-row aggregate; the total is a 1-row broadcast
+    subquery. (TPC-H synthetic prices are uniform-ish, so deviations
+    here are LARGE — the query reports the screen, not a verdict.)"""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    c = (
+        o.select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.agg(F.sum("n").alias("__t__"))
+    expected = F.when(F.col("digit") == "1", F.lit(_BENFORD[1]))
+    for d in range(2, 10):
+        expected = expected.when(F.col("digit") == str(d), F.lit(_BENFORD[d]))
+    frac = F.col("n").cast("double") / F.col("__t__")
+    return c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        fround(frac, 6).alias("frac"),
+        fround(expected, 6).alias("benford_expected"),
+        fround(F.abs(frac - expected), 6).alias("abs_dev"),
+    )
+
+
 _BIN_QS = ", ".join(str(q / 10) for q in range(1, 10))
 
 

@@ -386,6 +386,28 @@ def test_text_round_trip_and_column_rules(spark, tmp):
     assert read_text(spark, os.path.join(tmp, "b_txt")).collect_column_values("value") == ["y"]
 
 
+def test_text_reads_gzip_transparently(spark, tmp):
+    """Raw-crawl ingestion reality: line-text (and csv/json) sources are
+    usually gzipped; Spark's codec discovery must decompress by
+    extension with no reader changes. (Note for 100 TB: .gz is NOT
+    block-splittable — one task per file — so crawls should arrive as
+    many moderate files; that operational caveat is the point of
+    pinning this.)"""
+    import gzip
+
+    from randas_spark.io.read import read_text
+
+    d = os.path.join(tmp, "gz_text")
+    os.makedirs(d)
+    lines = ["alpha", "beta", "gamma", "delta"]
+    with gzip.open(os.path.join(d, "part0.txt.gz"), "wt") as f:
+        f.write("\n".join(lines[:2]) + "\n")
+    with gzip.open(os.path.join(d, "part1.txt.gz"), "wt") as f:
+        f.write("\n".join(lines[2:]) + "\n")
+    back = read_text(spark, d, column="line")
+    assert sorted(r.line for r in back.to_spark().collect()) == sorted(lines)
+
+
 def test_read_csv_missing_file_raises(spark):
     from pyspark.errors import AnalysisException
 
