@@ -27,6 +27,7 @@ from randas_spark.functions.text import (
     sql_token_count_bpe_ish,
     sql_tokens,
     token_count_bpe_ish,
+    tokens,
 )
 from randas_spark.functions.vectors import cosine, sql_cosine
 from randas_spark.queries import fround, register, sql_fround, t
@@ -1629,6 +1630,49 @@ def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return mixture_sample(d, "source", "doc_id", _MIXTURE_RATES, _MIXTURE_DEFAULT).select(
         "doc_id", "source"
+    )
+
+
+@register(
+    "llm_token_entropy",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({sql_tokens('text')}) AS token FROM documents
+    ), c AS (
+        SELECT doc_id, token, count(*) AS cnt FROM toks
+        WHERE token <> '' GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           {sql_fround('log2(CAST(sum(cnt) AS DOUBLE)) - sum(cnt * log2(CAST(cnt AS DOUBLE))) / sum(cnt)', 6)} AS entropy
+    FROM c GROUP BY doc_id
+    """,
+)
+def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (bits/token) — the
+    information-density quality signal: templated or looping text scores
+    low even when its distinct-shingle fraction looks fine, natural
+    prose sits near log2(vocab). Complements llm_repetition_filter
+    (shingle multiset) and llm_text_quality (surface ratios). Computed
+    as H = log2(n) − Σc·log2(c)/n so both engines run the identical
+    float sequence over the per-token counts; one explode + two
+    map-side-combinable aggs, no joins."""
+    d = t(spark, sf_dir, "documents")
+    c = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = F.sum("cnt")
+    ent = F.log2(n.cast("double")) - F.sum(
+        F.col("cnt") * F.log2(F.col("cnt").cast("double"))
+    ) / n
+    return c.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        fround(ent, 6).alias("entropy"),
     )
 
 
