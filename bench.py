@@ -52,9 +52,12 @@ HEADLINE = [
     "llm_text_normalize",
     "rel_ts_similarity_paa",
     # round-5 second-pass representatives: the all-points ANN primitive
-    # (adaptive-cell IVF self-join) and the binned interval join
+    # (adaptive-cell IVF self-join), the binned interval join, the
+    # mergeable quantile sketch, and directed containment dedup
     "llm_knn_graph",
     "rel_interval_join_binned",
+    "rel_quantile_sketch_mergeable",
+    "llm_dedup_containment",
 ]
 
 
