@@ -238,6 +238,29 @@ def test_profile_single_scan_and_values(spark):
     assert rows["o_orderstatus"].min_value <= rows["o_orderstatus"].max_value
 
 
+def test_hll_portable_registers_match_hashlib(spark):
+    """Engine-portability proof for the HLL, like the CMS has: every
+    (bucket, rho) register must equal a driver-side hashlib recompute
+    on a small key set — the property that lets any engine audit a
+    shard's sketch."""
+    import hashlib
+
+    from randas_spark.operators.sketches import hll_registers
+
+    keys = list(range(200))
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {(r.bucket, r.rho) for r in hll_registers(df, "k").collect()}
+
+    regs = {}
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        bucket = int(h[:2], 16)
+        word = int(h[2:10], 16)
+        rho = 33 if word == 0 else 33 - word.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    assert got == set(regs.items())
+
+
 def test_hll_portable_accuracy_and_merge_law(spark):
     """Portable HLL: every group estimate within 4 sigma (26%) of exact;
     merging per-group registers equals the direct global build register-
