@@ -428,3 +428,90 @@ def rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("last_op") != "error"))
         .drop("rn")
     )
+
+
+@register(
+    "rel_iqr_outliers",
+    oracle=f"""
+    WITH fences AS (
+        SELECT l_returnflag,
+               {sql_fround('quantile_cont(l_extendedprice, 0.25)', 6)} AS q1,
+               {sql_fround('quantile_cont(l_extendedprice, 0.75)', 6)} AS q3
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+           (l.l_extendedprice > f.q3 + 1.5 * (f.q3 - f.q1)) AS high_outlier
+    FROM lineitem l JOIN fences f USING (l_returnflag)
+    WHERE l.l_extendedprice > f.q3 + 1.5 * (f.q3 - f.q1)
+       OR l.l_extendedprice < f.q1 - 1.5 * (f.q3 - f.q1)
+    """,
+)
+def rel_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outliers per group: line items outside the
+    [Q1 − 1.5·IQR, Q3 + 1.5·IQR] fences of their returnflag's price
+    distribution — the grouped ROBUST outlier primitive (quartiles
+    don't move with the outliers they're fencing, unlike the z-score
+    family's mean/std). Scale shape mirrors rel_feature_binning: one
+    exact-percentile aggregate per group (approx_percentile in
+    production), the 3-row fence table broadcast back into the scan,
+    never a window over the whole fact. Fences are fround(6)-quantized
+    on both engines so borderline rows compare identically."""
+    li = t(spark, sf_dir, "lineitem")
+    fences = li.groupBy("l_returnflag").agg(
+        fround(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("q1"),
+        fround(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    hi, lo = F.col("q3") + 1.5 * iqr, F.col("q1") - 1.5 * iqr
+    return (
+        li.join(F.broadcast(fences), "l_returnflag")
+        .filter((F.col("l_extendedprice") > hi) | (F.col("l_extendedprice") < lo))
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            (F.col("l_extendedprice") > hi).alias("high_outlier"),
+        )
+    )
+
+
+@register(
+    "rel_event_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+    )
+    SELECT event_type AS e1, e2, e3, count(*) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT 10
+    """,
+)
+def rel_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 behavioral TRIGRAM paths: the most common 3-event
+    sequences across user journeys — one step up from the Markov
+    bigrams of rel_event_transitions (trigrams expose patterns
+    first-order transitions wash out, e.g. view→click→purchase vs
+    click→view→purchase). Two lead() columns over one user_id window
+    (single shuffle + sort, both leads share the frame), then a
+    map-side-combinable count and a TakeOrdered top-10 with full
+    tiebreak."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    e = t(spark, sf_dir, "events")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+        .limit(10)
+    )
