@@ -1634,6 +1634,76 @@ def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_source_drift_kl",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest({sql_tokens('text')}) AS token FROM documents
+    ),
+    toks2 AS (SELECT source, token FROM toks WHERE token <> ''),
+    gcnt AS (SELECT token, count(*) AS c FROM toks2 GROUP BY token),
+    vocab AS (SELECT token, c FROM gcnt ORDER BY c DESC, token LIMIT 200),
+    gtot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab),
+    scnt AS (
+        SELECT s.source, v.token, v.c AS gc,
+               CAST(count(t.token) AS BIGINT) AS sc
+        FROM (SELECT DISTINCT source FROM documents) s
+        CROSS JOIN vocab v
+        LEFT JOIN toks2 t ON t.source = s.source AND t.token = v.token
+        GROUP BY 1, 2, 3
+    ),
+    stot AS (SELECT source, CAST(sum(sc) AS DOUBLE) AS ns FROM scnt GROUP BY source)
+    SELECT c.source,
+           CAST(max(t.ns) AS BIGINT) AS n_vocab_tokens,
+           {sql_fround('''sum( ((c.sc + 1) / (max_t_ns.ns + 200.0)) *
+                   log2( ((c.sc + 1) / (max_t_ns.ns + 200.0))
+                       / ((c.gc + 1) / ((SELECT n FROM gtot) + 200.0)) ) )''', 6)} AS kl_bits
+    FROM scnt c
+    JOIN stot t ON t.source = c.source
+    JOIN stot max_t_ns ON max_t_ns.source = c.source
+    GROUP BY c.source
+    """,
+)
+def llm_source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution DRIFT: add-one-smoothed KL divergence
+    (bits) between each source's token distribution and the corpus
+    distribution, over the shared top-200 vocabulary — the monitor that
+    catches a crawl source going off-distribution (spam floods, template
+    changes) before any per-doc filter fires. One token-count shuffle
+    feeds both sides; the 200-row vocabulary broadcasts into the
+    per-source recount; smoothing keeps log finite for absent tokens.
+    Identical float sequence on both engines, fround(6) on the sum."""
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    gcnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    vocab = gcnt.orderBy(F.col("c").desc(), "token").limit(200)
+    gtot = vocab.agg(F.sum("c").cast("double").alias("n"))
+    sources = d.select("source").distinct()
+    scnt = (
+        sources.crossJoin(F.broadcast(vocab))
+        .join(
+            toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("sc0")),
+            ["source", "token"],
+            "left",
+        )
+        .select(
+            "source", "token", F.col("c").alias("gc"),
+            F.coalesce("sc0", F.lit(0)).cast("long").alias("sc"),
+        )
+    )
+    stot = scnt.groupBy("source").agg(F.sum("sc").cast("double").alias("ns"))
+    joined = scnt.join(stot, "source").crossJoin(F.broadcast(gtot))
+    p = (F.col("sc") + 1) / (F.col("ns") + F.lit(200.0))
+    q = (F.col("gc") + 1) / (F.col("n") + F.lit(200.0))
+    return joined.groupBy("source").agg(
+        F.max("ns").cast("long").alias("n_vocab_tokens"),
+        fround(F.sum(p * F.log2(p / q)), 6).alias("kl_bits"),
+    )
+
+
+@register(
     "llm_token_entropy",
     oracle=f"""
     WITH toks AS (

@@ -1,19 +1,20 @@
-"""Pipeline-analytics layer, round 5: interval-overlap join (binned),
-marketing attribution, correlation matrix, and CDC merge compaction.
+"""Pipeline-analytics layer (round 5): operators a production data
+pipeline needs that no other registry module expresses, extending the
+relational surface beyond SURVEY.md §2.12's checklist:
 
-These extend the relational surface (SURVEY.md §2.12 "beyond the
-reference" scope) with four operators a production data pipeline needs
-that no existing registry query expresses:
-
-- ``rel_interval_join_binned`` — the grid-binned interval-overlap join,
-  the standard trick for making interval joins equi-joins at scale;
-- ``rel_attribution_last_touch`` — as-of attribution of conversions to
-  the most recent preceding touch event via an ignore-nulls carry-forward
-  window (no self-join);
-- ``rel_correlation_matrix`` — all pairwise Pearson correlations +
-  sample covariances in ONE aggregation pass;
-- ``rel_merge_upsert`` — CDC merge compaction: keep-latest per key,
-  honoring delete markers (MERGE INTO semantics without a table format).
+- ``rel_interval_join_binned`` — grid-binned interval-overlap join
+  (range predicate → hour-grid equi-join);
+- ``rel_attribution_last_touch`` — as-of attribution via an
+  ignore-nulls carry-forward window (no self-join);
+- ``rel_correlation_matrix`` — all pairwise corr/covar in ONE pass;
+- ``rel_merge_upsert`` — CDC merge compaction (keep-latest per key,
+  delete markers honored);
+- ``rel_rolling_median`` — bounded-frame windowed percentile;
+- ``rel_feature_binning`` — equi-depth decile assignment without a
+  global sort;
+- ``rel_benford_digits`` — Benford first-digit fraud/quality screen;
+- ``rel_iqr_outliers`` — Tukey fences per group (robust outliers);
+- ``rel_event_trigrams`` — top behavioral 3-event paths.
 
 Every query carries a full DuckDB oracle; float outputs go through the
 engine-portable fround/sql_fround pair.
