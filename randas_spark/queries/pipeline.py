@@ -516,3 +516,97 @@ def rel_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "e1", "e2", "e3")
         .limit(10)
     )
+
+
+@register(
+    "rel_table_diff",
+    oracle="""
+    WITH v_old AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 11 <> 0
+    ),
+    v_new AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 10.0 ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 13 <> 0
+    )
+    SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM v_old o FULL JOIN v_new n USING (c_custkey)
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR o.c_name <> n.c_name OR o.c_acctbal <> n.c_acctbal
+    """,
+)
+def rel_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table reconciliation (data-diff): added / removed / changed keys
+    between two dimension versions (synthesized deterministic v_old /
+    v_new of the customer table) — the audit primitive behind every
+    migration sign-off and CDC-vs-batch backfill check. One full outer
+    join on the key comparing value columns; unchanged rows never leave
+    the join. At 100 TB both versions are bucketed on the key
+    (io/layout.write_bucketed) so the diff is Exchange-free; comparing
+    a column-hash instead of each column cuts the compare width for
+    wide tables (rel_table_checksum's md5 recipe)."""
+    c = t(spark, sf_dir, "customer")
+    v_old = c.filter(F.col("c_custkey") % 11 != 0).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    v_new = c.filter(F.col("c_custkey") % 13 != 0).select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 10.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    o, n = v_old.alias("o"), v_new.alias("n")
+    joined = o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full")
+    status = (
+        F.when(F.col("o.c_custkey").isNull(), F.lit("added"))
+        .when(F.col("n.c_custkey").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.filter(
+        F.col("o.c_custkey").isNull()
+        | F.col("n.c_custkey").isNull()
+        | (F.col("o.c_name") != F.col("n.c_name"))
+        | (F.col("o.c_acctbal") != F.col("n.c_acctbal"))
+    ).select(
+        F.coalesce(F.col("o.c_custkey"), F.col("n.c_custkey")).alias("c_custkey"),
+        status.alias("status"),
+    )
+
+
+@register(
+    "rel_cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, CAST(min(date_trunc('day', ts::TIMESTAMP)) AS DATE) AS d
+        FROM events GROUP BY user_id
+    ),
+    daily AS (SELECT d, count(*) AS n_new FROM first_seen GROUP BY d)
+    SELECT d, n_new,
+           CAST(sum(n_new) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumulative_users
+    FROM daily
+    """,
+)
+def rel_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth-curve metric.
+    The trick that makes it cheap: cumulative COUNT DISTINCT never
+    needs distinct-over-a-window (quadratic state) — each user
+    contributes exactly once, at their FIRST-SEEN day, so one
+    groupBy(user) min, one daily count, and a running sum over the
+    (tiny) day series give the exact curve. At 100 TB the only
+    full-data pass is the first-seen aggregation (map-side
+    combinable); everything after runs on |days| rows."""
+    e = t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).cast("date").alias("d")
+    )
+    daily = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "d", "n_new", F.sum("n_new").over(w).cast("long").alias("cumulative_users")
+    )
