@@ -610,3 +610,54 @@ def rel_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     return daily.select(
         "d", "n_new", F.sum("n_new").over(w).cast("long").alias("cumulative_users")
     )
+
+
+@register(
+    "rel_pareto_revenue",
+    oracle=f"""
+    WITH rev AS (
+        SELECT o_custkey, {sql_fround('sum(o_totalprice)', 2)} AS revenue
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, revenue,
+           {sql_fround('''sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)''', 6)}
+               AS cum_share,
+           {sql_fround('''sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)''', 6)} <= 0.8
+               AS in_top80
+    FROM rev
+    """,
+)
+def rel_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / revenue-concentration curve: customers ranked by spend
+    with their cumulative revenue share and an 80%-band flag — the
+    concentration diagnostic behind key-account analysis and the 80/20
+    sanity check. Scale discipline: the fact-scale work is ONE
+    map-side-combinable per-customer aggregate; the global-order window
+    runs on the customer ROLLUP (dimension-sized — bounded by
+    |customers|, never fact rows), which is the only place a global
+    ORDER BY is acceptable. Per-customer revenue is fround(2)-quantized
+    BEFORE the cumulative sums, and both the running and total sums are
+    windows over the same explicit order, so the float sequences are
+    identical on both engines."""
+    o = t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        fround(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    order = [F.col("revenue").desc(), F.col("o_custkey")]
+    w_run = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    share = F.sum("revenue").over(w_run) / F.sum("revenue").over(w_all)
+    return rev.select(
+        "o_custkey",
+        "revenue",
+        fround(share, 6).alias("cum_share"),
+        (fround(share, 6) <= 0.8).alias("in_top80"),
+    )
