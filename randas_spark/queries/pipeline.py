@@ -661,3 +661,32 @@ def rel_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(share, 6).alias("cum_share"),
         (fround(share, 6) <= 0.8).alias("in_top80"),
     )
+
+
+@register(
+    "rel_weekday_hour_profile",
+    oracle=f"""
+    SELECT CAST(isodow(ts::TIMESTAMP) AS BIGINT) AS iso_dow,
+           CAST(hour(ts::TIMESTAMP) AS BIGINT) AS hr,
+           count(*) AS n_events,
+           {sql_fround('avg(value)', 6)} AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rel_weekday_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity profile (the seasonality heatmap): event
+    volume and mean value per ISO weekday and hour-of-day — the shape
+    behind traffic forecasting, capacity planning, and anomaly
+    baselines. ONE map-side-combinable aggregate to 168 cells; derived
+    grouping keys cost nothing at any scale. Cross-engine day-of-week
+    is a real trap pinned here: Spark's dayofweek() is Sunday=1 while
+    DuckDB's is Sunday=0, so both sides use the ISO convention —
+    Spark weekday()+1 == DuckDB isodow() (Monday=1)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy(
+        (F.weekday(F.col("ts")) + 1).cast("long").alias("iso_dow"),
+        F.hour(F.col("ts")).cast("long").alias("hr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        fround(F.avg("value"), 6).alias("avg_value"),
+    )
