@@ -183,23 +183,56 @@ def read_arrow_ipc(spark: SparkSession, path: str) -> RandasFrame:
     import pyarrow.ipc as pa_ipc
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    first = path
-    if _os.path.isdir(path):
-        cands = sorted(_glob.glob(_os.path.join(path, "*")))
-        if not cands:
-            raise FileNotFoundError(f"no files under {path}")
-        first = cands[0]
-    with open(first, "rb") as f:
-        arrow_schema = pa_ipc.open_file(f).schema
-    spark_schema = from_arrow_schema(arrow_schema)
+    def _is_data_file(name: str) -> bool:
+        # skip hidden files and job markers (_SUCCESS, _committed, .crc...)
+        return not name.startswith((".", "_"))
 
-    files = spark.read.format("binaryFile").load(path).select("content")
+    # Schema probe: metadata-only local footer read when the path is a
+    # local file/dir; for remote filesystems (s3://, hdfs://...) fall back
+    # to pulling the lexicographically-first file through Spark — works on
+    # any Hadoop-supported FS at the cost of one file transfer.
+    arrow_schema = None
+    if "://" not in path and _os.path.exists(path):
+        first = path
+        if _os.path.isdir(path):
+            cands = sorted(
+                p
+                for p in _glob.glob(_os.path.join(path, "*"))
+                if _is_data_file(_os.path.basename(p))
+            )
+            if not cands:
+                raise FileNotFoundError(f"no data files under {path}")
+            first = cands[0]
+        with open(first, "rb") as f:
+            arrow_schema = pa_ipc.open_file(f).schema
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    if arrow_schema is None:
+        probe = files.orderBy("path").limit(1).collect()
+        if not probe:
+            raise FileNotFoundError(f"no data files under {path}")
+        arrow_schema = pa_ipc.open_file(pa.BufferReader(bytes(probe[0]["content"]))).schema
+    spark_schema = from_arrow_schema(arrow_schema)
+    want_names = list(arrow_schema.names)
 
     def _decode(batches):
         for pdf in batches:
-            for blob in pdf["content"]:
-                reader = pa_ipc.open_file(pa.BufferReader(bytes(blob)))
-                tbl = reader.read_all()
+            for fname, blob in zip(pdf["path"], pdf["content"]):
+                base = str(fname).rsplit("/", 1)[-1]
+                if not _is_data_file(base):
+                    continue
+                tbl = pa_ipc.open_file(pa.BufferReader(bytes(blob))).read_all()
+                # verify + align: match columns BY NAME to the probed
+                # schema (a file with a different column order must not be
+                # matched positionally); missing/extra names are an error.
+                if sorted(tbl.schema.names) != sorted(want_names):
+                    raise ValueError(
+                        f"arrow_ipc schema mismatch in {base}: "
+                        f"{tbl.schema.names} vs probed {want_names}"
+                    )
+                if list(tbl.schema.names) != want_names:
+                    tbl = tbl.select(want_names)
                 yield tbl.to_pandas()
 
     return RandasFrame(files.mapInPandas(_decode, schema=spark_schema))

@@ -676,7 +676,10 @@ def connected_components(
     round truncates the growing lineage so round N's plan doesn't replay
     rounds 1..N-1.
     """
-    both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # one upstream scan: every round re-reads sym, so materialize the
+    # edge list once instead of replaying the (possibly expensive)
+    # producing plan — kNN graph, minhash bands — once per round
+    both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
     sym = both.union(both.select(F.col("v").alias("u"), F.col("u").alias("v")))
     labels = (
         sym.select("u").union(sym.select(F.col("v").alias("u")))
@@ -744,60 +747,80 @@ def connected_components_star(
     def sym(e: DataFrame) -> DataFrame:
         return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
-    def mins(g: DataFrame) -> DataFrame:
-        # m(u) = min(Γ(u) ∪ {u}) per node of a symmetric edge list
-        return g.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-
+    # Checkpoint the RAW edge list ONCE — it is the only thing that scans
+    # the (possibly expensive) upstream plan. Deriving both the oriented
+    # edge set and the node universe from it lazily costs one cheap
+    # rescan of the materialized edges each, where checkpointing each
+    # derivation separately re-ran the whole upstream (e.g. the kNN
+    # graph build under semantic dedup) once PER derivation.
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
     # canonical orientation: every edge points downhill (larger → smaller)
-    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = (
         raw.filter(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint()
     )
     # node universe from the RAW endpoints (before self-loop removal): a
     # node appearing only in self-loop edges is still a node and must
     # label itself — matching connected_components' singleton semantics
-    all_nodes = (
-        raw.select("u")
-        .union(raw.select(F.col("v").alias("u")))
-        .distinct()
-        .localCheckpoint()
-    )
+    all_nodes = raw.select("u").union(raw.select(F.col("v").alias("u"))).distinct()
 
-    rounds = 0
-    for _ in range(max_iter):
-        rounds += 1
+    from pyspark.sql import Window
+
+    def with_min(g: DataFrame) -> DataFrame:
+        # m(u) = min(Γ(u) ∪ {u}) attached to every edge row via a window
+        # — ONE shuffle on u, where the groupBy(min)+join formulation
+        # costs two (agg exchange + join exchange of the same rows). The
+        # join side always needed the full edge shuffle, so the window
+        # strictly removes an exchange per star step; round wall-clock on
+        # small edge sets is exchange-count-bound.
+        w = Window.partitionBy("u")
+        return g.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+
+    def one_round(e: DataFrame) -> DataFrame:
         # large-star: each v ∈ Γ(u) with v > u re-attaches to m(u)
-        g = sym(e)
+        g = with_min(sym(e))
         large = (
-            g.join(mins(g), "u")
-            .filter(F.col("v") > F.col("u"))
+            g.filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-        )  # dups tolerated here; e_new dedups once per round
+        )  # dups tolerated here; the round output dedups once
         # small-star: each v ∈ Γ⁺(u) with v <= u attaches to m(u)
-        g2 = sym(large)
-        m2 = mins(g2)
-        e_new = (
-            g2.join(m2, "u")
-            .filter(F.col("v") <= F.col("u"))
+        g2 = with_min(sym(large))
+        return (
+            g2.filter(F.col("v") <= F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(m2.select("u", F.col("m").alias("v")))
+            .union(g2.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
-        # converged when the edge set is a stable star forest (one action:
-        # symmetric difference empty)
-        diff = e_new.exceptAll(e).union(e.exceptAll(e_new))
-        same = diff.limit(1).count() == 0
-        e = e_new
-        if same:
-            break
+
+    # One star round per materialize+check cycle. (Measured dead end:
+    # batching 2 lazy rounds per checkpoint DOUBLES wall-clock — each
+    # sym()/mins() reference re-expands the inner round's unmaterialized
+    # plan, so a 2-deep composition replans and recomputes the inner
+    # round several times inside one job. Checkpoint = plan barrier.)
+    rounds = 0
+    while rounds < max_iter:
+        rounds += 1
+        e = one_round(e).localCheckpoint()
+        # converged when the edge set is a star forest — equivalently, no
+        # length-2 chain remains (no parent v is itself a child u
+        # elsewhere): the round function's fixed points are exactly
+        # min-rooted stars (Kiveris et al.), and a depth-1 forest is
+        # stable under both star steps. One semi-join on the tiny
+        # checkpointed cycle output — strictly cheaper than the
+        # symmetric-difference check (2x exceptAll + union) it replaces.
+        # Checked on EVEN rounds only: no real edge set converges in one
+        # round, and the check is a full job — skipping odd rounds trades
+        # at most one no-op star round (cheap on a forest) for halving
+        # the check jobs, which dominate late-round cost.
+        if rounds % 2 == 0 or rounds >= max_iter:
+            parents = e.select(F.col("u").alias("v")).distinct()
+            if e.join(parents, "v", "left_semi").limit(1).count() == 0:
+                break
     if stats is not None:
         stats["rounds"] = rounds
 

@@ -41,8 +41,10 @@ def asof_join(
     carried column (the matched ts), no extra shuffle.
 
     Implementation: union both sides tagged, one window per key ordered by
-    (ts, side), and ``last(payload, ignorenulls=True)`` carries the right
-    payload forward onto left rows. Right rows sort before left rows at
+    (ts, side), and ``last(struct(ts, payload), ignorenulls=True)`` carries
+    the nearest right ROW (timestamp + payload together, so a NULL payload
+    field on the nearest row is returned as NULL, never an older row's
+    value) forward onto left rows. Right rows sort before left rows at
     equal ts, so an exact-ts match counts (<=), mirroring DuckDB ASOF.
 
     Scale: ONE hash shuffle on the key + an in-partition sort — the same
@@ -96,27 +98,30 @@ def asof_join(
             .orderBy(F.col(ts).desc(), F.col(_SIDE).asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-    carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in payload]
+    # Carry the whole nearest right ROW as one struct (non-null for every
+    # right row even when individual payload fields are NULL), so payload
+    # values and the matched timestamp always come from the SAME row —
+    # per-column last(ignorenulls) could pair an older column value with a
+    # newer row's ts when the nearest row holds a NULL, diverging from
+    # pandas merge_asof / DuckDB ASOF nearest-row semantics.
+    rrow = F.last(
+        F.when(
+            F.col(_SIDE) == 0,
+            F.struct(F.col(ts).alias("__rts__"), *[F.col(c) for c in payload]),
+        ),
+        ignorenulls=True,
+    ).over(w).alias("__rrow__")
+
+    out = u.select(on, ts, _SIDE, *left_only, rrow).filter(F.col(_SIDE) == 1)
+    carried = [F.col("__rrow__")[c].alias(c) for c in payload]
 
     if tolerance is None:
-        out = u.select(on, ts, _SIDE, *left_only, *carried)
-        return out.filter(F.col(_SIDE) == 1).drop(_SIDE)
+        return out.select(on, ts, *left_only, *carried)
 
-    rts = F.last(
-        F.when(F.col(_SIDE) == 0, F.col(ts)), ignorenulls=True
-    ).over(w).alias("__rts__")
-    out = u.select(on, ts, _SIDE, *left_only, *carried, rts).filter(
-        F.col(_SIDE) == 1
-    )
-    gap = (
-        F.col(ts) - F.col("__rts__")
-        if direction == "backward"
-        else F.col("__rts__") - F.col(ts)
-    )
-    within = F.col("__rts__").isNotNull() & (
-        gap <= F.expr(f"INTERVAL {tolerance}")
-    )
-    gated = [F.when(within, F.col(c)).alias(c) for c in payload]
+    rts = F.col("__rrow__")["__rts__"]
+    gap = rts - F.col(ts) if direction == "forward" else F.col(ts) - rts
+    within = rts.isNotNull() & (gap <= F.expr(f"INTERVAL {tolerance}"))
+    gated = [F.when(within, F.col("__rrow__")[c]).alias(c) for c in payload]
     return out.select(on, ts, *left_only, *gated)
 
 

@@ -348,6 +348,7 @@ def knn_graph_ivf(
     n_cells: int = 64,
     n_probe: int = 4,
     top_k: int = 5,
+    min_cos: float | None = None,
 ) -> DataFrame:
     """Approximate k-NN GRAPH: every corpus vector gets its top-k
     neighbors over the deterministic IVF index (md5-order centroid
@@ -377,6 +378,14 @@ def knn_graph_ivf(
     Values are bit-identical to the naive composition: staging reorders
     no arithmetic (same left folds, same sqrt/multiply/divide sequence),
     so the DuckDB oracle stays the declarative sql_cosine form.
+
+    ``min_cos`` pre-filters candidate pairs BELOW the rank window. The
+    threshold is on the window's own ordering key, so it commutes with
+    top-k exactly (if rank-r survives the filter, ranks 1..r-1 do too):
+    callers that only consume edges with cos >= t — semantic dedup's
+    SemDeDup composition — get the identical edge set while the rank
+    shuffle carries only the near-dup band instead of every probed
+    candidate (~n_probe·cell_size rows per vector → a handful).
     """
     from randas_spark.functions.vectors import norm
     from randas_spark.operators.sampling import _md5_hex
@@ -414,13 +423,17 @@ def knn_graph_ivf(
         F.col("vid").alias("qid"), F.col("vv").alias("qv"), F.col("vn").alias("qn"), "cell"
     )
     wk = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
-    return (
+    scored = (
         probes.join(assign, "cell")
         .filter(F.col("qid") != F.col("cid"))
         .withColumn(
             "cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
         )
-        .withColumn("rk", F.row_number().over(wk).cast("long"))
+    )
+    if min_cos is not None:
+        scored = scored.filter(F.col("cos") >= F.lit(min_cos))
+    return (
+        scored.withColumn("rk", F.row_number().over(wk).cast("long"))
         .filter(F.col("rk") <= top_k)
         .select("qid", "cid", "cos", "rk")
     )

@@ -342,9 +342,14 @@ def hll_merge(registers: DataFrame) -> DataFrame:
 
 
 def hll_estimate(registers: DataFrame, group_cols: list[str] | None = None, m: int = 256) -> DataFrame:
-    """(group..., est): the HLL estimate with the standard small-range
-    (linear counting) correction. Runs over the tiny register table."""
+    """(group..., est): the HLL estimate with BOTH standard corrections —
+    small-range (linear counting when raw ≤ 2.5m and empty buckets exist)
+    and large-range (est = -2^32·ln(1 - raw/2^32) when raw > 2^32/30,
+    compensating 32-bit hash-word collisions above ~143M distinct keys;
+    without it the estimate biases low at 100 TB-audit cardinalities).
+    Runs over the tiny register table; oracle mirrors both branches."""
     alpha = 0.7213 / (1 + 1.079 / m)
+    two32 = 4294967296.0
     agg = registers.groupBy(*(group_cols or [])).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__s__"),
         F.count(F.lit(1)).alias("__present__"),
@@ -352,8 +357,15 @@ def hll_estimate(registers: DataFrame, group_cols: list[str] | None = None, m: i
     zeros = F.lit(m) - F.col("__present__")
     harm = F.col("__s__") + zeros.cast("double")  # absent buckets add 2^0
     raw = F.lit(alpha * m * m) / harm
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (zeros > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
-    ).otherwise(raw)
+    est = (
+        F.when(
+            (raw <= F.lit(2.5 * m)) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+        )
+        .when(
+            raw > F.lit(two32 / 30.0),
+            F.lit(-two32) * F.log(F.lit(1.0) - raw / F.lit(two32)),
+        )
+        .otherwise(raw)
+    )
     return agg.select(*(group_cols or []), est.alias("est"))

@@ -708,11 +708,15 @@ _HLL_REGS_CTE = """
 
 
 def _sql_hll_est(src: str) -> str:
+    # mirrors operators/sketches.hll_estimate: linear counting below
+    # 2.5m, large-range 32-bit collision correction above 2^32/30
     raw = f"({_HLL_C}) / (s + (256 - present))"
     lin = "256.0 * ln(256.0 / (256 - present))"
+    large = f"-4294967296.0 * ln(1.0 - ({raw}) / 4294967296.0)"
     return f"""
         SELECT grp,
                CASE WHEN {raw} <= 640.0 AND present < 256 THEN {lin}
+                    WHEN {raw} > 143165576.53333333 THEN {large}
                     ELSE {raw} END AS est0
         FROM (SELECT grp, sum(pow(2.0, -rho)) AS s, count(*) AS present
               FROM {src} GROUP BY grp)

@@ -163,8 +163,13 @@ def _attribution_state(
     Bounded state by construction (two longs per user, no history)."""
     touch_id, touch_us = state.get if state.exists else (None, None)
     out_rows = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # Materialize ALL Arrow chunks before sorting: applyInPandasWithState
+    # delivers a group's trigger rows as multiple ~10k-row batches with no
+    # global order, so sorting each chunk independently would walk events
+    # out of (ts, event_id) order whenever a user spans chunks.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         for _, row in pdf.iterrows():
             et = row["event_type"]
             ts_us = int(row["ts"].value // 1000)  # pandas ns -> us

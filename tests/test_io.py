@@ -458,3 +458,45 @@ def test_table_checksum_invariant_and_sensitive(spark):
         [(1, "a"), (2, "b"), (3, "")], "k long, v string"
     )
     assert table_checksum(empty_str, ["k", "v"]).first().checksum != base.checksum
+
+
+def test_arrow_ipc_markers_and_column_order(spark, people, tmp):
+    """A job-marker file (_SUCCESS) sorting first must not break the schema
+    probe or the decode, and a file whose columns are in a DIFFERENT order
+    is aligned by name, never matched positionally; a file with different
+    column NAMES raises."""
+    import pyarrow as pa
+    import pyarrow.ipc as pa_ipc
+
+    from randas_spark.io.read import read_arrow_ipc
+    from randas_spark.io.write import to_arrow_ipc
+
+    d = os.path.join(tmp, "ipc_markers")
+    os.makedirs(d)
+    to_arrow_ipc(people, os.path.join(d, "part0.arrow"))
+    with open(os.path.join(d, "_SUCCESS"), "w"):
+        pass
+
+    # a second file with the SAME columns in reversed order
+    first = pa_ipc.open_file(os.path.join(d, "part0.arrow")).read_all()
+    reordered = first.select(list(reversed(first.schema.names)))
+    with pa_ipc.new_file(
+        os.path.join(d, "part1.arrow"), reordered.schema
+    ) as w:
+        w.write_table(reordered)
+
+    both = read_arrow_ipc(spark, d).to_spark()
+    assert both.count() == 2 * people.to_spark().count()
+    # both halves decode identically (alignment by name)
+    n_distinct = both.distinct().count()
+    assert n_distinct == people.to_spark().distinct().count()
+
+    # mismatched column names -> error on decode
+    bad_dir = os.path.join(tmp, "ipc_bad")
+    os.makedirs(bad_dir)
+    to_arrow_ipc(people, os.path.join(bad_dir, "part0.arrow"))
+    renamed = first.rename_columns([f"x_{c}" for c in first.schema.names])
+    with pa_ipc.new_file(os.path.join(bad_dir, "part1.arrow"), renamed.schema) as w:
+        w.write_table(renamed)
+    with pytest.raises(Exception, match="schema mismatch"):
+        read_arrow_ipc(spark, bad_dir).to_spark().count()

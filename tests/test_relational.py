@@ -497,3 +497,61 @@ def test_anomaly_zscore_semantics(spark):
             assert not r.anomaly  # warm-up rows can't flag
         if r.anomaly:
             assert abs(r.zscore) > 3.0
+
+
+def test_asof_join_null_payload_nearest_row(spark):
+    """merge_asof nearest-ROW semantics: when the nearest right row holds a
+    NULL payload value, the join must return that NULL — not carry an older
+    row's non-null value forward (regression: per-column ignorenulls carry
+    paired stale payloads with the newer row's timestamp)."""
+    from randas_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10), (1, 25)], "key long, ts long")
+    right = spark.createDataFrame(
+        [(1, 4, 10.0), (1, 9, None), (1, 20, None)], "key long, ts long, px double"
+    )
+    got = {
+        (r.key, r.ts): r.px for r in asof_join(left, right, on="key", ts="ts").collect()
+    }
+    # nearest rows are ts=9 (NULL px) and ts=20 (NULL px); 10.0 must NOT leak
+    assert got == {(1, 10): None, (1, 25): None}
+
+    # tolerance path: nearest row ts=20 is within 10 of left ts=25 but its
+    # payload is NULL — stays NULL; and the gate must use ts=20, not ts=4
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    left_t = spark.createDataFrame([(1, ts(25))], "key long, ts timestamp")
+    right_t = spark.createDataFrame(
+        [(1, ts(4), 10.0), (1, ts(20), None)], "key long, ts timestamp, px double"
+    )
+    row = asof_join(
+        left_t, right_t, on="key", ts="ts", tolerance="10 MINUTES"
+    ).collect()[0]
+    assert row.px is None
+
+
+def test_hll_large_range_correction(spark):
+    """Above raw > 2^32/30 the 32-bit hash word saturates; the estimator
+    must apply est = -2^32·ln(1 - raw/2^32) (no correction would bias low
+    at ~100M+ cardinalities). Constructed registers: all 256 buckets at
+    rho=20 give raw ≈ 1.93e8 > 1.43e8 threshold."""
+    import math
+
+    from randas_spark.operators.sketches import hll_estimate
+
+    regs = spark.createDataFrame(
+        [(b, 20) for b in range(256)], "bucket long, rho long"
+    )
+    est = hll_estimate(regs).collect()[0]["est"]
+    m = 256
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / (256 * 2.0**-20)
+    assert raw > 2**32 / 30
+    expected = -(2.0**32) * math.log(1.0 - raw / 2.0**32)
+    assert abs(est - expected) / expected < 1e-12
+    assert est > raw  # correction inflates, never deflates

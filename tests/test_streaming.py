@@ -540,3 +540,44 @@ def test_quantile_sketch_stream_matches_batch_bins(spark, batch_events):
         files_per_trigger=1,
     )
     assert _collect_sorted(streamed) == _collect_sorted(batch)
+
+
+def test_attribution_kernel_chunk_order_independent():
+    """applyInPandasWithState delivers a group's trigger rows as multiple
+    Arrow batches with NO global order; the kernel must concat+sort across
+    chunks, not per chunk. Regression for the per-chunk sort bug: a click
+    arriving in a LATER chunk but with an EARLIER ts than a purchase in an
+    earlier chunk must still be attributed as the purchase's last touch."""
+    import pandas as pd
+
+    from randas_spark.streaming.engine import _attribution_state
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    def rows(ids_ts_types):
+        return pd.DataFrame(
+            {
+                "event_id": [r[0] for r in ids_ts_types],
+                "ts": pd.to_datetime([r[1] for r in ids_ts_types]),
+                "event_type": [r[2] for r in ids_ts_types],
+            }
+        )
+
+    # chunk 1 holds the purchase (t=10:00); chunk 2 holds two clicks that
+    # PRECEDE it in event time (9:00, 9:30). Correct last touch = id 3 (9:30).
+    chunk1 = rows([(5, "2024-01-01 10:00:00", "purchase")])
+    chunk2 = rows(
+        [(2, "2024-01-01 09:00:00", "click"), (3, "2024-01-01 09:30:00", "click")]
+    )
+    state = FakeState()
+    out = pd.concat(list(_attribution_state((42,), iter([chunk1, chunk2]), state)))
+    assert len(out) == 1
+    assert int(out.iloc[0]["purchase_event_id"]) == 5
+    assert int(out.iloc[0]["touch_event_id"]) == 3
+    assert abs(float(out.iloc[0]["mins_since_touch"]) - 30.0) < 1e-9
+    # carried state = the latest touch
+    assert state.value[0] == 3
