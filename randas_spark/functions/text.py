@@ -276,3 +276,77 @@ def sql_repetition_parts(text: str, k: int = 3) -> tuple[str, str]:
         f"i -> array_to_string(({toks})[i:i+{k - 1}], ' '))))"
     )
     return total, distinct
+
+
+#: Tracking query parameters stripped by URL canonicalization — the
+#: standard crawl-pipeline allowlist (utm_* campaign tags + click ids).
+_TRACKING_PARAM_RE = "^(utm_[^=]*|gclid|fbclid|msclkid|ref)="
+
+
+def url_canonicalize(url: Column) -> Column:
+    """Canonical URL for crawl dedup — pure codegen (no UDF, RE2-safe
+    patterns so the DuckDB twin is char-identical in behavior):
+
+    - strip the fragment;
+    - lowercase scheme://host[:port] (never the path/query);
+    - drop default ports (http:80, https:443);
+    - remove tracking params (``_TRACKING_PARAM_RE``), keeping the
+      remaining params in their original order;
+    - strip trailing slashes from the path (example.com/ == example.com).
+
+    Non-absolute-URL strings (no scheme://) pass through with only the
+    fragment strip + lowercase — honest fallback, never a throw. The
+    standard pre-content-dedup stage: cheaper than any shingle op and
+    collapses the big crawl equivalence class (scheme/host case,
+    tracking decorations) before text ever gets hashed.
+    """
+    u1 = F.regexp_replace(url, "#.*", "")
+    head = F.regexp_extract(u1, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)
+    rest = F.substring(u1, F.length(head) + 1, F.lit(1 << 30))
+    head2 = F.regexp_replace(
+        F.regexp_replace(F.lower(head), "^(http://.*):80$", "$1"),
+        "^(https://.*):443$",
+        "$1",
+    )
+    path = F.regexp_extract(rest, "^([^?]*)", 1)
+    query = F.when(
+        F.length(rest) > F.length(path), F.substring(rest, F.length(path) + 2, F.lit(1 << 30))
+    ).otherwise(F.lit(""))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    q2 = F.array_join(kept, "&")
+    path2 = F.regexp_replace(path, "/+$", "")
+    canon = F.concat(
+        head2, path2, F.when(q2 != "", F.concat(F.lit("?"), q2)).otherwise(F.lit(""))
+    )
+    return F.when(head == "", F.lower(u1)).otherwise(canon)
+
+
+def sql_url_canonicalize(url: str) -> str:
+    """DuckDB twin of :func:`url_canonicalize` (same steps, RE2 syntax;
+    substring/length arithmetic mirrored exactly)."""
+    u1 = f"regexp_replace({url}, '#.*', '', 'g')"
+    head = f"coalesce(regexp_extract({u1}, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1), '')"
+    rest = f"substr({u1}, length({head}) + 1)"
+    head2 = (
+        f"regexp_replace(regexp_replace(lower({head}), '^(http://.*):80$', '\\1'),"
+        f" '^(https://.*):443$', '\\1')"
+    )
+    path = f"coalesce(regexp_extract({rest}, '^([^?]*)', 1), '')"
+    query = (
+        f"CASE WHEN length({rest}) > length({path})"
+        f" THEN substr({rest}, length({path}) + 2) ELSE '' END"
+    )
+    kept = (
+        f"list_filter(string_split({query}, '&'),"
+        f" p -> p <> '' AND NOT regexp_matches(p, '{_TRACKING_PARAM_RE}'))"
+    )
+    q2 = f"list_aggregate({kept}, 'string_agg', '&')"
+    path2 = f"regexp_replace({path}, '/+$', '')"
+    canon = (
+        f"{head2} || {path2} ||"
+        f" CASE WHEN coalesce({q2}, '') <> '' THEN '?' || {q2} ELSE '' END"
+    )
+    return f"CASE WHEN {head} = '' THEN lower({u1}) ELSE {canon} END"

@@ -249,3 +249,99 @@ def boilerplate_coverage(
         .withColumn("coverage", cov)
         .withColumn("drop", cov >= drop_threshold)
     )
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 16,
+    checkpoint_every: int = 6,
+) -> DataFrame:
+    """Distributed BPE merge-rule learning (Sennrich et al. 2016): the
+    greedy merge sequence over a word-frequency table — the tokenizer-
+    training stage between vocab counting and vocab application
+    (``vocab_build`` counts whole tokens; this LEARNS subword merges).
+
+    Returns the merge table (merge_rank, lhs, rhs, merged, freq) — tiny
+    by construction (one row per merge), which is why it is a
+    driver-side result; the corpus-sized state stays distributed.
+
+    Shape, Spark-first:
+
+    - ONE corpus pass builds the distinct-WORD table with counts (the
+      classic trick: pair statistics over words x frequency, never over
+      running text — the iteration state is |vocab| rows, not |corpus|).
+      Checkpointed once; the text plan is never rescanned.
+    - Each word's symbol state is a paren-coded string ``(h)(e)(y)``:
+      symbols are [a-z]+ runs so the delimiters cannot collide, and
+      applying a merge is ``replace('(a)(b)' -> '(ab)')`` — leftmost
+      non-overlapping, exactly BPE's greedy left-to-right application
+      (including the a==b self-overlap case), as a codegen string op
+      with no UDF.
+    - Per round: re-derive the symbol array (regexp_extract_all), explode
+      adjacent pairs weighted by word count, map-side-combinable groupBy,
+      and a LIMIT-1 top pair (TakeOrdered, no global sort) with a
+      deterministic (freq desc, lhs, rhs) tie-break. The driver sees ONE
+      row per round — the merge decision, which is inherently sequential
+      in BPE — and folds it into the next round's plan as literals.
+    - The merge chain is a narrow ``replace`` per round; state is
+      re-checkpointed every ``checkpoint_every`` rounds so plan depth
+      stays bounded while cheap rounds avoid materialization jobs.
+
+    Scale: at 100 TB the word table after the first agg is ~millions of
+    rows regardless of corpus size (Heaps' law), so every round is a
+    small-shuffle job; the expensive thing — the corpus scan — happens
+    exactly once.
+    """
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "cnt",
+            F.regexp_replace(F.col("word"), "(.)", "($1)").alias("sym_str"),
+        )
+        .localCheckpoint()
+    )
+
+    syms = F.expr(r"regexp_extract_all(sym_str, '\\(([a-z]+)\\)', 1)")
+    merges: list[tuple] = []
+    state = words
+    for k in range(1, n_merges + 1):
+        pairs = (
+            state.select("cnt", syms.alias("s"))
+            .filter(F.size("s") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(s)-2),"
+                        " i -> struct(s[i] AS a, s[i+1] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("freq"))
+        )
+        top = pairs.orderBy(F.desc("freq"), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, freq = top[0]["a"], top[0]["b"], int(top[0]["freq"])
+        merges.append((k, a, b, a + b, freq))
+        state = state.withColumn(
+            "sym_str",
+            F.replace(
+                F.col("sym_str"), F.lit(f"({a})({b})"), F.lit(f"({a}{b})")
+            ),
+        )
+        if k % checkpoint_every == 0:
+            state = state.localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_rank long, lhs string, rhs string, merged string, freq long"
+    )

@@ -2800,3 +2800,148 @@ def llm_graph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.col("doc_id").alias("node")), pairs, "node", iters=3, damping=0.85
     )
     return ranks.select(F.col("node").alias("doc_id"), fround(F.col("r"), 9).alias("rank"))
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """DuckDB replay of the greedy BPE merge sequence: the rounds are
+    MACRO-EXPANDED as chained CTEs (w0 -> p1 -> w1 -> ... -> p_n), each
+    pk the deterministic top pair of w{k-1} and each wk the merge
+    applied via the same paren-coded replace() as the Spark side —
+    leftmost non-overlapping on both engines, so the whole iterative
+    algorithm is value-hash checked, not just its last state."""
+    parts = [
+        """WITH w0 AS (
+        SELECT cnt, regexp_replace(word, '(.)', '(\\1)', 'g') AS sym_str
+        FROM (
+            SELECT word, count(*) AS cnt FROM (
+                SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+                FROM documents WHERE doc_id % 2 = 0
+            ) WHERE word <> '' GROUP BY word
+        )
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(f""",
+    p{k} AS (
+        SELECT a, b, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+            SELECT cnt, p['a'] AS a, p['b'] AS b FROM (
+                SELECT cnt,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(syms) - 1, 0)),
+                           i -> {{'a': syms[i], 'b': syms[i + 1]}})) AS p
+                FROM (SELECT cnt,
+                             regexp_extract_all(sym_str, '\\(([a-z]+)\\)', 1) AS syms
+                      FROM w{k - 1})
+            )
+        ) GROUP BY a, b ORDER BY freq DESC, a, b LIMIT 1
+    ),
+    w{k} AS (
+        SELECT cnt,
+               replace(sym_str, '(' || p.a || ')(' || p.b || ')',
+                       '(' || p.a || p.b || ')') AS sym_str
+        FROM w{k - 1} CROSS JOIN p{k} p
+    )""")
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,"
+        f" a || b AS merged, freq FROM p{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n    " + sel
+
+
+@register("llm_bpe_learn", oracle=_bpe_oracle(12))
+def llm_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/corpus.bpe_learn,
+    Sennrich et al. 2016): the first 12 greedy merge rules learned from
+    a deterministic half-sample of the documents table (doc_id % 2 = 0
+    — the corpus-sample stage every production tokenizer build has).
+    The iteration state is the distinct-WORD frequency table (one
+    corpus scan, checkpointed once; Heaps'-law small thereafter), each
+    round is a map-side-combinable pair count + LIMIT-1 TakeOrdered,
+    and merge application is a codegen'd paren-delimited replace — no
+    UDF anywhere. The oracle macro-expands the same 12 rounds as
+    chained DuckDB CTEs, so every learned rule and its frequency is
+    value-hash verified."""
+    from randas_spark.operators.corpus import bpe_learn
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    return bpe_learn(d, "text", n_merges=12)
+
+
+def _url_synth_sql() -> str:
+    """Deterministic messy-URL synthesis from doc_id (the documents
+    fixture carries no URL column): six variants per page id covering
+    scheme/host case, explicit default ports, trailing slash, tracking
+    params, and fragments — the crawl equivalence class the
+    canonicalizer must collapse."""
+    base = "'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'"
+    path = "'/articles/item' || CAST(doc_id % 50 AS VARCHAR)"
+    return f"""CASE doc_id % 6
+        WHEN 0 THEN 'https://' || {base} || {path}
+        WHEN 1 THEN 'HTTPS://' || upper({base}) || ':443' || {path}
+        WHEN 2 THEN 'https://' || {base} || {path} || '/'
+        WHEN 3 THEN 'https://' || {base} || {path}
+                 || '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR)
+        WHEN 4 THEN 'http://' || {base} || ':80' || {path} || '#section2'
+        ELSE 'https://' || {base} || {path} || '?page=2&utm_medium=email'
+    END"""
+
+
+from randas_spark.functions.text import sql_url_canonicalize as _sql_url_canon
+
+
+@register(
+    "llm_url_dedup",
+    oracle=f"""
+    SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc
+    FROM (
+        SELECT doc_id, {_sql_url_canon('url')} AS canon_url
+        FROM (SELECT doc_id, {_url_synth_sql()} AS url FROM documents)
+    ) GROUP BY canon_url
+    """,
+)
+def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (functions/text.url_canonicalize) —
+    the standard PRE-content-dedup stage of a crawl pipeline: collapse
+    scheme/host case, default ports, trailing slashes, fragments and
+    tracking params, then exact-dedup on the canonical URL. Plan: one
+    scan + one map-side-combinable groupBy, zero UDFs, zero joins —
+    strictly cheaper than any shingle/minhash op, which is exactly why
+    it runs first at 100 TB. URLs are synthesized deterministically
+    from doc_id (six messy variants; the fixture has no URL column) so
+    both engines canonicalize the identical inputs."""
+    from randas_spark.functions.text import url_canonicalize
+
+    d = t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 20).cast("string")
+    p = (F.col("doc_id") % 50).cast("string")
+    v = F.col("doc_id") % 6
+    base = F.concat(F.lit("site"), h, F.lit(".example.com"))
+    path = F.concat(F.lit("/articles/item"), p)
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), base, path))
+        .when(v == 1, F.concat(F.lit("HTTPS://"), F.upper(base), F.lit(":443"), path))
+        .when(v == 2, F.concat(F.lit("https://"), base, path, F.lit("/")))
+        .when(
+            v == 3,
+            F.concat(
+                F.lit("https://"), base, path,
+                F.lit("?utm_source=feed&utm_campaign=c"),
+                (F.col("doc_id") % 3).cast("string"),
+            ),
+        )
+        .when(v == 4, F.concat(F.lit("http://"), base, F.lit(":80"), path, F.lit("#section2")))
+        .otherwise(
+            F.concat(F.lit("https://"), base, path, F.lit("?page=2&utm_medium=email"))
+        )
+    )
+    return (
+        d.select(F.col("doc_id"), url.alias("url"))
+        .select("doc_id", url_canonicalize(F.col("url")).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+    )

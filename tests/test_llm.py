@@ -1473,3 +1473,105 @@ def test_incremental_dedup_ledger_evolution(spark):
     # replaying batch 2 against its own output ledger kills everything
     lab3, _ = incremental_dedup(b2, led2, "doc_id", "text")
     assert {r.status for r in lab3.collect()} == {"dup_vs_ledger"}
+
+
+def test_bpe_learn_matches_python_reference(spark):
+    """bpe_learn must reproduce the textbook greedy BPE merge sequence:
+    most-frequent adjacent symbol pair per round (freq-weighted over
+    distinct words, ties by pair lexicographically), merges applied
+    leftmost-non-overlapping — verified against an independent pure-
+    Python implementation on a corpus exercising ties and the a==b
+    self-overlap case ("aaa" -> ["aa","a"])."""
+    import re
+    from collections import Counter
+
+    from randas_spark.operators.corpus import bpe_learn
+
+    texts = [
+        "the theme thesis",
+        "aaa aaaa the",
+        "banana bandana the theme",
+        "no pair! 42 the",
+    ]
+
+    def py_bpe(texts, n_merges):
+        words = Counter()
+        for t in texts:
+            for w in re.split(r"[^a-z]+", t.lower()):
+                if w:
+                    words[w] += 1
+        state = {w: tuple(w) for w in words}
+        out = []
+        for k in range(1, n_merges + 1):
+            pairs = Counter()
+            for w, syms in state.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += words[w]
+            if not pairs:
+                break
+            (a, b), freq = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((k, a, b, a + b, freq))
+            for w, syms in state.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                state[w] = tuple(merged)
+        return out
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.merge_rank, r.lhs, r.rhs, r.merged, r.freq)
+        for r in bpe_learn(df, "text", n_merges=8).orderBy("merge_rank").collect()
+    ]
+    assert got == py_bpe(texts, 8)
+
+
+def test_url_canonicalize_rules(spark):
+    """Canonicalizer edge cases: default-port strip (only for the
+    matching scheme), case only on scheme/host, tracking-param removal
+    preserving other params in order, trailing-slash and fragment strip,
+    non-URL passthrough. Spark and the DuckDB twin must agree char-for-
+    char on every case."""
+    import duckdb
+
+    from randas_spark.functions.text import sql_url_canonicalize, url_canonicalize
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/A/B/", "https://www.example.com/A/B"),
+        ("http://host.com:80/x", "http://host.com/x"),
+        ("http://host.com:443/x", "http://host.com:443/x"),  # not http default
+        ("https://host.com:8080/x/", "https://host.com:8080/x"),
+        (
+            "https://h.com/p?utm_source=a&id=7&fbclid=zz&page=2#frag",
+            "https://h.com/p?id=7&page=2",
+        ),
+        ("https://h.com/p?utm_source=a&utm_medium=b", "https://h.com/p"),
+        ("https://h.com/", "https://h.com"),
+        ("https://h.com/CaseKept/Path", "https://h.com/CaseKept/Path"),
+        ("not a url#frag", "not a url"),
+        ("ftp://Weird.Host/Dir/", "ftp://weird.host/Dir"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {
+        r.url: r.canon
+        for r in df.select("url", url_canonicalize(F.col("url")).alias("canon")).collect()
+    }
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
+    con = duckdb.connect()
+    vals = ", ".join("('{}')".format(u.replace("'", "''")) for u, _ in cases)
+    dd = dict(
+        con.execute(
+            f"SELECT url, {sql_url_canonicalize('url')} AS c"
+            f" FROM (VALUES {vals}) t(url)"
+        ).fetchall()
+    )
+    for u, want in cases:
+        assert dd[u] == want, (u, dd[u], want)
