@@ -449,15 +449,22 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the HAVING aggregate and the semi join share the orderkey
     partitioning; customer broadcasts; top-100 is TakeOrderedAndProject.
     """
-    li = t(spark, sf_dir, "lineitem")
+    return q18_core(
+        t(spark, sf_dir, "lineitem"),
+        t(spark, sf_dir, "orders"),
+        t(spark, sf_dir, "customer"),
+    )
+
+
+def q18_core(li: DataFrame, o: DataFrame, c: DataFrame) -> DataFrame:
+    """Q18 over caller-supplied frames (see q12_core — bucketed inputs
+    make the HAVING agg and both orderkey joins Exchange-free)."""
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("sq"))
         .filter(F.col("sq") > 150)
         .select("l_orderkey")
     )
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer")
     return (
         li.join(big.withColumnRenamed("l_orderkey", "bk"), li.l_orderkey == F.col("bk"), "inner")
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -531,9 +538,17 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: all three lineitem legs shuffle on orderkey — one exchange
     reused across the semi and anti joins; supplier broadcasts.
     """
-    li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    s = t(spark, sf_dir, "supplier")
+    return q21_core(
+        t(spark, sf_dir, "lineitem"),
+        t(spark, sf_dir, "orders"),
+        t(spark, sf_dir, "supplier"),
+    )
+
+
+def q21_core(li: DataFrame, o: DataFrame, s: DataFrame) -> DataFrame:
+    """Q21 over caller-supplied frames (see q12_core — bucketed lineitem
+    makes all three orderkey legs reuse the stored clustering)."""
+    o = o.filter(F.col("o_orderstatus") == "F")
     late_cut = F.expr("o_orderdate + INTERVAL 60 DAY")
 
     l1 = (
@@ -732,12 +747,19 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts partial-aggregate map-side so the final groupBy moves only
     6 returnflag rows per partition.
     """
+    return q12_core(t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders"))
+
+
+def q12_core(li: DataFrame, o: DataFrame) -> DataFrame:
+    """Q12 over caller-supplied fact frames — the seam that lets the
+    same plan run over plain parquet OR bucketed tables (bucketed on
+    the orderkey, the join runs Exchange-free; tools/bench_bucketed.py
+    measures the trade, tests/test_layout.py pins the plan)."""
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    li = t(spark, sf_dir, "lineitem").filter(
+    li = li.filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    o = t(spark, sf_dir, "orders")
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy(F.col("l_returnflag").alias("shipmode"))

@@ -254,3 +254,41 @@ def test_compact_dataset_partitioned_preserves_pruning(spark, orders, tmp_path):
     # content identical
     n = spark.read.parquet(path).count()
     assert n == orders.count()
+
+
+def test_q12_bucketed_inputs_join_without_exchange(spark, orders):
+    """The REAL headline query (TPC-H Q12 core) over bucketed fact
+    tables: the orderkey sort-merge join must run with zero Exchange
+    below the join (the write-once layout pays the shuffle), and the
+    answer must equal the plain-parquet run row-for-row. The final
+    3-row groupBy exchange above the join is expected and excluded."""
+    from randas_spark.io.layout import write_bucketed
+    from randas_spark.queries import t
+    from randas_spark.queries.tpch import q12_core
+
+    li = t(spark, SF_DIR, "lineitem")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(li, "li_q12_b", ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"])
+        write_bucketed(
+            orders, "o_q12_b", ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"]
+        )
+        bucketed = q12_core(spark.table("li_q12_b"), spark.table("o_q12_b"))
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:1500]
+        below_join = plan.split("SortMergeJoin")[-1]
+        assert "Exchange hashpartitioning" not in below_join, below_join[:1500]
+
+        plain = {
+            (r.shipmode): (r.high_line_count, r.low_line_count)
+            for r in q12_core(li, orders).collect()
+        }
+        got = {
+            (r.shipmode): (r.high_line_count, r.low_line_count)
+            for r in bucketed.collect()
+        }
+        assert got == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS li_q12_b")
+        spark.sql("DROP TABLE IF EXISTS o_q12_b")

@@ -86,6 +86,43 @@ def main() -> None:
     spark.sql("DROP TABLE IF EXISTS li_bench_b")
     spark.sql("DROP TABLE IF EXISTS orders_bench_b")
 
+    # ---- the REAL headline trio over bucketed layout (round-6) --------
+    # q12/q18/q21 are the suite's fact-fact orderkey joins; bucket the
+    # FULL-WIDTH tables once (what a production layout would persist)
+    # and run the identical query cores over plain vs bucketed inputs.
+    from randas_spark.queries.tpch import q12_core, q18_core, q21_core
+
+    li_full = t(spark, sf_dir, "lineitem")
+    o_full = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+
+    t0 = time.perf_counter()
+    write_bucketed(li_full, "li_full_b", ["l_orderkey"], num_buckets=32, sort_cols=["l_orderkey"])
+    write_bucketed(o_full, "o_full_b", ["o_orderkey"], num_buckets=32, sort_cols=["o_orderkey"])
+    trio_write_sec = round(time.perf_counter() - t0, 4)
+    li_b, o_b = spark.table("li_full_b"), spark.table("o_full_b")
+
+    trio = {}
+    for name, plain_fn, bucket_fn in [
+        ("q12", lambda: q12_core(li_full, o_full), lambda: q12_core(li_b, o_b)),
+        ("q18", lambda: q18_core(li_full, o_full, cust), lambda: q18_core(li_b, o_b, cust)),
+        ("q21", lambda: q21_core(li_full, o_full, supp), lambda: q21_core(li_b, o_b, supp)),
+    ]:
+        p = _median3(lambda: plain_fn().collect())
+        b = _median3(lambda: bucket_fn().collect())
+        plan_b = bucket_fn()._jdf.queryExecution().executedPlan().toString()
+        jp = plan_b.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan_b else plan_b
+        trio[name] = {
+            "plain_sec": p,
+            "bucketed_sec": b,
+            "speedup": round(p / b, 2) if b else None,
+            "no_exchange_under_join": "Exchange hashpartitioning" not in jp,
+        }
+
+    spark.sql("DROP TABLE IF EXISTS li_full_b")
+    spark.sql("DROP TABLE IF EXISTS o_full_b")
+
     print(
         json.dumps(
             {
@@ -96,6 +133,8 @@ def main() -> None:
                 "one_time_bucket_write_sec": bucket_write_sec,
                 "speedup": round(plain_sec / bucketed_sec, 2) if bucketed_sec else None,
                 "bucketed_join_has_no_exchange": no_exchange,
+                "tpch_trio_bucket_write_sec": trio_write_sec,
+                "tpch_trio": trio,
             }
         )
     )
