@@ -452,3 +452,52 @@ def countmin_stream_cells(df: DataFrame, key_col: str = "user_id", depth: int = 
         .groupBy(F.col("x.d").alias("d"), F.col("x.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def idempotent_batch_sink(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    key_col: str = "event_id",
+):
+    """Exactly-once-shaped durable sink: foreachBatch writer whose effect
+    is IDEMPOTENT per (batch_id, key) — the missing half of streaming
+    exactly-once. The checkpoint already makes offsets resume correctly,
+    but foreachBatch is at-least-once: after a crash between the batch
+    write and the offset commit, the SAME batch_id is redelivered and a
+    plain append would duplicate it. Here each batch stamps its rows
+    with batch_id, anti-joins against the store's SAME-batch partition
+    (dedup-on-write keyed by (batch_id, key) — the operators/merge
+    upsert shape specialized to the redelivery case), and appends only
+    the unseen keys, so replaying a batch any number of times converges
+    to one copy.
+
+    Scale: the store is partitioned BY batch_id, so the anti-join's
+    store side prunes to exactly one partition directory (the batch
+    being retried) — never a scan of the accumulated table; the common
+    no-retry case reads an empty directory listing.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        out = batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+        try:
+            existing = (
+                spark.read.parquet(store_path)
+                .filter(F.col("batch_id") == int(batch_id))
+                .select(key_col)
+            )
+            fresh = out.join(existing, key_col, "left_anti")
+        except Exception:  # first batch: store doesn't exist yet
+            fresh = out
+        fresh.write.mode("append").partitionBy("batch_id").parquet(store_path)
+
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return store_path, sink

@@ -581,3 +581,47 @@ def test_attribution_kernel_chunk_order_independent():
     assert abs(float(out.iloc[0]["mins_since_touch"]) - 30.0) < 1e-9
     # carried state = the latest touch
     assert state.value[0] == 3
+
+
+def test_idempotent_sink_replayed_batch_no_duplicates(spark, batch_events, tmp_path):
+    """foreachBatch is at-least-once: a crash between the batch write and
+    the offset commit redelivers the SAME batch_id. The idempotent sink
+    (dedup-on-write keyed by (batch_id, event_id)) must converge to one
+    copy — replaying the last batch twice more leaves every count
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    from randas_spark.streaming.engine import events_stream, idempotent_batch_sink
+
+    stream, stage = events_stream(spark, SF_DIR, files_per_trigger=1)
+    store = str(tmp_path / "idemp_store")
+    ckpt = str(tmp_path / "idemp_ckpt")
+    try:
+        _, sink = idempotent_batch_sink(stream, store, ckpt, key_col="event_id")
+        first = spark.read.parquet(store)
+        n_rows = first.count()
+        assert n_rows == batch_events.count()
+        last_bid = first.agg({"batch_id": "max"}).collect()[0][0]
+
+        # simulate redelivery: run the SAME batch through the sink twice
+        replay = spark.read.parquet(store).filter(
+            F.col("batch_id") == last_bid
+        ).drop("batch_id")
+        sink(replay, last_bid)
+        sink(replay, last_bid)
+
+        again = spark.read.parquet(store)
+        assert again.count() == n_rows
+        dup = (
+            again.groupBy("batch_id", "event_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert dup == 0
+
+        # and a NEW batch id still appends (idempotence is per batch)
+        sink(replay.limit(5), last_bid + 1)
+        assert spark.read.parquet(store).count() == n_rows + 5
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
