@@ -58,6 +58,12 @@ HEADLINE = [
     "rel_interval_join_binned",
     "rel_quantile_sketch_mergeable",
     "llm_dedup_containment",
+    # round-6 additions: the costliest registry op after its rework
+    # (SemDeDup composition), BPE tokenizer training, and the
+    # pre-content-dedup URL stage; isolated rows in BASELINE.md r6
+    "llm_semantic_dedup",
+    "llm_bpe_learn",
+    "llm_url_dedup",
 ]
 
 
