@@ -345,3 +345,53 @@ def bpe_learn(
     return spark.createDataFrame(
         merges, "merge_rank long, lhs string, rhs string, merged string, freq long"
     )
+
+
+def bpe_apply(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Encode documents against a learned BPE merge list (the output of
+    :func:`bpe_learn`, rank-ordered): per document, word count, symbol
+    (character) count, post-merge subword count, and the compression
+    ratio chars/subwords — the tokenizer-application stage, and the
+    number (tokens per document) every training-data budget is priced
+    in.
+
+    ENTIRELY scan-side: the merge list is driver-tiny by construction
+    (one row per merge rule) and folds into the plan as literals — each
+    word is paren-coded and the merges chain as ``replace`` calls in
+    rank order inside an array ``transform``; the subword count is ONE
+    ``regexp_count`` of the paren openers (merged symbols never contain
+    parens — and a single count pass, because Catalyst does no CSE
+    inside lambdas, so a len-minus-len formulation would evaluate the
+    whole merge chain twice per word). No UDF, no explode, no shuffle —
+    a 100 TB corpus is tokenized-counted at scan parallelism;
+    single-split local inputs are fanned out to core count first
+    (no-op on many-split cluster scans).
+    """
+    from randas_spark.operators.dedup import fan_out
+
+    ws = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda w: w != ""
+    )
+
+    def enc_count(w):
+        e = F.regexp_replace(w, "(.)", "($1)")
+        for a, b in merges:
+            e = F.replace(e, F.lit(f"({a})({b})"), F.lit(f"({a}{b})"))
+        return F.regexp_count(e, F.lit("\\("))
+
+    zero = F.lit(0).cast("long")
+    base = fan_out(df.select(F.col(id_col), ws.alias("__ws__")))
+    ws_c = F.col("__ws__")
+    n_sub = F.aggregate(ws_c, zero, lambda acc, w: acc + enc_count(w).cast("long"))
+    n_chars = F.aggregate(ws_c, zero, lambda acc, w: acc + F.length(w).cast("long"))
+    return base.select(
+        F.col(id_col),
+        F.size(ws_c).cast("long").alias("n_words"),
+        n_chars.alias("n_chars"),
+        n_sub.alias("n_subwords"),
+    )

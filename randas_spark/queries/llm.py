@@ -2810,7 +2810,7 @@ def _bpe_oracle(n_merges: int) -> str:
     leftmost non-overlapping on both engines, so the whole iterative
     algorithm is value-hash checked, not just its last state."""
     parts = [
-        """WITH w0 AS (
+        """WITH w0 AS MATERIALIZED (
         SELECT cnt, regexp_replace(word, '(.)', '(\\1)', 'g') AS sym_str
         FROM (
             SELECT word, count(*) AS cnt FROM (
@@ -2822,7 +2822,7 @@ def _bpe_oracle(n_merges: int) -> str:
     ]
     for k in range(1, n_merges + 1):
         parts.append(f""",
-    p{k} AS (
+    p{k} AS MATERIALIZED (
         SELECT a, b, CAST(sum(cnt) AS BIGINT) AS freq FROM (
             SELECT cnt, p['a'] AS a, p['b'] AS b FROM (
                 SELECT cnt,
@@ -2835,7 +2835,7 @@ def _bpe_oracle(n_merges: int) -> str:
             )
         ) GROUP BY a, b ORDER BY freq DESC, a, b LIMIT 1
     ),
-    w{k} AS (
+    w{k} AS MATERIALIZED (
         SELECT cnt,
                replace(sym_str, '(' || p.a || ')(' || p.b || ')',
                        '(' || p.a || p.b || ')') AS sym_str
@@ -2945,3 +2945,76 @@ def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_doc"),
         )
     )
+
+
+def _bpe_apply_oracle(n_merges: int) -> str:
+    """llm_bpe_learn's macro-expanded CTE chain plus an APPLY stage: the
+    learned pairs are pivoted into one row (m) and chained as replace()
+    calls inside a list_transform lambda — same paren-coded encoding as
+    operators/corpus.bpe_apply, so per-doc subword counts value-hash."""
+    learn = _bpe_oracle(n_merges)
+    ctes = learn.split("\n    SELECT CAST(1 AS BIGINT)")[0]
+    m_cols = ", ".join(
+        f"(SELECT a FROM p{k}) AS a{k}, (SELECT b FROM p{k}) AS b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    enc = "regexp_replace(w, '(.)', '(\\1)', 'g')"
+    for k in range(1, n_merges + 1):
+        enc = (
+            f"replace({enc}, '(' || a{k} || ')(' || b{k} || ')',"
+            f" '(' || a{k} || b{k} || ')')"
+        )
+    n_sub = (
+        f"CAST(coalesce(list_sum(list_transform(ws,"
+        f" w -> len({enc}) - len(replace({enc}, '(', '')))), 0) AS BIGINT)"
+    )
+    comp = (
+        "CASE WHEN n_subwords > 0 THEN "
+        + sql_fround("CAST(n_chars AS DOUBLE) / n_subwords", 6)
+        + " ELSE NULL END"
+    )
+    return f"""{ctes},
+    m AS (SELECT {m_cols}),
+    docs AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    encoded AS (
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
+                    AS BIGINT) AS n_chars,
+               {n_sub} AS n_subwords
+        FROM docs CROSS JOIN m
+    )
+    SELECT doc_id, n_words, n_chars, n_subwords, {comp} AS compression
+    FROM encoded
+    """
+
+
+@register("llm_bpe_apply", oracle=_bpe_apply_oracle(12))
+def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION (operators/corpus.bpe_apply): the 12 merge
+    rules learned by llm_bpe_learn's half-sample are applied to EVERY
+    document — per doc, word/char/subword counts and the chars-per-
+    subword compression ratio, the tokens-per-document number corpus
+    budgets are priced in. Learning collects only the 12-row merge
+    table to the driver (inherent to BPE's sequential decision);
+    application is one scan-side pass — merges fold in as literal
+    replace chains inside an array transform, no UDF/explode/shuffle.
+    The oracle replays learn AND apply in one macro-expanded statement."""
+    from randas_spark.operators.corpus import bpe_apply, bpe_learn
+
+    d = t(spark, sf_dir, "documents")
+    learned = bpe_learn(
+        d.filter(F.col("doc_id") % 2 == 0), "text", n_merges=12
+    ).orderBy("merge_rank").collect()
+    merges = [(r["lhs"], r["rhs"]) for r in learned]
+    enc = bpe_apply(d, "doc_id", "text", merges)
+    comp = F.when(
+        F.col("n_subwords") > 0,
+        fround(F.col("n_chars").cast("double") / F.col("n_subwords"), 6),
+    )
+    return enc.withColumn("compression", comp)

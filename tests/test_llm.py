@@ -1575,3 +1575,43 @@ def test_url_canonicalize_rules(spark):
     )
     for u, want in cases:
         assert dd[u] == want, (u, dd[u], want)
+
+
+def test_bpe_apply_counts_and_scan_side_plan(spark):
+    """bpe_apply invariants: zero merges -> n_subwords == n_chars (every
+    char its own symbol); each applied merge only shrinks the subword
+    count; counts match a hand-check; and the plan is pure scan-side
+    (no Exchange, no BatchEvalPython — the merge list folds in as
+    literals)."""
+    from randas_spark.operators.corpus import bpe_apply
+
+    df = spark.createDataFrame(
+        [(1, "the theme"), (2, "aaa"), (3, "42 !")], "doc_id long, text string"
+    )
+    base = {r.doc_id: r for r in bpe_apply(df, "doc_id", "text", []).collect()}
+    assert (base[1].n_words, base[1].n_chars, base[1].n_subwords) == (2, 8, 8)
+    assert (base[2].n_words, base[2].n_chars, base[2].n_subwords) == (1, 3, 3)
+    assert (base[3].n_words, base[3].n_chars, base[3].n_subwords) == (0, 0, 0)
+
+    merged = {
+        r.doc_id: r
+        for r in bpe_apply(
+            df, "doc_id", "text", [("t", "h"), ("th", "e"), ("a", "a")]
+        ).collect()
+    }
+    # "the"->[the], "theme"->[the,m,e]; "aaa"->[aa,a] (greedy, no overlap)
+    assert merged[1].n_subwords == 1 + 3
+    assert merged[2].n_subwords == 2
+    for d in (1, 2, 3):
+        assert merged[d].n_subwords <= base[d].n_subwords
+        assert merged[d].n_chars == base[d].n_chars
+
+    plan = (
+        bpe_apply(df, "doc_id", "text", [("t", "h")])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # no key shuffle and no Python boundary; fan_out's round-robin
+    # repartition of single-split local inputs is the one allowed
+    # exchange (a no-op on many-split cluster scans)
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan
