@@ -63,6 +63,7 @@ HEADLINE = [
     # pre-content-dedup URL stage; isolated rows in BASELINE.md r6
     "llm_semantic_dedup",
     "llm_bpe_learn",
+    "llm_bpe_apply",
     "llm_url_dedup",
 ]
 
