@@ -415,6 +415,13 @@ def knn_graph_ivf(
         .withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") <= max(n_probe, 1))
         .select("vid", "vv", "vn", "cell", "rn")
+        # MATERIALIZED: probes and assign both consume ranked, and Spark
+        # does not reuse the subplan (0 ReusedExchange measured — the
+        # N x n_cells centroid scoring ran TWICE, once per join side).
+        # Checkpointing the N*n_probe-row ranking pays one tiny write to
+        # halve the widest compute stage. (Makes the builder eager —
+        # fine for an index-construction primitive.)
+        .localCheckpoint()
     )
     assign = ranked.filter(F.col("rn") == 1).select(
         F.col("vid").alias("cid"), F.col("vv").alias("cv"), F.col("vn").alias("cn"), "cell"
