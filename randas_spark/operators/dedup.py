@@ -174,9 +174,14 @@ def ngram_jaccard_pairs(
     hot shingles were dropped. Default None preserves exact semantics;
     beyond the cap, MinHash-LSH (below) is the scale path.
     """
+    # MATERIALIZED once: the self-join's a/b sides plus the two size
+    # legs all derive from sh, and Spark reuses nothing across the four
+    # references — shingle construction (slice + concat_ws per position,
+    # the dominant cost) would run up to 4x. Downstream derivations
+    # (explode, size) are cheap over the checkpointed arrays.
     sh = fan_out(df).select(
         F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
-    )
+    ).localCheckpoint()
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     exploded = sh.select("doc_id", F.explode("sh").alias("s"))
     if max_shingle_freq is not None:
@@ -246,9 +251,12 @@ def containment_pairs(
     containment is directed; the output is still ≤2× the undirected pair
     count above the threshold.
     """
+    # MATERIALIZED once — same rationale as ngram_jaccard_pairs: the
+    # a/b join sides and the size leg would otherwise re-run shingle
+    # construction per reference.
     sh = fan_out(df).select(
         F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
-    )
+    ).localCheckpoint()
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     exploded = sh.select("doc_id", F.explode("sh").alias("s"))
     if max_shingle_freq is not None:
