@@ -406,6 +406,12 @@ def minhash_lsh_pairs(
                 max_bucket_size,
             )
 
+    # No banded checkpoint, by measurement: the band self-join's two
+    # sides exchange on the identical (band_id, band_hash) key, so
+    # Spark's exchange reuse already serves both from one signature
+    # build (A/B: 2.25 s plain vs 2.3-2.7 s checkpointed at sf0.1) —
+    # unlike the shingle-pair generators, whose SIZE legs exchange on a
+    # different key and genuinely recompute.
     cand = (
         banded.alias("a")
         .join(
@@ -498,7 +504,10 @@ def simhash_near_pairs(
     """
     n_bands = max_hamming + 1
     band_bits = _SIMHASH_BITS // n_bands
-    sh = simhash_column(df, id_col, text_col)
+    # MATERIALIZED once: the band self-join below consumes sh from both
+    # sides with no subplan reuse — the pandas_udf simhash (the costly
+    # Python boundary) would run twice over the corpus.
+    sh = simhash_column(df, id_col, text_col).localCheckpoint()
 
     banded = sh.select(
         "doc_id",
@@ -941,7 +950,11 @@ def winnowing_shared_pairs(
     fps: DataFrame, min_shared: int = 3
 ) -> DataFrame:
     """(id_a, id_b, n_shared): doc pairs sharing >= min_shared winnowing
-    fingerprints — same Σfreq² equi-join bound as the shingle joins."""
+    fingerprints — same Σfreq² equi-join bound as the shingle joins.
+    The fingerprint table is materialized once: both join sides consume
+    it with zero subplan reuse, and fingerprint selection (gram hash +
+    ordered window + distinct) is the dominant cost."""
+    fps = fps.localCheckpoint()
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -1119,6 +1132,9 @@ def minhash_lsh_pairs_portable(
     hex-string mins — the audit variant now prices within ~1.5× of
     xxhash64 instead of the 3-4× the per-permutation-md5 design paid.
     """
+    # No banded checkpoint — same measured rationale as
+    # minhash_lsh_pairs: the band self-join exchanges both sides on the
+    # identical key, so exchange reuse serves them from one build.
     banded = portable_banded_signatures(df, id_col, text_col, num_perm, bands, k)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -1229,6 +1245,10 @@ def duplicated_spans(
             .filter(F.col("__freq__") <= max_gram_freq)
             .drop("__freq__")
         )
+    # MATERIALIZED once: the a/b join sides share zero subplan — gram
+    # construction (slice+concat_ws per position) and the hot-gram
+    # window would run twice (same class as the shingle-table fix).
+    grams = grams.localCheckpoint()
     a = grams.select(F.col("doc_id").alias("id_a"), F.col("pos").alias("i"), "g")
     b = grams.select(F.col("doc_id").alias("id_b"), F.col("pos").alias("j"), "g")
     matches = a.join(b, "g").filter(F.col("id_a") < F.col("id_b")).select(
@@ -1389,7 +1409,10 @@ def simhash_portable_pairs(
         raise ValueError(
             f"pigeonhole needs max_hamming < bands, got {max_hamming} >= {bands}"
         )
-    fps = simhash_portable_fps(fan_out(df), id_col, text_col, n_bits)
+    # MATERIALIZED once: the banded self-join's two sides would re-run
+    # the fingerprint build (token explode + md5 + n_bits aggregates)
+    # with zero subplan reuse; fps is one small row per doc.
+    fps = simhash_portable_fps(fan_out(df), id_col, text_col, n_bits).localCheckpoint()
     mask = (1 << bits_per_band) - 1
     banded = fps.select(
         "doc_id",
