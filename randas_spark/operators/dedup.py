@@ -1461,13 +1461,22 @@ def graph_pagerank(
     graph (pick-the-canonical-doc by authority rather than min-id;
     graph-based quality propagation à la Harmonic/TrustRank).
 
-    A BOUNDED unroll (iters is small and fixed) builds one lazy plan of
-    chained join+agg rounds — no driver-side loop state, no actions, so
-    unlike open-ended label propagation this is fully SQL-expressible
-    and carries a cross-engine oracle. Each round shuffles on the node
+    A BOUNDED unroll (iters is small and fixed) builds one plan of
+    chained join+agg rounds — no driver-side loop state, so unlike
+    open-ended label propagation this is fully SQL-expressible and
+    carries a cross-engine oracle. Each round shuffles on the node
     key (contribution sum) — the same partitioning every round, so AQE
     reuses the exchange layout. Dangling nodes keep the (1−d)/N floor.
+
+    The EDGE LIST is materialized once up front: the unrolled plan
+    references it 2x per round (contribution join + degree) and round
+    k's ranks re-expand round k-1's whole subtree, so an expensive
+    producing plan (the near-dup pair join) would re-execute ~2·iters
+    times lazily (A/B at sf0.1: 2.79 s lazy vs 1.81 s checkpointed for
+    llm_graph_rank). Values are unchanged — the oracle stays the same
+    declarative round unroll.
     """
+    edges = edges.localCheckpoint()
     und = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).union(
         edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
     )
