@@ -576,12 +576,27 @@ def embedding_near_pairs(
     recall follows the hyperplane collision probability (1 - θ/π)^n_planes).
     Scoring is the codegen'd cosine expression in both modes.
     """
-    from randas_spark.functions.vectors import cosine
+    from randas_spark.functions.vectors import dot, norm
 
-    # the all-pairs mode parallelizes over the LEFT side's partitions
-    # (nested-loop join) — fan a single-split input out first
-    a = fan_out(df).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    # Norms are STAGED AS COLUMNS below the join: the inline cosine(a,b)
+    # form re-evaluates both norm folds per PAIR (no CSE inside lambda
+    # folds), tripling the fold ops in the quadratic stage; staged, each
+    # norm is one fold per VECTOR and a pair costs a single dot fold.
+    # Same left folds, same sqrt/multiply/divide sequence → values
+    # bit-identical to the declarative oracle (the knn_graph_ivf
+    # rationale, applied to the pair join).
+    # The all-pairs mode parallelizes over the LEFT side's partitions
+    # (nested-loop join) — fan a single-split input out first.
+    a = fan_out(df).select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        norm(F.col(vec_col)).alias("n_a"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        norm(F.col(vec_col)).alias("n_b"),
+    )
     cond = F.col("id_a") < F.col("id_b")
     if n_planes > 0:
         if dim is None:
@@ -594,7 +609,9 @@ def embedding_near_pairs(
     else:
         joined = a.join(b, cond)
     return (
-        joined.withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+        joined.withColumn(
+            "cos", dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
