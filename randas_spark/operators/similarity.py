@@ -15,7 +15,7 @@ import struct
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from randas_spark.functions.vectors import cosine, dot
+from randas_spark.functions.vectors import cosine, dot, norm
 
 
 def knn_bruteforce(
@@ -35,12 +35,25 @@ def knn_bruteforce(
     a per-partition top-k (`rank <= k` after mapPartitions) or use the
     LSH route below. Deterministic: (score desc, corpus id) ordering.
     """
-    q = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cv"))
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    # norms staged per side (one fold per vector); the pair stage pays a
+    # single dot fold — the inline cosine form re-evaluated both norm
+    # folds per scored pair (no CSE inside lambda folds). Bit-identical.
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return (
@@ -97,17 +110,22 @@ def knn_lsh(
     q = queries.select(
         F.col(query_id).alias("qid"),
         F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
         project_buckets(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
     c = corpus.select(
         F.col(corpus_id).alias("cid"),
         F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
         project_buckets(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
+    # staged norms — see knn_bruteforce; bit-identical scores
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return (
@@ -162,7 +180,11 @@ def knn_ivf(
     )
 
     # assign: nearest centroid per corpus row (broadcast centers, argmin)
-    c = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
     c_dist = (
         c.crossJoin(F.broadcast(centers))
         .withColumn("d", _sq_euclid(F.col("cv").cast("array<double>"), F.col("center")))
@@ -171,11 +193,15 @@ def knn_ivf(
     assigned = (
         c_dist.withColumn("rk", F.row_number().over(wc))
         .filter(F.col("rk") == 1)
-        .select("cid", "cv", "cell")
+        .select("cid", "cv", "cn", "cell")
     )
 
     # probe: n_probe nearest cells per query
-    q = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"))
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
     q_dist = (
         q.crossJoin(F.broadcast(centers))
         .withColumn("d", _sq_euclid(F.col("qv").cast("array<double>"), F.col("center")))
@@ -184,13 +210,16 @@ def knn_ivf(
     probes = (
         q_dist.withColumn("rk", F.row_number().over(wq))
         .filter(F.col("rk") <= n_probe)
-        .select("qid", "qv", "cell")
+        .select("qid", "qv", "qn", "cell")
     )
 
+    # staged norms — see knn_bruteforce; bit-identical scores
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return (
@@ -307,34 +336,58 @@ def knn_ivf_det(
     """
     from randas_spark.operators.sampling import _md5_hex
 
+    # norms staged everywhere (vectors once, centers once): the inline
+    # cosine re-evaluated norm(vv) per CENTER and norm(center) per
+    # VECTOR in the broadcast ranking, and both norms per candidate
+    # pair in the final scoring. Bit-identical (see knn_graph_ivf).
     cent = (
         corpus.orderBy(_md5_hex(F.col(corpus_id)), F.col(corpus_id))
         .limit(n_cells)
-        .select(F.col(corpus_id).alias("cell"), F.col(vec_col).alias("center"))
+        .select(
+            F.col(corpus_id).alias("cell"),
+            F.col(vec_col).alias("center"),
+            norm(F.col(vec_col)).alias("center_nrm"),
+        )
     )
-    c = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
     wa = Window.partitionBy("cid").orderBy(F.col("ccos").desc(), F.col("cell"))
     assign = (
         c.crossJoin(F.broadcast(cent))
-        .withColumn("ccos", cosine(F.col("cv"), F.col("center")))
+        .withColumn(
+            "ccos",
+            dot(F.col("cv"), F.col("center")) / (F.col("cn") * F.col("center_nrm")),
+        )
         .withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") == 1)
-        .select("cid", "cv", "cell")
+        .select("cid", "cv", "cn", "cell")
     )
-    q = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"))
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
     wp = Window.partitionBy("qid").orderBy(F.col("ccos").desc(), F.col("cell"))
     probes = (
         q.crossJoin(F.broadcast(cent))
-        .withColumn("ccos", cosine(F.col("qv"), F.col("center")))
+        .withColumn(
+            "ccos",
+            dot(F.col("qv"), F.col("center")) / (F.col("qn") * F.col("center_nrm")),
+        )
         .withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= n_probe)
-        .select("qid", "qv", "cell")
+        .select("qid", "qv", "qn", "cell")
     )
     wk = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return (
         probes.join(assign, "cell")
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
         .withColumn("rk", F.row_number().over(wk).cast("long"))
         .filter(F.col("rk") <= top_k)
         .select("qid", "cid", "cos", "rk")
