@@ -801,6 +801,58 @@ def connected_components_star(
     # label itself — matching connected_components' singleton semantics
     all_nodes = raw.select("u").union(raw.select(F.col("v").alias("u"))).distinct()
 
+    # LOCAL CONTRACTION pre-pass (the standard distributed-CC opening
+    # move): each partition solves its own edges exactly with an
+    # in-memory union-find (min-root) and emits only its spanning
+    # forest (node -> local root, <= one edge per non-root node).
+    # Connectivity is preserved — the union of per-partition closures
+    # has the same components — while chains that live inside one
+    # partition contract to stars in ONE Arrow-batched pass, so the
+    # global star rounds start from partition-hop diameter, not raw
+    # diameter (locally: 6 rounds -> 2 on the semantic-dedup graph).
+    # Memory is bounded by the partition's edge count (the shuffle
+    # split size); output orientation stays downhill (root = min).
+    # Measured trade-off (sf0.1, isolated median-of-3): the heavy
+    # semantic-dedup graph drops 5.18 -> 4.08 s (-21%); an already
+    # shallow near-dup graph pays the one fixed Arrow round-trip
+    # (llm_dedup_clusters_star 2.10 -> 2.43 s). Default-on because the
+    # fixed cost is constant while the round savings grow with graph
+    # size — exactly the regime this operator is chosen for.
+    def _local_cc(pdfs):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in pdfs:
+            for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+        us, vs = [], []
+        for x in parent:
+            r = find(x)
+            if r != x:
+                us.append(x)
+                vs.append(r)
+        if us:
+            yield pd.DataFrame({"u": us, "v": vs})
+
+    e = e.mapInPandas(_local_cc, schema=e.schema)
+
     from pyspark.sql import Window
 
     def with_min(g: DataFrame) -> DataFrame:
