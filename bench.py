@@ -65,6 +65,10 @@ HEADLINE = [
     "llm_bpe_learn",
     "llm_bpe_apply",
     "llm_url_dedup",
+    # round-6 continuation: deterministic distributed k-means (the one
+    # iterative numeric fixpoint with a cross-engine oracle); isolated
+    # row + 10x point in BASELINE.md r6
+    "llm_kmeans_det",
 ]
 
 

@@ -3018,3 +3018,94 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("n_chars").cast("double") / F.col("n_subwords"), 6),
     )
     return enc.withColumn("compression", comp)
+
+
+# --------------------------------------------------------------------------
+# Clustering
+# --------------------------------------------------------------------------
+
+
+def _kmeans_oracle(k: int = 8, n_iter: int = 4, dim: int = 64, scale: int = 512) -> str:
+    """Macro-expanded Lloyd replay: one (asg, upd, cent) CTE trio per
+    iteration, AS MATERIALIZED throughout (the bpe_learn lesson — DuckDB
+    inlines single-reference CTEs and re-evaluates an iterative chain
+    exponentially otherwise). The distance fold mirrors the engine's
+    array-index-order left fold; centroid coordinates are exact BIGINT
+    sums divided once as DOUBLE, so every iteration is bit-identical to
+    operators/cluster.kmeans_lloyd_det."""
+
+    def dist(v: str, c: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, len({v}.qx)), "
+            f"i -> (CAST({v}.qx[i] AS DOUBLE) - {c}.carr[i]) * "
+            f"(CAST({v}.qx[i] AS DOUBLE) - {c}.carr[i]))), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    parts = [
+        f"""v AS MATERIALIZED (
+        SELECT vec_id AS vid,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS qx
+        FROM embeddings
+    ),
+    cent0 AS MATERIALIZED (
+        SELECT vid AS cluster, list_transform(qx, x -> CAST(x AS DOUBLE)) AS carr
+        FROM v ORDER BY md5(CAST(vid AS VARCHAR)), vid LIMIT {k}
+    )"""
+    ]
+    for it in range(1, n_iter + 1):
+        d = dist("v", "c")
+        parts.append(
+            f"""asg{it} AS MATERIALIZED (
+        SELECT vid, qx, cluster, dist FROM (
+            SELECT v.vid, v.qx, c.cluster, {d} AS dist,
+                   row_number() OVER (
+                       PARTITION BY v.vid ORDER BY ({d}) ASC, c.cluster ASC
+                   ) AS rn
+            FROM v CROSS JOIN cent{it - 1} c
+        ) WHERE rn = 1
+    )"""
+        )
+        if it < n_iter:
+            parts.append(
+                f"""upd{it} AS MATERIALIZED (
+        SELECT cluster, list(m ORDER BY i) AS carr FROM (
+            SELECT a.cluster, g.i AS i,
+                   CAST(CAST(sum(a.qx[g.i]) AS BIGINT) AS DOUBLE) / count(*) AS m
+            FROM asg{it} a, generate_series(1, {dim}) g(i)
+            GROUP BY a.cluster, g.i
+        ) GROUP BY cluster
+    ),
+    cent{it} AS MATERIALIZED (
+        SELECT c.cluster, coalesce(u.carr, c.carr) AS carr
+        FROM cent{it - 1} c LEFT JOIN upd{it} u USING (cluster)
+    )"""
+            )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT vid AS vec_id, cluster, dist FROM asg{n_iter}"
+    )
+
+
+@register("llm_kmeans_det", oracle=_kmeans_oracle())
+def llm_kmeans_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed k-means over the embedding corpus
+    (operators/cluster.kmeans_lloyd_det; k=8, 4 Lloyd rounds): the
+    corpus-curation primitive behind diversity sampling, topic
+    balancing, and SemDeDup-style cluster pruning. Executes in the
+    MLlib-KMeans plan shape — broadcast-literal centroids make each
+    assignment a zero-shuffle projection, the update is one map-side-
+    combined (cluster, pos) shuffle, driver state is k x dim — but with
+    integer-quantized coordinates so the ENTIRE fit (seeding through
+    final assignment distances) is bit-deterministic and carries a full
+    value-hash oracle, which MLlib's float-accumulation k-means cannot.
+    Uniquely among the oracle suite this replays a 4-round iterative
+    numeric fixpoint cross-engine, validated against an independent
+    numpy replay in pytest."""
+    from randas_spark.operators.cluster import kmeans_lloyd_det
+
+    emb = t(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_det(emb, "vec_id", "embedding", k=8, n_iter=4, scale=512.0)

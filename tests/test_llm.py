@@ -1615,3 +1615,72 @@ def test_bpe_apply_counts_and_scan_side_plan(spark):
     # exchange (a no-op on many-split cluster scans)
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_kmeans_det_matches_numpy_replay(spark):
+    """kmeans_lloyd_det must be bit-deterministic: an independent numpy
+    replay of the same spec (md5-low seeding, integer-quantized coords,
+    squared-L2 argmin with (dist, cluster) tie-break, exact-integer-sum
+    centroid means) must produce the identical labels, and distances
+    equal to float tolerance (numpy's vectorized sum order differs from
+    the engines' index-order fold, so ulp slack is expected HERE while
+    the DuckDB oracle — same fold order — stays hash-exact)."""
+    import hashlib
+
+    import numpy as np
+
+    from randas_spark.operators.cluster import kmeans_lloyd_det
+    from randas_spark.queries import t
+
+    K, NITER, SCALE = 8, 4, 512.0
+    out = (
+        kmeans_lloyd_det(
+            t(spark, SF_DIR, "embeddings"), "vec_id", "embedding", k=K, n_iter=NITER
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+
+    emb = sorted(
+        t(spark, SF_DIR, "embeddings").select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ids = np.array([r["vec_id"] for r in emb])
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    qx = np.floor(X * SCALE + 0.5).astype(np.int64)
+    md5 = np.array([hashlib.md5(str(i).encode()).hexdigest() for i in ids])
+    seed_ids = ids[np.lexsort((ids, md5))][:K]
+    cents = {int(i): qx[ids == i][0].astype(np.float64) for i in seed_ids}
+    order = sorted(cents)
+    lab = dmin = None
+    for it in range(1, NITER + 1):
+        C = np.stack([cents[c] for c in order])
+        D = ((qx[:, None, :].astype(np.float64) - C[None, :, :]) ** 2).sum(axis=2)
+        lab = np.array([order[j] for j in D.argmin(axis=1)])
+        dmin = D.min(axis=1)
+        if it < NITER:
+            for c in order:
+                m = lab == c
+                if m.sum():
+                    cents[c] = qx[m].sum(axis=0).astype(np.float64) / m.sum()
+
+    assert [r["cluster"] for r in out] == lab.tolist()
+    assert np.allclose([r["dist"] for r in out], dmin, rtol=1e-12)
+    # every seed cluster should survive on real data (k=8 over the corpus)
+    assert len({r["cluster"] for r in out}) == K
+
+
+def test_kmeans_assignment_is_shuffle_free(spark):
+    """The assignment stage must be a zero-exchange projection: centroids
+    enter as broadcast literals, so the ONLY exchanges in the final plan
+    belong to the (cluster, pos) update aggregations of EARLIER
+    iterations, never to the assignment itself — the property that makes
+    each Lloyd round one narrow shuffle at 100 TB."""
+    from randas_spark.operators.cluster import kmeans_lloyd_det
+    from randas_spark.queries import t
+
+    out = kmeans_lloyd_det(
+        t(spark, SF_DIR, "embeddings"), "vec_id", "embedding", k=4, n_iter=1
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
