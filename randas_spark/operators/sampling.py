@@ -123,3 +123,55 @@ def fixed_size_sample(df: DataFrame, key: str, n: int) -> DataFrame:
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
     return df.orderBy(_md5_hex(F.col(key)), F.col(key)).limit(n)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    fractions: tuple[tuple[str, float], ...] = (("train", 0.8), ("val", 0.9)),
+    final: str = "test",
+) -> DataFrame:
+    """(id, cluster, split): train/val/test assignment BY DEDUP CLUSTER,
+    not by document — the split every evaluation-integrity audit
+    actually requires. Doc-level splitting (train_test_split) leaks
+    whenever near-duplicates of a test document sit in train, which on
+    crawl corpora is the norm, not the edge case; here every transitive
+    near-dup cluster (``pairs`` edges closed under connectivity via
+    star-CC, O(log² n) rounds) lands wholly in ONE split, chosen by an
+    md5 threshold on the cluster's min-id representative — the same
+    engine-portable hash discipline as hash_sample, so the assignment
+    is reproducible across runs, partitionings, and engines.
+
+    ``fractions`` are cumulative upper bounds ((name, cum_rate)...),
+    remainder labeled ``final``. Cluster sizes skew the realized doc
+    fractions slightly — inherent to leak-safety (clusters are atomic),
+    and the honest trade: you cannot have both exact doc fractions and
+    zero cluster straddling.
+
+    Scale shape: the split itself adds ONE narrow projection over the
+    CC labels (md5 + threshold CASE, codegen) and a left join of ids to
+    labels — cost is entirely the pair generation + CC the dedup
+    pipeline already runs; reuse those labels when both are needed.
+    """
+    from randas_spark.operators.dedup import connected_components_star
+
+    comp = connected_components_star(pairs)
+    full = (
+        df.select(F.col(id_col).alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("comp", F.col("node")).alias("cluster"),
+        )
+    )
+    h = _md5_hex(F.col("cluster"))
+    split = None
+    for name, cum in fractions:
+        thr = F.lit(format(int(cum * 16**8), "08x"))
+        split = (
+            F.when(h < thr, F.lit(name))
+            if split is None
+            else split.when(h < thr, F.lit(name))
+        )
+    return full.withColumn("split", split.otherwise(F.lit(final)))

@@ -3109,3 +3109,58 @@ def llm_kmeans_det(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return kmeans_lloyd_det(emb, "vec_id", "embedding", k=8, n_iter=4, scale=512.0)
+
+
+@register(
+    "llm_split_leakage_safe",
+    oracle="""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(lower(text), ' ')) - 4, 1)),
+            i -> array_to_string(string_split(lower(text), ' ')[i:i+4], ' ')))) AS s
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
+    ), und AS (
+        SELECT id_a AS u, id_b AS v FROM edges
+        UNION
+        SELECT id_b, id_a FROM edges
+    ), reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.node, e.v FROM reach r JOIN und e ON e.u = r.lbl
+    ), comp AS (
+        SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster,
+           CASE WHEN md5(CAST(cluster AS VARCHAR)) < 'cccccccc' THEN 'train'
+                WHEN md5(CAST(cluster AS VARCHAR)) < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM comp
+    """,
+)
+def llm_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split (operators/sampling.
+    leakage_safe_split; 80/10/10 by md5 threshold on the cluster
+    representative): near-dup Jaccard clusters are atomic, so no test
+    document has a near-duplicate in train — the evaluation-integrity
+    property doc-level splitting (llm_train_test_split) cannot give on
+    crawl corpora. Same pair edges as llm_dedup_clusters, closed by
+    star-CC; the oracle replays closure + threshold in one recursive
+    CTE."""
+    from randas_spark.operators.dedup import ngram_jaccard_pairs
+    from randas_spark.operators.sampling import leakage_safe_split
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.3)
+    return leakage_safe_split(d, pairs, "doc_id")

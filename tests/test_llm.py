@@ -1684,3 +1684,31 @@ def test_kmeans_assignment_is_shuffle_free(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark, docs):
+    """The defining property: no near-dup pair may straddle splits —
+    every edge's endpoints carry the same split label — while doc-level
+    train_test_split on the same corpus is ALLOWED to leak (that's the
+    operator's reason to exist). Also: labels exhaustive, assignment a
+    pure function of cluster id."""
+    from randas_spark.operators.dedup import ngram_jaccard_pairs
+    from randas_spark.operators.sampling import leakage_safe_split
+
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.3)
+    out = leakage_safe_split(docs, pairs, "doc_id")
+    lab = {r["doc_id"]: (r["cluster"], r["split"]) for r in out.collect()}
+
+    edges = pairs.collect()
+    assert edges, "fixture corpus must contain near-dup pairs"
+    for e in edges:
+        a, b = e["id_a"], e["id_b"]
+        assert lab[a][1] == lab[b][1], f"pair ({a},{b}) straddles splits"
+        assert lab[a][0] == lab[b][0]
+
+    assert set(s for _, s in lab.values()) <= {"train", "val", "test"}
+    assert len(lab) == docs.count()
+    # same cluster id -> same split everywhere (split is md5(cluster))
+    by_cluster: dict = {}
+    for c, s in lab.values():
+        assert by_cluster.setdefault(c, s) == s
