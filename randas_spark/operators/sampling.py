@@ -175,3 +175,54 @@ def leakage_safe_split(
             else split.when(h < thr, F.lit(name))
         )
     return full.withColumn("split", split.otherwise(F.lit(final)))
+
+
+def importance_resample(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    target_frac: float = 0.3,
+) -> DataFrame:
+    """Weight-proportional deterministic resampling (the DSIR-shaped
+    pass): keep each row with probability min(1, target_frac·N·w/Σw),
+    so the kept set's expected size is target_frac·N while high-weight rows
+    (quality, domain-match, classifier score) are kept proportionally
+    more often. The selection stays a pure function of the id — weights
+    quantize to 1e-6 integers (so Σw is an EXACT long, immune to float
+    accumulation order), per-row rates quantize to 1e-6 by floor, and
+    membership compares md5(id)'s 32-bit value mod 1e6 against the rate,
+    identically replayable on any engine.
+
+    Scale shape: one tiny global agg (Σw, N — a single broadcast row),
+    then a scan-side codegen filter; the corpus never shuffles. The
+    same discipline as temperature_mixture_sample with per-ROW rather
+    than per-source rates.
+    """
+    d = df.withColumn(
+        "__wq__", F.coalesce(F.floor(weight * F.lit(1_000_000.0)).cast("long"), F.lit(0))
+    )
+    tot = d.agg(
+        F.sum("__wq__").alias("__sw__"),
+        F.count(F.lit(1)).cast("double").alias("__n__"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(target_frac)
+        * F.col("__n__")
+        * F.col("__wq__").cast("double")
+        / F.col("__sw__").cast("double"),
+    )
+    thr = F.floor(rate * F.lit(1_000_000)).cast("long")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .filter(h < thr)
+        .drop("__sw__", "__n__")
+    )

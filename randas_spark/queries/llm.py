@@ -3164,3 +3164,38 @@ def llm_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.3)
     return leakage_safe_split(d, pairs, "doc_id")
+
+
+@register(
+    "llm_importance_resample",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               coalesce(CAST(floor(({sql_quality_score('text')}) * 1000000.0) AS BIGINT), 0) AS wq
+        FROM documents
+    ), tot AS (
+        SELECT CAST(sum(wq) AS BIGINT) AS sw, CAST(count(*) AS DOUBLE) AS n FROM w
+    )
+    SELECT doc_id, source, wq
+    FROM w, tot
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 1000000
+          < CAST(floor(least(1.0,
+                0.3 * n * CAST(wq AS DOUBLE) / CAST(sw AS DOUBLE)) * 1000000) AS BIGINT)
+    """,
+)
+def llm_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance resampling (operators/sampling.
+    importance_resample, target 30%): each document kept with
+    probability min(1, 0.3·N·w/Σw) where w is its quality score — the
+    DSIR-shaped pass that tilts a kept subset toward high-quality text
+    without an RNG (md5-threshold membership, 1e-6-quantized weights so
+    Σw is an exact integer on both engines). One broadcast scalar agg +
+    a scan-side codegen filter; the corpus never shuffles."""
+    from randas_spark.operators.sampling import importance_resample
+
+    d = t(spark, sf_dir, "documents")
+    kept = importance_resample(
+        d, "doc_id", quality_score(F.col("text")), target_frac=0.3
+    )
+    return kept.select("doc_id", "source", F.col("__wq__").alias("wq"))

@@ -1712,3 +1712,38 @@ def test_leakage_safe_split_never_straddles_clusters(spark, docs):
     by_cluster: dict = {}
     for c, s in lab.values():
         assert by_cluster.setdefault(c, s) == s
+
+
+def test_importance_resample_tilts_toward_weight_and_is_partition_invariant(spark, docs):
+    """Kept set must (a) approximate the target fraction, (b) have a
+    higher mean weight than the corpus (the whole point of importance
+    resampling), and (c) be EXACTLY the same set under a different
+    partitioning — selection is a pure function of (id, weight sums),
+    never of shuffle order."""
+    from randas_spark.functions.text import quality_score
+    from randas_spark.operators.sampling import importance_resample
+
+    kept = importance_resample(
+        docs, "doc_id", quality_score(F.col("text")), target_frac=0.3
+    )
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    n = docs.count()
+    assert 0.15 * n <= len(ids) <= 0.45 * n
+
+    corpus_w = docs.select(
+        F.avg(quality_score(F.col("text"))).alias("w")
+    ).collect()[0]["w"]
+    kept_w = kept.select(
+        F.avg(quality_score(F.col("text"))).alias("w")
+    ).collect()[0]["w"]
+    assert kept_w > corpus_w
+
+    ids2 = sorted(
+        r["doc_id"]
+        for r in importance_resample(
+            docs.repartition(7), "doc_id", quality_score(F.col("text")), target_frac=0.3
+        )
+        .select("doc_id")
+        .collect()
+    )
+    assert ids == ids2
