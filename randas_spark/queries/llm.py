@@ -3025,7 +3025,13 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _kmeans_oracle(k: int = 8, n_iter: int = 4, dim: int = 64, scale: int = 512) -> str:
+def _kmeans_oracle(
+    k: int = 8,
+    n_iter: int = 4,
+    dim: int = 64,
+    scale: int = 512,
+    final: str | None = None,
+) -> str:
     """Macro-expanded Lloyd replay: one (asg, upd, cent) CTE trio per
     iteration, AS MATERIALIZED throughout (the bpe_learn lesson — DuckDB
     inlines single-reference CTEs and re-evaluates an iterative chain
@@ -3086,7 +3092,8 @@ def _kmeans_oracle(k: int = 8, n_iter: int = 4, dim: int = 64, scale: int = 512)
     return (
         "WITH "
         + ",\n    ".join(parts)
-        + f"\n    SELECT vid AS vec_id, cluster, dist FROM asg{n_iter}"
+        + "\n    "
+        + (final or f"SELECT vid AS vec_id, cluster, dist FROM asg{n_iter}")
     )
 
 
@@ -3199,3 +3206,41 @@ def llm_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", quality_score(F.col("text")), target_frac=0.3
     )
     return kept.select("doc_id", "source", F.col("__wq__").alias("wq"))
+
+
+@register(
+    "llm_cluster_diverse_sample",
+    oracle=_kmeans_oracle(
+        final="""SELECT vec_id, cluster, rk FROM (
+        SELECT vid AS vec_id, cluster,
+               row_number() OVER (
+                   PARTITION BY cluster
+                   ORDER BY md5(CAST(vid AS VARCHAR)), vid
+               ) AS rk
+        FROM asg4
+    ) WHERE rk <= 10"""
+    ),
+)
+def llm_cluster_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sample: k-means partitions the
+    embedding space (operators/cluster.kmeans_lloyd_det), then an equal
+    md5-ordered quota per cluster (10 each) — the DCLM/SemDeDup-style
+    curation pass that covers embedding space uniformly instead of
+    letting dense regions dominate a uniform sample. One rank window
+    over the assignment (same stratified_sample discipline, stratum =
+    learned cluster); the oracle replays the full Lloyd chain plus the
+    quota window."""
+    from randas_spark.operators.cluster import kmeans_lloyd_det
+
+    emb = t(spark, sf_dir, "embeddings")
+    lab = kmeans_lloyd_det(emb, "vec_id", "embedding", k=8, n_iter=4, scale=512.0)
+    from randas_spark.operators.sampling import _md5_hex
+
+    w = Window.partitionBy("cluster").orderBy(
+        _md5_hex(F.col("vec_id")), F.col("vec_id")
+    )
+    return (
+        lab.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select("vec_id", "cluster", "rk")
+    )

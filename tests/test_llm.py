@@ -1747,3 +1747,25 @@ def test_importance_resample_tilts_toward_weight_and_is_partition_invariant(spar
         .collect()
     )
     assert ids == ids2
+
+
+def test_cluster_diverse_sample_covers_all_clusters_equally(spark):
+    """The sample must take the SAME quota from every surviving cluster
+    (that's the diversity property) and never exceed it, with ranks
+    contiguous from 1 — a uniform sample would instead mirror cluster
+    mass."""
+    from randas_spark.operators.cluster import kmeans_lloyd_det
+    from randas_spark.operators.sampling import _md5_hex
+    from randas_spark.queries import t
+
+    emb = t(spark, SF_DIR, "embeddings")
+    lab = kmeans_lloyd_det(emb, "vec_id", "embedding", k=8, n_iter=4)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cluster").orderBy(_md5_hex(F.col("vec_id")), F.col("vec_id"))
+    samp = lab.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+    per = {r["cluster"]: r["n"] for r in samp.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r["cluster"]: r["n"] for r in lab.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(per) == set(sizes)
+    for c, n in per.items():
+        assert n == min(10, sizes[c])
