@@ -3358,32 +3358,42 @@ def llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     notices). Centroid means use the kmeans_lloyd_det discipline —
     integer-quantized coordinates so cross-row sums are exact longs and
     the means are bit-deterministic — which is what lets a FLOAT
-    centroid comparison carry a value-hash oracle at all. Plan: one
-    posexplode + two map-side-combined (key, pos) aggs (the corpus agg
-    reuses the exploded scan), broadcast corpus centroid, codegen
-    cosine."""
+    centroid comparison carry a value-hash oracle at all. Plan: ONE
+    posexplode scan → one map-side-combined (label, pos) agg; the
+    corpus centroid then reduces the TINY per-label sum table
+    (labels×dim rows) rather than re-scanning the corpus — exact-long
+    sums are associative, so the rollup is bit-identical to a direct
+    corpus agg (the oracle computes it directly; same integers).
+    Broadcast corpus centroid, codegen cosine. Nothing N-sized is ever
+    materialized or scanned twice."""
     from randas_spark.operators.cluster import _quantize
 
     emb = t(spark, sf_dir, "embeddings").select(
         "label", _quantize(F.col("embedding"), 512.0).alias("qx")
     )
-    ex = emb.select("label", F.posexplode("qx").alias("pos", "x")).localCheckpoint()
+    ex = emb.select("label", F.posexplode("qx").alias("pos", "x"))
+    lsum = (
+        ex.groupBy("label", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()  # labels×dim rows — tiny; serves both centroids
+    )
 
-    def cent(grouped, keys):
-        g = (
-            grouped.agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
-            .withColumn("m", F.col("s").cast("double") / F.col("cnt"))
-        )
-        return g.groupBy(*keys).agg(
-            F.max("cnt").cast("long").alias("n"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda e: e["m"]
-            ).alias("carr"),
-        )
+    def carr_of(g):
+        return F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda e: e["m"]
+        ).alias("carr")
 
-    lcent = cent(ex.groupBy("label", "pos"), ["label"])
+    lcent = (
+        lsum.withColumn("m", F.col("s").cast("double") / F.col("cnt"))
+        .groupBy("label")
+        .agg(F.max("cnt").cast("long").alias("n"), carr_of(None))
+    )
     gcent = (
-        cent(ex.groupBy(F.lit(1).alias("g"), "pos"), ["g"])
+        lsum.groupBy("pos")
+        .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+        .withColumn("m", F.col("s").cast("double") / F.col("cnt"))
+        .groupBy()
+        .agg(carr_of(None))
         .select(F.col("carr").alias("garr"))
     )
     return lcent.crossJoin(F.broadcast(gcent)).select(
