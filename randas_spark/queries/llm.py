@@ -1923,6 +1923,7 @@ def _sql_minhash_lsh(
     k: int = 5,
     threshold: float = 0.6,
     final: str | None = None,
+    recursive: bool = False,
 ) -> str:
     """DuckDB twin of operators/dedup.minhash_lsh_pairs_portable: the
     same shared md5→32-bit shingle hash and (a_p·h + b_p) mod P integer
@@ -1948,7 +1949,7 @@ def _sql_minhash_lsh(
         for b in range(bands)
     )
     return f"""
-    WITH sh AS (
+    WITH {'RECURSIVE ' if recursive else ''}sh AS (
         SELECT doc_id, unnest({_sql_shingles('text', k)}) AS s FROM documents
     ),
     shh AS (
@@ -3399,3 +3400,76 @@ def llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lcent.crossJoin(F.broadcast(gcent)).select(
         "label", "n", cosine(F.col("carr"), F.col("garr")).alias("cos_to_corpus")
     )
+
+
+def _hybrid_dedup_final() -> str:
+    """Appended to the minhash CTE chain (recursive=True): embedding
+    LSH-bucket near pairs, edge union, reachability closure, min-label
+    clusters — the cross-signal twin of llm_dedup_clusters' oracle."""
+    emb_pairs = f"""
+    , emb_b AS (
+        SELECT vec_id, embedding,
+               {_sql_hyperplane_bucket('embedding', 64, 4)} AS bucket
+        FROM embeddings
+    ), emb_pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM emb_b a JOIN emb_b b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ({sql_cosine('a.embedding', 'b.embedding')}) >= 0.35
+    ), text_pairs AS (
+        SELECT i.id_a, i.id_b FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.6
+    ), all_edges AS (
+        SELECT id_a, id_b FROM text_pairs UNION SELECT id_a, id_b FROM emb_pairs
+    ), und AS (
+        SELECT id_a AS u, id_b AS v FROM all_edges
+        UNION SELECT id_b, id_a FROM all_edges
+    ), reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.node, e.v FROM reach r JOIN und e ON e.u = r.lbl
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster, node = min(lbl) AS keep
+    FROM reach GROUP BY node"""
+    return emb_pairs
+
+
+@register(
+    "llm_dedup_hybrid",
+    oracle=_sql_minhash_lsh(recursive=True, final=_hybrid_dedup_final()),
+)
+def llm_dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid text+semantic dedup: the union of MinHash-LSH text pairs
+    (exact-Jaccard-verified, >= 0.6) and embedding LSH near pairs
+    (cosine >= 0.35) closed under ONE transitive clustering — what
+    production pipelines actually run, because surface dedup misses
+    paraphrases and embedding dedup misses short verbatim overlaps; a
+    doc caught by EITHER signal joins the same cluster graph, and
+    keep-on-minimum yields one survivor per merged cluster. Both pair
+    generators are banded/bucketed equi-joins (no all-pairs stage), the
+    union feeds star-CC (local-contraction opening, O(log² n) rounds).
+    Embeddings map 1:1 to documents by id (TESTDATA.md)."""
+    from randas_spark.operators.dedup import (
+        connected_components_star,
+        embedding_near_pairs,
+        minhash_lsh_pairs_portable,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+    text_pairs = minhash_lsh_pairs_portable(
+        d, "doc_id", "text", num_perm=32, bands=8, k=5, threshold=0.6
+    ).select("id_a", "id_b")
+    emb_pairs = embedding_near_pairs(
+        e, "vec_id", "embedding", threshold=0.35, n_planes=4, dim=64
+    ).select("id_a", "id_b")
+    pairs = text_pairs.union(emb_pairs).distinct()
+    comp = connected_components_star(pairs)
+    ids = d.select(F.col("doc_id").alias("node"))
+    full = ids.join(comp, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("comp", F.col("node")).alias("cluster"),
+    )
+    return full.withColumn("keep", F.col("doc_id") == F.col("cluster"))

@@ -1804,3 +1804,31 @@ def test_embedding_drift_invariants(spark):
     assert len(rows) == t(spark, SF_DIR, "embeddings").select("label").distinct().count()
     for r in rows:
         assert -1.0 - 1e-9 <= r["cos_to_corpus"] <= 1.0 + 1e-9
+
+
+def test_hybrid_dedup_merges_cross_signal_clusters(spark):
+    """Hybrid clusters must refine BOTH inputs: every text-pair and
+    every embedding-pair lands in one hybrid cluster (edge union can
+    only merge, never split), and there must exist a hybrid cluster
+    bigger than its text-only counterpart — the cross-signal merges the
+    operator exists for — unless the fixtures happen to have disjoint
+    signals (assert the containment either way)."""
+    from randas_spark.operators.dedup import (
+        embedding_near_pairs,
+        minhash_lsh_pairs_portable,
+    )
+    from randas_spark.queries import t
+    from randas_spark.queries.llm import llm_dedup_hybrid
+
+    lab = {r["doc_id"]: r["cluster"] for r in llm_dedup_hybrid(spark, SF_DIR).collect()}
+    d = t(spark, SF_DIR, "documents")
+    e = t(spark, SF_DIR, "embeddings")
+    tp = minhash_lsh_pairs_portable(d, "doc_id", "text").select("id_a", "id_b").collect()
+    ep = (
+        embedding_near_pairs(e, "vec_id", "embedding", threshold=0.35, n_planes=4, dim=64)
+        .select("id_a", "id_b")
+        .collect()
+    )
+    assert tp and ep
+    for r in list(tp) + list(ep):
+        assert lab[r["id_a"]] == lab[r["id_b"]]
