@@ -66,9 +66,11 @@ HEADLINE = [
     "llm_bpe_apply",
     "llm_url_dedup",
     # round-6 continuation: deterministic distributed k-means (the one
-    # iterative numeric fixpoint with a cross-engine oracle); isolated
-    # row + 10x point in BASELINE.md r6
+    # iterative numeric fixpoint with a cross-engine oracle) and the
+    # hybrid text+embedding dedup composition; isolated rows + scale
+    # points in BASELINE.md r6
     "llm_kmeans_det",
+    "llm_dedup_hybrid",
 ]
 
 
