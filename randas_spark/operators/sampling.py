@@ -165,14 +165,13 @@ def leakage_safe_split(
             F.coalesce("comp", F.col("node")).alias("cluster"),
         )
     )
-    h = _md5_hex(F.col("cluster"))
     split = None
     for name, cum in fractions:
-        thr = F.lit(format(int(cum * 16**8), "08x"))
+        cond = _hash_below(F.col("cluster"), cum)
         split = (
-            F.when(h < thr, F.lit(name))
+            F.when(cond, F.lit(name))
             if split is None
-            else split.when(h < thr, F.lit(name))
+            else split.when(cond, F.lit(name))
         )
     return full.withColumn("split", split.otherwise(F.lit(final)))
 

@@ -140,3 +140,37 @@ def test_temperature_mixture_flattens_imbalance(spark):
         for r in natural.groupBy("source").agg(F.count(F.lit(1)).alias("k")).collect()
     }
     assert abs(nf["small"] - nf["big"]) < 0.15  # equal rates up to hash noise
+
+
+def test_importance_resample_corpus_never_shuffles(docs, spark):
+    """The corpus side must stay scan-side: the only Exchange(s) in the
+    executed plan belong to the single-row Σw aggregate (a
+    SinglePartition exchange over partial aggregates), never a
+    hash-partitioning of the corpus — the property that makes the
+    operator a filter at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from randas_spark.functions.text import quality_score
+    from randas_spark.operators.sampling import importance_resample
+
+    out = importance_resample(docs, "doc_id", quality_score(F.col("text")), 0.3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan.lower(), plan
+
+
+def test_leakage_safe_split_respects_custom_fractions(spark):
+    """fractions are cumulative md5 thresholds: a 100/0 split labels
+    everything train; a 0-threshold first bucket labels nothing train.
+    Pure function of cluster id — no RNG to seed."""
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.sampling import leakage_safe_split
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    all_train = leakage_safe_split(df, pairs, "doc_id", fractions=(("train", 1.0),))
+    assert {r["split"] for r in all_train.collect()} == {"train"}
+    none_train = leakage_safe_split(
+        df, pairs, "doc_id", fractions=(("train", 0.0),), final="rest"
+    )
+    assert {r["split"] for r in none_train.collect()} == {"rest"}
