@@ -812,12 +812,11 @@ def connected_components_star(
     # diameter (locally: 6 rounds -> 2 on the semantic-dedup graph).
     # Memory is bounded by the partition's edge count (the shuffle
     # split size); output orientation stays downhill (root = min).
-    # Measured trade-off (sf0.1, isolated median-of-3): the heavy
-    # semantic-dedup graph drops 5.18 -> 4.08 s (-21%); an already
-    # shallow near-dup graph pays the one fixed Arrow round-trip
-    # (llm_dedup_clusters_star 2.10 -> 2.43 s). Default-on because the
-    # fixed cost is constant while the round savings grow with graph
-    # size — exactly the regime this operator is chosen for.
+    # Measured (sf0.1/sf1.0, isolated median-of-3): with the check-first
+    # exit below, contraction + zero-round exit beats the pre-contraction
+    # code on EVERY CC query — clusters 2.10 -> 1.88 s sf0.1 and
+    # 13.4 -> 5.1 s sf1.0; semantic dedup 5.18 -> 3.69 s; hybrid dedup
+    # 27.1 -> 8.7 s sf1.0 (BASELINE.md r6 continuation tables).
     def _local_cc(pdfs):
         import pandas as pd
 
