@@ -3473,3 +3473,96 @@ def llm_dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("comp", F.col("node")).alias("cluster"),
     )
     return full.withColumn("keep", F.col("doc_id") == F.col("cluster"))
+
+
+@register(
+    "llm_dedup_minhash_clusters",
+    oracle=_sql_minhash_lsh(
+        recursive=True,
+        final=""", text_pairs AS (
+        SELECT i.id_a, i.id_b FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.6
+    ), und AS (
+        SELECT id_a AS u, id_b AS v FROM text_pairs
+        UNION SELECT id_b, id_a FROM text_pairs
+    ), reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.node, e.v FROM reach r JOIN und e ON e.u = r.lbl
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster, node = min(lbl) AS keep
+    FROM reach GROUP BY node""",
+    ),
+)
+def llm_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters over MINHASH-LSH pairs — the
+    production-scale composition (llm_dedup_clusters uses the exact
+    all-candidate shingle join; at 100 TB the candidate generator must
+    be the banded LSH): verified LSH pairs feed star-CC
+    (local-contraction opening + check-first exit), keep-on-minimum.
+    The whole chain — signatures, bands, verification, closure — is
+    engine-portable, so the full clustering value-hash-checks."""
+    from randas_spark.operators.dedup import (
+        connected_components_star,
+        minhash_lsh_pairs_portable,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs_portable(
+        d, "doc_id", "text", num_perm=32, bands=8, k=5, threshold=0.6
+    ).select("id_a", "id_b")
+    comp = connected_components_star(pairs)
+    ids = d.select(F.col("doc_id").alias("node"))
+    full = ids.join(comp, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("comp", F.col("node")).alias("cluster"),
+    )
+    return full.withColumn("keep", F.col("doc_id") == F.col("cluster"))
+
+
+@register(
+    "llm_dedup_rate_report",
+    oracle=_sql_minhash_lsh(
+        recursive=True,
+        final=_hybrid_dedup_final().replace(
+            """    SELECT node AS doc_id, min(lbl) AS cluster, node = min(lbl) AS keep
+    FROM reach GROUP BY node""",
+            f""", comp AS (
+        SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN c.cluster = c.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           {sql_fround('1.0 - sum(CASE WHEN c.cluster = c.doc_id THEN 1.0 ELSE 0.0 END) / count(*)', 6)} AS dup_rate
+    FROM comp c JOIN documents d USING (doc_id)
+    GROUP BY d.source""",
+        ),
+    ),
+)
+def llm_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup-rate report over the HYBRID pair graph (text
+    MinHash ∪ embedding LSH — same edges as llm_dedup_hybrid): per
+    source, document count, survivors after keep-on-minimum, and the
+    duplicate rate — the accounting table every corpus-build run ships
+    (a source with an outlier dup_rate is a crawl bug or a license
+    trap). One broadcast-size join of the cluster labels back to the
+    doc->source map, then a map-side-combined per-source aggregate."""
+    from randas_spark.queries.llm import llm_dedup_hybrid
+
+    labels = llm_dedup_hybrid(spark, sf_dir)
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        labels.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            fround(
+                F.lit(1.0)
+                - F.sum(F.col("keep").cast("double")) / F.count(F.lit(1)),
+                6,
+            ).alias("dup_rate"),
+        )
+    )

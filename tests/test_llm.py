@@ -1832,3 +1832,41 @@ def test_hybrid_dedup_merges_cross_signal_clusters(spark):
     assert tp and ep
     for r in list(tp) + list(ep):
         assert lab[r["id_a"]] == lab[r["id_b"]]
+
+
+def test_minhash_clusters_refine_ngram_clusters(spark):
+    """Minhash-LSH pairs are a SUBSET of the exact candidate pairs at
+    the same (k, threshold) — verification is the same exact-Jaccard
+    gate, LSH can only miss candidates. So every minhash cluster must
+    be contained in one ngram-Jaccard-0.6 cluster (the LSH clustering
+    refines the exact one), and keep counts can only grow."""
+    from randas_spark.queries.llm import llm_dedup_minhash_clusters
+    from randas_spark.operators.dedup import (
+        connected_components_star,
+        ngram_jaccard_pairs,
+    )
+    from randas_spark.queries import t
+
+    d = t(spark, SF_DIR, "documents")
+    lsh = {r["doc_id"]: r["cluster"] for r in llm_dedup_minhash_clusters(spark, SF_DIR).collect()}
+    exact_pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.6)
+    comp = connected_components_star(exact_pairs)
+    exact = {r["node"]: r["comp"] for r in comp.collect()}
+    for doc, c in lsh.items():
+        a = exact.get(doc, doc)
+        b = exact.get(c, c)
+        assert a == b, f"doc {doc}: lsh cluster {c} crosses exact clusters"
+
+
+def test_dedup_rate_report_accounts_for_every_doc(spark):
+    """Report must partition the corpus: Σn_docs == |documents|,
+    n_kept <= n_docs, dup_rate == 1 - kept/docs."""
+    from randas_spark.queries.llm import llm_dedup_rate_report
+    from randas_spark.queries import t
+
+    rows = llm_dedup_rate_report(spark, SF_DIR).collect()
+    total = t(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    for r in rows:
+        assert 0 < r["n_kept"] <= r["n_docs"]
+        assert abs(r["dup_rate"] - (1 - r["n_kept"] / r["n_docs"])) < 1e-6
