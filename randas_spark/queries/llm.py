@@ -10,6 +10,8 @@ pytest verifies them against the exact variants (recall / subset bounds).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2477,7 +2479,7 @@ def llm_knn_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id AS cell, embedding AS center
         FROM embeddings
         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-        LIMIT (SELECT greatest(64, count(*) // 32) FROM embeddings)
+        LIMIT (SELECT greatest(64, CAST(floor(sqrt(4 * count(*))) AS BIGINT)) FROM embeddings)
     ),
     assign AS (
         SELECT cid, cv, cell FROM (
@@ -2527,7 +2529,7 @@ def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from randas_spark.operators.similarity import knn_graph_ivf
 
     emb = t(spark, sf_dir, "embeddings")
-    n_cells = max(64, emb.count() // 32)
+    n_cells = max(64, int(math.floor(math.sqrt(4 * emb.count()))))
     return knn_graph_ivf(emb, "vec_id", "embedding", n_cells=n_cells, n_probe=4, top_k=5)
 
 
@@ -2538,7 +2540,7 @@ def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id AS cell, embedding AS center
         FROM embeddings
         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-        LIMIT (SELECT greatest(64, count(*) // 32) FROM embeddings)
+        LIMIT (SELECT greatest(64, CAST(floor(sqrt(4 * count(*))) AS BIGINT)) FROM embeddings)
     ),
     assign AS (
         SELECT cid, cv, cell FROM (
@@ -2604,7 +2606,7 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from randas_spark.operators.similarity import knn_graph_ivf
 
     emb = t(spark, sf_dir, "embeddings")
-    n_cells = max(64, emb.count() // 32)
+    n_cells = max(64, int(math.floor(math.sqrt(4 * emb.count()))))
     # min_cos pushes the 0.35 edge threshold BELOW the graph's rank
     # window (commutes exactly — the filter is on the ordering key), so
     # the rank shuffle and star-CC checkpoint carry only the near-dup
