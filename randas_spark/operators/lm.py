@@ -26,8 +26,7 @@ from pyspark.sql import functions as F
 from randas_spark.functions.text import tokens
 
 
-def _bigrams(text_col) -> F.Column:
-    toks = tokens(text_col)
+def _bigrams_of(toks) -> F.Column:
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), n - 1),
@@ -39,15 +38,28 @@ def _bigrams(text_col) -> F.Column:
     return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
 
 
+def _bigrams(text_col) -> F.Column:
+    return _bigrams_of(tokens(text_col))
+
+
 def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, n_bigrams, lm_score): mean smoothed bigram log-prob under
     corpus-trained counts. Self-trained: the same frame is both the
     training corpus and the scored set."""
     from randas_spark.operators.dedup import fan_out
 
-    base = fan_out(df).select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("txt"))
-    bg = base.select("doc_id", F.explode(_bigrams(F.col("txt"))).alias("bg"))
-    ug = base.select(F.explode(tokens(F.col("txt"))).alias("w"))
+    # Materialize the TOKEN table once: the bigram stream feeds the c2
+    # count AND the scoring join, and the unigram stream feeds c1 AND
+    # the vocab count — unmaterialized, each broadcast subtree re-ran
+    # the tokenizer over the corpus (4 full scans; measured 11.4 s at
+    # sf0.1, 1.36 s with this checkpoint — the shingle-table lesson).
+    tk = (
+        fan_out(df)
+        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+        .localCheckpoint()
+    )
+    bg = tk.select("doc_id", F.explode(_bigrams_of(F.col("toks"))).alias("bg"))
+    ug = tk.select(F.explode(F.col("toks")).alias("w"))
 
     c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
     c1 = ug.groupBy(F.col("w").alias("w1")).agg(F.count(F.lit(1)).alias("c1"))
