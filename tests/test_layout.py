@@ -292,3 +292,63 @@ def test_q12_bucketed_inputs_join_without_exchange(spark, orders):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
         spark.sql("DROP TABLE IF EXISTS li_q12_b")
         spark.sql("DROP TABLE IF EXISTS o_q12_b")
+
+
+def test_incremental_near_dedup_bucketed_ledger_shuffles_batch_only(spark):
+    """The incremental_near_dedup docstring's production claim, proven:
+    with the ledger's (doc_id, band_id, bk) band keys PRECOMPUTED and
+    stored bucketed on the join key, the per-batch candidate join reads
+    the ledger shuffle-free — the ONLY Exchange below the join belongs
+    to the batch side. This is the property that makes per-batch dedup
+    cost O(batch), not O(corpus), at 100 TB. Candidate pairs must equal
+    the recomputed-ledger form exactly."""
+    from pyspark.sql import functions as F
+
+    from randas_spark.io.layout import write_bucketed
+    from randas_spark.operators.dedup import portable_banded_signatures
+    from randas_spark.queries import t
+
+    docs = t(spark, SF_DIR, "documents")
+    split = 400
+    batch = docs.filter(F.col("doc_id") >= split)
+    ledger = docs.filter(F.col("doc_id") < split)
+    b_banded = portable_banded_signatures(batch, "doc_id", "text")
+    l_banded = portable_banded_signatures(ledger, "doc_id", "text")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(
+            l_banded, "near_ledger_b", ["band_id", "bk"], num_buckets=8,
+            sort_cols=["band_id", "bk"],
+        )
+        led = spark.table("near_ledger_b")
+        cand = (
+            b_banded.alias("a")
+            .join(led.alias("b"), ["band_id", "bk"])
+            .select(F.col("a.doc_id").alias("id_batch"), F.col("b.doc_id").alias("id_led"))
+            .distinct()
+        )
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:1500]
+        below = plan.split("SortMergeJoin")[-1]
+        # the bucketed ledger is read bucket-aligned (no exchange, no
+        # signature recompute); the only below-join exchanges are the
+        # batch side's own two (its signature groupBy(doc_id) + the
+        # (band_id, bk) join alignment)
+        assert "SelectedBucketsCount" in below, below[:2000]
+        assert below.count("Exchange hashpartitioning") == 2, below[:2000]
+
+        recomputed = (
+            b_banded.alias("a")
+            .join(l_banded.alias("b"), ["band_id", "bk"])
+            .select(F.col("a.doc_id").alias("id_batch"), F.col("b.doc_id").alias("id_led"))
+            .distinct()
+        )
+        # recomputing the ledger instead costs its two exchanges back
+        rplan = recomputed._jdf.queryExecution().executedPlan().toString()
+        rbelow = rplan.split("SortMergeJoin")[-1] if "SortMergeJoin" in rplan else rplan
+        assert rbelow.count("Exchange hashpartitioning") >= 3, rbelow[:2000]
+        assert sorted(map(tuple, cand.collect())) == sorted(map(tuple, recomputed.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS near_ledger_b")
