@@ -3568,3 +3568,64 @@ def llm_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+@register(
+    "llm_cluster_topics",
+    oracle=_kmeans_oracle(
+        final=f""", tk AS (
+        SELECT doc_id, term FROM (
+            SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+        ) WHERE term <> ''
+    ), ctf AS (
+        SELECT a.cluster, tk.term, count(*) AS tf
+        FROM asg4 a JOIN tk ON tk.doc_id = a.vid
+        GROUP BY a.cluster, tk.term
+    ), dfx AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM tk GROUP BY term
+    ), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT cluster, term,
+           {sql_fround('tf * ln(n_docs / df)', 6)} AS score
+    FROM ctf JOIN dfx USING (term) CROSS JOIN n
+    QUALIFY row_number() OVER (PARTITION BY cluster
+                               ORDER BY tf * ln(n_docs / df) DESC, term) <= 5"""
+    ),
+)
+def llm_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster profiling: top-5 TF-IDF terms per k-means cluster — the
+    'what is in this cluster' report every embedding-clustered corpus
+    ships with (DCLM/SemDeDup-style curation reads exactly this table
+    before deciding which clusters to prune or upsample). Embeddings map
+    1:1 to documents by id, so the learned labels join the token stream
+    directly; term weight is cluster-TF x corpus-IDF (high = frequent
+    here, rare elsewhere — the discriminative signature). Plan: the
+    Lloyd fit (audited in llm_kmeans_det) + one token-count shuffle
+    keyed (cluster, term) + a broadcast of the vocabulary-sized df
+    table + a k-group rank window."""
+    from randas_spark.functions.text import tokens
+    from randas_spark.operators.cluster import kmeans_lloyd_det
+
+    emb = t(spark, sf_dir, "embeddings")
+    lab = kmeans_lloyd_det(emb, "vec_id", "embedding", k=8, n_iter=4).select(
+        F.col("vec_id").alias("doc_id"), "cluster"
+    )
+    d = t(spark, sf_dir, "documents")
+    n_docs = float(d.count())
+    tk = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term")).filter(
+        F.col("term") != ""
+    )
+    ctf = (
+        tk.join(lab, "doc_id")
+        .groupBy("cluster", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfx = tk.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = ctf.join(dfx, "term").withColumn(
+        "s", F.col("tf") * F.log(F.lit(n_docs) / F.col("df"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("s").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("cluster", "term", fround(F.col("s"), 6).alias("score"))
+    )

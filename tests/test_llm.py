@@ -1870,3 +1870,22 @@ def test_dedup_rate_report_accounts_for_every_doc(spark):
     for r in rows:
         assert 0 < r["n_kept"] <= r["n_docs"]
         assert abs(r["dup_rate"] - (1 - r["n_kept"] / r["n_docs"])) < 1e-6
+
+
+def test_cluster_topics_covers_every_cluster_with_five_discriminative_terms(spark):
+    """Every surviving k-means cluster gets exactly 5 terms (vocab is
+    far larger than 5 here), scores are positive (a term appearing in
+    every document has IDF 0 and can never rank), and no term-score
+    pair repeats within a cluster."""
+    from randas_spark.queries.llm import llm_cluster_topics, llm_kmeans_det
+
+    rows = llm_cluster_topics(spark, SF_DIR).collect()
+    clusters = {r["cluster"] for r in llm_kmeans_det(spark, SF_DIR).collect()}
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r["cluster"], []).append((r["term"], r["score"]))
+        assert r["score"] > 0
+    assert set(per) == clusters
+    for c, terms in per.items():
+        assert len(terms) == 5
+        assert len({t for t, _ in terms}) == 5
