@@ -352,3 +352,49 @@ def test_incremental_near_dedup_bucketed_ledger_shuffles_batch_only(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
         spark.sql("DROP TABLE IF EXISTS near_ledger_b")
+
+
+def test_aqe_skew_join_splits_the_hot_partition(spark):
+    """The SCALE.md skew story's runtime half, proven: rel_join_salted
+    covers MANUAL salting; here AQE's skew-join handles the same shape
+    with no code change — a hot key funnels 10% of the left side into
+    one partition, and the finalized adaptive plan must show
+    SortMergeJoin(skew=true) with a skewed AQEShuffleRead (the hot
+    partition split across tasks at runtime). Thresholds are lowered to
+    make local-mode data cross the skew bar; on a cluster the defaults
+    (256MB) play the same role."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") % 10 == 0, 7).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 50000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("r")
+        )
+        j = left.join(right, "k")
+        n = len(j.collect())
+        # hot key 7 matches 20001 left rows x 1 right row; other ids < 50000
+        # and not %10==0 match once
+        assert n == 20001 + sum(1 for i in range(50000) if i % 10 != 0 and i != 7)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:1500]
+        assert "skewed" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
