@@ -70,6 +70,8 @@ def kmeans_lloyd_det(
     Empty clusters keep their previous centroid (deterministic, and what
     a production fit does rather than re-seeding mid-run).
     """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     v = df.select(
         F.col(id_col).alias("vid"), _quantize(F.col(vec_col), scale).alias("qx")
     ).localCheckpoint()
@@ -97,14 +99,15 @@ def kmeans_lloyd_det(
                 lambda acc, d: acc + d,
             )
 
-        best = F.least(
-            *[
-                F.struct(
-                    dist_to(carr).alias("d"), F.lit(c).cast("long").alias("c")
-                )
-                for c, carr in cents
-            ]
-        )
+        # cluster labels keep the seed id's natural literal type (long
+        # ids stay long, string ids stay string — a cast-to-long here
+        # would null out non-numeric ids); F.least needs >= 2 args, so
+        # a single surviving centroid short-circuits to its struct.
+        structs = [
+            F.struct(dist_to(carr).alias("d"), F.lit(c).alias("c"))
+            for c, carr in cents
+        ]
+        best = structs[0] if len(structs) == 1 else F.least(*structs)
         return v.withColumn("best", best).select(
             "vid",
             "qx",

@@ -857,15 +857,31 @@ def connected_components_star(
     from pyspark.sql import Window
 
     def converged(g: DataFrame) -> bool:
-        # the edge set is a star forest — equivalently, no length-2
-        # chain remains (no parent v is itself a child u elsewhere): the
-        # round function's fixed points are exactly min-rooted stars
-        # (Kiveris et al.), and a depth-1 forest is stable under both
-        # star steps. One semi-join on the tiny checkpointed output —
-        # strictly cheaper than the symmetric-difference check
-        # (2x exceptAll + union) it replaces.
+        # SOUND star-forest certificate — BOTH conditions, in one job:
+        # (a) no length-2 chain (no parent v is itself a child u), AND
+        # (b) every child has exactly ONE distinct parent. (a) alone is
+        # NOT sufficient: the local contraction can emit (x -> r1) and
+        # (x -> r2) from different partitions (x's edges split across
+        # shuffle splits), and star rounds can emit a child attached to
+        # two distinct stars' minima — in both shapes no parent is a
+        # child, yet the set is not a disjoint star forest, and the
+        # final groupBy-min labeling would SPLIT the true component
+        # (r1 and r2 are connected through x but would label apart).
+        # With (a)+(b) the set is a function whose image is disjoint
+        # from its domain = a disjoint min-rooted star forest, which is
+        # exactly the fixpoint family of the alternating rounds
+        # (Kiveris et al.) and labels correctly. Still strictly cheaper
+        # than the symmetric-difference check (2x exceptAll + union)
+        # this replaces.
         parents = g.select(F.col("u").alias("v")).distinct()
-        return g.join(parents, "v", "left_semi").limit(1).count() == 0
+        chain = g.join(parents, "v", "left_semi").select(F.lit(1).alias("bad"))
+        multi = (
+            g.groupBy("u")
+            .agg(F.count_distinct("v").alias("np"))
+            .filter(F.col("np") > 1)
+            .select(F.lit(1).alias("bad"))
+        )
+        return chain.union(multi).limit(1).count() == 0
 
     def with_min(g: DataFrame) -> DataFrame:
         # m(u) = min(Γ(u) ∪ {u}) attached to every edge row via a window

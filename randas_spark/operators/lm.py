@@ -38,10 +38,6 @@ def _bigrams_of(toks) -> F.Column:
     return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
 
 
-def _bigrams(text_col) -> F.Column:
-    return _bigrams_of(tokens(text_col))
-
-
 def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, n_bigrams, lm_score): mean smoothed bigram log-prob under
     corpus-trained counts. Self-trained: the same frame is both the

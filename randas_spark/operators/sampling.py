@@ -195,20 +195,24 @@ def importance_resample(
     Scale shape: one tiny global agg (Σw, N — a single broadcast row),
     then a scan-side codegen filter; the corpus never shuffles. The
     same discipline as temperature_mixture_sample with per-ROW rather
-    than per-source rates.
+    than per-source rates. Output adds ``wq`` — the quantized weight the
+    rate was computed from (replacing any input column of that name).
     """
+    # "wq" (the 1e-6-quantized weight) is a DOCUMENTED output column —
+    # callers price the kept set by it; an input column of that name is
+    # replaced.
     d = df.withColumn(
-        "__wq__", F.coalesce(F.floor(weight * F.lit(1_000_000.0)).cast("long"), F.lit(0))
+        "wq", F.coalesce(F.floor(weight * F.lit(1_000_000.0)).cast("long"), F.lit(0))
     )
     tot = d.agg(
-        F.sum("__wq__").alias("__sw__"),
+        F.sum("wq").alias("__sw__"),
         F.count(F.lit(1)).cast("double").alias("__n__"),
     )
     rate = F.least(
         F.lit(1.0),
         F.lit(target_frac)
         * F.col("__n__")
-        * F.col("__wq__").cast("double")
+        * F.col("wq").cast("double")
         / F.col("__sw__").cast("double"),
     )
     thr = F.floor(rate * F.lit(1_000_000)).cast("long")

@@ -3214,7 +3214,7 @@ def llm_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = importance_resample(
         d, "doc_id", quality_score(F.col("text")), target_frac=0.3
     )
-    return kept.select("doc_id", "source", F.col("__wq__").alias("wq"))
+    return kept.select("doc_id", "source", "wq")
 
 
 @register(
@@ -3404,10 +3404,12 @@ def llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hybrid_dedup_final() -> str:
+def _hybrid_dedup_final(tail: str | None = None) -> str:
     """Appended to the minhash CTE chain (recursive=True): embedding
-    LSH-bucket near pairs, edge union, reachability closure, min-label
-    clusters — the cross-signal twin of llm_dedup_clusters' oracle."""
+    LSH-bucket near pairs, edge union, reachability closure — then
+    ``tail`` (default: min-label clusters + keep flag, the cross-signal
+    twin of llm_dedup_clusters' oracle). Same final= convention as
+    _sql_minhash_lsh/_kmeans_oracle — no post-hoc string surgery."""
     emb_pairs = f"""
     , emb_b AS (
         SELECT vec_id, embedding,
@@ -3433,8 +3435,11 @@ def _hybrid_dedup_final() -> str:
         UNION
         SELECT r.node, e.v FROM reach r JOIN und e ON e.u = r.lbl
     )
-    SELECT node AS doc_id, min(lbl) AS cluster, node = min(lbl) AS keep
+    """ + (
+        tail
+        or """SELECT node AS doc_id, min(lbl) AS cluster, node = min(lbl) AS keep
     FROM reach GROUP BY node"""
+    )
     return emb_pairs
 
 
@@ -3528,10 +3533,8 @@ def llm_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_dedup_rate_report",
     oracle=_sql_minhash_lsh(
         recursive=True,
-        final=_hybrid_dedup_final().replace(
-            """    SELECT node AS doc_id, min(lbl) AS cluster, node = min(lbl) AS keep
-    FROM reach GROUP BY node""",
-            f""", comp AS (
+        final=_hybrid_dedup_final(
+            tail=f""", comp AS (
         SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
     )
     SELECT d.source,
@@ -3539,7 +3542,7 @@ def llm_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN c.cluster = c.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            {sql_fround('1.0 - sum(CASE WHEN c.cluster = c.doc_id THEN 1.0 ELSE 0.0 END) / count(*)', 6)} AS dup_rate
     FROM comp c JOIN documents d USING (doc_id)
-    GROUP BY d.source""",
+    GROUP BY d.source"""
         ),
     ),
 )

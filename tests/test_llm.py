@@ -1889,3 +1889,73 @@ def test_cluster_topics_covers_every_cluster_with_five_discriminative_terms(spar
     for c, terms in per.items():
         assert len(terms) == 5
         assert len({t for t, _ in terms}) == 5
+
+
+def test_star_cc_correct_when_contraction_spans_partitions(spark):
+    """Soundness regression for the check-first exit: with AQE partition
+    coalescing DISABLED, the contracted forest keeps 32 shuffle splits,
+    so a node's edges scatter and the local union-find emits the same
+    child with DIFFERENT local roots from different partitions — the
+    shape where the naive 'no parent is a child' certificate would
+    falsely exit with split components. The sound certificate (adds:
+    every child has exactly one parent) must keep results equal to a
+    driver-side union-find on random graphs."""
+    import random
+
+    from randas_spark.operators.dedup import connected_components_star
+
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        # Deterministic kill-shot: 10 independent "cherries" (x, 2i) +
+        # (x, 2i+1) — after contraction each child x carries one local
+        # root PER PARTITION its edges landed in, parents are all roots
+        # (never children), so the naive chain-only certificate passes
+        # at round 0 while any split cherry labels {2i} and {2i+1, x}
+        # apart. The sound certificate's single-parent condition
+        # catches it.
+        cherries = [(100 + i, 2 * i) for i in range(10)] + [
+            (100 + i, 2 * i + 1) for i in range(10)
+        ]
+        df = spark.createDataFrame(cherries, "id_a long, id_b long")
+        got = {
+            r["node"]: r["comp"]
+            for r in __import__(
+                "randas_spark.operators.dedup", fromlist=["connected_components_star"]
+            ).connected_components_star(df).collect()
+        }
+        want = {}
+        for i in range(10):
+            for node in (2 * i, 2 * i + 1, 100 + i):
+                want[node] = 2 * i
+        assert got == want
+
+        for seed in (11, 23, 47):
+            rng = random.Random(seed)
+            n = 80
+            edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(70)})
+            df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            nodes = set()
+            for a, b in edges:
+                nodes.update((a, b))
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            want = {x: find(x) for x in nodes}
+            got = {
+                r["node"]: r["comp"]
+                for r in connected_components_star(df).collect()
+            }
+            assert got == want, f"seed {seed}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
