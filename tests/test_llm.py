@@ -1959,3 +1959,28 @@ def test_star_cc_correct_when_contraction_spans_partitions(spark):
             assert got == want, f"seed {seed}"
     finally:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+
+def test_kmeans_handles_string_ids_and_k1(spark):
+    """Review-driven edges: (a) cluster labels keep the seed id's
+    natural type — string-keyed corpora must get real labels, not
+    cast-to-long NULLs; (b) k=1 must return the trivial single-cluster
+    assignment instead of crashing F.least; (c) n_iter<1 raises."""
+    import pytest as _pytest
+
+    from randas_spark.operators.cluster import kmeans_lloyd_det
+
+    rows = [(f"doc_{i}", [float((i * 7 + j * 3) % 11) for j in range(4)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id string, emb array<double>")
+    out = kmeans_lloyd_det(df, "doc_id", "emb", k=3, n_iter=2, scale=8.0).collect()
+    assert len(out) == 20
+    labels = {r["cluster"] for r in out}
+    assert all(isinstance(next(iter(labels)), str) for _ in [0])
+    assert labels <= {f"doc_{i}" for i in range(20)}
+    assert all(r["cluster"] is not None for r in out)
+
+    k1 = kmeans_lloyd_det(df, "doc_id", "emb", k=1, n_iter=1, scale=8.0).collect()
+    assert len({r["cluster"] for r in k1}) == 1
+
+    with _pytest.raises(ValueError):
+        kmeans_lloyd_det(df, "doc_id", "emb", k=2, n_iter=0)
