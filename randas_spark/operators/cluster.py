@@ -69,9 +69,19 @@ def kmeans_lloyd_det(
 
     Empty clusters keep their previous centroid (deterministic, and what
     a production fit does rather than re-seeding mid-run).
+
+    ``dist`` is squared L2 in QUANTIZED space — scale² × the squared
+    distance on the rounded grid (262,144× at the default scale 512);
+    compare dists to each other or divide by scale² before applying an
+    embedding-space threshold. Vectors must be fixed-dimension and
+    null-free: a null element would be skipped by the integer sum while
+    the row still counts, silently dragging that centroid coordinate
+    toward zero.
     """
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     v = df.select(
         F.col(id_col).alias("vid"), _quantize(F.col(vec_col), scale).alias("qx")
     ).localCheckpoint()
@@ -85,6 +95,8 @@ def kmeans_lloyd_det(
     cents: list[tuple[int, list[float]]] = sorted(
         (r["cluster"], [float(x) for x in r["qx"]]) for r in seed_rows
     )
+    if not cents:
+        raise ValueError("kmeans_lloyd_det: input DataFrame is empty")
 
     def assign(cents: list[tuple[int, list[float]]]) -> DataFrame:
         def dist_to(carr: list[float]) -> Column:

@@ -48,7 +48,10 @@ def systematic_sample(df: DataFrame, key: str, modulus: int, remainder: int = 0)
     """
     if modulus <= 0 or not (0 <= remainder < modulus):
         raise ValueError(f"need 0 <= remainder < modulus, got {remainder}/{modulus}")
-    return df.filter(F.col(key) % modulus == remainder)
+    # pmod, not %: Spark's % follows the dividend's sign, so negative
+    # keys would NEVER match a positive remainder and the sample would
+    # silently exclude them (oracle twin: ((k % m) + m) % m).
+    return df.filter(F.pmod(F.col(key), F.lit(modulus)) == remainder)
 
 
 def hash_sample(df: DataFrame, key: str, rate: float) -> DataFrame:
@@ -81,7 +84,8 @@ def stratified_sample(df: DataFrame, strata: list[str], n: int, key: str) -> Dat
 
     The md5 order is a deterministic shuffle, so this is equal-allocation
     stratified sampling with a portable tiebreak (key itself breaks md5
-    ties). One shuffle on the strata columns.
+    ties; rows DUPLICATED on (strata, key) still tie — use a unique key
+    for row-level determinism). One shuffle on the strata columns.
     """
     w = Window.partitionBy(*strata).orderBy(_md5_hex(F.col(key)), F.col(key))
     return (
@@ -119,6 +123,11 @@ def fixed_size_sample(df: DataFrame, key: str, n: int) -> DataFrame:
     sample incrementally (a doc leaves only when a smaller-hash doc
     arrives) — the property that keeps downstream caches warm across
     ingest batches.
+
+    ``key`` must be UNIQUE: rows sharing a key value tie on the whole
+    (md5, key) sort tuple, and which duplicate crosses the limit
+    boundary is partition-order-dependent — determinism holds over key
+    VALUES always, over rows only when keys are unique.
     """
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
@@ -165,6 +174,13 @@ def leakage_safe_split(
             F.coalesce("comp", F.col("node")).alias("cluster"),
         )
     )
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    cums = [cum for _, cum in fractions]
+    if any(b <= a for a, b in zip(cums, cums[1:])):
+        raise ValueError(
+            f"fractions are CUMULATIVE upper bounds and must strictly increase, got {cums}"
+        )
     split = None
     for name, cum in fractions:
         cond = _hash_below(F.col("cluster"), cum)
@@ -197,35 +213,46 @@ def importance_resample(
     same discipline as temperature_mixture_sample with per-ROW rather
     than per-source rates. Output adds ``wq`` — the quantized weight the
     rate was computed from (replacing any input column of that name).
+
+    Weights are clamped at zero (negative weights would deflate the
+    exact Σw and inflate every other row's keep-rate past the
+    documented model), and a corpus whose weights ALL quantize to zero
+    (Σw = 0 — no signal) degrades to a uniform hash sample at
+    ``target_frac`` instead of the NaN-poisoned keep-everything a raw
+    0/0 rate would produce (Spark orders NaN largest, so
+    least(1.0, NaN) is 1.0).
     """
     # "wq" (the 1e-6-quantized weight) is a DOCUMENTED output column —
     # callers price the kept set by it; an input column of that name is
-    # replaced.
+    # replaced. Internal temps use an __ir_ prefix to dodge collisions.
     d = df.withColumn(
-        "wq", F.coalesce(F.floor(weight * F.lit(1_000_000.0)).cast("long"), F.lit(0))
+        "wq",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.coalesce(F.floor(weight * F.lit(1_000_000.0)).cast("long"), F.lit(0)),
+        ),
     )
     tot = d.agg(
-        F.sum("wq").alias("__sw__"),
-        F.count(F.lit(1)).cast("double").alias("__n__"),
+        F.sum("wq").alias("__ir_sw__"),
+        F.count(F.lit(1)).cast("double").alias("__ir_n__"),
     )
-    rate = F.least(
-        F.lit(1.0),
-        F.lit(target_frac)
-        * F.col("__n__")
-        * F.col("wq").cast("double")
-        / F.col("__sw__").cast("double"),
-    )
+    rate = F.when(
+        F.col("__ir_sw__") > 0,
+        F.least(
+            F.lit(1.0),
+            F.lit(target_frac)
+            * F.col("__ir_n__")
+            * F.col("wq").cast("double")
+            / F.col("__ir_sw__").cast("double"),
+        ),
+    ).otherwise(F.lit(float(target_frac)))
     thr = F.floor(rate * F.lit(1_000_000)).cast("long")
     h = (
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8),
-            16,
-            10,
-        ).cast("long")
+        F.conv(F.substring(_md5_hex(F.col(id_col)), 1, 8), 16, 10).cast("long")
         % 1_000_000
     )
     return (
         d.crossJoin(F.broadcast(tot))
         .filter(h < thr)
-        .drop("__sw__", "__n__")
+        .drop("__ir_sw__", "__ir_n__")
     )

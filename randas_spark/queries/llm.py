@@ -667,7 +667,7 @@ def llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_sample_systematic",
     oracle="""
-    SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 3
+    SELECT doc_id, lang FROM documents WHERE ((doc_id % 10) + 10) % 10 = 3
     """,
 )
 def llm_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3187,7 +3187,7 @@ def llm_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH w AS (
         SELECT doc_id, source,
-               coalesce(CAST(floor(({sql_quality_score('text')}) * 1000000.0) AS BIGINT), 0) AS wq
+               greatest(0, coalesce(CAST(floor(({sql_quality_score('text')}) * 1000000.0) AS BIGINT), 0)) AS wq
         FROM documents
     ), tot AS (
         SELECT CAST(sum(wq) AS BIGINT) AS sw, CAST(count(*) AS DOUBLE) AS n FROM w
@@ -3196,8 +3196,10 @@ def llm_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM w, tot
     WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
           % 1000000
-          < CAST(floor(least(1.0,
-                0.3 * n * CAST(wq AS DOUBLE) / CAST(sw AS DOUBLE)) * 1000000) AS BIGINT)
+          < CASE WHEN sw > 0
+                 THEN CAST(floor(least(1.0,
+                      0.3 * n * CAST(wq AS DOUBLE) / CAST(sw AS DOUBLE)) * 1000000) AS BIGINT)
+                 ELSE CAST(floor(0.3 * 1000000) AS BIGINT) END
     """,
 )
 def llm_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -174,3 +174,22 @@ def test_leakage_safe_split_respects_custom_fractions(spark):
         df, pairs, "doc_id", fractions=(("train", 0.0),), final="rest"
     )
     assert {r["split"] for r in none_train.collect()} == {"rest"}
+
+
+def test_importance_resample_zero_weight_corpus_degrades_to_uniform(spark):
+    """Σwq == 0 (all weights quantize to zero) must degrade to a
+    uniform hash sample at target_frac — NOT keep everything (the raw
+    0/0 rate is NaN and Spark's least(1.0, NaN) is 1.0, which would
+    silently disable the sampler). Negative weights clamp to zero."""
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.sampling import hash_sample, importance_resample
+
+    df = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    kept = importance_resample(df, "doc_id", F.lit(1e-9), target_frac=0.3)
+    n = kept.count()
+    assert n < 400, "Σw=0 must not keep the whole corpus"
+    assert 0.15 * 400 <= n <= 0.45 * 400
+
+    neg = importance_resample(df, "doc_id", F.lit(-5.0), target_frac=0.3)
+    assert neg.count() == n  # clamped to the same zero-signal fallback
