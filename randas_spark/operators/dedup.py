@@ -123,9 +123,20 @@ def incremental_dedup(
         F.col(id_col),
         fingerprint(F.col(text_col)).alias("fp"),
     ).withColumn("rk", F.row_number().over(w))
-    led = ledger.select(F.col("fp"), F.lit(True).alias("in_ledger")).distinct()
+    # Null-safe ledger membership: fingerprint(null text) is null, and a
+    # plain equi-join drops null keys — a null-fp doc would be re-labeled
+    # 'kept' in EVERY batch (and the ledger would grow one null row per
+    # batch) even though the within-batch window already treats null fps
+    # as one group. eqNullSafe keeps batch and cross-batch semantics
+    # consistent.
+    led = (
+        ledger.select(F.col("fp").alias("__lfp__"))
+        .distinct()
+        .withColumn("in_ledger", F.lit(True))
+    )
     labeled = (
-        fps.join(led, "fp", "left")
+        fps.join(led, fps["fp"].eqNullSafe(F.col("__lfp__")), "left")
+        .drop("__lfp__")
         .select(
             F.col(id_col),
             F.col("fp"),
@@ -145,6 +156,24 @@ def incremental_dedup(
 # --------------------------------------------------------------------------
 # 2. exact n-gram Jaccard pairs (the ground truth for the fuzzy variants)
 # --------------------------------------------------------------------------
+
+
+def _cap_hot_keys(df, key_cols, max_freq):
+    """Drop rows whose key occurs more than ``max_freq`` times — the
+    shared skew cap under every pair generator's self-equi-join (join
+    cost is Σ_key freq², so one boilerplate key can dominate the whole
+    stage). Window count partitioned on the join key itself: one shuffle
+    the downstream self-join re-uses, no extra stage. Capping only
+    REMOVES candidate pairs (conservative for every caller: Jaccard /
+    containment / band-bucket / fingerprint / span semantics all treat
+    missing candidates as "not a duplicate")."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    wf = Window.partitionBy(*key_cols)
+    return (
+        df.withColumn("__freq__", F.count(F.lit(1)).over(wf))
+        .filter(F.col("__freq__") <= max_freq)
+        .drop("__freq__")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -185,14 +214,7 @@ def ngram_jaccard_pairs(
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     exploded = sh.select("doc_id", F.explode("sh").alias("s"))
     if max_shingle_freq is not None:
-        # Window count partitioned on the join key itself: one shuffle on
-        # `s`, which the self-join below re-uses — no extra shuffle stage.
-        wf = Window.partitionBy("s")
-        exploded = (
-            exploded.withColumn("__freq__", F.count(F.lit(1)).over(wf))
-            .filter(F.col("__freq__") <= max_shingle_freq)
-            .drop("__freq__")
-        )
+        exploded = _cap_hot_keys(exploded, "s", max_shingle_freq)
         if log_dropped:
             n_hot = (
                 sh.select(F.explode("sh").alias("s"))
@@ -260,12 +282,7 @@ def containment_pairs(
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     exploded = sh.select("doc_id", F.explode("sh").alias("s"))
     if max_shingle_freq is not None:
-        wf = Window.partitionBy("s")
-        exploded = (
-            exploded.withColumn("__freq__", F.count(F.lit(1)).over(wf))
-            .filter(F.col("__freq__") <= max_shingle_freq)
-            .drop("__freq__")
-        )
+        exploded = _cap_hot_keys(exploded, "s", max_shingle_freq)
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (
@@ -354,6 +371,11 @@ def minhash_lsh_pairs(
     adds one count job logging the dropped-bucket count.
     """
     rows_per_band = num_perm // bands
+    if rows_per_band == 0 or rows_per_band * bands != num_perm:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_perm ({num_perm}); "
+            f"a remainder would silently drop permutations and change the S-curve"
+        )
     # No .cache() here: the base plan is consumed by banding and both
     # verification sides, but all are map-only recomputes of a parquet
     # scan — re-reading beats pinning corpus-sized arrays in executor
@@ -384,12 +406,7 @@ def minhash_lsh_pairs(
         "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("band")
     ).select("doc_id", "band.band_id", "band.band_hash")
     if max_bucket_size is not None:
-        wb = Window.partitionBy("band_id", "band_hash")
-        banded = (
-            banded.withColumn("__bsz__", F.count(F.lit(1)).over(wb))
-            .filter(F.col("__bsz__") <= max_bucket_size)
-            .drop("__bsz__")
-        )
+        banded = _cap_hot_keys(banded, ["band_id", "band_hash"], max_bucket_size)
         if log_dropped:
             n_hot = (
                 sig.select(
@@ -472,7 +489,11 @@ def _simhash64(text: str) -> int:
     for bit in range(_SIMHASH_BITS):
         if acc[bit] > 0:
             out |= 1 << bit
-    return out - (1 << 63)  # two's-complement into signed int64
+    # two's-complement into signed int64: only values with bit 63 set
+    # wrap negative (an unconditional `- (1 << 63)` would FLIP bit 63 of
+    # every fingerprint — internally consistent but not the SimHash any
+    # external implementation computes)
+    return out - (1 << 64) if out >= (1 << 63) else out
 
 
 def simhash_column(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -502,6 +523,8 @@ def simhash_near_pairs(
     candidates come from band equi-joins, never an n² scan. Hamming
     distance verified with bit_count(xor).
     """
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
     n_bands = max_hamming + 1
     band_bits = _SIMHASH_BITS // n_bands
     # MATERIALIZED once: the band self-join below consumes sh from both
@@ -517,9 +540,15 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.shiftrightunsigned(F.col("simhash"), b * band_bits)
-                        .bitwiseAND(F.lit((1 << band_bits) - 1))
-                        .alias("band_val"),
+                        (
+                            # band_bits=64 (max_hamming=0): the full
+                            # fingerprint IS the band; the (1<<64)-1 mask
+                            # would overflow a long literal
+                            F.col("simhash")
+                            if band_bits >= _SIMHASH_BITS
+                            else F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                            .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        ).alias("band_val"),
                     )
                     for b in range(n_bands)
                 ]
@@ -742,8 +771,18 @@ def connected_components(
         labels = updated.select("node", F.col("new_comp").alias("comp"))
         if changed == 0:
             break
+    else:
+        changed = 1
+    if changed != 0:
+        _LOG.warning(
+            "connected_components: max_iter=%d exhausted before convergence "
+            "(diameter exceeds the round budget) — returned labels may SPLIT "
+            "true components; raise max_iter or use connected_components_star",
+            max_iter,
+        )
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = changed == 0
     return labels
 
 
@@ -926,13 +965,26 @@ def connected_components_star(
     # a forest) for halving the check jobs, which dominate late-round
     # cost.
     rounds = 0
+    done = False
     while rounds < max_iter:
         if (rounds % 2 == 0) and converged(e):
+            done = True
             break
         rounds += 1
         e = one_round(e).localCheckpoint()
+    if not done and not converged(e):
+        _LOG.warning(
+            "connected_components_star: max_iter=%d exhausted before the edge "
+            "set became a star forest — the groupBy-min labeling below may "
+            "SPLIT true components; raise max_iter",
+            max_iter,
+        )
+        done = False
+    else:
+        done = True
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = done
 
     comp = sym(e).groupBy("u").agg(F.min("v").alias("comp"))
     # isolated star roots label themselves
@@ -1007,6 +1059,12 @@ def winnowing_fingerprints(
     on any engine). Plan: positional grams (scan-side), a per-doc
     ordered window (one shuffle on doc_id, constant state), distinct —
     output is ~2n/(w+1) rows, a fraction of the gram stream.
+    Docs with fewer than ``w`` k-grams (shorter than ~k+w-1 tokens)
+    emit NO fingerprints — below one full window the selection guarantee
+    is undefined, so such docs are invisible to winnowing_shared_pairs
+    (mirror of duplicated_spans' "< k tokens emit no grams" rule; route
+    short docs through exact/ngram dedup, which has no window floor).
+
     ``max_fp_freq`` mirrors the hot-shingle caps: drop fingerprints in
     more than that many docs before any pair join on them.
     """
@@ -1030,12 +1088,7 @@ def winnowing_fingerprints(
         .distinct()
     )
     if max_fp_freq is not None:
-        wf = Window.partitionBy("fp")
-        sel = (
-            sel.withColumn("__freq__", F.count(F.lit(1)).over(wf))
-            .filter(F.col("__freq__") <= max_fp_freq)
-            .drop("__freq__")
-        )
+        sel = _cap_hot_keys(sel, "fp", max_fp_freq)
     return sel
 
 
@@ -1332,12 +1385,7 @@ def duplicated_spans(
         ).alias("pos", "g"),
     )
     if max_gram_freq is not None:
-        wf = Window.partitionBy("g")
-        grams = (
-            grams.withColumn("__freq__", F.count(F.lit(1)).over(wf))
-            .filter(F.col("__freq__") <= max_gram_freq)
-            .drop("__freq__")
-        )
+        grams = _cap_hot_keys(grams, "g", max_gram_freq)
     # MATERIALIZED once: the a/b join sides share zero subplan — gram
     # construction (slice+concat_ws per position) and the hot-gram
     # window would run twice (same class as the shingle-table fix).
