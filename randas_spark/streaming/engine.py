@@ -170,18 +170,23 @@ def _attribution_state(
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if chunks:
         pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
-        for _, row in pdf.iterrows():
-            et = row["event_type"]
-            ts_us = int(row["ts"].value // 1000)  # pandas ns -> us
+        # vectorize the ns->us conversion once and walk plain arrays —
+        # iterrows would build a Series per EVENT in this per-trigger
+        # hot loop (~10x slower than itertuples/ndarray iteration)
+        ts_us_arr = pdf["ts"].astype("int64").to_numpy() // 1000
+        ev_arr = pdf["event_id"].to_numpy()
+        et_arr = pdf["event_type"].to_numpy()
+        for et, ev, ts_us in zip(et_arr, ev_arr, ts_us_arr):
+            ts_us = int(ts_us)
             if et == "purchase":
                 if touch_us is not None and ts_us - touch_us <= _ATTR_LOOKBACK_US:
                     out_rows.append(
-                        (key[0], int(row["event_id"]), touch_id, (ts_us - touch_us) / 60_000_000.0)
+                        (key[0], int(ev), touch_id, (ts_us - touch_us) / 60_000_000.0)
                     )
                 else:
-                    out_rows.append((key[0], int(row["event_id"]), None, None))
+                    out_rows.append((key[0], int(ev), None, None))
             elif et in ("click", "view"):
-                touch_id, touch_us = int(row["event_id"]), ts_us
+                touch_id, touch_us = int(ev), ts_us
     state.update((touch_id, touch_us))
     yield pd.DataFrame(
         out_rows, columns=["user_id", "purchase_event_id", "touch_event_id", "mins_since_touch"]
@@ -210,7 +215,9 @@ def attribution_state(events: DataFrame) -> DataFrame:
     )
 
 
-def segment_hourly_activity(events: DataFrame, customers: DataFrame) -> DataFrame:
+def segment_hourly_activity(
+    events: DataFrame, customers: DataFrame, watermark: str | None = None
+) -> DataFrame:
     """Stream-static join: enrich the event stream with a slowly-changing
     dimension (customer market segment), then window-aggregate.
 
@@ -218,8 +225,13 @@ def segment_hourly_activity(events: DataFrame, customers: DataFrame) -> DataFram
     map-side with NO shuffle of the stream and no join state at all —
     the canonical enrichment shape (vs stream-stream, which must hold
     state). The dimension is re-resolved per batch, so dim updates are
-    picked up without restarting the query.
+    picked up without restarting the query. ``watermark`` bounds the
+    window state like every sibling builder (one state row per
+    (hour, segment) is held FOREVER without it — pass it on any
+    long-running stream; None keeps batch-frame compatibility).
     """
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
     dim = F.broadcast(customers.select("c_custkey", "c_mktsegment"))
     return (
         events.join(dim, events.user_id == F.col("c_custkey"), "inner")
@@ -287,12 +299,6 @@ def click_purchase_conversions(
 # -- stream session helpers ------------------------------------------------
 
 
-def events_schema(spark: SparkSession, sf_dir: str):
-    from randas_spark.queries import t
-
-    return t(spark, sf_dir, "events").schema
-
-
 def events_stream(spark: SparkSession, sf_dir: str, files_per_trigger: int = 1):
     """File-source stream replaying the events table.
 
@@ -307,8 +313,19 @@ def events_stream(spark: SparkSession, sf_dir: str, files_per_trigger: int = 1):
     nanos = events_ts_is_nanos(src)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true" if nanos else "false")
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    # same load-bearing pin as queries.t(): the NTZ->LTZ ts cast below
+    # happens in the SESSION timezone — an unpinned non-UTC session
+    # would shift windows/watermarks off the batch oracle
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     stage = tempfile.mkdtemp(prefix="events_stream_")
-    shutil.copy(src, stage)
+    if os.path.isdir(src):
+        # directory-layout generation (part files) — the same layout the
+        # batch loader's footer probe supports
+        for name in os.listdir(src):
+            if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                shutil.copy(os.path.join(src, name), stage)
+    else:
+        shutil.copy(src, stage)
     raw_schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(raw_schema)
@@ -331,8 +348,10 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
         .queryName(name)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return name
 
 
@@ -353,8 +372,6 @@ def run_foreach_batch_to_parquet(
     Each batch lands as parquet partitioned by batch id, letting the
     oracle replay per-batch emissions.
     """
-    from pyspark.sql import functions as F  # noqa: F401
-
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         out = transform(batch_df) if transform is not None else batch_df
         out.write.mode("append").parquet(os.path.join(out_path, f"batch={batch_id}"))
@@ -365,8 +382,10 @@ def run_foreach_batch_to_parquet(
         .foreachBatch(sink)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return out_path
 
 
@@ -405,10 +424,15 @@ def dedup_ingest_stream(
             .filter(F.col("__rn__") == 1)
             .drop("__rn__")
         )
-        try:
+        # EXPLICIT first-batch detection, not a bare except: a store
+        # read that fails for any other reason (permissions, torn
+        # files, concurrent compaction) must FAIL the batch — silently
+        # skipping the anti-join would re-append previously-ingested
+        # fingerprints and break the dedup invariant with no signal.
+        if os.path.exists(store_path):
             store = batch_df.sparkSession.read.parquet(store_path)
             fresh = batch.join(store.select("fp"), "fp", "left_anti")
-        except Exception:  # first batch: store doesn't exist yet
+        else:
             fresh = batch
         fresh.write.mode("append").parquet(store_path)
 
@@ -418,8 +442,10 @@ def dedup_ingest_stream(
         .foreachBatch(sink)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return store_path
 
 
@@ -481,14 +507,18 @@ def idempotent_batch_sink(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         out = batch_df.withColumn("batch_id", F.lit(int(batch_id)))
-        try:
+        # explicit first-batch detection (see dedup_ingest_stream): any
+        # OTHER store-read failure must fail the batch — a swallowed
+        # error here silently disables the redelivery dedup this sink
+        # exists for.
+        if os.path.exists(store_path):
             existing = (
                 spark.read.parquet(store_path)
                 .filter(F.col("batch_id") == int(batch_id))
                 .select(key_col)
             )
             fresh = out.join(existing, key_col, "left_anti")
-        except Exception:  # first batch: store doesn't exist yet
+        else:
             fresh = out
         fresh.write.mode("append").partitionBy("batch_id").parquet(store_path)
 
@@ -498,6 +528,8 @@ def idempotent_batch_sink(
         .foreachBatch(sink)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return store_path, sink
