@@ -83,12 +83,15 @@ def dataset_file_stats(spark: SparkSession, path: str) -> dict:
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(conf)
     sizes = []
+    dir_bytes: dict[str, int] = {}
     it = fs.listFiles(p, True)
     while it.hasNext():
         f = it.next()
         name = f.getPath().getName()
         if f.isFile() and not name.startswith(("_", ".")):
             sizes.append(f.getLen())
+            parent = f.getPath().getParent().toString()
+            dir_bytes[parent] = dir_bytes.get(parent, 0) + f.getLen()
     total = sum(sizes)
     return {
         "n_files": len(sizes),
@@ -96,6 +99,9 @@ def dataset_file_stats(spark: SparkSession, path: str) -> dict:
         "min_file_bytes": min(sizes) if sizes else 0,
         "max_file_bytes": max(sizes) if sizes else 0,
         "mean_file_bytes": total // len(sizes) if sizes else 0,
+        # per-directory byte map: compact_dataset's slice sizing reads it
+        # so partitioned compaction needs no second recursive listing
+        "dir_bytes": dir_bytes,
     }
 
 
@@ -120,9 +126,12 @@ def compact_dataset(
       rather than any directory exceeding target; per-directory exact
       sizing would need one repartition per directory.
 
-    The rewrite lands in a sibling temp dir, then swaps in via FS rename
-    (delete-original + rename-temp) — readers never observe a partial
-    dataset directory. Returns {files_before, files_after, total_bytes}.
+    The rewrite lands in a sibling temp dir, then swaps in via two FS
+    renames (original aside, temp in, THEN delete the aside copy) — a
+    reader between the renames sees either the old or the new complete
+    dataset, and a failed swap leaves the original recoverable at the
+    .__compact_old__ path instead of already deleted. Returns
+    {files_before, files_after, total_bytes}.
     """
     import math
 
@@ -138,16 +147,10 @@ def compact_dataset(
     tmp = path.rstrip("/") + ".__compact_tmp__"
 
     if partition_cols:
-        # largest partition directory decides the slice count
-        dir_bytes: dict[str, int] = {}
-        it = fs.listFiles(jpath, True)
-        while it.hasNext():
-            f = it.next()
-            name = f.getPath().getName()
-            if f.isFile() and not name.startswith(("_", ".")):
-                parent = f.getPath().getParent().toString()
-                dir_bytes[parent] = dir_bytes.get(parent, 0) + f.getLen()
-        biggest = max(dir_bytes.values(), default=0)
+        # largest partition directory decides the slice count (byte map
+        # comes from the SAME listing pass as the before-stats — object
+        # stores pay thousands of LIST calls per recursive walk)
+        biggest = max(before["dir_bytes"].values(), default=0)
         slices = max(1, math.ceil(biggest / target_file_bytes))
         data_cols = [c for c in df.columns if c not in partition_cols]
         slice_col = F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.lit(slices))
@@ -163,8 +166,16 @@ def compact_dataset(
         df.repartition(n).write.mode("overwrite").format(fmt).save(tmp)
 
     jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs.delete(jpath, True)
-    fs.rename(jtmp, jpath)
+    aside = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__compact_old__")
+    if fs.exists(aside):
+        fs.delete(aside, True)
+    if not fs.rename(jpath, aside):
+        raise IOError(f"compact_dataset: could not move {path} aside")
+    if not fs.rename(jtmp, jpath):
+        # roll back: restore the original before raising
+        fs.rename(aside, jpath)
+        raise IOError(f"compact_dataset: could not swap in {tmp}; original restored")
+    fs.delete(aside, True)
     after = dataset_file_stats(spark, path)
     return {
         "files_before": before["n_files"],
@@ -190,16 +201,22 @@ def zorder_key(df: DataFrame, cols: list[str], bits_per_dim: int = 8) -> "Column
 
     n_buckets = 1 << bits_per_dim
     qs = [i / n_buckets for i in range(1, n_buckets)]
+    # ONE multi-column approxQuantile job: a per-column call would scan
+    # the whole dataset once PER DIMENSION (len(cols) full scans at the
+    # 100 TB target for work one pass computes)
+    dts = dict(df.dtypes)
+    probe_cols = [
+        (F.col(c).cast("long") if dts[c] == "timestamp" else F.col(c))
+        .cast("double")
+        .alias(c)
+        for c in cols
+    ]
+    all_edges = df.select(*probe_cols).approxQuantile(cols, qs, 0.01)
     bucketed = []
-    for c in cols:
+    for c, edges in zip(cols, all_edges):
         col = F.col(c)
-        dt = dict(df.dtypes)[c]
-        if dt == "timestamp":
+        if dts[c] == "timestamp":
             col = col.cast("long")
-            probe = df.select(col.alias(c))
-        else:
-            probe = df.select(F.col(c).cast("double").alias(c))
-        edges = probe.approxQuantile(c, qs, 0.01)
         # strictly-increasing edge list (duplicate quantiles collapse)
         uniq: list[float] = []
         for e in edges:

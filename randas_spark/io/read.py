@@ -64,10 +64,11 @@ def flatten_struct_df(df: DataFrame, sep: str = "_") -> DataFrame:
             f.name for f in df.schema.fields if isinstance(f.dataType, T.ArrayType)
         ]
         if array_cols:
-            # explode one array at a time (outer: keep rows with empty arrays)
+            # explode one array at a time (outer: keep rows with empty
+            # arrays); backtick-quote — JSON keys may contain dots
             c = array_cols[0]
-            others = [n for n in df.columns if n != c]
-            df = df.select(*others, F.explode_outer(c).alias(c))
+            others = [F.col(f"`{n}`") for n in df.columns if n != c]
+            df = df.select(*others, F.explode_outer(F.col(f"`{c}`")).alias(c))
             continue
         struct_cols = [
             f.name for f in df.schema.fields if isinstance(f.dataType, T.StructType)
@@ -78,9 +79,16 @@ def flatten_struct_df(df: DataFrame, sep: str = "_") -> DataFrame:
         for f in df.schema.fields:
             if isinstance(f.dataType, T.StructType):
                 for sub in f.dataType.fields:
-                    exprs.append(F.col(f"{f.name}.{sub.name}").alias(f"{f.name}{sep}{sub.name}"))
+                    # backtick-quote both levels: a literal dot in a JSON
+                    # key would otherwise parse as field access and fail
+                    # analysis (UNRESOLVED_COLUMN)
+                    exprs.append(
+                        F.col(f"`{f.name}`.`{sub.name}`").alias(
+                            f"{f.name}{sep}{sub.name}"
+                        )
+                    )
             else:
-                exprs.append(F.col(f.name))
+                exprs.append(F.col(f"`{f.name}`"))
         df = df.select(*exprs)
 
 
@@ -134,8 +142,18 @@ def read_sql(spark: SparkSession, conn, query: str) -> RandasFrame:
     cur = conn.execute(query)
     cols = [d[0] for d in cur.description]
     rows = cur.fetchall()
-    data: dict[str, list] = {c: [r[i] for r in rows] for i, c in enumerate(cols)}
-    return RandasFrame.new(spark, data, cols)
+    # dedup duplicate result-set names (SELECT x AS a, y AS a) the same
+    # way read_excel dedups headers — a plain dict comprehension would
+    # silently overwrite the earlier column's data with the later one's
+    uniq: list[str] = []
+    for c in cols:
+        cand, k = c, 1
+        while cand in uniq:
+            cand = f"{c}.{k}"
+            k += 1
+        uniq.append(cand)
+    data: dict[str, list] = {c: [r[i] for r in rows] for i, c in enumerate(uniq)}
+    return RandasFrame.new(spark, data, uniq)
 
 
 def read_parquet(spark: SparkSession, path: str) -> RandasFrame:

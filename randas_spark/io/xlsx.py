@@ -24,6 +24,7 @@ from xml.sax.saxutils import escape, quoteattr
 
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _CELL_REF = re.compile(r"([A-Z]+)(\d+)")
+_INT_RE = re.compile(r"^[+-]?\d+$")
 
 # OOXML _xHHHH_ escaping (ECMA-376 §22.9.2.19 ST_Xstring): characters
 # invalid in XML 1.0 (control chars, U+FFFE/FFFF, surrogates) are encoded
@@ -160,9 +161,13 @@ def read_xlsx(path: str, sheet: str | None = None) -> tuple[list[str], list[list
         try:
             sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in sst.findall(f"{_NS}si"):
-                shared.append(
-                    _xstring_decode("".join(t.text or "" for t in si.iter(f"{_NS}t")))
-                )
+                # direct <t> plus rich-text <r>/<t> ONLY — si.iter would
+                # also pick up phonetic <rPh> runs (East-Asian Excel
+                # furigana), corrupting the string vs openpyxl/pandas
+                parts = [t.text or "" for t in si.findall(f"{_NS}t")]
+                for r in si.findall(f"{_NS}r"):
+                    parts.extend(t.text or "" for t in r.findall(f"{_NS}t"))
+                shared.append(_xstring_decode("".join(parts)))
         except KeyError:
             pass
 
@@ -204,9 +209,26 @@ def read_xlsx(path: str, sheet: str | None = None) -> tuple[list[str], list[list
                         val = raw.strip() in ("1", "true", "TRUE")
                     elif t == "str":
                         val = _xstring_decode(raw)
+                    elif t in ("e", "d"):
+                        # cached formula errors / ISO-date cells: carry the
+                        # raw text through rather than crashing the whole
+                        # read on float('#DIV/0!')
+                        val = raw
                     else:
-                        f = float(raw)
-                        val = int(f) if f.is_integer() and "e" not in raw.lower() and "." not in raw else f
+                        if _INT_RE.match(raw):
+                            # int(raw) keeps full precision: float() would
+                            # silently round integers >= 2^53 that the
+                            # writer emits exactly
+                            val = int(raw)
+                        else:
+                            f = float(raw)
+                            val = (
+                                int(f)
+                                if f.is_integer()
+                                and "e" not in raw.lower()
+                                and "." not in raw
+                                else f
+                            )
                 grid.setdefault(rix, {})[cix] = val
                 max_col = max(max_col, cix)
 
