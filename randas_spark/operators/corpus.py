@@ -95,6 +95,11 @@ def sql_mixture_keep(domain_expr: str, id_expr: str, rates: dict[str, float], de
             return "TRUE"
         return f"md5(CAST({id_expr} AS VARCHAR)) < '{format(int(rate * 16**8), '08x')}'"
 
+    if not rates:
+        # CASE with zero WHEN arms is a parse error — the twin of
+        # mixture_sample's everything-default behavior is just the
+        # default predicate
+        return below(default_rate)
     cases = " ".join(
         f"WHEN {domain_expr} = '{src}' THEN {below(rates[src])}" for src in sorted(rates)
     )
@@ -172,8 +177,12 @@ def temperature_mixture_sample(
         ).cast("long")
         % 1_000_000
     )
+    # null-safe join: rows with a NULL domain still counted toward
+    # __total__/__z__ above, so dropping them via the null-propagating
+    # equi-join would undershoot target_frac and make NULL-source docs
+    # unsampleable (mixture_sample gives them the default rate)
     return (
-        df.join(F.broadcast(rates), df[domain_col] == rates["__src__"])
+        df.join(F.broadcast(rates), df[domain_col].eqNullSafe(rates["__src__"]))
         .filter(h < F.col("__thr__"))
         .drop("__src__", "__thr__")
     )

@@ -40,19 +40,19 @@ def inverted_index(
     mergeable downstream); terms above ``max_df_frac`` of the corpus are
     dropped as stop-words.
     """
-    n_docs = df.count()
     toks = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
-    idx = (
-        toks.groupBy("term")
-        .agg(
-            F.countDistinct("doc_id").alias("df"),
-            F.sort_array(F.collect_set("doc_id")).alias("postings"),
-        )
-    )
+    # df = size of the deduped posting set: a countDistinct alongside
+    # collect_set would force the two-phase Expand aggregate for a value
+    # the collected set already determines
+    idx = toks.groupBy("term").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("postings")
+    ).select("term", F.size("postings").cast("long").alias("df"), "postings")
     if max_df_frac < 1.0:
-        idx = idx.filter(F.col("df") <= int(max_df_frac * n_docs))
+        # corpus count only when the stop-word cut actually needs it —
+        # unconditional df.count() was a full wasted scan at default args
+        idx = idx.filter(F.col("df") <= int(max_df_frac * df.count()))
     return idx
 
 
@@ -78,7 +78,10 @@ def bm25_topk(
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
-    )
+    ).filter(F.col("term") != "")
+    # '' tokens (irregular whitespace) must not count toward dl/avgdl —
+    # they would systematically penalize such docs; same filter as
+    # inverted_index (and the SQL oracle mirrors it)
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")

@@ -51,8 +51,11 @@ def countmin_cells(df: DataFrame, key_col: str, shard_col: str, depth: int = 4) 
     from randas_spark.operators.dedup import fan_out
 
     # depth md5 calls per input row: fan a single-split input out to core
-    # count before the hash stage (no-op on many-split cluster inputs)
-    df = fan_out(df)
+    # count before the hash stage (no-op on many-split cluster inputs).
+    # NULL keys are dropped up front (count-distinct discipline): a null
+    # key hashes to a NULL bucket, which would sit in the cells yet
+    # never match a probe — counted but unqueryable.
+    df = fan_out(df.filter(F.col(key_col).isNotNull()))
     rows = df.select(
         F.col(shard_col).alias("shard"),
         *[F.expr(_bucket_sql(key_col, d, True)).alias(f"b{d}") for d in range(depth)],
@@ -79,6 +82,7 @@ def countmin_estimate(df: DataFrame, key_col: str, shard_col: str, depth: int = 
     sketches, merge them cell-wise, estimate every key as
     min_d cell[d][bucket_d(key)], and carry the exact count + the CMS
     one-sided-error verdict alongside. Deterministic cross-engine."""
+    df = df.filter(F.col(key_col).isNotNull())  # match countmin_cells
     cells = countmin_cells(df, key_col, shard_col, depth)
     merged = cells.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
     keys = df.groupBy(F.col(key_col).alias("key")).agg(F.count(F.lit(1)).alias("exact_cnt"))
@@ -153,7 +157,14 @@ def bloom_bits(df: DataFrame, key_col: str, n_bits: int = 4096, n_hashes: int = 
     aggregate: explode each key to its n_hashes positions, collect the
     DISTINCT positions — at most n_bits longs however many keys went in
     (the mergeable, broadcastable summary a semi-join reduction ships).
+    
+    Build and probe MUST use the same (n_bits, n_hashes): probing with
+    more hashes than the build set requires positions that were never
+    written, turning the 'no false negatives' guarantee into mass false
+    negatives with no error. Validated here and in bloom_prefilter.
     """
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
     if n_bits != 4096 or n_hashes > 10:
         raise ValueError("this portable build is fixed at n_bits=4096 (16^3), n_hashes<=10")
     pos_cols = [
@@ -190,7 +201,9 @@ def bloom_prefilter(fact: DataFrame, key_col: str, bloom: DataFrame, n_hashes: i
     oracle proves cross-engine."""
     from randas_spark.operators.dedup import fan_out
 
-    b = F.broadcast(bloom).hint("broadcast")
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+    b = F.broadcast(bloom)
     # n_hashes md5 calls per fact row — parallelize a single-split scan
     crossed = fan_out(fact).crossJoin(b)
     cond = None
@@ -281,7 +294,10 @@ def quantile_sketch_estimate(bins: DataFrame, quantiles: dict[str, float]) -> Da
         sorted(quantiles.items()), "q_label string, q double"
     )
     hit = qs.crossJoin(cum).filter(
-        F.col("cum") >= F.ceil(F.col("q") * F.col("n_total"))
+        # -1e-9 before ceil: fl(q*n) can land 1 ulp ABOVE the exact
+        # product (e.g. 0.07*100 = 7.000000000000001), bumping the target
+        # rank by one and shifting the answer a whole bin
+        F.col("cum") >= F.ceil(F.col("q") * F.col("n_total") - F.lit(1e-9))
     )
     from randas_spark.queries import fround
 
@@ -328,7 +344,12 @@ def hll_registers(df: DataFrame, key_col: str, group_cols: list[str] | None = No
     # (1.10 s fanned vs 0.99 serial), unlike the quantile sketch's
     # heavier per-row stage — and many-split cluster scans parallelize
     # natively anyway (0.65 s at sf1.0 with 10 splits)
-    base = df.select(*(group_cols or []), bucket.alias("bucket"), word.alias("__w__"))
+    # countDistinct semantics: NULL keys are ignored (md5(NULL) would
+    # emit a phantom NULL-bucket register that hll_estimate counts in
+    # the occupied-bucket total but not in the harmonic sum)
+    base = df.filter(F.col(key_col).isNotNull()).select(
+        *(group_cols or []), bucket.alias("bucket"), word.alias("__w__")
+    )
     return (
         base.withColumn("rho", rho.cast("long"))
         .groupBy(*(group_cols or []), "bucket")

@@ -987,7 +987,9 @@ def llm_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_RANKED_CTE = f"""
     toks AS (
-        SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+        SELECT doc_id, term FROM (
+            SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+        ) WHERE term <> ''
     ), dl AS (
         SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
     ), stats AS (

@@ -660,7 +660,7 @@ def rel_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT q_label, max(n_total) AS n_total,
            {sql_fround('arg_min(mid, bin_key)', 6)} AS est
-    FROM qs JOIN cum ON cum >= CAST(ceil(q * n_total) AS BIGINT)
+    FROM qs JOIN cum ON cum >= CAST(ceil(q * n_total - 1e-9) AS BIGINT)
     GROUP BY q_label
     """,
 )
