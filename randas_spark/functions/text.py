@@ -270,11 +270,9 @@ def sql_repetition_parts(text: str, k: int = 3) -> tuple[str, str]:
     """DuckDB twins of repetition_stats' total/distinct counts."""
     toks = sql_tokens(text)
     total = f"greatest(len({toks}) - {k - 1}, 1)"
-    distinct = (
-        f"len(list_distinct(list_transform("
-        f"generate_series(1, greatest(len({toks}) - {k - 1}, 1)), "
-        f"i -> array_to_string(({toks})[i:i+{k - 1}], ' '))))"
-    )
+    # reuse sql_shingles — a re-implemented shingle expression here would
+    # have to track every future fix to the canonical one by hand
+    distinct = f"len({sql_shingles(text, k)})"
     return total, distinct
 
 

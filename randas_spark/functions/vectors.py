@@ -31,9 +31,13 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def sql_dot(a: str, b: str) -> str:
+    # greatest(len(a), len(b)): Spark's zip_with extends to the LONGER
+    # array (extra pair multiplies NULL -> whole fold NULL), so a
+    # len(a)-only series would return a finite partial dot on exactly
+    # the malformed length-mismatched rows the comparison should flag
     return (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform(generate_series(1, len({a})),"
+        f"list_transform(generate_series(1, greatest(len({a}), len({b}))),"
         f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),"
         f" (acc, x) -> acc + x)"
     )

@@ -37,9 +37,22 @@ def chunk_documents(
     """(doc_id, chunk_idx, chunk_text, n_tokens): overlapping token
     windows; stride < chunk_size → overlap of chunk_size - stride.
     Short docs yield one chunk. Deterministic chunk count:
-    1 + ceil(max(n - chunk_size, 0) / stride)."""
+    1 + ceil(max(n - chunk_size, 0) / stride).
+
+    Rows with a NULL text are dropped EXPLICITLY (explode of a null
+    token array would drop them silently — this makes the contract
+    visible; pre-fill if null docs must survive chunking). stride must
+    not exceed chunk_size: a larger stride skips tokens AND can compute
+    a chunk offset past the doc's end, emitting an empty chunk with
+    NEGATIVE n_tokens."""
     if chunk_size <= 0 or stride <= 0:
         raise ValueError("chunk_size and stride must be positive")
+    if stride > chunk_size:
+        raise ValueError(
+            f"stride ({stride}) must be <= chunk_size ({chunk_size}): larger "
+            "strides skip tokens and emit phantom negative-length chunks"
+        )
+    df = df.filter(F.col(text_col).isNotNull())
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     n_chunks = F.lit(1) + F.ceil(

@@ -66,6 +66,13 @@ def asof_join(
                 f"asof_join: right payload columns {shared} collide with left "
                 "columns; pass suffix='_right' (or similar) to rename them"
             )
+        taken = set(left.columns) | set(right.columns)
+        for c in shared:
+            if c + suffix in taken:
+                raise ValueError(
+                    f"asof_join: suffixed name {c + suffix!r} already exists; "
+                    "pick a different suffix"
+                )
         right = right.select(
             *[
                 F.col(c).alias(c + suffix) if c in shared else F.col(c)
@@ -76,12 +83,18 @@ def asof_join(
     payload = [c for c in right.columns if c not in (on, ts)]
     left_only = [c for c in left.columns if c not in (on, ts)]
 
-    l2 = left.withColumn(_SIDE, F.lit(1))
-    for c in payload:
-        l2 = l2.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    r2 = right.withColumn(_SIDE, F.lit(0))
-    for c in left_only:
-        r2 = r2.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    # single projection per side (a withColumn loop builds one Project
+    # node PER COLUMN — the wide-schema analysis-time anti-pattern)
+    l2 = left.select(
+        "*",
+        F.lit(1).alias(_SIDE),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+    )
+    r2 = right.select(
+        "*",
+        F.lit(0).alias(_SIDE),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
+    )
 
     cols = [on, ts, _SIDE, *left_only, *payload]
     u = l2.select(cols).unionByName(r2.select(cols))
@@ -128,7 +141,6 @@ def asof_join(
 def range_join_bucketed(
     left: DataFrame,
     right: DataFrame,
-    left_ts: str,
     right_ts: str,
     lower: Column,
     upper: Column,
@@ -153,10 +165,17 @@ def range_join_bucketed(
     r2 = right.withColumn(
         "__bucket__", F.floor(F.unix_micros(F.col(right_ts)) / (bucket_seconds * 1_000_000))
     )
+    # r2[right_ts], not F.col(right_ts): an unqualified reference is
+    # AMBIGUOUS when both sides share the timestamp column name (the
+    # natural 'ts'/'ts' call)
     cond = (l2["__bucket__"] == r2["__bucket__"]) & (
-        (F.col(right_ts) >= F.col("__lo__")) & (F.col(right_ts) <= F.col("__hi__"))
+        (r2[right_ts] >= F.col("__lo__")) & (r2[right_ts] <= F.col("__hi__"))
     )
     if on is not None:
         cond = cond & (l2[on] == r2[on])
     joined = l2.join(r2, cond, "inner")
+    if on is not None:
+        # keep ONE copy of the equi key — two same-named columns make
+        # every downstream reference ambiguous
+        joined = joined.drop(r2[on])
     return joined.drop("__bucket__", "__lo__", "__hi__")

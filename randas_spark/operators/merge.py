@@ -53,7 +53,13 @@ def merge_upsert(
             .filter(F.col("__rn__") == 1)
             .drop("__rn__")
         )
-    kept = target.join(updates.select(key), key, "left_anti")
+    # eqNullSafe anti-join: a plain key equi-anti never matches NULL
+    # keys, so a NULL-key target row would survive alongside its
+    # NULL-key update — duplicating instead of replacing
+    upd_keys = updates.select(F.col(key).alias("__uk__"))
+    kept = target.join(
+        upd_keys, F.col(key).eqNullSafe(F.col("__uk__")), "left_anti"
+    )
     return kept.unionByName(updates)
 
 
@@ -89,13 +95,20 @@ def scd2_apply(
     out_cols = [key, *tracked, valid_from, valid_to]
     to_type = dim.schema[valid_to].dataType
 
-    c, u = cur.alias("cur"), updates.alias("upd")
-    j = c.join(u, F.col(f"cur.{key}") == F.col(f"upd.{key}"), "full_outer")
-    changed = (
-        F.col(f"upd.{key}").isNotNull()
-        & F.col(f"cur.{key}").isNotNull()
-        & _any_tracked_diff(tracked)
+    # Side-presence MARKERS, not key nullity: a current row whose key
+    # VALUE is NULL still exists — testing cur.key.isNull() would treat
+    # it as "no current row" and replace its data with an all-NULL
+    # opened row built from the absent update side. The markers are
+    # non-null exactly when the side is present; the join itself is
+    # null-safe so NULL-key rows pair up instead of cross-missing.
+    c = cur.withColumn("__cur_present__", F.lit(True)).alias("cur")
+    u = updates.withColumn("__upd_present__", F.lit(True)).alias("upd")
+    j = c.join(
+        u, F.col(f"cur.{key}").eqNullSafe(F.col(f"upd.{key}")), "full_outer"
     )
+    cur_present = F.col("cur.__cur_present__").isNotNull()
+    upd_present = F.col("upd.__upd_present__").isNotNull()
+    changed = upd_present & cur_present & _any_tracked_diff(tracked)
 
     def out_row(side: str, from_col, to_col):
         return F.struct(
@@ -113,9 +126,7 @@ def scd2_apply(
     # versions as an array, exploded — the join is never recomputed per
     # output branch (a filter×3 + union shape would execute it 3×).
     rows = F.when(changed, F.array(closed, opened)).otherwise(
-        F.when(F.col(f"cur.{key}").isNull(), F.array(opened)).otherwise(
-            F.array(untouched)
-        )
+        F.when(~cur_present, F.array(opened)).otherwise(F.array(untouched))
     )
     merged = j.select(F.explode(rows).alias("r")).select("r.*")
     return hist.select(*out_cols).unionByName(merged)

@@ -194,7 +194,7 @@ def test_range_join_bucketed_matches_theta_join(spark):
         (F.col("rts") >= lower) & (F.col("rts") <= upper),
     ).select("lid", "rid")
     bucketed = range_join_bucketed(
-        left, right, "lts", "rts", lower, upper, bucket_seconds=600
+        left, right, "rts", lower, upper, bucket_seconds=600
     ).select("lid", "rid")
 
     want = sorted((r.lid, r.rid) for r in naive.collect())
@@ -555,3 +555,33 @@ def test_hll_large_range_correction(spark):
     expected = -(2.0**32) * math.log(1.0 - raw / 2.0**32)
     assert abs(est - expected) / expected < 1e-12
     assert est > raw  # correction inflates, never deflates
+
+
+def test_range_join_bucketed_same_ts_name_and_equi_key(spark):
+    """Regression: both sides naming the range column 'ts' must work
+    (the unqualified F.col reference was AMBIGUOUS), and an equi key
+    must come back as ONE column, not two same-named ones."""
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.joins import range_join_bucketed
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "k")], "lid long, ts_s string, k string"
+    ).select("lid", F.col("ts_s").cast("timestamp").alias("ts"), "k")
+    right = spark.createDataFrame(
+        [(2, "2024-01-01 09:55:00", "k"), (3, "2024-01-01 08:00:00", "k")],
+        "rid long, ts_s string, k string",
+    ).select("rid", F.col("ts_s").cast("timestamp").alias("ts"), "k")
+
+    out = range_join_bucketed(
+        left,
+        right,
+        "ts",
+        F.col("ts") - F.expr("INTERVAL 10 MINUTES"),
+        F.col("ts"),
+        bucket_seconds=600,
+        on="k",
+    )
+    assert out.columns.count("k") == 1
+    rows = out.select("lid", "rid").collect()
+    assert [(r.lid, r.rid) for r in rows] == [(1, 2)]
