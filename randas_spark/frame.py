@@ -97,10 +97,17 @@ def query_predicate(df: DataFrame, s: str) -> Column:
     if isinstance(lit, bool):  # not produced by parse_query, defensive
         return F.lit(False)
     if isinstance(lit, int):
-        return F.col(col) == F.lit(lit) if integer_col else F.lit(False)
+        return _qc(col) == F.lit(lit) if integer_col else F.lit(False)
     if isinstance(lit, float):
-        return F.col(col) == F.lit(lit) if float_col else F.lit(False)
-    return F.col(col) == F.lit(lit) if string_col else F.lit(False)
+        return _qc(col) == F.lit(lit) if float_col else F.lit(False)
+    return _qc(col) == F.lit(lit) if string_col else F.lit(False)
+
+
+def _qc(name: str) -> Column:
+    """Backtick-quoted column reference: a raw name containing a dot
+    (read_excel/read_sql dedup to 'x.1') parses as struct-field access
+    and fails analysis; quoting makes every accessor dotted-name-safe."""
+    return F.col("`" + name.replace("`", "``") + "`")
 
 
 _MID_RECORD_BITS = 33  # monotonically_increasing_id: partition id in the
@@ -121,7 +128,14 @@ def _with_ingest_index(sdf: DataFrame) -> DataFrame:
     """
     mask = (1 << _MID_RECORD_BITS) - 1
     mid = F.monotonically_increasing_id()
-    tagged = sdf.withColumn("__mid__", mid)
+    # checkpoint: the counts branch AND the data branch both read the
+    # NONDETERMINISTIC mid — unmaterialized, a nondeterministic upstream
+    # (sample, round-robin repartition, task retry) could give the two
+    # branches different row-to-partition assignments, yielding
+    # duplicate/gapped positions or rows dropped by the offsets join.
+    # One materialization per INGEST (facade frames are small by
+    # contract); every later op carries the index along.
+    tagged = sdf.withColumn("__mid__", mid).localCheckpoint()
     part = F.shiftrightunsigned(F.col("__mid__"), _MID_RECORD_BITS)
     rec = F.col("__mid__").bitwiseAND(F.lit(mask))
 
@@ -285,7 +299,7 @@ class RandasFrame:
         hit = (
             self._sdf.withColumn("__rk__", F.row_number().over(w) - 1)
             .filter(F.col("__rk__") == row)
-            .select(col)
+            .select(_qc(col).alias(col))
             .collect()
         )
         return hit[0][col] if hit else None
@@ -298,10 +312,10 @@ class RandasFrame:
         """`iloc` — cell by (row pos, col pos), bounds-checked
         (dataframe.rs:441-466)."""
         cols = self.columns
-        if col >= len(cols):
+        if col < 0 or col >= len(cols):
             raise IndexError(f"column position {col} out of bounds")
         n = self.shape()[0]
-        if row >= n:
+        if row < 0 or row >= n:
             raise IndexError(f"row position {row} out of bounds")
         return self.get(row, cols[col])
 
@@ -314,13 +328,13 @@ class RandasFrame:
                 raise KeyError(f"column not found: {c}")
         n = self.shape()[0]
         for r in rows:
-            if r >= n:
+            if r < 0 or r >= n:
                 raise IndexError(f"row position {r} out of bounds")
         w = Window.orderBy(POS)
         out = (
             self._sdf.withColumn("__rk__", F.row_number().over(w) - 1)
             .filter(F.col("__rk__").isin([int(r) for r in rows]))
-            .select(*cols_out, POS, IDX)
+            .select(*[_qc(c).alias(c) for c in cols_out], POS, IDX)
         )
         return RandasFrame(out)
 
@@ -336,10 +350,28 @@ class RandasFrame:
         w = Window.orderBy(POS)
         ranked = self._sdf.withColumn("__rk__", F.row_number().over(w) - 1)
         spark = self._sdf.sparkSession
+        # route the literal vector through the SAME inference/coercion as
+        # new(): raw createDataFrame crashes on mixed int/float
+        # (CANNOT_MERGE_TYPE) or all-None lists that new() handles
+        vschema = self._infer_schema({name: list(values)}, [name])
+        vfield = vschema[name]
+        if isinstance(vfield.dataType, T.DoubleType):
+            vals = [None if v is None else float(v) for v in values]
+        elif isinstance(vfield.dataType, T.StringType):
+            vals = [None if v is None else str(v) for v in values]
+        else:
+            vals = list(values)
         lut = spark.createDataFrame(
-            [(i, v) for i, v in enumerate(values)], ["__rk__", name]
+            [(i, v) for i, v in enumerate(vals)],
+            T.StructType(
+                [T.StructField("__rk__", T.LongType(), False), vfield]
+            ),
         )
         joined = ranked.drop(name).join(F.broadcast(lut), "__rk__", "left").drop("__rk__")
+        if name in self.columns:
+            # replace keeps the column's ORIGINAL position
+            # (dataframe.rs:137-165 replaces in place; drop+join appends)
+            joined = joined.select(*self.columns, POS, IDX)
         return RandasFrame(joined)
 
     def remove_column(self, name: str) -> "RandasFrame":
@@ -431,7 +463,7 @@ class RandasFrame:
         Column-typed world: a non-numeric column contributes no cells."""
         dtype = self._sdf.schema[name].dataType
         if _is_numeric(dtype):
-            return F.col(name).cast("double")
+            return _qc(name).cast("double")
         if isinstance(dtype, T.StringType):
             # mixed-type parity: numeric-looking strings still skip in the
             # reference (cells are String-tagged) → contribute nothing
@@ -507,7 +539,7 @@ class RandasFrame:
     def count(self) -> list[int]:
         """`count` — non-null count per column (dataframe.rs:354-368)."""
         row = self._sdf.agg(
-            *[F.count(c).alias(f"v{i}") for i, c in enumerate(self.columns)]
+            *[F.count(_qc(c)).alias(f"v{i}") for i, c in enumerate(self.columns)]
         ).collect()[0]
         return [int(row[f"v{i}"]) for i in range(len(self.columns))]
 
@@ -568,11 +600,18 @@ class RandasFrame:
         if self.columns != other.columns:
             raise ValueError("concat rows requires identical column lists")
         offset = self.shape()[0]
+        # POS continues from max(POS)+1, NOT the row count: a left frame
+        # that came through tail/filter keeps its original (gapped) POS,
+        # so a count-based offset could COLLIDE with surviving positions
+        # (nondeterministic interleave) or sort appended rows first. The
+        # reference's "{offset}-{label}" rewrite stays count-based.
+        row = self._sdf.agg(F.max(POS).alias("m")).collect()[0]
+        pos_off = (row["m"] + 1) if row["m"] is not None else 0
         w = Window.orderBy(POS)
         right = (
             other._sdf.withColumn("__rk__", F.row_number().over(w) - 1)
             .withColumn(IDX, F.concat_ws("-", (F.col("__rk__") + offset).cast("string"), F.col(IDX)))
-            .withColumn(POS, F.col("__rk__") + offset)
+            .withColumn(POS, F.col("__rk__") + pos_off)
             .drop("__rk__")
         )
         cols = [*self.columns, POS, IDX]
@@ -669,13 +708,25 @@ class RandasFrame:
         driver via the dependency-free rasterizer (operators/plot.py over
         the stdlib PNG encoder) — no plotting library needed.
         """
-        xs = self.extract_numeric_values(x)
-        ys = self.extract_numeric_values(y)
-        if len(xs) != len(ys):
-            raise ValueError(
-                f"scatter_plot needs equal numeric lengths, got {len(xs)} vs {len(ys)}"
-            )
+        # ROW-WISE pairing: independent per-column extraction (the
+        # reference's own shape, dataframe.rs:905-918) can pass the
+        # equal-length check yet plot fabricated (x, y) pairs that never
+        # co-occurred when each column drops ITS OWN nulls — we implement
+        # the evident intent (pairs from rows where both are numeric)
+        # and document the divergence, like the other not-ported bugs.
+        xe, ye = self._numeric_expr(x), self._numeric_expr(y)
+        if xe is None or ye is None:
+            raise ValueError("scatter_plot needs numeric x and y columns")
+        rows = (
+            self._sdf.select(xe.alias("__x__"), ye.alias("__y__"), POS)
+            .filter(F.col("__x__").isNotNull() & F.col("__y__").isNotNull())
+            .orderBy(POS)
+            .collect()
+        )
+        xs = [r["__x__"] for r in rows]
+        ys = [r["__y__"] for r in rows]
         from randas_spark.operators.plot import render_scatter
 
+        png = render_scatter(xs, ys)  # render BEFORE open: no 0-byte file on error
         with open(path, "wb") as fh:
-            fh.write(render_scatter(xs, ys))
+            fh.write(png)

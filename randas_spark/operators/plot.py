@@ -64,6 +64,8 @@ def render_scatter(
     for py in range(top, bottom + 1):
         put(left, py, _AXIS)
     # tick marks (4 px, outward)
+    if n_ticks < 1:
+        raise ValueError(f"n_ticks must be >= 1, got {n_ticks}")
     for i in range(n_ticks + 1):
         tx = left + (right - left) * i // n_ticks
         ty = bottom - (bottom - top) * i // n_ticks

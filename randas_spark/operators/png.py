@@ -111,8 +111,15 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         prev_start = base
 
     if color_type == 3:
+        n_entries = len(palette) // 3
         rgb = bytearray(width * height * 3)
         for i, idx in enumerate(out):
+            if idx >= n_entries:
+                # a short slice assignment would silently SHRINK the rgb
+                # buffer, shifting every later pixel — fail loudly instead
+                raise ValueError(
+                    f"palette index {idx} out of range ({n_entries} entries)"
+                )
             rgb[i * 3 : i * 3 + 3] = palette[idx * 3 : idx * 3 + 3]
         return width, height, 3, bytes(rgb)
     return width, height, ch, bytes(out)
@@ -152,6 +159,10 @@ def pixel_features(width: int, height: int, channels: int, pixels: bytes) -> lis
     channel count, global mean/std/min/max (0-1 scaled), first-channel
     mean. Pure integer sums → bit-stable across platforms."""
     n = len(pixels)
+    if n == 0 or channels <= 0:
+        # zero-dimension images decode to an empty buffer; the contract
+        # is ValueError, not a ZeroDivisionError inside an executor task
+        raise ValueError("pixel_features: empty pixel buffer")
     s = sum(pixels)
     mean = s / n
     # explicit multiply (not **2): x*x is a single IEEE op both here and in

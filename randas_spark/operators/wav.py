@@ -42,7 +42,17 @@ def decode_wav(payload: bytes) -> tuple[list[float], int]:
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # declared chunk size exceeds the remaining payload: a
+            # truncated fmt chunk would escape as struct.error (breaking
+            # the ValueError contract) and a truncated data chunk would
+            # silently yield fewer samples
+            raise ValueError(
+                f"truncated {cid!r} chunk: declares {size} bytes, {len(body)} present"
+            )
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"fmt chunk too small ({size} bytes)")
             audio_fmt, channels, sample_rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
