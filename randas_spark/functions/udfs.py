@@ -24,8 +24,13 @@ def weighted_mean(values: pd.Series, weights: pd.Series) -> float:  # type: igno
     """Grouped-agg pandas UDF: sum(v*w)/sum(w) per group — the UDAF shape
     (built-ins can do this one; it exists as the canonical example of the
     form, oracle-checked in llm/relational tests)."""
-    denom = weights.sum()
-    return float((values * weights).sum() / denom) if denom else float("nan")
+    # mask weights of null values: pandas' sum skips the NaN PRODUCTS
+    # but would still count those rows' weights in the denominator,
+    # biasing the mean toward zero (v=[1, null], w=[1, 1] must give 1.0,
+    # not 0.5); all-null groups yield NaN, not 0.0
+    mask = values.notna()
+    denom = weights[mask].sum()
+    return float((values[mask] * weights[mask]).sum() / denom) if denom else float("nan")
 
 
 @pandas_udf("string")

@@ -35,7 +35,9 @@ def attach_fake_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.encode(F.col(text_col), "utf-8").alias("payload"),
         F.struct(
             F.lit("image/png").alias("mime"),
-            F.length(F.col(text_col)).cast("long").alias("n_bytes"),
+            # BYTE length of the payload (octet_length), not the character
+            # count — they diverge on any non-ASCII text
+            F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
             F.lit(64).alias("width"),
             F.lit(64).alias("height"),
         ).alias("meta"),
@@ -87,15 +89,21 @@ def attach_png_payload(
 
         return texts.map(make)
 
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        png_of(F.col(text_col)).alias("payload"),
-        F.struct(
-            F.lit("image/png").alias("mime"),
-            F.length(F.col(text_col)).cast("long").alias("n_bytes"),
-            F.lit(width).cast("long").alias("width"),
-            F.lit(height).cast("long").alias("height"),
-        ).alias("meta"),
+    # meta.n_bytes must describe the PAYLOAD (the encoded PNG), not the
+    # source text it was derived from
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"), png_of(F.col(text_col)).alias("payload")
+        )
+        .withColumn(
+            "meta",
+            F.struct(
+                F.lit("image/png").alias("mime"),
+                F.length(F.col("payload")).cast("long").alias("n_bytes"),
+                F.lit(width).cast("long").alias("width"),
+                F.lit(height).cast("long").alias("height"),
+            ),
+        )
     )
 
 

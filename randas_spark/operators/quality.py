@@ -32,9 +32,13 @@ def orphan_check(child: DataFrame, fk: str, parent: DataFrame, pk: str, name: st
 
 def unique_check(df: DataFrame, key: str, name: str) -> DataFrame:
     """One row (check, n_violations): count of key VALUES that appear
-    more than once (not the row excess — the number of violated keys)."""
+    more than once (not the row excess — the number of violated keys).
+    NULL keys are excluded, matching SQL UNIQUE semantics (NULLs are
+    mutually distinct — pair with not_null_check when nulls themselves
+    are the violation)."""
     return (
-        df.groupBy(F.col(key))
+        df.filter(F.col(key).isNotNull())
+        .groupBy(F.col(key))
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") > 1)
         .agg(F.count(F.lit(1)).alias("n_violations"))
@@ -52,6 +56,8 @@ def not_null_check(df: DataFrame, col: str, name: str) -> DataFrame:
 def audit(checks: list[DataFrame]) -> DataFrame:
     """Union one-row check results into the audit table, stable order by
     check name (deterministic output for snapshot diffing)."""
+    if not checks:
+        raise ValueError("audit: at least one check result is required")
     out = checks[0]
     for c in checks[1:]:
         out = out.unionByName(c)

@@ -78,12 +78,22 @@ def salted_agg(
         # Column repr is "Column<'sum(v)'>" — the leading function name
         # identifies the combiner. (Spark 4 no longer exposes the
         # expression tree through py4j.)
-        fn = str(expr).split("'", 1)[1].split("(")[0].strip().lower()
+        rep = str(expr)
+        if "DISTINCT" in rep.upper():
+            # countDistinct/sum_distinct parse to fn 'count'/'sum', and
+            # summing PER-SALT distincts double-counts any value split
+            # across salts — a silent overcount, so reject loudly
+            raise ValueError(
+                f"DISTINCT aggregate for {name!r} cannot be salt-combined "
+                "(per-salt distincts overlap); use approx_count_distinct or "
+                "a two-stage exact distinct"
+            )
+        fn = rep.split("'", 1)[1].split("(")[0].strip().lower()
         combiner = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}.get(fn)
         if combiner is None:
             raise ValueError(
                 f"aggregate {fn!r} is not algebraic-combinable; use a "
-                "sketch (approx_*) or plain groupBy for {name}"
+                f"sketch (approx_*) or plain groupBy for {name}"
             )
         combines.append(combiner(f"__p_{name}").alias(name))
     return partial.groupBy(*keys).agg(*combines)

@@ -28,7 +28,6 @@ Scale notes:
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 
 import pandas as pd
 
@@ -67,6 +66,16 @@ def gap_fill_ffill(
         df.groupBy(F.date_trunc(unit, F.col(ts_col)).alias("h"), F.col(key))
         .agg(F.count(F.lit(1)).alias("n_events"), value.alias("__v__"))
     )
+    _INTERVAL_UNITS = {
+        "year", "month", "week", "day", "hour", "minute", "second",
+        "millisecond", "microsecond",
+    }
+    if unit.lower() not in _INTERVAL_UNITS:
+        raise ValueError(
+            f"unit {unit!r} is not a valid interval unit "
+            f"(use one of {sorted(_INTERVAL_UNITS)}; 'quarter'/'mon'/'dd' "
+            "work for date_trunc but not for the spine step)"
+        )
     bounds = df.agg(
         F.date_trunc(unit, F.min(ts_col)).alias("mn"),
         F.date_trunc(unit, F.max(ts_col)).alias("mx"),
@@ -78,6 +87,10 @@ def gap_fill_ffill(
         .select(
             key,
             F.explode(
+                # date_trunc accepts aliases ('mon', 'dd', 'quarter') that
+                # interval literals reject — validate up front so the
+                # error names the fix instead of a plan-time
+                # ParseException
                 F.sequence("mn", "mx", F.expr(f"INTERVAL 1 {unit}"))
             ).alias("h"),
         )
@@ -112,7 +125,14 @@ def ewma_by_key(
     if not (0.0 < alpha <= 1.0):
         raise ValueError(f"alpha must be in (0,1], got {alpha}")
     order = [ts_col] + ([id_col] if id_col else [])
-    out_schema = f"{key} long, {ts_col} timestamp, {value_col} double, ewma double"
+    # derive the output schema from the INPUT dtypes — hardcoded
+    # "long/timestamp/double" broke any frame whose key is a string or
+    # whose value is int (Arrow cast error at runtime)
+    dts = dict(df.dtypes)
+    out_schema = (
+        f"{key} {dts[key]}, {ts_col} {dts[ts_col]}, "
+        f"{value_col} {dts[value_col]}, ewma double"
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order)
@@ -251,6 +271,10 @@ def ts_range_search(
     q = z.filter(F.col(key) == query_key).select(
         F.col("z").alias("qz"), paa(F.col("z"), n, segments).alias("qp")
     )
+    if q.limit(1).count() == 0:
+        # an absent query key would otherwise return an EMPTY result
+        # indistinguishable from "no neighbors within radius"
+        raise KeyError(f"ts_range_search: query_key {query_key!r} not found")
     cand = (
         z.filter(F.col(key) != query_key)
         .crossJoin(F.broadcast(q))
