@@ -35,7 +35,6 @@ TABLES = (
     "embeddings",
 )
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def get_spark(app_name: str = "randas_spark", cpus: int | None = None) -> SparkSession:

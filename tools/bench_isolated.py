@@ -37,6 +37,11 @@ def main() -> None:
 
     spark = get_spark("bench-isolated")
     qs = e.queries()
+    unknown = [n for n in args if n not in qs]
+    if unknown:
+        # validate BEFORE running: a typo'd later name would discard
+        # minutes of measurements already taken (JSON prints at the end)
+        raise SystemExit(f"unknown query name(s): {unknown}")
     results: dict[str, float] = {}
     for name in args:
         qs[name](spark, sf_dir).collect()  # warm: codegen + file cache

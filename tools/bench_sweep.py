@@ -1,6 +1,6 @@
 """Full-registry timing sweep — every queries() entry, one timed pass.
 
-The headline bench (bench.py) covers 24 representative queries; this
+The headline bench (bench.py) covers the headline set; this
 sweeps ALL of them so a newly-added operator can't hide a serial scan or
 quadratic stage outside the headline set (the round-4 sweep found a
 201-second Levenshtein landmine exactly this way). Single pass per query
@@ -43,12 +43,16 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).collect()
+            # stop the clock BEFORE clearCache (finally runs before the
+            # next statement, so measuring afterward would charge each
+            # query its own unpersist cost and skew the triage ranking)
+            dt = time.perf_counter() - t0
         except Exception as ex:  # noqa: BLE001
             failures[name] = str(ex).splitlines()[0][:200]
             continue
         finally:
             spark.catalog.clearCache()
-        times[name] = round(time.perf_counter() - t0, 3)
+        times[name] = round(dt, 3)
         print(f"{times[name]:9.3f}s  {name}", file=sys.stderr)
 
     ranked = dict(sorted(times.items(), key=lambda kv: -kv[1]))

@@ -29,9 +29,7 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
+from randas_spark.session import TABLES  # single source of truth
 
 
 def canon_frame(df: pd.DataFrame) -> pd.DataFrame:
@@ -47,10 +45,22 @@ def canon_frame(df: pd.DataFrame) -> pd.DataFrame:
         # string-render sort key: mixed-type object columns (int + str
         # rows) are orderable the way the driver's Categorical codes are,
         # instead of raising on int < str
+        # sort EVERY column through one canonical key: numeric columns
+        # (and numeric-valued object columns, e.g. Decimal vs float64 for
+        # the same logical data) order numerically on both sides, so an
+        # object-vs-float dtype split cannot misalign the row order and
+        # report spurious DIFFs on equal multisets
+        def _k(col):
+            if col.dtype != object:
+                return col
+            import numbers
+
+            if col.map(lambda v: v is None or isinstance(v, numbers.Number)).all():
+                return col.map(lambda v: float("nan") if v is None else float(v))
+            return col.map(lambda v: str(v))
+
         df = df.sort_values(
-            by=list(df.columns),
-            kind="mergesort",
-            key=lambda col: col.map(lambda v: str(v)) if col.dtype == object else col,
+            by=list(df.columns), kind="mergesort", key=_k
         ).reset_index(drop=True)
     return df
 

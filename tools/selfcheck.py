@@ -3,7 +3,7 @@
 Runs every ``queries()[name]`` on Spark and the matching ``oracle_sql()``
 on DuckDB over the same parquet tables, then compares row count, column
 names, and an order-insensitive value hash (columns sorted by name, rows
-sorted, floats rendered via repr of round(12)).
+sorted, floats rendered via repr of round(9)).
 
 Usage: python tools/selfcheck.py [sf_dir] [query ...]
 """
@@ -18,9 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
+from randas_spark.session import TABLES  # single source of truth
 
 
 def canon(value) -> str:
@@ -33,9 +31,17 @@ def canon(value) -> str:
     if isinstance(value, float):
         if math.isnan(value):
             return "NaN"
+        if math.isinf(value):
+            # int(inf) raises OverflowError — would abort the whole run
+            return "Infinity" if value > 0 else "-Infinity"
+        # ROUND FIRST: 2.0000000000001 vs 2.0 must canonize identically
+        # (checking the int fast-path on the raw value sent one to '2.0'
+        # and the other to '2' — a spurious hash mismatch at integer
+        # boundaries inside the intended tolerance)
+        value = round(value, 9)
         if value == int(value) and abs(value) < 1e15:
             return str(int(value))
-        return repr(round(value, 9))
+        return repr(value)
     if isinstance(value, datetime.datetime):
         return value.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
     if isinstance(value, (list, tuple)):
@@ -121,6 +127,16 @@ def main() -> int:
             print(f"PASS  {name}: {len(srows)} rows [{dt:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            # a typo'd name (or a nonexistent sf_dir reclassified as a
+            # filter) must FAIL the gate, not run zero queries and exit 0
+            print(f"UNKNOWN query name(s): {sorted(unknown)}")
+            return 1
+    if n_pass + n_fail == 0:
+        print("no queries ran — failing the gate")
+        return 1
     return 1 if n_fail else 0
 
 
