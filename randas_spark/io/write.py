@@ -92,7 +92,9 @@ def to_sql(frame: RandasFrame, table: str, conn, if_exists: str = "append") -> N
     if if_exists not in ("append", "replace"):
         raise ValueError(f"if_exists must be append|replace, got {if_exists!r}")
     cols = frame.columns
-    rows = [tuple(r[c] for c in cols) for r in frame.sdf.orderBy("__pos__").collect()]
+    # frame._ordered() owns the hidden-index invariant — re-spelling
+    # "__pos__" here would silently break if the index column changes
+    rows = [tuple(r[c] for c in cols) for r in frame._ordered().collect()]
     if if_exists == "replace":
         conn.execute(f"DELETE FROM {table}")
     placeholders = ", ".join("?" for _ in cols)
@@ -112,7 +114,11 @@ def to_arrow_ipc(frame: RandasFrame, path: str) -> None:
     import pyarrow as pa
     import pyarrow.ipc as pa_ipc
 
-    pdf = frame.to_spark().toPandas()
+    # frame.to_pandas() (the __pos__-ordered accessor), NOT
+    # to_spark().toPandas(): the latter emits physical partition order,
+    # so the single-file artifact would round-trip with a DIFFERENT row
+    # order than the frame's logical one
+    pdf = frame.to_pandas()
     table = pa.Table.from_pandas(pdf, preserve_index=False)
     with pa_ipc.new_file(path, table.schema) as w:
         w.write_table(table)

@@ -286,3 +286,25 @@ def ts_range_search(
         .filter(F.col("dist") <= radius)
         .select(F.col(key), F.col("dist"))
     )
+
+
+SESSION_GAP_US = 1_800_000_000  # 30 min — the one sessionization gap
+
+
+def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Attach ``sess_id`` (per-user running session number, 1-based) via
+    the lag/gap-flag/cumsum formulation: a row starts a new session when
+    its gap to the previous event exceeds ``gap_us``. ONE (user_id)
+    exchange serves both windows and any per-session aggregate stacked
+    on top — the single shared definition both batch sessionization
+    queries build on (the streaming twin is session_window)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    flagged = events.withColumn(
+        "new_sess",
+        F.when(micros - F.lag(micros).over(w) > gap_us, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return flagged.withColumn("sess_id", F.sum("new_sess").over(w2)).drop("new_sess")

@@ -80,18 +80,11 @@ def rel_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     granularity — the standard formulation for interval joins at 100 TB.
     Here the busy side is 48 rows → broadcast, zero shuffle beyond the
     sessionize exchange that produces the intervals."""
+    from randas_spark.operators.timeseries import sessionize
+
     e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    micros = F.unix_micros(F.col("ts"))
-    flagged = e.withColumn(
-        "new_sess",
-        F.when(micros - F.lag(micros).over(w) > _SESS_GAP_US, 1)
-        .when(F.lag("ts").over(w).isNull(), 1)
-        .otherwise(0),
-    )
-    w2 = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sess = (
-        flagged.withColumn("sess_id", F.sum("new_sess").over(w2))
+        sessionize(e, _SESS_GAP_US)
         .groupBy("user_id", "sess_id")
         .agg(F.min("ts").alias("sess_start"), F.max("ts").alias("sess_end"))
     )
@@ -287,12 +280,15 @@ def rel_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    tot = c.agg(F.sum("n").alias("__t__"))
+    # total as a window over the 9-row aggregate: the agg+crossJoin
+    # form re-executed the whole digit-count lineage (second full scan
+    # of orders) for one scalar already derivable from the result
+    tot = F.sum("n").over(Window.partitionBy())
     expected = F.when(F.col("digit") == "1", F.lit(_BENFORD[1]))
     for d in range(2, 10):
         expected = expected.when(F.col("digit") == str(d), F.lit(_BENFORD[d]))
-    frac = F.col("n").cast("double") / F.col("__t__")
-    return c.crossJoin(F.broadcast(tot)).select(
+    frac = F.col("n").cast("double") / tot
+    return c.select(
         "digit",
         "n",
         fround(frac, 6).alias("frac"),
@@ -346,11 +342,13 @@ def rel_feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rel_rolling_median",
     oracle=f"""
-    WITH w AS (
+    WITH ev AS (
+        SELECT * FROM events WHERE value IS NOT NULL
+    ), w AS (
         SELECT user_id, event_id, value,
                list_sort(list(value) OVER win) AS s,
                CAST(len(list(value) OVER win) AS BIGINT) AS n
-        FROM events
+        FROM ev
         WINDOW win AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
                        ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
     )
@@ -375,7 +373,11 @@ def rel_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts"), F.col("event_id"))
         .rowsBetween(-10, Window.currentRow)
     )
-    e = t(spark, sf_dir, "events")
+    # value IS NOT NULL pinned on BOTH sides: Spark's collect_list
+    # DROPS nulls while DuckDB's list() keeps them — with any null in a
+    # frame the two sides would pick different middle elements. The
+    # filter makes the invariant explicit instead of fixture-dependent.
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     s = F.array_sort(F.collect_list("value").over(w))
     n = F.size(s)
     staged = e.select(

@@ -1050,21 +1050,10 @@ def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum = session id → per-session aggregate. Two windows + one agg
     over the same (user_id) partitioning — Spark reuses the exchange.
     (Streaming twin: session_window in streaming_q.py.)"""
+    from randas_spark.operators.timeseries import sessionize
+
     e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    micros = F.unix_micros(F.col("ts"))
-    flagged = e.withColumn(
-        "new_sess",
-        F.when(micros - F.lag(micros).over(w) > 1_800_000_000, 1)
-        .when(F.lag("ts").over(w).isNull(), 1)
-        .otherwise(0),
-    )
-    w2 = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    sess = flagged.withColumn("sess_id", F.sum("new_sess").over(w2))
+    sess = sessionize(e)
     return sess.groupBy("user_id", "sess_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("sess_start"),
