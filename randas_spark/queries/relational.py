@@ -19,6 +19,9 @@ from pyspark.sql import functions as F
 
 from randas_spark.queries import fround, register, sql_fround, t
 from randas_spark.io.audit import sql_table_checksum
+from randas_spark.operators.sketches import (
+    sql_countmin_estimate as _sql_countmin_estimate,
+)
 
 # --------------------------------------------------------------------------
 # TPC-H-style multi-join analytics (adapted to the testdata schema)
@@ -565,7 +568,10 @@ def rel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT (distinct): customer keys never appearing in orders."""
     a = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     b = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    return a.exceptAll(b).distinct()
+    # subtract() IS SQL EXCEPT: a key present anywhere in b is removed.
+    # exceptAll().distinct() differs when the left has duplicates (it
+    # keeps a key whose left multiplicity exceeds the right's).
+    return a.subtract(b)
 
 
 @register(
@@ -889,7 +895,7 @@ def rel_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
            lower(o_orderpriority)                          AS pri_lower,
            substring(o_orderpriority, 1, 1)                AS pri_code,
            length(o_orderpriority)                         AS pri_len,
-           concat(o_orderstatus, '-', o_orderpriority)     AS status_pri,
+           concat_ws('-', o_orderstatus, o_orderpriority)  AS status_pri,
            year(o_orderdate)                               AS order_year,
            month(o_orderdate)                              AS order_month,
            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
@@ -1212,13 +1218,13 @@ def rel_sql_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst — same physical plan as the DataFrame DSL twin (q01), proving
     both entry points hit one engine. The full ANSI dialect comes free."""
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
-    scale = 10 ** 2
-    scale6 = 10 ** 6
+    # sql_fround is valid Spark SQL as well as DuckDB SQL — reusing it
+    # keeps the portable-rounding formula defined in exactly one place
     return spark.sql(
         f"""
         SELECT l_returnflag, l_linestatus,
-               floor(sum(l_quantity) * {scale} + 0.5) / {scale}  AS sum_qty,
-               floor(avg(l_discount) * {scale6} + 0.5) / {scale6} AS avg_disc,
+               {sql_fround('sum(l_quantity)', 2)}  AS sum_qty,
+               {sql_fround('avg(l_discount)', 6)} AS avg_disc,
                count(*) AS n
         FROM lineitem_v
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1981,9 +1987,7 @@ def rel_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rel_countmin_sketch",
     oracle="SELECT key AS user_id, exact_cnt, est_cnt, no_undercount FROM ("
-    + __import__(
-        "randas_spark.operators.sketches", fromlist=["sql_countmin_estimate"]
-    ).sql_countmin_estimate("events", "user_id", "event_type", depth=4)
+    + _sql_countmin_estimate("events", "user_id", "event_type", depth=4)
     + ")",
 )
 def rel_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2065,9 +2069,7 @@ def rel_bloom_join_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rel_heavy_hitters",
     oracle="SELECT key AS user_id, exact_cnt, est_cnt FROM ("
-    + __import__(
-        "randas_spark.operators.sketches", fromlist=["sql_countmin_estimate"]
-    ).sql_countmin_estimate("events", "user_id", "event_type", depth=4)
+    + _sql_countmin_estimate("events", "user_id", "event_type", depth=4)
     + ") CROSS JOIN (SELECT count(*) AS n FROM events) WHERE est_cnt >= 0.01 * n",
 )
 def rel_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

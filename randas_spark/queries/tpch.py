@@ -166,12 +166,12 @@ def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN region    ON cn.n_regionkey = r_regionkey
         JOIN supplier  ON l_suppkey  = s_suppkey
         JOIN nation sn ON s_nationkey = sn.n_nationkey
-        WHERE r_name = 'ASIA' AND p_typefilter(TRUE)
+        WHERE r_name = 'ASIA'
     )
     SELECT o_year,
            {sql_fround("sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END) / sum(volume)", 6)} AS mkt_share
     FROM all_nations GROUP BY o_year
-    """.replace("AND p_typefilter(TRUE)", ""),
+    """,
 )
 def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: one nation's share of a region's market by year —
@@ -339,19 +339,19 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
-    revenue = (
-        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(
-            fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "total_revenue"
-            )
+    # window max over the aggregate: ONE pass, no .cache() pinning the
+    # revenue frame in executor storage for the session's lifetime (the
+    # old two-consumer agg+join form never unpersisted)
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
         )
-        .cache()
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    m = F.max("total_revenue").over(Window.partitionBy())
     s = t(spark, sf_dir, "supplier")
     return (
-        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        revenue.withColumn("__m__", m)
+        .filter(F.col("total_revenue") == F.col("__m__"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
@@ -585,7 +585,7 @@ def q21_core(li: DataFrame, o: DataFrame, s: DataFrame) -> DataFrame:
     SELECT c_nationkey AS cntrycode, count(*) AS numcust,
            {sql_fround('sum(c_acctbal)', 2)} AS totacctbal
     FROM customer
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+    WHERE c_acctbal > (SELECT {sql_fround('avg(c_acctbal)', 6)} FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                       AND o_orderdate >= TIMESTAMP '1998-01-01')
     GROUP BY c_nationkey
@@ -609,7 +609,9 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         c.join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("ab"))
+        # rounded threshold (same rule as q11): avg is summation-order-
+        # dependent in the last ulp across engines
+        .filter(F.col("c_acctbal") > fround(F.col("ab"), 6))
         .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
@@ -686,7 +688,8 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey AS ps_partkey, {sql_fround('sum(val)', 2)} AS part_value
     FROM natval
     GROUP BY l_partkey
-    HAVING sum(val) > (SELECT 0.001 * sum(val) FROM natval)
+    HAVING {sql_fround('sum(val)', 6)}
+         > (SELECT {sql_fround('0.001 * sum(val)', 6)} FROM natval)
     """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -713,9 +716,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("val").alias("raw_value"))
     )
     total = per_part.agg((F.sum("raw_value") * 0.001).alias("cutoff"))
+    # membership decided on 6-digit-rounded values on BOTH engines: the
+    # two sides sum in different orders, so a raw float comparison could
+    # flip a part sitting within an ulp of the threshold (the module's
+    # float-boundary rule, applied to the one unrounded comparison left)
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("raw_value") > F.col("cutoff"))
+        .filter(fround(F.col("raw_value"), 6) > fround(F.col("cutoff"), 6))
         .select("ps_partkey", fround(F.col("raw_value"), 2).alias("part_value"))
     )
 
