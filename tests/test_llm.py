@@ -1984,3 +1984,23 @@ def test_kmeans_handles_string_ids_and_k1(spark):
 
     with _pytest.raises(ValueError):
         kmeans_lloyd_det(df, "doc_id", "emb", k=2, n_iter=0)
+
+
+def test_quantile_bands_ties_share_band_and_repartition_invariant(spark):
+    """band = 1 + floor(n·|{score < mine}|/N): all ties land in ONE band
+    (unlike ntile), and the assignment is identical under any input
+    partitioning — the reproducibility contract of llm_curriculum_order."""
+    from randas_spark.operators.corpus import quantile_bands
+
+    rows = [(i, s) for i, s in enumerate([1, 1, 1, 1, 2, 3, 3, 9])]
+    df = spark.createDataFrame(rows, "id long, score long")
+    out = {r.id: r.band for r in quantile_bands(df, "score", 4).collect()}
+    # score 1: cum 0 -> band 1; score 2: cum 4 -> 3; score 3: cum 5 -> 3
+    # (ties share); score 9: cum 7 -> 4
+    assert out == {0: 1, 1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3, 7: 4}
+
+    out2 = {
+        r.id: r.band
+        for r in quantile_bands(df.repartition(7, "id"), "score", 4).collect()
+    }
+    assert out2 == out

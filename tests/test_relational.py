@@ -585,3 +585,66 @@ def test_range_join_bucketed_same_ts_name_and_equi_key(spark):
     assert out.columns.count("k") == 1
     rows = out.select("lid", "rid").collect()
     assert [(r.lid, r.rid) for r in rows] == [(1, 2)]
+
+
+def test_market_basket_pairs_support_and_lift(spark):
+    """Constructed baskets {1:ABC, 2:AB, 3:A} (with a duplicate item row
+    that must not double-count): pair (A,B) co-occurs twice in 3 baskets
+    → support 2/3, lift (2·3)/(3·2) = 1.0; (B,C) → lift (1·3)/(2·1)=1.5."""
+    from randas_spark.operators.mining import market_basket_pairs
+
+    rows = [(1, "A"), (1, "A"), (1, "B"), (1, "C"), (2, "A"), (2, "B"), (3, "A")]
+    items = spark.createDataFrame(rows, "bk long, it string")
+    out = {
+        (r.item_a, r.item_b): r
+        for r in market_basket_pairs(items, "bk", "it").collect()
+    }
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert ab.pair_count == 2
+    assert abs(ab.support - 2 / 3) < 1e-12
+    assert abs(ab.lift - 1.0) < 1e-12
+    assert abs(out[("B", "C")].lift - 1.5) < 1e-12
+
+
+def test_triangle_enumerate_exactly_once_sorted(spark):
+    """K4 has exactly 4 triangles; edges arrive in mixed endpoint order
+    with one duplicate reversed edge — each triangle must come back once,
+    as an ascending triple. A star (hub) graph has none."""
+    from itertools import combinations
+
+    from randas_spark.operators.mining import triangle_enumerate
+
+    k4 = [(1, 2), (3, 1), (1, 4), (2, 3), (4, 2), (3, 4), (2, 1)]
+    e = spark.createDataFrame(k4, "src long, dst long")
+    tris = sorted(
+        (r.node_a, r.node_b, r.node_c)
+        for r in triangle_enumerate(e).collect()
+    )
+    assert tris == sorted(combinations([1, 2, 3, 4], 3))
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    assert triangle_enumerate(star).count() == 0
+
+
+def test_skyline_2d_dominance_and_ties(spark):
+    """min price / max size: strictly dominated rows drop; rows tying on
+    BOTH dimensions all survive (neither strictly dominates); a same-price
+    smaller-size row is dominated by its price-group max."""
+    from randas_spark.operators.mining import skyline_2d
+
+    rows = [
+        ("g", 1, 1.0, 10),  # skyline (cheapest)
+        ("g", 2, 2.0, 20),  # skyline (bigger, pricier)
+        ("g", 3, 2.0, 20),  # ties row 2 on both dims -> both survive
+        ("g", 4, 2.0, 15),  # same price, smaller size -> dominated
+        ("g", 5, 3.0, 15),  # dominated by row 2 (cheaper AND bigger)
+        ("h", 6, 9.0, 1),   # separate partition: alone -> skyline
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, price double, size long")
+    got = sorted(r.id for r in skyline_2d(df, "price", "size", ["grp"]).collect())
+    assert got == [1, 2, 3, 6]
+
+    # unpartitioned: h's (9.0, 1) is dominated by g's rows now
+    got2 = sorted(r.id for r in skyline_2d(df, "price", "size").collect())
+    assert got2 == [1, 2, 3]
