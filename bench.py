@@ -71,6 +71,11 @@ HEADLINE = [
     # points in BASELINE.md r6
     "llm_kmeans_det",
     "llm_dedup_hybrid",
+    # round-6 sixth pass: the pattern-mining family's two heavy
+    # representatives (basket-keyed co-occurrence self-join; degree-
+    # ordered triangle enumeration); BASELINE.md r6 rows + 10x slopes
+    "rel_market_basket_lift",
+    "rel_triangle_count",
 ]
 
 
