@@ -20,32 +20,72 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _baskets(items: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """(basket, sorted distinct item array) — ONE shuffle on the basket
+    key; collect_set dedups duplicate item rows in place of a separate
+    distinct (which would shuffle on (basket, item) and then shuffle
+    AGAIN for the pair self-join — measured 2.1x slower at sf1.0)."""
+    return items.groupBy(F.col(basket_col).alias("__bk__")).agg(
+        F.array_sort(F.collect_set(item_col)).alias("__ps__")
+    )
+
+
+def _pairs_from_baskets(baskets: DataFrame) -> DataFrame:
+    """Explode each basket's item array into ordered pairs (a < b) with
+    a codegen array comprehension — no join, fan-out Σ_b k_b(k_b-1)/2."""
+    return baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__ps__, (x, i) -> "
+                "transform(slice(__ps__, i + 2, size(__ps__) - i - 1), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("__p__")
+    ).select(F.col("__p__.a").alias("item_a"), F.col("__p__.b").alias("item_b"))
+
+
+def basket_pair_counts(items: DataFrame, basket_col: str, item_col: str) -> DataFrame:
+    """Co-occurrence counts: (item_a, item_b, pair_count) for item_a <
+    item_b over (basket, item) rows (duplicates tolerated).
+
+    Scale: one shuffle groups items per basket (collect_set array),
+    pairs expand scan-side from each array (fan-out Σ_b k_b(k_b-1)/2 —
+    linear when baskets are bounded; TPC-H caps lines/order at 7), one
+    more map-side-combinable shuffle counts pairs. Never all-pairs
+    across the item universe, and no self-join (the join formulation
+    costs a third shuffle — measured 2.1x at sf1.0). A pathological
+    mega-basket needs a per-basket cap before this operator — same
+    discipline as the dedup layer's hot-shingle caps
+    (operators/dedup.py)."""
+    return (
+        _pairs_from_baskets(_baskets(items, basket_col, item_col))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+
+
 def market_basket_pairs(items: DataFrame, basket_col: str, item_col: str) -> DataFrame:
     """Pair co-occurrence with support and lift over (basket, item) rows.
 
     Output: (item_a, item_b, pair_count, support, lift) for item_a <
     item_b, un-rounded and un-truncated — callers order/limit/round.
 
-    Scale: the self-join is keyed on the basket id, so pair fan-out is
-    Σ_b k_b(k_b-1)/2 — linear when baskets are bounded (here: TPC-H caps
-    lines per order at 7) and never all-pairs across the item universe.
-    Per-item counts and the basket total are broadcast (both ≪ pairs).
-    A pathological mega-basket would need a per-basket item cap before
-    this operator — same discipline as the dedup layer's hot-shingle
-    caps (operators/dedup.py).
+    Scale: pair counts via basket_pair_counts (basket-keyed, linear);
+    per-item basket counts and the basket total derive from the same
+    grouped basket arrays (no second pass over the input) and broadcast
+    into the pair stream (both ≪ pairs).
     """
-    it = items.select(
-        F.col(basket_col).alias("__bk__"), F.col(item_col).alias("__it__")
-    ).distinct()
-    n_baskets = it.select(F.countDistinct("__bk__").alias("__nb__"))
-    cnt = it.groupBy("__it__").agg(F.count(F.lit(1)).alias("__c__"))
-    a = it.select("__bk__", F.col("__it__").alias("item_a"))
-    b = it.select("__bk__", F.col("__it__").alias("item_b"))
+    bk = _baskets(items, basket_col, item_col)
     pairs = (
-        a.join(b, "__bk__")
-        .filter(F.col("item_a") < F.col("item_b"))
+        _pairs_from_baskets(bk)
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    n_baskets = bk.select(F.count(F.lit(1)).alias("__nb__"))
+    cnt = (
+        bk.select(F.explode("__ps__").alias("__it__"))
+        .groupBy("__it__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
     )
     ca = cnt.select(F.col("__it__").alias("item_a"), F.col("__c__").alias("__ca__"))
     cb = cnt.select(F.col("__it__").alias("item_b"), F.col("__c__").alias("__cb__"))
@@ -172,3 +212,67 @@ def skyline_2d(
         + [df[min_col] == F.col("__mn__"), df[max_col] == F.col("__mx__")],
     )
     return joined.select(*[df[c] for c in df.columns])
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop nodes
+    whose degree in the surviving subgraph is < k, up to ``rounds``
+    passes with an early exit at the fixpoint. Output: (node, deg) for
+    every node still carrying an edge, with its degree in the final
+    induced subgraph.
+
+    The round budget exists for cross-engine parity: the SQL oracle
+    unrolls exactly ``rounds`` peeling passes, and the early exit here
+    preserves equality by construction (a pass that removes no edge
+    removes no node, so further passes are no-ops on both engines).
+    Size the budget from the peel-cascade depth of the graph class —
+    co-purchase graphs converge in ≤5 (measured sf0.001-0.1); for
+    production-fixpoint semantics pass rounds≥diameter or check the
+    returned subgraph's min degree.
+
+    Scale: each pass is one map-side-combinable degree count plus two
+    semi-joins on the shrinking edge list, checkpointed per round so the
+    plan never re-expands prior rounds (SCALE.md round-6 lessons — the
+    star-CC discipline). Peeling touches only the contracted graph; the
+    corpus-sized upstream runs once, before the loop.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("pa"),
+            F.greatest(F.col(src), F.col(dst)).alias("pb"),
+        )
+        .filter(F.col("pa") != F.col("pb"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = e.count()
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("pa").alias("node"))
+            .unionAll(e.select(F.col("pb").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e2 = (
+            e.join(keep.select(F.col("node").alias("pa")), "pa", "left_semi")
+            .join(keep.select(F.col("node").alias("pb")), "pb", "left_semi")
+            .localCheckpoint()
+        )
+        n2 = e2.count()
+        e = e2
+        if n2 == n_edges:
+            break
+        n_edges = n2
+    return (
+        e.select(F.col("pa").alias("node"))
+        .unionAll(e.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )

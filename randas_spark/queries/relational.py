@@ -2260,21 +2260,13 @@ def rel_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of re-deriving the basket self-join per reference — without
     it the logical plan re-scans lineitem 8× and AQE's ReusedExchange
     only recovers a fraction (measured 38 planned scans → 5)."""
-    from randas_spark.operators.mining import triangle_enumerate
+    from randas_spark.operators.mining import basket_pair_counts, triangle_enumerate
 
     li = t(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a = items.select("ok", F.col("pk").alias("pa"))
-    b = items.select("ok", F.col("pk").alias("pb"))
     edges = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("pa", "pb")
+        basket_pair_counts(li, "l_orderkey", "l_partkey")
+        .filter(F.col("pair_count") >= 2)
+        .select(F.col("item_a").alias("pa"), F.col("item_b").alias("pb"))
     )
     return triangle_enumerate(edges, "pa", "pb")
 
@@ -2325,3 +2317,72 @@ def rel_skyline_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").alias("price"),
         F.col("p_size").cast("long").alias("size"),
     )
+
+
+def _sql_kcore_copurchase(k: int, rounds: int) -> str:
+    """Unrolled k-core peeling oracle: ``rounds`` fixed passes over the
+    co-purchase graph. AS MATERIALIZED per round — DuckDB inlines
+    single-reference CTEs and a lazy chain re-evaluates exponentially
+    (SCALE.md, BPE-oracle lesson)."""
+    ctes = [
+        "items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)",
+        """e0 AS MATERIALIZED (
+            SELECT pa, pb FROM (
+                SELECT a.pk AS pa, b.pk AS pb, count(*) AS c
+                FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                GROUP BY a.pk, b.pk
+            ) WHERE c >= 2
+        )""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""n{i} AS MATERIALIZED (
+                SELECT node FROM (
+                    SELECT pa AS node FROM e{i - 1}
+                    UNION ALL SELECT pb FROM e{i - 1}
+                ) GROUP BY node HAVING count(*) >= {k}
+            )"""
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+                SELECT pa, pb FROM e{i - 1}
+                WHERE pa IN (SELECT node FROM n{i})
+                  AND pb IN (SELECT node FROM n{i})
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT pa AS node FROM e{rounds} UNION ALL SELECT pb FROM e{rounds}
+        ) GROUP BY node
+        """
+    )
+
+
+@register("rel_kcore_copurchase", oracle=_sql_kcore_copurchase(k=2, rounds=6))
+def rel_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the part co-purchase graph (edges = parts co-ordered in
+    ≥2 baskets): iteratively peel nodes with degree < 2 until the
+    fixpoint, then report each surviving node with its degree in the
+    induced core. The cohesive-subgraph primitive under community
+    pruning, spam-cluster isolation, and graph sparsification —
+    completing the graph family next to connected components
+    (operators/dedup.py), PageRank (llm_graph_rank), and triangles
+    (rel_triangle_count).
+
+    Cross-engine parity: operators/mining.k_core peels with a 6-round
+    budget and an early fixpoint exit; the oracle unrolls exactly 6
+    passes — equal by construction since a no-op pass is a no-op on both
+    engines. Measured peel depth ≤5 at sf0.001-0.1; test pins that the
+    budgeted result IS the fixpoint."""
+    from randas_spark.operators.mining import basket_pair_counts, k_core
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = (
+        basket_pair_counts(li, "l_orderkey", "l_partkey")
+        .filter(F.col("pair_count") >= 2)
+        .select(F.col("item_a").alias("pa"), F.col("item_b").alias("pb"))
+    )
+    return k_core(edges, k=2, rounds=6, src="pa", dst="pb")

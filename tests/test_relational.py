@@ -648,3 +648,33 @@ def test_skyline_2d_dominance_and_ties(spark):
     # unpartitioned: h's (9.0, 1) is dominated by g's rows now
     got2 = sorted(r.id for r in skyline_2d(df, "price", "size").collect())
     assert got2 == [1, 2, 3]
+
+
+def test_k_core_peel_cascade_and_budget_parity(spark):
+    """Triangle {1,2,3} with a pendant path 3-4-5-6: k=2 peeling must
+    cascade (6, then 5, then 4 — three passes), leaving the triangle
+    with all degrees 2. A rounds budget SHORT of the cascade stops
+    mid-peel (the documented oracle-parity semantics): after one pass
+    only node 6 is gone."""
+    from randas_spark.operators.mining import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)], "src long, dst long"
+    )
+    full = {r.node: r.deg for r in k_core(edges, k=2, rounds=6).collect()}
+    assert full == {1: 2, 2: 2, 3: 2}
+
+    one_pass = {r.node: r.deg for r in k_core(edges, k=2, rounds=1).collect()}
+    assert one_pass == {1: 2, 2: 2, 3: 3, 4: 2, 5: 1}
+
+
+def test_kcore_query_budget_reaches_fixpoint(spark):
+    """The registered query's 6-round budget must actually reach the
+    fixpoint on the co-purchase graph (min degree ≥ k) — the honesty
+    condition behind matching a fixed-round oracle."""
+    from randas_spark.queries import load_all, REGISTRY
+    from tests.conftest import SF_DIR
+
+    load_all()
+    out = REGISTRY["rel_kcore_copurchase"].fn(spark, SF_DIR).collect()
+    assert all(r.deg >= 2 for r in out)
