@@ -678,3 +678,76 @@ def test_kcore_query_budget_reaches_fixpoint(spark):
     load_all()
     out = REGISTRY["rel_kcore_copurchase"].fn(spark, SF_DIR).collect()
     assert all(r.deg >= 2 for r in out)
+
+
+def test_triangle_enumerate_random_graphs_vs_bruteforce(spark):
+    """20 seeded random graphs, disjoint node spaces, ONE Spark job: the
+    oriented-wedge enumeration must match brute-force triple checking on
+    every graph (duplicates/reversed edges injected)."""
+    import itertools
+    import random
+
+    from randas_spark.operators.mining import triangle_enumerate
+
+    rng = random.Random(20260814)
+    rows, expected = [], set()
+    for case in range(20):
+        base = case * 1000
+        n = rng.randint(3, 9)
+        nodes = [base + i for i in range(n)]
+        edges = {
+            (a, b)
+            for a, b in itertools.combinations(nodes, 2)
+            if rng.random() < 0.45
+        }
+        adj = {v: set() for v in nodes}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        expected |= {
+            (a, b, c)
+            for a, b, c in itertools.combinations(nodes, 3)
+            if b in adj[a] and c in adj[a] and c in adj[b]
+        }
+        for a, b in edges:
+            rows.append((a, b) if rng.random() < 0.5 else (b, a))
+            if rng.random() < 0.2:  # duplicate, possibly reversed
+                rows.append((b, a))
+    e = spark.createDataFrame(rows, "src long, dst long")
+    got = {
+        (r.node_a, r.node_b, r.node_c) for r in triangle_enumerate(e).collect()
+    }
+    n_rows = triangle_enumerate(e).count()
+    assert got == expected
+    assert n_rows == len(expected)  # exactly once each
+
+
+def test_skyline_2d_random_cases_vs_bruteforce(spark):
+    """20 seeded random point sets as partitions of ONE frame: the
+    collapsed-window skyline must equal brute-force strict-dominance
+    filtering in every partition (duplicate points included)."""
+    import random
+
+    from randas_spark.operators.mining import skyline_2d
+
+    rng = random.Random(77)
+    rows = []
+    for case in range(20):
+        for i in range(rng.randint(1, 25)):
+            rows.append(
+                (case, case * 100 + i, float(rng.randint(0, 6)), rng.randint(0, 6))
+            )
+    df = spark.createDataFrame(rows, "grp long, id long, price double, size long")
+    by_case = {}
+    for g, i, p, s in rows:
+        by_case.setdefault(g, []).append((i, p, s))
+    expected = set()
+    for g, pts in by_case.items():
+        for i, p, s in pts:
+            dominated = any(
+                (q <= p and z >= s and (q < p or z > s)) for _, q, z in pts
+            )
+            if not dominated:
+                expected.add(i)
+    got = {r.id for r in skyline_2d(df, "price", "size", ["grp"]).collect()}
+    assert got == expected
