@@ -497,3 +497,112 @@ def knn_graph_ivf(
         .filter(F.col("rk") <= top_k)
         .select("qid", "cid", "cos", "rk")
     )
+
+
+def knn_pq_adc(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    m: int = 4,
+    k_sub: int = 8,
+    n_iter: int = 2,
+    top_k: int = 10,
+    n_queries: int = 5,
+    scale: float = 512.0,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PAMI'11) with asymmetric
+    distance computation, end-to-end deterministic: split each vector
+    into ``m`` subspaces of dim/m, train a deterministic Lloyd codebook
+    per subspace (operators/cluster.kmeans_lloyd_det — md5 seeding,
+    integer-quantized exact sums), encode every vector as its m nearest
+    sub-centroids, then score queries against CODES ONLY: the
+    query-to-centroid lookup table (n_queries × m × k_sub distances)
+    replaces any query-to-vector math. approx top-k per query with
+    (dist, id) tiebreak; queries are the ids < ``n_queries`` (the
+    knn_bruteforce convention) and never match themselves.
+
+    Scale (the reason PQ is THE 100 TB ANN layout): the encoded corpus
+    is m small ints per vector — at m=4 here, a 64-float embedding
+    becomes 4 codes (64x memory compression at 8-bit codebooks), so a
+    1000-executor scan of 100 TB of raw vectors becomes a scan of
+    ~1.6 TB of codes. The per-query LUT is tiny and broadcast; ADC is m
+    broadcast hash-joins + a fixed-order m-term sum (deterministic —
+    a groupBy-sum over doubles would be shuffle-order-dependent).
+    Training cost is m independent kmeans fits over sliced subvectors
+    (each a corpus scan per iteration — amortized over every future
+    query). Residual/IVF composition (coarse-cell prefilter before PQ
+    within the cell) is knn_ivf_det's cell assignment feeding this
+    encoder; kept separate so each stage carries its own oracle.
+    """
+    from randas_spark.operators.cluster import kmeans_lloyd_det
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    qfilter = F.col(id_col) < n_queries
+
+    legs = []
+    for j in range(m):
+        sv = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("__sv__"),
+        )
+        stats: dict = {}
+        fit = kmeans_lloyd_det(
+            sv, id_col, "__sv__", k=k_sub, n_iter=n_iter, scale=scale, stats=stats
+        )
+        codes = fit.select(F.col(id_col), F.col("cluster").alias(f"code_{j}"))
+        # LUT leg: quantized query subvector vs the final centroids (the
+        # ones the last assignment used), same array-index-order fold as
+        # the fit's own distance
+        cents = sorted(stats["centroids"].items())
+        q = emb.filter(qfilter).select(
+            F.col(id_col).alias("qid"),
+            F.transform(
+                F.slice(F.col(vec_col), j * sub + 1, sub),
+                lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+            ).alias("__qx__"),
+        )
+        lut_rows = []
+        for c, carr in cents:
+            lit = F.array(*[F.lit(float(x)) for x in carr])
+            d = F.aggregate(
+                F.zip_with(
+                    F.col("__qx__"),
+                    lit,
+                    lambda x, mu: (x.cast("double") - mu) * (x.cast("double") - mu),
+                ),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+            lut_rows.append(
+                q.select("qid", F.lit(c).alias(f"code_{j}"), d.alias(f"d_{j}"))
+            )
+        lut = lut_rows[0]
+        for extra in lut_rows[1:]:
+            lut = lut.unionAll(extra)
+        legs.append((codes, lut))
+
+    enc = legs[0][0]
+    for codes, _ in legs[1:]:
+        enc = enc.join(codes, id_col)
+    scored = enc.withColumnRenamed(id_col, "cid")
+    for j, (_, lut) in enumerate(legs):
+        # leg 0 introduces qid (fanning each code row out to all
+        # queries); later legs must key on (qid, code_j) or they would
+        # cross-pair query LUTs
+        on = [f"code_{j}"] if j == 0 else ["qid", f"code_{j}"]
+        scored = scored.join(F.broadcast(lut), on)
+    # fixed-order sum => bit-deterministic regardless of partitioning
+    adc = scored.select(
+        "qid",
+        "cid",
+        sum((F.col(f"d_{j}") for j in range(1, m)), F.col("d_0")).alias("adc_dist"),
+    ).filter(F.col("qid") != F.col("cid"))
+    w = Window.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("cid").asc())
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("qid", "cid", "adc_dist", "rk")
+    )

@@ -3682,3 +3682,129 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         F.md5(F.col("doc_id").cast("string")).alias("interleave_key"),
     )
+
+
+def _pq_oracle(
+    m: int = 4,
+    sub: int = 16,
+    k_sub: int = 8,
+    n_iter: int = 2,
+    scale: int = 512,
+    n_queries: int = 5,
+    top_k: int = 10,
+) -> str:
+    """Macro-expanded PQ replay: one deterministic Lloyd chain per
+    subspace (the _kmeans_oracle pattern on sliced subvectors), then the
+    query LUT against each subspace's final centroids and the ADC sum in
+    the engine's fixed operand order. AS MATERIALIZED throughout."""
+
+    def dist(v: str, c: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, len({v}.qx)), "
+            f"i -> (CAST({v}.qx[i] AS DOUBLE) - {c}.carr[i]) * "
+            f"(CAST({v}.qx[i] AS DOUBLE) - {c}.carr[i]))), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    parts = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(
+            f"""s{j}v AS MATERIALIZED (
+        SELECT vec_id AS vid,
+               list_transform(embedding[{lo}:{hi}],
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS qx
+        FROM embeddings
+    ),
+    s{j}cent0 AS MATERIALIZED (
+        SELECT vid AS cluster, list_transform(qx, x -> CAST(x AS DOUBLE)) AS carr
+        FROM s{j}v ORDER BY md5(CAST(vid AS VARCHAR)), vid LIMIT {k_sub}
+    )"""
+        )
+        for it in range(1, n_iter + 1):
+            d = dist("v", "c")
+            parts.append(
+                f"""s{j}asg{it} AS MATERIALIZED (
+        SELECT vid, qx, cluster FROM (
+            SELECT v.vid, v.qx, c.cluster,
+                   row_number() OVER (
+                       PARTITION BY v.vid ORDER BY ({d}) ASC, c.cluster ASC
+                   ) AS rn
+            FROM s{j}v v CROSS JOIN s{j}cent{it - 1} c
+        ) WHERE rn = 1
+    )"""
+            )
+            if it < n_iter:
+                parts.append(
+                    f"""s{j}upd{it} AS MATERIALIZED (
+        SELECT cluster, list(mu ORDER BY i) AS carr FROM (
+            SELECT a.cluster, g.i AS i,
+                   CAST(CAST(sum(a.qx[g.i]) AS BIGINT) AS DOUBLE) / count(*) AS mu
+            FROM s{j}asg{it} a, generate_series(1, {sub}) g(i)
+            GROUP BY a.cluster, g.i
+        ) GROUP BY cluster
+    ),
+    s{j}cent{it} AS MATERIALIZED (
+        SELECT c.cluster, coalesce(u.carr, c.carr) AS carr
+        FROM s{j}cent{it - 1} c LEFT JOIN s{j}upd{it} u USING (cluster)
+    )"""
+                )
+        parts.append(
+            f"""s{j}lut AS MATERIALIZED (
+        SELECT v.vid AS qid, c.cluster AS code, {dist('v', 'c')} AS d
+        FROM s{j}v v CROSS JOIN s{j}cent{n_iter - 1} c
+        WHERE v.vid < {n_queries}
+    )"""
+        )
+    code_cols = ", ".join(
+        f"a{j}.cluster AS code_{j}" for j in range(m)
+    )
+    code_joins = " ".join(
+        f"JOIN s{j}asg{n_iter} a{j} ON a{j}.vid = a0.vid" for j in range(1, m)
+    )
+    lut_joins = " ".join(
+        f"JOIN s{j}lut l{j} ON l{j}.code = c.code_{j} AND l{j}.qid = l0.qid"
+        for j in range(1, m)
+    )
+    adc_sum = " + ".join(f"l{j}.d" for j in range(m))
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    codes AS MATERIALIZED (
+        SELECT a0.vid AS cid, {code_cols}
+        FROM s0asg{n_iter} a0 {code_joins}
+    ),
+    adc AS MATERIALIZED (
+        SELECT l0.qid, c.cid, {adc_sum} AS adc_dist
+        FROM codes c
+        JOIN s0lut l0 ON l0.code = c.code_0 {lut_joins}
+        WHERE l0.qid <> c.cid
+    )
+    SELECT qid, cid, adc_dist, rk FROM (
+        SELECT qid, cid, adc_dist,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY adc_dist ASC, cid ASC
+               ) AS rk
+        FROM adc
+    ) WHERE rk <= {top_k}
+    """
+    )
+
+
+@register("llm_knn_pq_adc", oracle=_pq_oracle())
+def llm_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (Jégou et al.):
+    4 subspace codebooks trained by the deterministic Lloyd fit, corpus
+    encoded as 4 code ids, queries scored against codes through a
+    broadcast lookup table — the memory-compressed ANN layout for
+    100 TB vector corpora (operators/similarity.knn_pq_adc; 64 floats →
+    4 codes ≈ 64x smaller scan). Completes the ANN ladder next to
+    brute-force, LSH, int8, deterministic IVF, and the kNN graph. The
+    oracle replays all four sub-fits, the LUT, and the fixed-order ADC
+    sum bit-exactly."""
+    from randas_spark.operators.similarity import knn_pq_adc
+
+    emb = t(spark, sf_dir, "embeddings")
+    return knn_pq_adc(emb, "vec_id", "embedding")

@@ -2004,3 +2004,80 @@ def test_quantile_bands_ties_share_band_and_repartition_invariant(spark):
         for r in quantile_bands(df.repartition(7, "id"), "score", 4).collect()
     }
     assert out2 == out
+
+
+def test_knn_pq_adc_matches_numpy_replay(spark):
+    """Independent numpy replay of the full PQ pipeline — per-subspace
+    md5-seeded quantized Lloyd, code assignment, query LUT, fixed-order
+    ADC sum, (dist, cid) top-k — must reproduce the identical neighbor
+    ranking; distances to float tolerance (numpy's vectorized sums vs
+    the engines' index-order fold)."""
+    import hashlib
+
+    import numpy as np
+
+    from randas_spark.operators.similarity import knn_pq_adc
+    from randas_spark.queries import t
+
+    M, SUB, K, NITER, SCALE, NQ, TOPK = 4, 16, 8, 2, 512.0, 5, 10
+    out = (
+        knn_pq_adc(t(spark, SF_DIR, "embeddings"), "vec_id", "embedding")
+        .orderBy("qid", "rk")
+        .collect()
+    )
+
+    emb = sorted(
+        t(spark, SF_DIR, "embeddings").select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ids = np.array([r["vec_id"] for r in emb])
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    qx = np.floor(X * SCALE + 0.5).astype(np.int64)
+    md5 = np.array([hashlib.md5(str(i).encode()).hexdigest() for i in ids])
+    seed_ids = ids[np.lexsort((ids, md5))][:K]
+
+    codes = np.zeros((len(ids), M), dtype=np.int64)
+    luts = []  # per subspace: {qid: {code: d}}
+    for j in range(M):
+        S = qx[:, j * SUB : (j + 1) * SUB]
+        cents = {int(i): S[ids == i][0].astype(np.float64) for i in seed_ids}
+        order = sorted(cents)
+        lab = None
+        for it in range(1, NITER + 1):
+            C = np.stack([cents[c] for c in order])
+            D = ((S[:, None, :].astype(np.float64) - C[None, :, :]) ** 2).sum(axis=2)
+            lab = np.array([order[idx] for idx in D.argmin(axis=1)])
+            if it < NITER:
+                for c in order:
+                    msk = lab == c
+                    if msk.sum():
+                        cents[c] = S[msk].sum(axis=0).astype(np.float64) / msk.sum()
+        codes[:, j] = lab
+        C = np.stack([cents[c] for c in order])
+        lut = {}
+        for qi in range(NQ):
+            qv = S[ids == qi][0].astype(np.float64)
+            lut[qi] = {
+                order[ci]: float(((qv - C[ci]) ** 2).sum()) for ci in range(K)
+            }
+        luts.append(lut)
+
+    expected = []
+    for qi in range(NQ):
+        scored = []
+        for pos, cid in enumerate(ids):
+            if cid == qi:
+                continue
+            d = sum(luts[j][qi][int(codes[pos, j])] for j in range(M))
+            scored.append((d, int(cid)))
+        scored.sort()
+        expected.extend(
+            (qi, cid, d, rk + 1) for rk, (d, cid) in enumerate(scored[:TOPK])
+        )
+
+    assert [(r.qid, r.cid, r.rk) for r in out] == [
+        (q, c, rk) for q, c, _, rk in expected
+    ]
+    assert np.allclose(
+        [r.adc_dist for r in out], [d for _, _, d, _ in expected], rtol=1e-12
+    )
