@@ -3808,3 +3808,41 @@ def llm_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return knn_pq_adc(emb, "vec_id", "embedding")
+
+
+@register(
+    "llm_tokenizer_fertility",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {sql_fround(f"sum({sql_token_count_bpe_ish('text')}) * 1.0 / "
+                       "sum(len(string_split(lower(text), ' ')))", 4)} AS fertility,
+           {sql_fround(f"sum(n_chars) * 1.0 / sum({sql_token_count_bpe_ish('text')})", 4)}
+               AS chars_per_token
+    FROM documents GROUP BY lang, source
+    """,
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit per (lang, source): subword tokens per
+    whitespace word and chars per token — the standard check that a
+    tokenizer doesn't over-fragment some language or domain (fertility
+    spikes mean wasted context budget and skewed per-language compute).
+
+    Scale: scan-side codegen token counting (functions/text.
+    token_count_bpe_ish — no UDF) followed by one map-side-combined
+    groupBy onto the tiny lang × source grid."""
+    from randas_spark.functions.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        fround(
+            F.sum(token_count_bpe_ish(F.col("text")))
+            / F.sum(F.size(tokens(F.col("text")))),
+            4,
+        ).alias("fertility"),
+        fround(
+            F.sum("n_chars") / F.sum(token_count_bpe_ish(F.col("text"))),
+            4,
+        ).alias("chars_per_token"),
+    )

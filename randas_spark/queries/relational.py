@@ -2386,3 +2386,143 @@ def rel_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("item_a").alias("pa"), F.col("item_b").alias("pb"))
     )
     return k_core(edges, k=2, rounds=6, src="pa", dst="pb")
+
+
+@register(
+    "rel_seasonal_naive_backtest",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts::TIMESTAMP) AS TIMESTAMP) AS h,
+               sum(value) AS y
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           {sql_fround('avg(abs(a.y - f.y))', 4)} AS mae,
+           {sql_fround('avg(a.y - f.y)', 4)} AS bias
+    FROM hourly a
+    JOIN hourly f ON f.event_type = a.event_type
+                 AND f.h + INTERVAL 168 HOUR = a.h
+    GROUP BY a.event_type
+    """,
+)
+def rel_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each hour's per-type
+    volume with the value one week earlier (the standard strongest-cheap
+    baseline every forecasting pipeline must beat), scored as MAE and
+    signed bias per event type over every hour where both sides exist.
+
+    Scale: one (hour, type) aggregation — map-side combined, the only
+    data-sized shuffle — then a self-join of the compacted hourly series
+    on (type, h−168h): both sides share the (type, h) partitioning so
+    AQE reuses the exchange, and the series is |hours|×|types| ≪ events.
+    The error rollup lands on |types| rows."""
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        ).agg(F.sum("value").alias("y"))
+    )
+    f = hourly.select(
+        "event_type",
+        (F.col("h") + F.expr("INTERVAL 168 HOURS")).alias("h"),
+        F.col("y").alias("yhat"),
+    )
+    return (
+        hourly.join(f, ["event_type", "h"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            fround(F.avg(F.abs(F.col("y") - F.col("yhat"))), 4).alias("mae"),
+            fround(F.avg(F.col("y") - F.col("yhat")), 4).alias("bias"),
+        )
+    )
+
+
+@register(
+    "rel_hll_intersection",
+    oracle=f"""
+    WITH eregs AS (
+        SELECT grp, bucket, max(rho) AS rho FROM (
+            SELECT event_type AS grp,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) AS bucket,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 8)) AS BIGINT) = 0
+                        THEN 33
+                        ELSE 33 - length(bin(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 8)) AS BIGINT)))
+                   END AS rho
+            FROM events
+            WHERE event_type IN ('view', 'purchase') AND user_id IS NOT NULL
+        ) GROUP BY 1, 2
+    ),
+    uni AS (SELECT 'u' AS grp, bucket, max(rho) AS rho FROM eregs GROUP BY 2),
+    est AS ({_sql_hll_est('eregs')}),
+    estu AS ({_sql_hll_est('uni')}),
+    ex AS (
+        SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM (
+            SELECT user_id FROM events WHERE event_type = 'view'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        )
+    )
+    SELECT {sql_fround('a.est0', 6)} AS est_view,
+           {sql_fround('b.est0', 6)} AS est_purchase,
+           {sql_fround('u.est0', 6)} AS est_union,
+           {sql_fround('a.est0 + b.est0 - u.est0', 6)} AS est_intersection,
+           exact_intersection
+    FROM (SELECT est0 FROM est WHERE grp = 'view') a
+    CROSS JOIN (SELECT est0 FROM est WHERE grp = 'purchase') b
+    CROSS JOIN estu u
+    CROSS JOIN ex
+    """,
+)
+def rel_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based set intersection by inclusion-exclusion: |A∩B| ≈
+    est(A) + est(B) − est(A∪B), where the union sketch is the per-bucket
+    MAX of the two register sets (the HLL merge law) — audience-overlap
+    estimation without ever co-shuffling the two key sets. The exact
+    intersection rides along for the error audit.
+
+    Scale: each segment's registers build in one map-side-combinable
+    groupBy (shuffle O(segments × 256)); union + all three estimates run
+    on the 256-row register tables. The exact twin is the only key-sized
+    join and exists here purely as the audit column — at 100 TB you keep
+    the sketch path and drop the exact leg, or run it on a sample.
+    Everything is the portable bit-exact HLL (operators/sketches), so
+    both engines' estimates hash identically."""
+    from randas_spark.operators.sketches import hll_estimate, hll_merge, hll_registers
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    regs = hll_registers(e, "user_id", ["event_type"])
+    per = hll_estimate(regs, ["event_type"])
+    ev = per.filter(F.col("event_type") == "view").select(
+        F.col("est").alias("est_view_raw")
+    )
+    ep = per.filter(F.col("event_type") == "purchase").select(
+        F.col("est").alias("est_purchase_raw")
+    )
+    eu = hll_estimate(hll_merge(regs)).select(F.col("est").alias("est_union_raw"))
+    v = e.filter(F.col("event_type") == "view").select("user_id").distinct()
+    p = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    ex = v.join(p, "user_id", "left_semi").select(
+        F.count(F.lit(1)).cast("long").alias("exact_intersection")
+    )
+    return (
+        ev.crossJoin(ep)
+        .crossJoin(eu)
+        .crossJoin(ex)
+        .select(
+            fround(F.col("est_view_raw"), 6).alias("est_view"),
+            fround(F.col("est_purchase_raw"), 6).alias("est_purchase"),
+            fround(F.col("est_union_raw"), 6).alias("est_union"),
+            fround(
+                F.col("est_view_raw")
+                + F.col("est_purchase_raw")
+                - F.col("est_union_raw"),
+                6,
+            ).alias("est_intersection"),
+            "exact_intersection",
+        )
+    )

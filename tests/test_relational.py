@@ -751,3 +751,23 @@ def test_skyline_2d_random_cases_vs_bruteforce(spark):
                 expected.add(i)
     got = {r.id for r in skyline_2d(df, "price", "size", ["grp"]).collect()}
     assert got == expected
+
+
+def test_hll_inclusion_exclusion_tracks_exact_overlap(spark):
+    """Constructed segments with known overlap (A = 0..999, B =
+    500..1499): the sketch-based |A∩B| = est(A)+est(B)−est(A∪B) must
+    track the true 500 within the error a 256-bucket HLL admits under
+    inclusion-exclusion (three ±6.5%-σ estimates compound)."""
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.sketches import hll_estimate, hll_merge, hll_registers
+
+    rows = [("a", u) for u in range(1000)] + [("b", u) for u in range(500, 1500)]
+    df = spark.createDataFrame(rows, "seg string, user_id long")
+    regs = hll_registers(df, "user_id", ["seg"])
+    per = {r.seg: r.est for r in hll_estimate(regs, ["seg"]).collect()}
+    union = hll_estimate(hll_merge(regs)).collect()[0].est
+    inter = per["a"] + per["b"] - union
+    assert abs(per["a"] - 1000) / 1000 < 0.2
+    assert abs(union - 1500) / 1500 < 0.2
+    assert abs(inter - 500) / 500 < 0.5
