@@ -3846,3 +3846,109 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("chars_per_token"),
     )
+
+
+@register(
+    "llm_span_corruption",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens
+        FROM documents
+    ),
+    posn AS (
+        SELECT doc_id, unnest(generate_series(1, n_tokens)) AS i FROM tok
+    ),
+    starts AS (
+        SELECT doc_id, i,
+               1 + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 9, 2)) AS BIGINT) % 3 AS span_len
+        FROM posn
+        WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 2) < '15'
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, pos FROM (
+            SELECT doc_id, i + unnest(generate_series(0, span_len - 1)) AS pos
+            FROM starts
+        )
+    ),
+    bounded AS (
+        SELECT c.doc_id, c.pos
+        FROM covered c JOIN tok USING (doc_id)
+        WHERE c.pos <= tok.n_tokens
+    ),
+    islands AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM bounded
+    )
+    SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(m.n_masked, 0) AS BIGINT) AS n_masked,
+           CAST(coalesce(m.n_spans, 0) AS BIGINT) AS n_spans
+    FROM tok t
+    LEFT JOIN (
+        SELECT doc_id, count(*) AS n_masked, count(DISTINCT isl) AS n_spans
+        FROM islands GROUP BY doc_id
+    ) m USING (doc_id)
+    """,
+)
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption mask construction, fully deterministic:
+    span starts are token positions whose md5(doc_id:pos) falls under a
+    ~8.2% threshold (hex prefix < '15'), each start covers a 1-3 token
+    span from a second hash nibble, overlapping/adjacent spans merge
+    into sentinel islands (gaps-and-islands via pos − row_number), and
+    the report carries tokens/masked/span counts per document — the
+    denoising-objective statistics a pretraining pipeline monitors
+    (corruption rate, mean span length). Hash-derived selection means
+    any engine, run, or partitioning regenerates the identical masks —
+    the reproducibility property seeded RNG masking cannot give.
+
+    Scale: one scan-side position explode (the token-op fan-out pattern,
+    ~n_tokens rows ≪ shingle ops), the island window partitioned per
+    doc, and a per-doc rollup — no cross-doc shuffle beyond the final
+    groupBy on doc_id, which the explode already partitioned."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    pos = tok.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(1), F.col("n_tokens"))).alias("i"),
+    )
+    h = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), F.col("i").cast("string")
+        )
+    )
+    starts = pos.filter(F.substring(h, 1, 2) < "15").select(
+        "doc_id",
+        "i",
+        (
+            F.lit(1)
+            + F.conv(F.substring(h, 9, 2), 16, 10).cast("long") % 3
+        ).alias("span_len"),
+    )
+    covered = (
+        starts.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.col("span_len") - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+        .join(tok, "doc_id")
+        .filter(F.col("pos") <= F.col("n_tokens"))
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = covered.select(
+        "doc_id", "pos", (F.col("pos") - F.row_number().over(w)).alias("isl")
+    )
+    m = islands.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_masked"),
+        F.countDistinct("isl").alias("n_spans"),
+    )
+    return tok.join(m, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_masked"), F.lit(0)).cast("long").alias("n_masked"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+    )

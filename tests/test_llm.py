@@ -2081,3 +2081,23 @@ def test_knn_pq_adc_matches_numpy_replay(spark):
     assert np.allclose(
         [r.adc_dist for r in out], [d for _, _, d, _ in expected], rtol=1e-12
     )
+
+
+def test_span_corruption_rate_and_span_stats(spark):
+    """Mask-rate sanity on the real corpus: ~8.2% starts × mean span 2
+    ≈ 15% corruption before overlap merging — assert the aggregate rate
+    lands in a generous band, spans never exceed masked positions, and
+    nothing is masked beyond the token count (the regenerate-anywhere
+    determinism is covered by the cross-engine oracle)."""
+    from randas_spark.queries import REGISTRY, load_all
+    from tests.conftest import SF_DIR
+
+    load_all()
+    rows = REGISTRY["llm_span_corruption"].fn(spark, SF_DIR).collect()
+    tot_tok = sum(r.n_tokens for r in rows)
+    tot_mask = sum(r.n_masked for r in rows)
+    assert 0.08 < tot_mask / tot_tok < 0.22
+    for r in rows:
+        assert 0 <= r.n_masked <= r.n_tokens
+        assert (r.n_spans == 0) == (r.n_masked == 0)
+        assert r.n_spans <= r.n_masked
