@@ -352,3 +352,29 @@ def stream_countmin_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from randas_spark.streaming.engine import countmin_stream_cells
 
     return countmin_stream_cells(t(spark, sf_dir, "events"), "user_id", depth=4)
+
+
+@register(
+    "stream_hll_cells",
+    oracle="""
+    SELECT bucket, max(rho) AS rho FROM (
+        SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) AS bucket,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 8)) AS BIGINT) = 0
+                    THEN 33
+                    ELSE 33 - length(bin(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 8)) AS BIGINT)))
+               END AS rho
+        FROM events WHERE user_id IS NOT NULL
+    ) GROUP BY bucket
+    """,
+)
+def stream_hll_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained HyperLogLog registers
+    (engine.hll_stream_registers): per-bucket MAX is a streaming
+    aggregation with 256-row state, so the live distinct-user sketch is
+    always current and bit-identical to a batch rebuild (and to this
+    DuckDB oracle). pytest replays the builder over readStream and
+    asserts register-level equality; the batch twin's estimate path is
+    rel_hll_portable / rel_hll_intersection."""
+    from randas_spark.streaming.engine import hll_stream_registers
+
+    return hll_stream_registers(t(spark, sf_dir, "events"), "user_id")

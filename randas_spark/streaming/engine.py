@@ -533,3 +533,20 @@ def idempotent_batch_sink(
     finally:
         q.stop()
     return store_path, sink
+
+
+def hll_stream_registers(df: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Streaming HyperLogLog maintenance: the register table (bucket,
+    rho) IS a streaming aggregation — per-bucket MAX updates
+    incrementally each micro-batch, state bounded at 256 rows however
+    long the stream runs, so complete/update mode always holds the
+    current distinct-count sketch of everything seen. Same md5-derived
+    buckets/ranks as operators/sketches.hll_registers (this is that
+    builder — max is order-insensitive, so the plan is streaming-legal
+    as-is), so a batch rebuild or DuckDB audit reproduces the streamed
+    registers bit-for-bit, and hll_estimate answers the live query.
+    Completes the streaming sketch triple next to countmin_stream_cells
+    (frequencies) and quantile_sketch_bins (quantiles)."""
+    from randas_spark.operators.sketches import hll_registers
+
+    return hll_registers(df, key_col)

@@ -625,3 +625,19 @@ def test_idempotent_sink_replayed_batch_no_duplicates(spark, batch_events, tmp_p
         assert spark.read.parquet(store).count() == n_rows + 5
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_hll_stream_matches_batch_registers(spark, batch_events):
+    """The streamed HLL register table (per-bucket MAX as streaming
+    state) must equal the batch-built registers cell-for-cell through
+    readStream — the mergeability guarantee for live distinct counts."""
+    from randas_spark.streaming.engine import hll_stream_registers
+
+    batch = hll_stream_registers(batch_events, "user_id")
+    streamed = _run_stream(
+        spark,
+        lambda s: hll_stream_registers(s, "user_id"),
+        "t_hll",
+        files_per_trigger=1,
+    )
+    assert _collect_sorted(streamed) == _collect_sorted(batch)
