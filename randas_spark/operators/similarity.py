@@ -529,66 +529,141 @@ def knn_pq_adc(
     ~1.6 TB of codes. The per-query LUT is tiny and broadcast; ADC is m
     broadcast hash-joins + a fixed-order m-term sum (deterministic —
     a groupBy-sum over doubles would be shuffle-order-dependent).
-    Training cost is m independent kmeans fits over sliced subvectors
-    (each a corpus scan per iteration — amortized over every future
-    query). Residual/IVF composition (coarse-cell prefilter before PQ
-    within the cell) is knn_ivf_det's cell assignment feeding this
-    encoder; kept separate so each stage carries its own oracle.
+    Training is a BLOCKED joint Lloyd: all m sub-fits advance in the
+    same pass — one checkpointed quantized corpus, one seed scan, and
+    per iteration ONE assignment projection computing every subspace's
+    argmin plus ONE (position, cluster) update shuffle, instead of m
+    independent kmeans_lloyd_det runs (m corpus scans + m shuffles + m
+    driver round-trips per iteration). Output is bit-identical — the
+    oracle replays m INDEPENDENT fits and still hash-matches, which is
+    the equivalence proof. Local wall time barely moves (5.39 → 5.23 s
+    at sf0.1: whole-stage codegen compilation of the m×k_sub distance
+    folds dominates, and that constant is per-plan, not per-row — hence
+    the flat 1.1x slope at 10x data); the 4x fewer scans/shuffles are
+    the cluster-scale win where a corpus pass costs real I/O.
+    Residual/IVF
+    composition (coarse-cell prefilter before PQ within the cell) is
+    knn_ivf_det's cell assignment feeding this encoder; kept separate so
+    each stage carries its own oracle.
     """
-    from randas_spark.operators.cluster import kmeans_lloyd_det
+    from randas_spark.operators.sampling import _md5_hex
 
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
     qfilter = F.col(id_col) < n_queries
 
-    legs = []
+    v = emb.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+        ).alias("qx"),
+    ).localCheckpoint()
+
+    seed_rows = (
+        v.orderBy(_md5_hex(F.col("vid")), F.col("vid"))
+        .limit(k_sub)
+        .select(F.col("vid").alias("cluster"), "qx")
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("knn_pq_adc: input DataFrame is empty")
+    # cents[j] = sorted [(cluster_id, [sub centroid coords as double])]
+    cents: list[list] = [
+        sorted(
+            (r["cluster"], [float(x) for x in r["qx"][j * sub : (j + 1) * sub]])
+            for r in seed_rows
+        )
+        for j in range(m)
+    ]
+
+    def sub_dist(j: int, carr: list[float]) -> Column:
+        lit = F.array(*[F.lit(x) for x in carr])
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("qx"), j * sub + 1, sub),
+                lit,
+                lambda x, mu: (x.cast("double") - mu) * (x.cast("double") - mu),
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    def code_col(j: int) -> Column:
+        structs = [
+            F.struct(sub_dist(j, carr).alias("d"), F.lit(c).alias("c"))
+            for c, carr in cents[j]
+        ]
+        best = structs[0] if len(structs) == 1 else F.least(*structs)
+        return best.getField("c").alias(f"code_{j}")
+
+    for _ in range(n_iter - 1):
+        assigned = v.select("qx", *[code_col(j) for j in range(m)])
+        sums = (
+            assigned.select(
+                F.posexplode("qx").alias("pos0", "x"),
+                *[F.col(f"code_{j}") for j in range(m)],
+            )
+            .select(
+                "pos0",
+                "x",
+                F.element_at(
+                    F.array(*[F.col(f"code_{j}") for j in range(m)]),
+                    (F.col("pos0") / sub).cast("int") + 1,
+                ).alias("cluster"),
+            )
+            .groupBy("pos0", "cluster")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        acc: dict = {}
+        for r in sums:
+            acc.setdefault(r["pos0"] // sub, {}).setdefault(r["cluster"], {})[
+                r["pos0"] % sub
+            ] = (r["s"], r["cnt"])
+        cents = [
+            [
+                (
+                    c,
+                    [
+                        acc[j][c][p][0] / acc[j][c][p][1]
+                        for p in range(sub)
+                    ]
+                    if c in acc.get(j, {})
+                    else prev,
+                )
+                for c, prev in cents[j]
+            ]
+            for j in range(m)
+        ]
+
+    enc = v.select(
+        F.col("vid").alias("cid"), *[code_col(j) for j in range(m)]
+    )
+
+    q = emb.filter(qfilter).select(
+        F.col(id_col).alias("qid"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+        ).alias("qx"),
+    )
+    luts = []
     for j in range(m):
-        sv = emb.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * sub + 1, sub).alias("__sv__"),
-        )
-        stats: dict = {}
-        fit = kmeans_lloyd_det(
-            sv, id_col, "__sv__", k=k_sub, n_iter=n_iter, scale=scale, stats=stats
-        )
-        codes = fit.select(F.col(id_col), F.col("cluster").alias(f"code_{j}"))
-        # LUT leg: quantized query subvector vs the final centroids (the
-        # ones the last assignment used), same array-index-order fold as
-        # the fit's own distance
-        cents = sorted(stats["centroids"].items())
-        q = emb.filter(qfilter).select(
-            F.col(id_col).alias("qid"),
-            F.transform(
-                F.slice(F.col(vec_col), j * sub + 1, sub),
-                lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
-            ).alias("__qx__"),
-        )
-        lut_rows = []
-        for c, carr in cents:
-            lit = F.array(*[F.lit(float(x)) for x in carr])
-            d = F.aggregate(
-                F.zip_with(
-                    F.col("__qx__"),
-                    lit,
-                    lambda x, mu: (x.cast("double") - mu) * (x.cast("double") - mu),
-                ),
-                F.lit(0.0),
-                lambda acc, z: acc + z,
+        lut_rows = [
+            q.select(
+                "qid", F.lit(c).alias(f"code_{j}"), sub_dist(j, carr).alias(f"d_{j}")
             )
-            lut_rows.append(
-                q.select("qid", F.lit(c).alias(f"code_{j}"), d.alias(f"d_{j}"))
-            )
+            for c, carr in cents[j]
+        ]
         lut = lut_rows[0]
         for extra in lut_rows[1:]:
             lut = lut.unionAll(extra)
-        legs.append((codes, lut))
+        luts.append(lut)
 
-    enc = legs[0][0]
-    for codes, _ in legs[1:]:
-        enc = enc.join(codes, id_col)
-    scored = enc.withColumnRenamed(id_col, "cid")
-    for j, (_, lut) in enumerate(legs):
+    scored = enc
+    for j, lut in enumerate(luts):
         # leg 0 introduces qid (fanning each code row out to all
         # queries); later legs must key on (qid, code_j) or they would
         # cross-pair query LUTs
