@@ -76,6 +76,9 @@ HEADLINE = [
     # ordered triangle enumeration); BASELINE.md r6 rows + 10x slopes
     "rel_market_basket_lift",
     "rel_triangle_count",
+    # round-6 seventh pass: compressed-ANN representative (blocked PQ
+    # trainer + ADC; BASELINE.md r6 row, flat 1.1x slope at 10x)
+    "llm_knn_pq_adc",
 ]
 
 
