@@ -2526,3 +2526,271 @@ def rel_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersection",
         )
     )
+
+
+def _sql_cms_cells(src_filter: str, depth: int = 4) -> str:
+    """Per-depth CMS cell counts over lineitem suppkeys under a filter —
+    the oracle twin of operators/sketches cell construction."""
+    from randas_spark.operators.sketches import _bucket_sql
+
+    unions = "\n            UNION ALL ".join(
+        f"SELECT {d} AS d, {_bucket_sql('l_suppkey', d, False)} AS bucket "
+        f"FROM lineitem WHERE {src_filter}"
+        for d in range(depth)
+    )
+    return f"SELECT d, bucket, count(*) AS cnt FROM (\n            {unions}\n        ) GROUP BY d, bucket"
+
+
+@register(
+    "rel_cms_join_cardinality",
+    oracle=f"""
+    WITH ca AS ({_sql_cms_cells("l_shipdate <  TIMESTAMP '1998-06-01'")}),
+    cb AS ({_sql_cms_cells("l_shipdate >= TIMESTAMP '1998-06-01'")}),
+    ip AS (
+        SELECT ca.d, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS inner_product
+        FROM ca JOIN cb ON ca.d = cb.d AND ca.bucket = cb.bucket
+        GROUP BY ca.d
+    ),
+    est AS (SELECT min(inner_product) AS est_join_size FROM ip),
+    ex AS (
+        SELECT CAST(coalesce(sum(fa.n * fb.n), 0) AS BIGINT) AS exact_join_size
+        FROM (SELECT l_suppkey, count(*) AS n FROM lineitem
+              WHERE l_shipdate <  TIMESTAMP '1998-06-01' GROUP BY 1) fa
+        JOIN (SELECT l_suppkey, count(*) AS n FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1998-06-01' GROUP BY 1) fb
+        USING (l_suppkey)
+    )
+    SELECT est_join_size, exact_join_size,
+           est_join_size >= exact_join_size AS no_undercount
+    FROM est CROSS JOIN ex
+    """,
+)
+def rel_cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from Count-Min sketches (the AMS/CMS inner-
+    product estimator every cost-based optimizer variant of this idea
+    descends from): |A ⋈ B| on a key = Σ_k f_A(k)·f_B(k), estimated as
+    min over depths of the cell-wise inner product of the two sides'
+    sketches — here the self-join of early vs late lineitem shipments on
+    supplier. One-sided (never undercounts, carried as a checked
+    column); the exact Σ f_A·f_B rides along as the audit.
+
+    Scale: THE point of the estimator — each side is sketched in one
+    map-side-combinable pass to depth×256 cells, and the estimate is an
+    inner product of two tiny cell tables, so planning a 100 TB join
+    costs two streaming scans and no shuffle of either side. The exact
+    audit leg (per-key counts joined) is what you avoid at scale; it
+    exists here to certify the bound."""
+    from randas_spark.operators.sketches import _bucket_sql
+
+    li = t(spark, sf_dir, "lineitem")
+    cut = F.lit("1998-06-01").cast("timestamp")
+    depth = 4
+
+    def cells(side: DataFrame) -> DataFrame:
+        rows = side.select(
+            *[
+                F.expr(_bucket_sql("l_suppkey", d, True)).alias(f"b{d}")
+                for d in range(depth)
+            ]
+        )
+        return (
+            rows.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(d).alias("d"), F.col(f"b{d}").alias("bucket")
+                            )
+                            for d in range(depth)
+                        ]
+                    )
+                ).alias("x")
+            )
+            .groupBy(F.col("x.d").alias("d"), F.col("x.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    ca = cells(li.filter(F.col("l_shipdate") < cut))
+    cb = cells(li.filter(F.col("l_shipdate") >= cut)).select(
+        "d", "bucket", F.col("cnt").alias("cntb")
+    )
+    ip = (
+        ca.join(cb, ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("cnt") * F.col("cntb")).cast("long").alias("inner_product"))
+    )
+    est = ip.select(F.min("inner_product").alias("est_join_size"))
+    fa = (
+        li.filter(F.col("l_shipdate") < cut)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    fb = (
+        li.filter(F.col("l_shipdate") >= cut)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    ex = (
+        fa.join(fb, "l_suppkey")
+        .select((F.col("na") * F.col("nb")).alias("p"))
+        .agg(F.coalesce(F.sum("p"), F.lit(0)).cast("long").alias("exact_join_size"))
+    )
+    return (
+        est.crossJoin(F.broadcast(ex))
+        .select(
+            "est_join_size",
+            "exact_join_size",
+            (F.col("est_join_size") >= F.col("exact_join_size")).alias(
+                "no_undercount"
+            ),
+        )
+    )
+
+
+@register(
+    "rel_kmv_distinct_jaccard",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT event_type AS seg, user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+        FROM events WHERE event_type IN ('view', 'purchase') AND user_id IS NOT NULL
+    ),
+    sk AS (
+        SELECT seg, user_id, u,
+               row_number() OVER (PARTITION BY seg ORDER BY u, user_id) AS rk,
+               count(*) OVER (PARTITION BY seg) AS n_seg
+        FROM du
+    ),
+    kept AS (SELECT * FROM sk WHERE rk <= 64),
+    dest AS (
+        SELECT seg,
+               CASE WHEN max(n_seg) < 64 THEN CAST(max(n_seg) AS DOUBLE)
+                    ELSE 63.0 / max(CASE WHEN rk = 64 THEN u END)
+               END AS d_est
+        FROM kept GROUP BY seg
+    ),
+    uni AS (
+        SELECT user_id, u,
+               max(CASE WHEN seg = 'view' THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN seg = 'purchase' THEN 1 ELSE 0 END) AS in_b
+        FROM kept GROUP BY user_id, u
+    ),
+    uk AS (
+        SELECT *, row_number() OVER (ORDER BY u, user_id) AS rk,
+               count(*) OVER () AS n_uni
+        FROM uni
+    ),
+    ukept AS (SELECT * FROM uk WHERE rk <= 64),
+    uest AS (
+        SELECT CASE WHEN max(n_uni) < 64 THEN CAST(max(n_uni) AS DOUBLE)
+                    ELSE 63.0 / max(CASE WHEN rk = 64 THEN u END)
+               END AS d_union,
+               sum(in_a * in_b) * 1.0 / least(64, max(n_uni)) AS j_kmv
+        FROM ukept
+    ),
+    ex AS (
+        SELECT sum(a * b) * 1.0 / count(*) AS j_exact FROM (
+            SELECT user_id,
+                   max(CASE WHEN seg = 'view' THEN 1 ELSE 0 END) AS a,
+                   max(CASE WHEN seg = 'purchase' THEN 1 ELSE 0 END) AS b
+            FROM du GROUP BY user_id
+        )
+    )
+    SELECT {sql_fround("(SELECT d_est FROM dest WHERE seg = 'view')", 6)} AS d_view,
+           {sql_fround("(SELECT d_est FROM dest WHERE seg = 'purchase')", 6)} AS d_purchase,
+           {sql_fround('d_union', 6)} AS d_union,
+           {sql_fround('j_kmv', 6)} AS jaccard_kmv,
+           {sql_fround('j_exact', 6)} AS jaccard_exact
+    FROM uest CROSS JOIN ex
+    """,
+)
+def rel_kmv_distinct_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values, Beyer et al. SIGMOD'07) distinct sketches
+    with set-similarity: keep each segment's 64 smallest md5-unit
+    hashes; D ≈ (k−1)/u_k (exact when the segment is smaller than k),
+    the union sketch is the k smallest of the combined sketches, and
+    Jaccard is the fraction of union-sketch members present in BOTH
+    sides — membership is decidable inside the sketch because a hash
+    among the union's k smallest is necessarily among each side's k
+    smallest. The exact Jaccard rides along as audit. md5-derived order
+    makes every estimate bit-identical cross-engine (vs engine-private
+    theta sketches).
+
+    Scale: per-segment top-64-by-hash is a TakeOrdered-shaped partial
+    (per-partition heaps, no global sort of the key sets); everything
+    after runs on ≤ 64-row sketches. The exact leg is the only key-sized
+    aggregation and exists as the audit column."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+        & F.col("user_id").isNotNull()
+    )
+    du = (
+        e.select(F.col("event_type").alias("seg"), "user_id")
+        .distinct()
+        .withColumn(
+            "u",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+            / F.lit(4294967296.0),
+        )
+    )
+    wseg = Window.partitionBy("seg").orderBy("u", "user_id")
+    sk = du.select(
+        "seg",
+        "user_id",
+        "u",
+        F.row_number().over(wseg).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("seg")).alias("n_seg"),
+    )
+    kept = sk.filter(F.col("rk") <= 64)
+    dest = kept.groupBy("seg").agg(
+        F.when(
+            F.max("n_seg") < 64, F.max("n_seg").cast("double")
+        )
+        .otherwise(F.lit(63.0) / F.max(F.when(F.col("rk") == 64, F.col("u"))))
+        .alias("d_est")
+    )
+    uni = kept.groupBy("user_id", "u").agg(
+        F.max(F.when(F.col("seg") == "view", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("seg") == "purchase", 1).otherwise(0)).alias("in_b"),
+    )
+    wuni = Window.partitionBy(F.lit(1)).orderBy("u", "user_id")
+    uk = uni.select(
+        "*",
+        F.row_number().over(wuni).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n_uni"),
+    )
+    ukept = uk.filter(F.col("rk") <= 64)
+    uest = ukept.agg(
+        F.when(F.max("n_uni") < 64, F.max("n_uni").cast("double"))
+        .otherwise(F.lit(63.0) / F.max(F.when(F.col("rk") == 64, F.col("u"))))
+        .alias("d_union"),
+        (
+            F.sum(F.col("in_a") * F.col("in_b"))
+            / F.least(F.lit(64), F.max("n_uni"))
+        ).alias("j_kmv"),
+    )
+    ex = (
+        du.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("seg") == "view", 1).otherwise(0)).alias("a"),
+            F.max(F.when(F.col("seg") == "purchase", 1).otherwise(0)).alias("b"),
+        )
+        .agg(
+            (F.sum(F.col("a") * F.col("b")) / F.count(F.lit(1))).alias("j_exact")
+        )
+    )
+    dv = dest.filter(F.col("seg") == "view").select(F.col("d_est").alias("dv"))
+    dp = dest.filter(F.col("seg") == "purchase").select(F.col("d_est").alias("dp"))
+    return (
+        dv.crossJoin(dp)
+        .crossJoin(uest)
+        .crossJoin(F.broadcast(ex))
+        .select(
+            fround(F.col("dv"), 6).alias("d_view"),
+            fround(F.col("dp"), 6).alias("d_purchase"),
+            fround(F.col("d_union"), 6).alias("d_union"),
+            fround(F.col("j_kmv"), 6).alias("jaccard_kmv"),
+            fround(F.col("j_exact"), 6).alias("jaccard_exact"),
+        )
+    )

