@@ -3952,3 +3952,51 @@ def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_masked"), F.lit(0)).cast("long").alias("n_masked"),
         F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
     )
+
+
+@register(
+    "llm_sample_weighted",
+    oracle="""
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   ORDER BY pow(
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0,
+                       1.0 / n_chars
+                   ) DESC, doc_id
+               ) AS rk
+        FROM documents WHERE n_chars > 0
+    ) WHERE rk <= 100
+    """,
+)
+def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each doc gets key u^(1/w) with u the md5-unit hash
+    of its id and w = n_chars; the 100 largest keys are a weighted
+    sample — longer documents proportionally likelier, yet the selection
+    is a pure function of ids, so reruns, engines, and partitionings
+    agree (the weighted analogue of llm_sample_hash / llm_sample_topk).
+
+    Scale: plans as TakeOrderedAndProject — per-partition top-100 heaps,
+    no global sort, no RNG state; the sample updates incrementally as
+    the corpus grows (a new doc enters iff its key beats the current
+    100th)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    key = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    return (
+        d.select(
+            "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
+            key.alias("__key__"),
+        )
+        .orderBy(F.desc("__key__"), "doc_id")
+        .limit(100)
+        .select("doc_id", "source", "n_chars")
+    )

@@ -2794,3 +2794,89 @@ def rel_kmv_distinct_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("j_exact"), 6).alias("jaccard_exact"),
         )
     )
+
+
+@register(
+    "rel_cusum_changepoints",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts::TIMESTAMP) AS TIMESTAMP) AS h,
+               sum(value) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, avg(y) AS mu, stddev_pop(y) AS sd
+        FROM hourly GROUP BY event_type
+    ),
+    z AS (
+        SELECT h.event_type, h.h, (h.y - s.mu) / s.sd AS z
+        FROM hourly h JOIN stats s USING (event_type)
+    ),
+    c AS (
+        SELECT event_type, h, z,
+               sum(z - 0.5)  OVER w AS cp,
+               sum(-z - 0.5) OVER w AS cn
+        FROM z
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+        SELECT event_type, h,
+               cp - least(0.0, min(cp) OVER w) AS s_pos,
+               cn - least(0.0, min(cn) OVER w) AS s_neg
+        FROM c
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, h, {sql_fround('s_pos', 4)} AS s_pos,
+           {sql_fround('s_neg', 4)} AS s_neg
+    FROM s WHERE s_pos > 4.0 OR s_neg > 4.0
+    """,
+)
+def rel_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection per event type (Page's test): hours
+    where the one-sided cumulative sum of standardized deviations
+    (slack k = 0.5σ) exceeds 4σ — the sustained-shift detector that
+    catches what per-point z-scores (rel_anomaly_zscore) miss. The
+    recursive S_h = max(0, S_{h-1} + z_h − k) is rewritten as
+    C_h − min(0, min_{j≤h} C_j) over plain running sum/min windows, so
+    no iterative state is needed.
+
+    Scale: the detector runs on the compacted hourly series (one
+    map-side-combined aggregation; |hours|×|types| ≪ events) with
+    windows PARTITIONED per type — never a global order. Per-type
+    mean/σ is a broadcast row."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum("value").alias("y"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("y").alias("mu"), F.stddev_pop("y").alias("sd")
+    )
+    z = hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type", "h", ((F.col("y") - F.col("mu")) / F.col("sd")).alias("z")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = z.select(
+        "event_type",
+        "h",
+        F.sum(F.col("z") - F.lit(0.5)).over(w).alias("cp"),
+        F.sum(-F.col("z") - F.lit(0.5)).over(w).alias("cn"),
+    )
+    s = c.select(
+        "event_type",
+        "h",
+        (F.col("cp") - F.least(F.lit(0.0), F.min("cp").over(w))).alias("s_pos"),
+        (F.col("cn") - F.least(F.lit(0.0), F.min("cn").over(w))).alias("s_neg"),
+    )
+    return s.filter((F.col("s_pos") > 4.0) | (F.col("s_neg") > 4.0)).select(
+        "event_type",
+        "h",
+        fround(F.col("s_pos"), 4).alias("s_pos"),
+        fround(F.col("s_neg"), 4).alias("s_neg"),
+    )

@@ -805,3 +805,34 @@ def test_kmv_estimates_track_constructed_sets(spark):
     for seg in ("view", "purchase"):
         est = 63.0 / kth[seg]
         assert abs(est - 1000) / 1000 < 0.4  # 3+ sigma guard band
+
+
+def test_cusum_window_identity_equals_recursion():
+    """The window rewrite behind rel_cusum_changepoints — S_h =
+    C_h − min(0, min_{j≤h} C_j) with C the running sum of (z−k) — must
+    equal Page's recursion S_h = max(0, S_{h−1} + z_h − k) on arbitrary
+    sequences (seeded random + a constructed level shift)."""
+    import random
+
+    def recursive(zs, k=0.5):
+        s, out = 0.0, []
+        for z in zs:
+            s = max(0.0, s + z - k)
+            out.append(s)
+        return out
+
+    def windowed(zs, k=0.5):
+        c, cmin, out = 0.0, 0.0, []
+        for z in zs:
+            c += z - k
+            out.append(c - min(0.0, min(cmin, c)))
+            cmin = min(cmin, c)
+        return out
+
+    rng = random.Random(3)
+    for trial in range(50):
+        zs = [rng.gauss(0, 1) for _ in range(40)]
+        if trial % 2:
+            zs += [rng.gauss(2, 1) for _ in range(40)]  # level shift
+        a, b = recursive(zs), windowed(zs)
+        assert all(abs(x - y) < 1e-9 for x, y in zip(a, b))
