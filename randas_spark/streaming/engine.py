@@ -550,3 +550,76 @@ def hll_stream_registers(df: DataFrame, key_col: str = "user_id") -> DataFrame:
     from randas_spark.operators.sketches import hll_registers
 
     return hll_registers(df, key_col)
+
+
+_CUSUM_STATE_SCHEMA = "cur_hour_us long, hour_sum double, cp double, cn double"
+_CUSUM_OUT_SCHEMA = "event_type string, h timestamp, s_pos double, s_neg double"
+_HOUR_US = 3_600_000_000
+
+
+def cusum_alert_state(
+    events: DataFrame,
+    params: dict,
+    k: float = 0.5,
+    h_threshold: float = 4.0,
+) -> DataFrame:
+    """Custom stateful kernel #3: streaming CUSUM level-shift alerts
+    (Page's test) per event type. ``params`` maps event_type → (mu, sd)
+    fitted OFFLINE on a reference period — the production monitoring
+    shape: the baseline is frozen, the detector streams. Per-type state
+    is four numbers (open hour, its running sum, S⁺, S⁻): when an hour
+    closes (a later-hour event arrives), its standardized total updates
+    the recursions S⁺ = max(0, S⁺ + z − k), S⁻ = max(0, S⁻ − z − k) and
+    an alert row is emitted if either exceeds the threshold — the
+    streaming twin of rel_cusum_changepoints' window identity (pytest
+    replays both over the same events and asserts equal alerts on all
+    closed hours). Bounded state by construction; hours with no events
+    are skipped, matching the batch twin's hours-present-only series.
+    Within-trigger rows are walked in (ts, event_id) order; cross-
+    trigger correctness assumes per-key event-time order across
+    triggers (file replay here; a kafka source partitioned by type
+    keeps it)."""
+
+    def kernel(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        et = key[0]
+        mu, sd = params.get(et, (0.0, 1.0))
+        cur_hour, hour_sum, cp, cn = (
+            state.get if state.exists else (None, 0.0, 0.0, 0.0)
+        )
+        out = []
+
+        def close_hour():
+            nonlocal cp, cn
+            z = (hour_sum - mu) / sd
+            cp = max(0.0, cp + z - k)
+            cn = max(0.0, cn - z - k)
+            if cp > h_threshold or cn > h_threshold:
+                out.append((et, pd.Timestamp(cur_hour * 1000, unit="ns"), cp, cn))
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+            ts_us = pdf["ts"].astype("int64").to_numpy() // 1000
+            vals = pdf["value"].to_numpy()
+            for t_us, v in zip(ts_us, vals):
+                hr = int(t_us) // _HOUR_US * _HOUR_US
+                if cur_hour is None:
+                    cur_hour, hour_sum = hr, 0.0
+                elif hr != cur_hour:
+                    close_hour()
+                    cur_hour, hour_sum = hr, 0.0
+                hour_sum += float(v)
+        state.update((cur_hour, hour_sum, cp, cn))
+        yield pd.DataFrame(out, columns=["event_type", "h", "s_pos", "s_neg"])
+
+    return events.select("event_type", "event_id", "ts", "value").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        kernel,
+        outputStructType=_CUSUM_OUT_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

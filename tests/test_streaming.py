@@ -641,3 +641,48 @@ def test_hll_stream_matches_batch_registers(spark, batch_events):
         files_per_trigger=1,
     )
     assert _collect_sorted(streamed) == _collect_sorted(batch)
+
+
+def test_cusum_stream_alerts_match_recursive_replay(spark, batch_events):
+    """Streaming CUSUM kernel #3: with a frozen (mu, sd) baseline, the
+    alerts emitted over readStream must equal a driver-side recursive
+    Page's-test replay of the same hourly series — on CLOSED hours (each
+    type's final hour stays open in the stream and must NOT alert)."""
+    import collections
+    import datetime
+
+    from randas_spark.streaming.engine import cusum_alert_state
+
+    rows = batch_events.select("event_type", "event_id", "ts", "value").collect()
+    hourly = collections.defaultdict(lambda: collections.defaultdict(float))
+    for r in rows:
+        hr = r.ts.replace(minute=0, second=0, microsecond=0)
+        hourly[r.event_type][hr] += r.value
+    params, expected = {}, set()
+    K, H = 0.5, 4.0
+    for et, series in hourly.items():
+        ys = [series[h] for h in sorted(series)]
+        mu = sum(ys) / len(ys)
+        sd = (sum((y - mu) ** 2 for y in ys) / len(ys)) ** 0.5
+        params[et] = (mu, sd)
+        cp = cn = 0.0
+        for h in sorted(series)[:-1]:  # last hour never closes
+            z = (series[h] - mu) / sd
+            cp = max(0.0, cp + z - K)
+            cn = max(0.0, cn - z - K)
+            if cp > H or cn > H:
+                expected.add((et, h, round(cp, 6), round(cn, 6)))
+
+    streamed = _run_stream(
+        spark,
+        lambda s: cusum_alert_state(s, params),
+        "t_cusum",
+        output_mode="append",
+        files_per_trigger=1,
+    )
+    got = {
+        (r.event_type, r.h, round(r.s_pos, 6), round(r.s_neg, 6))
+        for r in streamed.collect()
+    }
+    assert expected  # the corpus must actually produce alerts
+    assert got == expected
