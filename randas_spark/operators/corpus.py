@@ -412,28 +412,36 @@ def quantile_bands(df: DataFrame, score_col: str, n_bands: int) -> DataFrame:
     band, so the assignment is partitioning-invariant, engine-portable,
     and (unlike ntile) never splits equal scores across bands.
 
+    NULL scores get a NULL band (left join back), are excluded from N,
+    and never shift other rows' cumulative counts — without this an
+    equi-join would silently DROP null-score rows while still counting
+    them in N and (nulls-first) in every cum_before, skewing all bands.
+
     Scale: avoids both ntile's single-partition global window and
     percent_rank — cumulative counts run over the collapsed
     distinct-score table (≪ corpus when scores are discrete/bounded,
     e.g. lengths or integer quality grades), which broadcasts back onto
     the corpus. The one serial window is over that collapsed table only.
     """
-    cb = df.groupBy(F.col(score_col).alias("__s__")).agg(
+    scored = df.filter(F.col(score_col).isNotNull())
+    cb = scored.groupBy(F.col(score_col).alias("__s__")).agg(
         F.count(F.lit(1)).alias("__c__")
     )
     w = Window.orderBy("__s__").rowsBetween(Window.unboundedPreceding, -1)
-    bands = cb.select(
-        "__s__", F.coalesce(F.sum("__c__").over(w), F.lit(0)).alias("__cb__")
-    )
-    total = df.select(F.count(F.lit(1)).alias("__n__"))
-    return (
-        df.join(F.broadcast(bands), df[score_col] == bands["__s__"])
+    total = scored.select(F.count(F.lit(1)).alias("__n__"))
+    bands = (
+        cb.select(
+            "__s__", F.coalesce(F.sum("__c__").over(w), F.lit(0)).alias("__cb__")
+        )
         .crossJoin(F.broadcast(total))
         .select(
-            *[df[c] for c in df.columns],
+            "__s__",
             (
                 F.lit(1)
                 + F.floor(F.lit(float(n_bands)) * F.col("__cb__") / F.col("__n__"))
             ).cast("long").alias("band"),
         )
     )
+    return df.join(
+        F.broadcast(bands), df[score_col] == bands["__s__"], "left"
+    ).select(*[df[c] for c in df.columns], "band")

@@ -72,8 +72,10 @@ def market_basket_pairs(items: DataFrame, basket_col: str, item_col: str) -> Dat
 
     Scale: pair counts via basket_pair_counts (basket-keyed, linear);
     per-item basket counts and the basket total derive from the same
-    grouped basket arrays (no second pass over the input) and broadcast
-    into the pair stream (both ≪ pairs).
+    grouped basket arrays (no second pass over the input). The
+    item-count joins are unhinted — auto-broadcast when the item
+    universe fits, shuffle join when it doesn't; only the one-row
+    basket total is hint-broadcast.
     """
     bk = _baskets(items, basket_col, item_col)
     pairs = (
@@ -90,17 +92,21 @@ def market_basket_pairs(items: DataFrame, basket_col: str, item_col: str) -> Dat
     ca = cnt.select(F.col("__it__").alias("item_a"), F.col("__c__").alias("__ca__"))
     cb = cnt.select(F.col("__it__").alias("item_b"), F.col("__c__").alias("__cb__"))
     return (
-        pairs.join(F.broadcast(ca), "item_a")
-        .join(F.broadcast(cb), "item_b")
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
         .crossJoin(F.broadcast(n_baskets))
         .select(
             "item_a",
             "item_b",
             "pair_count",
             (F.col("pair_count") / F.col("__nb__")).alias("support"),
+            # multiply in DOUBLE: long*long would silently wrap past 2^63
+            # with ANSI off (count*count crosses that around 1e10-basket
+            # corpora), and the oracle's `* 1.0 *` path is double too —
+            # products below 2^53 stay exact, so small-SF hashes agree
             (
-                (F.col("pair_count") * F.col("__nb__"))
-                / (F.col("__ca__") * F.col("__cb__"))
+                (F.col("pair_count").cast("double") * F.col("__nb__").cast("double"))
+                / (F.col("__ca__").cast("double") * F.col("__cb__").cast("double"))
             ).alias("lift"),
         )
     )
@@ -122,7 +128,11 @@ def triangle_enumerate(edges: DataFrame, src: str = "src", dst: str = "dst") -> 
     orientation, wedges, and the closing join all reuse the materialized
     graph instead of re-deriving the upstream lineage per reference —
     AQE's ReusedExchange only recovers a fraction of that duplication
-    (measured on the co-purchase query: 38 planned scans → 0).
+    (measured on the co-purchase query: 38 planned scans → 0). The
+    degree joins carry NO broadcast hint: Catalyst/AQE auto-broadcasts
+    the node table when it fits (as here) and falls back to a shuffle
+    join on billion-node graphs, where a forced hint would collect a
+    multi-GB table to the driver.
     """
     e0 = edges.select(
         F.least(F.col(src), F.col(dst)).alias("pa"),
@@ -136,7 +146,7 @@ def triangle_enumerate(edges: DataFrame, src: str = "src", dst: str = "dst") -> 
     )
     da = deg.select(F.col("node").alias("pa"), F.col("deg").alias("dega"))
     db = deg.select(F.col("node").alias("pb"), F.col("deg").alias("degb"))
-    ranked = e0.join(F.broadcast(da), "pa").join(F.broadcast(db), "pb")
+    ranked = e0.join(da, "pa").join(db, "pb")
     a_first = (F.col("dega") < F.col("degb")) | (
         (F.col("dega") == F.col("degb")) & (F.col("pa") < F.col("pb"))
     )
@@ -150,8 +160,8 @@ def triangle_enumerate(edges: DataFrame, src: str = "src", dst: str = "dst") -> 
     wd = deg.select(F.col("node").alias("w"), F.col("deg").alias("degw"))
     wedges = (
         e1.join(e2, "osrc")
-        .join(F.broadcast(vd), "v")
-        .join(F.broadcast(wd), "w")
+        .join(vd, "v")
+        .join(wd, "w")
         .filter(
             (F.col("degv") < F.col("degw"))
             | ((F.col("degv") == F.col("degw")) & (F.col("v") < F.col("w")))

@@ -551,7 +551,6 @@ def knn_pq_adc(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    qfilter = F.col(id_col) < n_queries
 
     v = emb.select(
         F.col(id_col).alias("vid"),
@@ -642,24 +641,26 @@ def knn_pq_adc(
         F.col("vid").alias("cid"), *[code_col(j) for j in range(m)]
     )
 
-    q = emb.filter(qfilter).select(
-        F.col(id_col).alias("qid"),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
-        ).alias("qx"),
-    )
+    # queries come from the SAME checkpointed quantized corpus (no
+    # second scan, no second copy of the quantize expression to drift),
+    # and each LUT is one explode over a literal (code, dist) struct
+    # array — not k_sub unionAll legs each re-deriving the query plan
+    q = v.filter(F.col("vid") < n_queries).select(F.col("vid").alias("qid"), "qx")
     luts = []
     for j in range(m):
-        lut_rows = [
-            q.select(
-                "qid", F.lit(c).alias(f"code_{j}"), sub_dist(j, carr).alias(f"d_{j}")
-            )
-            for c, carr in cents[j]
-        ]
-        lut = lut_rows[0]
-        for extra in lut_rows[1:]:
-            lut = lut.unionAll(extra)
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("code"), sub_dist(j, carr).alias("d")
+                )
+                for c, carr in cents[j]
+            ]
+        )
+        lut = q.select("qid", F.explode(entries).alias("__e__")).select(
+            "qid",
+            F.col("__e__.code").alias(f"code_{j}"),
+            F.col("__e__.d").alias(f"d_{j}"),
+        )
         luts.append(lut)
 
     scored = enc

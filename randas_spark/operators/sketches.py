@@ -45,9 +45,13 @@ def _bucket_sql(key_expr: str, d: int, spark_dialect: bool) -> str:
     return f"({d1} * 16 + {d2})"
 
 
-def countmin_cells(df: DataFrame, key_col: str, shard_col: str, depth: int = 4) -> DataFrame:
+def countmin_cells(
+    df: DataFrame, key_col: str, shard_col: str | None, depth: int = 4
+) -> DataFrame:
     """Per-shard CMS cells: (shard, d, bucket, cnt). Shard sketches are
-    the mergeable unit — cell-wise SUM merges any subset of shards."""
+    the mergeable unit — cell-wise SUM merges any subset of shards.
+    ``shard_col=None`` builds one unsharded sketch (d, bucket, cnt) —
+    the shape the join-cardinality estimator consumes per side."""
     from randas_spark.operators.dedup import fan_out
 
     # depth md5 calls per input row: fan a single-split input out to core
@@ -56,13 +60,14 @@ def countmin_cells(df: DataFrame, key_col: str, shard_col: str, depth: int = 4) 
     # key hashes to a NULL bucket, which would sit in the cells yet
     # never match a probe — counted but unqueryable.
     df = fan_out(df.filter(F.col(key_col).isNotNull()))
+    shard = [F.col(shard_col).alias("shard")] if shard_col else []
     rows = df.select(
-        F.col(shard_col).alias("shard"),
+        *shard,
         *[F.expr(_bucket_sql(key_col, d, True)).alias(f"b{d}") for d in range(depth)],
     )
     return (
         rows.select(
-            "shard",
+            *(["shard"] if shard_col else []),
             F.explode(
                 F.array(
                     *[
@@ -72,7 +77,11 @@ def countmin_cells(df: DataFrame, key_col: str, shard_col: str, depth: int = 4) 
                 )
             ).alias("x"),
         )
-        .groupBy("shard", F.col("x.d").alias("d"), F.col("x.bucket").alias("bucket"))
+        .groupBy(
+            *(["shard"] if shard_col else []),
+            F.col("x.d").alias("d"),
+            F.col("x.bucket").alias("bucket"),
+        )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 

@@ -2459,10 +2459,15 @@ def rel_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     est AS ({_sql_hll_est('eregs')}),
     estu AS ({_sql_hll_est('uni')}),
     ex AS (
+        -- NULL user_ids excluded explicitly: SQL INTERSECT matches
+        -- NULL=NULL while Spark's left_semi drops NULLs, so without the
+        -- filter the two legs disagree by one the day a NULL id appears
         SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM (
-            SELECT user_id FROM events WHERE event_type = 'view'
+            SELECT user_id FROM events
+            WHERE event_type = 'view' AND user_id IS NOT NULL
             INTERSECT
-            SELECT user_id FROM events WHERE event_type = 'purchase'
+            SELECT user_id FROM events
+            WHERE event_type = 'purchase' AND user_id IS NOT NULL
         )
     )
     SELECT {sql_fround('a.est0', 6)} AS est_view,
@@ -2494,6 +2499,7 @@ def rel_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "purchase")
+        & F.col("user_id").isNotNull()
     )
     regs = hll_registers(e, "user_id", ["event_type"])
     per = hll_estimate(regs, ["event_type"])
@@ -2547,13 +2553,17 @@ def _sql_cms_cells(src_filter: str, depth: int = 4) -> str:
     WITH ca AS ({_sql_cms_cells("l_shipdate <  TIMESTAMP '1998-06-01'")}),
     cb AS ({_sql_cms_cells("l_shipdate >= TIMESTAMP '1998-06-01'")}),
     ip AS (
-        SELECT ca.d, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS inner_product
+        -- HUGEINT products: two BIGINT cell counts can multiply past
+        -- 2^63 on the 100 TB inputs this estimator exists for
+        SELECT ca.d,
+               CAST(sum(CAST(ca.cnt AS HUGEINT) * cb.cnt) AS BIGINT) AS inner_product
         FROM ca JOIN cb ON ca.d = cb.d AND ca.bucket = cb.bucket
         GROUP BY ca.d
     ),
     est AS (SELECT min(inner_product) AS est_join_size FROM ip),
     ex AS (
-        SELECT CAST(coalesce(sum(fa.n * fb.n), 0) AS BIGINT) AS exact_join_size
+        SELECT CAST(coalesce(sum(CAST(fa.n AS HUGEINT) * fb.n), 0) AS BIGINT)
+                   AS exact_join_size
         FROM (SELECT l_suppkey, count(*) AS n FROM lineitem
               WHERE l_shipdate <  TIMESTAMP '1998-06-01' GROUP BY 1) fa
         JOIN (SELECT l_suppkey, count(*) AS n FROM lineitem
@@ -2580,44 +2590,28 @@ def rel_cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs two streaming scans and no shuffle of either side. The exact
     audit leg (per-key counts joined) is what you avoid at scale; it
     exists here to certify the bound."""
-    from randas_spark.operators.sketches import _bucket_sql
+    from randas_spark.operators.sketches import countmin_cells
 
     li = t(spark, sf_dir, "lineitem")
     cut = F.lit("1998-06-01").cast("timestamp")
-    depth = 4
 
-    def cells(side: DataFrame) -> DataFrame:
-        rows = side.select(
-            *[
-                F.expr(_bucket_sql("l_suppkey", d, True)).alias(f"b{d}")
-                for d in range(depth)
-            ]
-        )
-        return (
-            rows.select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(d).alias("d"), F.col(f"b{d}").alias("bucket")
-                            )
-                            for d in range(depth)
-                        ]
-                    )
-                ).alias("x")
-            )
-            .groupBy(F.col("x.d").alias("d"), F.col("x.bucket").alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-
-    ca = cells(li.filter(F.col("l_shipdate") < cut))
-    cb = cells(li.filter(F.col("l_shipdate") >= cut)).select(
-        "d", "bucket", F.col("cnt").alias("cntb")
-    )
+    ca = countmin_cells(li.filter(F.col("l_shipdate") < cut), "l_suppkey", None)
+    cb = countmin_cells(
+        li.filter(F.col("l_shipdate") >= cut), "l_suppkey", None
+    ).select("d", "bucket", F.col("cnt").alias("cntb"))
+    # decimal(38,0) intermediates: long*long wraps silently past 2^63
+    # with ANSI off exactly at the saturated-cell scale the estimator
+    # targets; the oracle promotes to HUGEINT for the same reason
     ip = (
         ca.join(cb, ["d", "bucket"])
         .groupBy("d")
-        .agg(F.sum(F.col("cnt") * F.col("cntb")).cast("long").alias("inner_product"))
+        .agg(
+            F.sum(
+                F.col("cnt").cast("decimal(19,0)") * F.col("cntb").cast("decimal(19,0)")
+            )
+            .cast("long")
+            .alias("inner_product")
+        )
     )
     est = ip.select(F.min("inner_product").alias("est_join_size"))
     fa = (
@@ -2632,7 +2626,10 @@ def rel_cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex = (
         fa.join(fb, "l_suppkey")
-        .select((F.col("na") * F.col("nb")).alias("p"))
+        .select(
+            (F.col("na").cast("decimal(19,0)") * F.col("nb").cast("decimal(19,0)"))
+            .alias("p")
+        )
         .agg(F.coalesce(F.sum("p"), F.lit(0)).cast("long").alias("exact_join_size"))
     )
     return (

@@ -592,6 +592,13 @@ def cusum_alert_state(
 
         def close_hour():
             nonlocal cp, cn
+            if sd <= 0.0:
+                # degenerate baseline (constant reference series): z is
+                # undefined — skip updates instead of crashing the whole
+                # streaming query with a ZeroDivisionError; mirrors the
+                # batch twin, where x/0.0 yields null rows that the
+                # alert filter drops
+                return
             z = (hour_sum - mu) / sd
             cp = max(0.0, cp + z - k)
             cn = max(0.0, cn - z - k)

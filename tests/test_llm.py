@@ -2101,3 +2101,15 @@ def test_span_corruption_rate_and_span_stats(spark):
         assert 0 <= r.n_masked <= r.n_tokens
         assert (r.n_spans == 0) == (r.n_masked == 0)
         assert r.n_spans <= r.n_masked
+
+
+def test_quantile_bands_null_scores_get_null_band(spark):
+    """NULL-score rows must survive with a NULL band and must not shift
+    anyone else's band (excluded from N and from cumulative counts)."""
+    from randas_spark.operators.corpus import quantile_bands
+
+    rows = [(0, None), (1, None), (2, 1), (3, 1), (4, 2), (5, 9)]
+    df = spark.createDataFrame(rows, "id long, score long")
+    out = {r.id: r.band for r in quantile_bands(df, "score", 4).collect()}
+    # non-null N = 4: score 1 -> cum 0 -> band 1; 2 -> cum 2 -> 3; 9 -> cum 3 -> 4
+    assert out == {0: None, 1: None, 2: 1, 3: 1, 4: 3, 5: 4}

@@ -634,10 +634,15 @@ def test_hll_stream_matches_batch_registers(spark, batch_events):
     from randas_spark.streaming.engine import hll_stream_registers
 
     batch = hll_stream_registers(batch_events, "user_id")
+    # copies=2 with one file per trigger => at least two micro-batches,
+    # so the cross-trigger state merge (per-bucket MAX restore) is
+    # actually exercised, not just the single-batch path; duplicate
+    # events are a no-op for MAX so the batch twin is unchanged
     streamed = _run_stream(
         spark,
         lambda s: hll_stream_registers(s, "user_id"),
         "t_hll",
+        copies=2,
         files_per_trigger=1,
     )
     assert _collect_sorted(streamed) == _collect_sorted(batch)
@@ -673,13 +678,46 @@ def test_cusum_stream_alerts_match_recursive_replay(spark, batch_events):
             if cp > H or cn > H:
                 expected.add((et, h, round(cp, 6), round(cn, 6)))
 
-    streamed = _run_stream(
-        spark,
-        lambda s: cusum_alert_state(s, params),
-        "t_cusum",
-        output_mode="append",
-        files_per_trigger=1,
-    )
+    # Stage the events as TWO time-split files (split mid-range, so open
+    # hours and S+/S- straddle the boundary) and replay one file per
+    # trigger: the kernel's cross-trigger state restore — the tuple
+    # (cur_hour, hour_sum, cp, cn) — is exercised for real, not just the
+    # single-batch path.
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from randas_spark.streaming.engine import run_to_memory
+
+    ts_sorted = sorted(r.ts for r in rows)
+    mid = ts_sorted[len(ts_sorted) // 2]
+    stage = tempfile.mkdtemp(prefix="cusum_stream_")
+    try:
+        for i, part in enumerate(
+            (
+                batch_events.filter(batch_events.ts < mid),
+                batch_events.filter(batch_events.ts >= mid),
+            )
+        ):
+            d = tempfile.mkdtemp(prefix="cusum_part_")
+            part.coalesce(1).write.mode("overwrite").parquet(d)
+            src = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+            dst = os.path.join(stage, f"{i}.parquet")
+            shutil.copy(src, dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+            shutil.rmtree(d, ignore_errors=True)
+        stream = (
+            spark.readStream.schema(batch_events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        run_to_memory(
+            cusum_alert_state(stream, params), "t_cusum", output_mode="append"
+        )
+        streamed = spark.table("t_cusum").cache()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     got = {
         (r.event_type, r.h, round(r.s_pos, 6), round(r.s_neg, 6))
         for r in streamed.collect()
