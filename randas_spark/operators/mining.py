@@ -1,17 +1,18 @@
 """Pattern-mining operators: market-basket association, triangle
-enumeration, and Pareto skylines.
+enumeration, k-core peeling, and Pareto skylines.
 
 The reference (randas, dataframe.rs) has no co-occurrence or graph
 analytics at all — these are engine-scale additions in the spirit of
-SURVEY.md §2.12's relational layer. All three are pure DataFrame
+SURVEY.md §2.12's relational layer. All are pure DataFrame
 compositions: Catalyst picks the join strategies, AQE handles skew and
 exchange reuse; nothing is all-pairs.
 
 Scale rationale per operator sits on its docstring; the public algorithms
 are Agrawal-Srikant support/lift for baskets, Cohen's MapReduce triangle
 enumeration (degree-ordered orientation, also Suri-Vassilvitskii WWW'11),
-and the sort-based 2-D skyline (Börzsönyi et al., ICDE'01) collapsed onto
-distinct-value groups so it runs as windows over a bounded table.
+iterative-peeling k-core decomposition, and the sort-based 2-D skyline
+(Börzsönyi et al., ICDE'01) collapsed onto distinct-value groups so it
+runs as windows over a bounded table.
 """
 
 from __future__ import annotations
