@@ -3641,7 +3641,12 @@ def llm_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_curriculum_order",
     oracle="""
-    WITH cb AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars),
+    -- NULL-length semantics mirror operators/corpus.quantile_bands:
+    -- NULL rows keep a NULL band (LEFT JOIN), are excluded from N, and
+    -- never shift cumulative counts (n_chars is non-null in the
+    -- fixtures, but the twin must not diverge the day that changes)
+    WITH cb AS (SELECT n_chars, count(*) AS c FROM documents
+                WHERE n_chars IS NOT NULL GROUP BY n_chars),
     w AS (
         SELECT n_chars,
                coalesce(sum(c) OVER (
@@ -3650,11 +3655,11 @@ def llm_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
                ), 0) AS cum_before
         FROM cb
     ),
-    n AS (SELECT count(*) AS total FROM documents)
+    n AS (SELECT count(*) AS total FROM documents WHERE n_chars IS NOT NULL)
     SELECT d.doc_id, d.n_chars,
            CAST(1 + floor(5.0 * w.cum_before / n.total) AS BIGINT) AS band,
            md5(CAST(d.doc_id AS VARCHAR)) AS interleave_key
-    FROM documents d JOIN w USING (n_chars) CROSS JOIN n
+    FROM documents d LEFT JOIN w USING (n_chars) CROSS JOIN n
     """,
 )
 def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:

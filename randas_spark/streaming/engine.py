@@ -584,7 +584,19 @@ def cusum_alert_state(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         et = key[0]
-        mu, sd = params.get(et, (0.0, 1.0))
+        if et not in params:
+            # unmodeled type: no baseline was fitted, so there is no
+            # z-score to compute — drain and emit nothing rather than
+            # scoring raw sums against a default (0, 1) baseline, which
+            # would alert on EVERY closed hour of any type absent from
+            # the reference period
+            for _ in pdfs:
+                pass
+            yield pd.DataFrame(
+                [], columns=["event_type", "h", "s_pos", "s_neg"]
+            )
+            return
+        mu, sd = params[et]
         cur_hour, hour_sum, cp, cn = (
             state.get if state.exists else (None, 0.0, 0.0, 0.0)
         )

@@ -796,34 +796,26 @@ def test_kmv_estimates_track_constructed_sets(spark):
         )
     )
     w = Window.partitionBy("seg").orderBy("u", "user_id")
-    kth = {
-        r.seg: r.u
-        for r in du.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 64)
+    ranked = (
+        du.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 64)
         .collect()
-    }
+    )
+    kept = {"view": [], "purchase": []}
+    for r in ranked:
+        kept[r.seg].append((r.u, r.user_id))
     for seg in ("view", "purchase"):
-        est = 63.0 / kth[seg]
+        est = 63.0 / max(u for u, _ in kept[seg])
         assert abs(est - 1000) / 1000 < 0.4  # 3+ sigma guard band
 
     # union-sketch Jaccard, replayed in Python with the SAME rule the
     # query uses (k smallest of the two kept sketches, membership =
-    # present in both, denominator = min(k, |union sketch|)): must track
-    # the true |A∩B| / |A∪B| = 500/1500 = 1/3
-    kept = {
-        seg: [
-            (r.u, r.user_id)
-            for r in du.withColumn("rk", F.row_number().over(w))
-            .filter((F.col("rk") <= 64) & (F.col("seg") == seg))
-            .collect()
-        ]
-        for seg in ("view", "purchase")
-    }
+    # present in both): must track the true |A∩B| / |A∪B| = 500/1500
     a_ids = {uid for _, uid in kept["view"]}
     b_ids = {uid for _, uid in kept["purchase"]}
     union_sorted = sorted({(u, uid) for s in kept.values() for u, uid in s})[:64]
     inter = sum(1 for _, uid in union_sorted if uid in a_ids and uid in b_ids)
-    j = inter / min(64, len(union_sorted))
+    j = inter / len(union_sorted)
     assert abs(j - 1 / 3) < 0.2
 
 

@@ -724,3 +724,19 @@ def test_cusum_stream_alerts_match_recursive_replay(spark, batch_events):
     }
     assert expected  # the corpus must actually produce alerts
     assert got == expected
+
+
+def test_cusum_stream_skips_unmodeled_types(spark, batch_events):
+    """Types absent from the fitted baseline must produce NO alerts
+    (scoring raw sums against a default (0,1) baseline would alert on
+    every closed hour of every unmodeled type)."""
+    from randas_spark.streaming.engine import cusum_alert_state
+
+    streamed = _run_stream(
+        spark,
+        lambda s: cusum_alert_state(s, {"no_such_type": (0.0, 1.0)}),
+        "t_cusum_unmodeled",
+        output_mode="append",
+        files_per_trigger=1,
+    )
+    assert streamed.count() == 0
