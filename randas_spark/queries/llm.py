@@ -4005,3 +4005,56 @@ def llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("doc_id", "source", "n_chars")
     )
+
+
+@register(
+    "llm_sample_weighted_stratified",
+    oracle="""
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY pow(
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0,
+                       1.0 / n_chars
+                   ) DESC, doc_id
+               ) AS rk
+        FROM documents WHERE n_chars > 0
+    ) WHERE rk <= 10
+    """,
+)
+def llm_sample_weighted_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum weighted sampling without replacement: exactly 10
+    docs per source, each stratum drawn with Efraimidis-Spirakis keys
+    u^(1/n_chars) — the balanced-and-weighted corpus subset (every
+    domain represented, long docs proportionally likelier within each)
+    that one global weighted draw (llm_sample_weighted) cannot give
+    when a large domain would crowd the rest out.
+
+    Scale: the rank window is PARTITIONED by source — per-stratum
+    top-10s run as per-partition partial sorts after one shuffle on the
+    stratum key, never a global order; selection stays a pure function
+    of ids (engine/run/partitioning invariant)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("__key__"), "doc_id"
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.pow(u, F.lit(1.0) / F.col("n_chars")).alias("__key__"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "source", "n_chars")
+    )

@@ -2113,3 +2113,35 @@ def test_quantile_bands_null_scores_get_null_band(spark):
     out = {r.id: r.band for r in quantile_bands(df, "score", 4).collect()}
     # non-null N = 4: score 1 -> cum 0 -> band 1; 2 -> cum 2 -> 3; 9 -> cum 3 -> 4
     assert out == {0: None, 1: None, 2: 1, 3: 1, 4: 3, 5: 4}
+
+
+def test_weighted_sampling_biases_toward_long_docs(spark):
+    """The A-ES weighted draw must actually tilt: the mean length of
+    the 100 selected docs exceeds the corpus mean (weights = n_chars),
+    and the stratified variant returns exactly 10 per source with the
+    same tilt direction per stratum on average."""
+    from pyspark.sql import functions as F
+
+    from randas_spark.queries import REGISTRY, load_all, t
+    from tests.conftest import SF_DIR
+
+    load_all()
+    d = t(spark, SF_DIR, "documents").filter(F.col("n_chars") > 0)
+    mean_all = d.agg(F.avg("n_chars")).collect()[0][0]
+
+    sel = REGISTRY["llm_sample_weighted"].fn(spark, SF_DIR).collect()
+    assert len(sel) == 100
+    mean_sel = sum(r.n_chars for r in sel) / len(sel)
+    assert mean_sel > mean_all  # the whole point of weighting
+
+    strat = REGISTRY["llm_sample_weighted_stratified"].fn(spark, SF_DIR).collect()
+    per_src = {}
+    for r in strat:
+        per_src.setdefault(r.source, []).append(r.n_chars)
+    n_sources = d.select("source").distinct().count()
+    assert len(per_src) == n_sources
+    assert all(len(v) == 10 for v in per_src.values())
+    mean_strat = sum(sum(v) for v in per_src.values()) / sum(
+        len(v) for v in per_src.values()
+    )
+    assert mean_strat > mean_all
