@@ -2877,3 +2877,167 @@ def rel_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("s_pos"), 4).alias("s_pos"),
         fround(F.col("s_neg"), 4).alias("s_neg"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-6 continuation: closed-form model fitting, entity resolution,
+# seasonal decomposition
+# --------------------------------------------------------------------------
+
+from randas_spark.operators.regression import grouped_ols, sql_grouped_ols
+from randas_spark.operators.linkage import (
+    blocked_name_matches,
+    sql_blocked_name_matches,
+)
+
+
+@register(
+    "rel_ols_grouped",
+    oracle=sql_grouped_ols(
+        "lineitem", ["l_returnflag"], "l_quantity", "l_discount", "l_extendedprice"
+    ),
+)
+def rel_ols_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS fit of extendedprice ~ quantity + discount with
+    R^2 — distributed closed-form regression via exact Gram-matrix sums.
+
+    Scale: ONE map-side-combined scan of lineitem produces 10 integer
+    Gram cells per group; the 3x3 Cramer solve is a constant-size codegen
+    expression on the |groups| result rows. No iteration, no driver-side
+    data, no second shuffle — the pattern holds unchanged at 100 TB
+    (sum cells move to DECIMAL(38,0) past the int64 budget documented in
+    operators/regression.py)."""
+    li = t(spark, sf_dir, "lineitem")
+    return grouped_ols(
+        li, ["l_returnflag"], "l_quantity", "l_discount", "l_extendedprice"
+    )
+
+
+@register(
+    "rel_entity_resolution",
+    oracle=sql_blocked_name_matches("part", "p_name"),
+)
+def rel_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage over the part catalog: near-duplicate
+    entity names by shared-token blocking + inline char-bigram Jaccard
+    (Fellegi-Sunter shape; operators/linkage.py).
+
+    Scale: records compact to the distinct-entity table first (the only
+    data-sized stage), candidate pairs form ONLY inside token blocks
+    under an explicit hot-block cap, and similarity is a codegen array
+    expression on the pair row — no UDF, no all-pairs, no re-join to a
+    bigram table."""
+    p = t(spark, sf_dir, "part")
+    return blocked_name_matches(p, "p_name")
+
+
+@register(
+    "rel_seasonal_decompose",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts::TIMESTAMP) AS TIMESTAMP) AS h,
+               CAST(floor(sum(value) * 10000 + 0.5) AS BIGINT) AS ys
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, h, ys,
+               CAST(epoch(h) AS BIGINT) // 3600 AS hidx,
+               CAST(extract(hour FROM h) AS INTEGER) AS hod
+        FROM hourly
+    ),
+    tr AS (
+        SELECT event_type, h, hod, ys / 10000.0 AS y,
+               (CAST(sum(ys) OVER wtr AS DOUBLE)
+                / count(ys) OVER wtr) / 10000.0 AS trend
+        FROM idx
+        WINDOW wtr AS (
+            PARTITION BY event_type ORDER BY hidx
+            RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING
+        )
+    ),
+    dt AS (
+        SELECT event_type, h, hod, y, trend,
+               CAST(floor((y - trend) * 10000 + 0.5) AS BIGINT) AS ds
+        FROM tr
+    ),
+    se AS (
+        SELECT event_type, h, y, trend,
+               (CAST(sum(ds) OVER wse AS DOUBLE)
+                / count(ds) OVER wse) / 10000.0 AS seasonal
+        FROM dt
+        WINDOW wse AS (PARTITION BY event_type, hod)
+    )
+    SELECT event_type, h, y, trend, seasonal,
+           y - trend - seasonal AS resid
+    FROM se
+    """,
+)
+def rel_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of the per-type hourly series:
+    trend = centered 25-hour moving average (RANGE frame over the epoch
+    hour index, robust to gaps), seasonal = hour-of-day mean of the
+    detrended series, residual = remainder. The additive-decomposition
+    baseline every monitoring pipeline runs before anomaly scoring.
+
+    Determinism: every mean runs as an exact scaled-int64 window SUM
+    followed by one division — windowed float accumulation is order-
+    sensitive (DuckDB's segment trees vs Spark's frame walk), and a
+    first cut that averaged raw doubles flipped 18 fround boundary
+    cells because cent-quantized data lands exactly on .xxxx5 ties.
+    Integer sums are associative, so both engines produce bit-equal
+    doubles and no final rounding is needed at all.
+
+    Scale: the decomposition runs on the compacted hourly series (one
+    map-side-combined aggregation — the only data-sized stage); both
+    window passes are per-type partitions, never a global sort, and the
+    hod partition is |types| x 24 cells."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.floor(F.sum("value") * 10000 + F.lit(0.5)).cast("long").alias("ys")
+    )
+    idx = hourly.select(
+        "event_type",
+        "h",
+        "ys",
+        F.expr("unix_timestamp(h) div 3600").alias("hidx"),
+        F.hour("h").alias("hod"),
+    )
+    w_tr = (
+        Window.partitionBy("event_type").orderBy("hidx").rangeBetween(-12, 12)
+    )
+    tr = idx.select(
+        "event_type",
+        "h",
+        "hod",
+        (F.col("ys") / 10000.0).alias("y"),
+        (
+            (F.sum("ys").over(w_tr).cast("double") / F.count("ys").over(w_tr))
+            / 10000.0
+        ).alias("trend"),
+    )
+    dt = tr.withColumn(
+        "ds",
+        F.floor((F.col("y") - F.col("trend")) * 10000 + F.lit(0.5)).cast("long"),
+    )
+    w_se = Window.partitionBy("event_type", "hod")
+    se = dt.select(
+        "event_type",
+        "h",
+        "y",
+        "trend",
+        (
+            (F.sum("ds").over(w_se).cast("double") / F.count("ds").over(w_se))
+            / 10000.0
+        ).alias("seasonal"),
+    )
+    return se.select(
+        "event_type",
+        "h",
+        "y",
+        "trend",
+        "seasonal",
+        (F.col("y") - F.col("trend") - F.col("seasonal")).alias("resid"),
+    )

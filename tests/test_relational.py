@@ -848,3 +848,105 @@ def test_cusum_window_identity_equals_recursion():
             zs += [rng.gauss(2, 1) for _ in range(40)]  # level shift
         a, b = recursive(zs), windowed(zs)
         assert all(abs(x - y) < 1e-9 for x, y in zip(a, b))
+
+
+def test_grouped_ols_recovers_exact_plane(spark):
+    """OLS on an exactly-linear constructed dataset must recover the
+    plane coefficients and r2 == 1 per group — and a second group with a
+    different plane must come back with ITS coefficients (the grouped
+    Gram cells don't bleed across groups)."""
+    from randas_spark.operators.regression import grouped_ols
+
+    rows = []
+    for g, (b0, b1, b2) in (("a", (2.0, 3.0, -5.0)), ("b", (-1.0, 0.5, 4.0))):
+        for x1 in range(1, 7):
+            for x2 in range(0, 5):
+                rows.append((g, float(x1), float(x2), b0 + b1 * x1 + b2 * x2))
+    df = spark.createDataFrame(rows, ["g", "x1", "x2", "y"])
+    got = {
+        r.g: r
+        for r in grouped_ols(df, ["g"], "x1", "x2", "y", scale_y=1000).collect()
+    }
+    assert got["a"].n == 30 and got["b"].n == 30
+    for g, (b0, b1, b2) in (("a", (2.0, 3.0, -5.0)), ("b", (-1.0, 0.5, 4.0))):
+        assert got[g].b0 == pytest.approx(b0, abs=1e-3)
+        assert got[g].b1 == pytest.approx(b1, abs=1e-3)
+        assert got[g].b2 == pytest.approx(b2, abs=1e-3)
+        assert got[g].r2 == pytest.approx(1.0, abs=1e-3)
+
+
+def test_grouped_ols_r2_zero_for_pure_noise_features(spark):
+    """Features statistically unrelated to y (y depends only on the row
+    index parity, features constant) must not explain variance: the
+    solve stays finite and r2 is far below 1."""
+    from randas_spark.operators.regression import grouped_ols
+
+    rows = [("g", float(i % 7), float((i * 3) % 5), float(i % 2)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["g", "x1", "x2", "y"])
+    r = grouped_ols(df, ["g"], "x1", "x2", "y", scale_y=1000).collect()[0]
+    assert r.n == 200
+    assert abs(r.r2) < 0.2
+
+
+def test_blocked_name_matches_scores_and_cap(spark):
+    """Hand fixture: 'red widget' vs 'red gadget' share the 'red' block;
+    the bigram-Jaccard score must equal the hand-computed set value, and
+    a block over the cap must be dropped entirely (no pairs from a
+    stopword-town block)."""
+    from randas_spark.operators.linkage import blocked_name_matches
+
+    def bigrams(s):
+        return {s[i : i + 2] for i in range(len(s) - 1)} if len(s) > 1 else {s}
+
+    a, b = "red widget", "red gadget"
+    expected = len(bigrams(a) & bigrams(b)) / len(bigrams(a) | bigrams(b))
+
+    df = spark.createDataFrame(
+        [(a,)] * 3 + [(b,)] * 2 + [("blue bolt",)],
+        ["p_name"],
+    )
+    out = blocked_name_matches(df, "p_name", threshold=0.1).collect()
+    pairs = {(r.name_a, r.name_b): r for r in out}
+    assert (a1 := pairs.get((b, a))) is not None  # 'red gadget' < 'red widget'
+    assert a1.n_a == 2 and a1.n_b == 3
+    assert a1.sim == pytest.approx(expected, abs=1e-4)
+    # 'blue bolt' shares no token with the others: never paired
+    assert all("blue bolt" not in k for k in pairs)
+
+    # cap: with block_cap=1 the 'red' block (size 2) is dropped -> no rows
+    capped = blocked_name_matches(df, "p_name", threshold=0.1, block_cap=1)
+    assert capped.count() == 0
+
+
+def test_seasonal_decompose_identity_and_trend(spark):
+    """The additive identity y == trend + seasonal + resid must hold
+    row-for-row, and the trend of one sampled series point must equal an
+    independently computed quantized 25-hour centered moving average."""
+    import pandas as pd
+
+    from randas_spark.queries import queries, t
+
+    out = queries()["rel_seasonal_decompose"](spark, SF_DIR)
+    pdf = out.toPandas()
+    assert len(pdf) > 0
+    recon = pdf["trend"] + pdf["seasonal"] + pdf["resid"]
+    assert (pdf["y"] - recon).abs().max() < 1e-9
+
+    # independent trend recomputation for the first event_type via pandas
+    ev = (
+        t(spark, SF_DIR, "events")
+        .select("event_type", "ts", "value")
+        .toPandas()
+    )
+    etype = sorted(ev["event_type"].dropna().unique())[0]
+    s = ev[ev["event_type"] == etype].copy()
+    s["h"] = s["ts"].dt.floor("h")
+    hourly = s.groupby("h")["value"].sum().sort_index()
+    ys = (hourly * 10000 + 0.5).apply(lambda v: int(v // 1))
+    hidx = (hourly.index.astype("int64") // 10**9) // 3600
+    mid = len(ys) // 2
+    lo, hi = hidx[mid] - 12, hidx[mid] + 12
+    in_win = [(i >= lo) and (i <= hi) for i in hidx]
+    expect_trend = (ys[in_win].sum() / sum(in_win)) / 10000.0
+    got = pdf[(pdf["event_type"] == etype) & (pdf["h"] == hourly.index[mid])]
+    assert got["trend"].iloc[0] == pytest.approx(expect_trend, abs=1e-9)
