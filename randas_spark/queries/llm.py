@@ -4058,3 +4058,89 @@ def llm_sample_weighted_stratified(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rk") <= 10)
         .select("doc_id", "source", "n_chars")
     )
+
+
+@register(
+    "llm_pmi_collocations",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(tk) AS w,
+               unnest(generate_series(1, len(tk))) AS pos
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents)
+    ),
+    tok_ne AS (SELECT * FROM tok WHERE w <> ''),
+    uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM tok_ne GROUP BY w),
+    nu AS (SELECT CAST(sum(cu) AS DOUBLE) AS nu FROM uni),
+    big AS (
+        SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS cb
+        FROM tok_ne a JOIN tok_ne b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2
+    ),
+    nb AS (SELECT CAST(sum(cb) AS DOUBLE) AS nb FROM big)
+    SELECT w1, w2, cb,
+           floor(log2((CAST(cb AS DOUBLE) / nb)
+                      / ((CAST(u1.cu AS DOUBLE) / nu)
+                         * (CAST(u2.cu AS DOUBLE) / nu))) * 10000 + 0.5)
+               / 10000 AS pmi
+    FROM big
+    JOIN uni u1 ON u1.w = big.w1
+    JOIN uni u2 ON u2.w = big.w2
+    CROSS JOIN nu CROSS JOIN nb
+    WHERE cb >= 5
+    """,
+)
+def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining over adjacent
+    token pairs — the word2phrase-style statistic behind phrase
+    detection and tokenizer merge candidates: PMI = log2(P(xy) /
+    (P(x)P(y))) with a min-count floor so rare accidents don't surface.
+
+    Scale: the token table is linear in the corpus and carries (doc_id,
+    pos); the bigram stage is a co-partitioned equi-join on (doc_id,
+    pos+1) — no array zips materializing per-doc pair lists, no skew
+    (positions are unique within a doc). Unigram/bigram totals are
+    1-row broadcast aggregates; PMI evaluates in codegen from exact
+    integer counts, so both engines emit bit-equal doubles."""
+    d = t(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos0", "w"),
+        )
+        .filter(F.col("w") != "")
+        # the oracle's generate_series positions are 1-based; match them
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    )
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    nu = uni.agg(F.sum("cu").cast("double").alias("nu"))
+    a = tok.select("doc_id", "pos", F.col("w").alias("w1"))
+    b = tok.select("doc_id", (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2"))
+    big = (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    nb = big.agg(F.sum("cb").cast("double").alias("nb"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cu").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cu").alias("c2"))
+    pmi = F.log2(
+        (F.col("cb").cast("double") / F.col("nb"))
+        / (
+            (F.col("c1").cast("double") / F.col("nu"))
+            * (F.col("c2").cast("double") / F.col("nu"))
+        )
+    )
+    return (
+        big.filter(F.col("cb") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "cb",
+            (F.floor(pmi * 10000 + F.lit(0.5)) / 10000).alias("pmi"),
+        )
+    )

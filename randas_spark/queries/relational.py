@@ -3041,3 +3041,187 @@ def rel_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seasonal",
         (F.col("y") - F.col("trend") - F.col("seasonal")).alias("resid"),
     )
+
+
+@register(
+    "rel_infogain_features",
+    oracle=f"""
+    WITH base AS (
+        SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label,
+               CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bin,
+               CAST(floor(l_discount * 100 / 2) AS BIGINT) AS disc_bin,
+               CAST(floor(l_tax * 100 / 2) AS BIGINT) AS tax_bin,
+               CAST(extract(month FROM l_shipdate::TIMESTAMP) AS BIGINT) AS month_bin
+        FROM lineitem
+    ),
+    stacked AS (
+        SELECT 'quantity' AS feature, qty_bin AS bin, label FROM base
+        UNION ALL
+        SELECT 'discount' AS feature, disc_bin AS bin, label FROM base
+        UNION ALL
+        SELECT 'tax' AS feature, tax_bin AS bin, label FROM base
+        UNION ALL
+        SELECT 'ship_month' AS feature, month_bin AS bin, label FROM base
+    ),
+    cells AS (
+        SELECT feature, bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(label) AS BIGINT) AS pos
+        FROM stacked GROUP BY 1, 2
+    ),
+    terms AS (
+        SELECT feature, bin, n, pos,
+               (CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY feature) AS DOUBLE))
+               * (CASE WHEN pos = 0 OR pos = n THEN 0.0
+                       ELSE -((CAST(pos AS DOUBLE) / n) * log2(CAST(pos AS DOUBLE) / n)
+                              + (1.0 - CAST(pos AS DOUBLE) / n)
+                                * log2(1.0 - CAST(pos AS DOUBLE) / n))
+                  END) AS term
+        FROM cells
+    ),
+    feat AS (
+        SELECT feature,
+               CAST(count(*) AS BIGINT) AS n_bins,
+               CAST(sum(n) AS DOUBLE) AS nn,
+               CAST(sum(pos) AS DOUBLE) AS pp,
+               sum(term) AS h_cond
+        FROM terms GROUP BY feature
+    )
+    SELECT feature, n_bins,
+           {sql_fround('''(CASE WHEN pp = 0 OR pp = nn THEN 0.0
+                  ELSE -((pp / nn) * log2(pp / nn)
+                         + (1.0 - pp / nn) * log2(1.0 - pp / nn))
+             END) - h_cond''', 4)} AS info_gain
+    FROM feat
+    """,
+)
+def rel_infogain_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-gain feature ranking for a binary label (returned
+    lineitems) over binned candidate features — the split-selection /
+    feature-audit statistic behind decision stumps and data-quality
+    feature reports: IG(f) = H(label) − Σ_b (n_b/N)·H(label|b).
+
+    Scale: ONE lineitem scan emits (feature, bin, label) via an inline
+    explode of a 4-struct array (no per-feature rescan — the UNION ALL
+    in the oracle is the SQL spelling, not the plan); the cell table is
+    |features|×|bins| integer counts with map-side combine, and both
+    entropies evaluate in codegen from those exact counts. Adding a
+    feature is one more array element, not another pass."""
+    li = t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("label"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("quantity").alias("feature"),
+                    F.floor(F.col("l_quantity") / 10).cast("long").alias("bin"),
+                ),
+                F.struct(
+                    F.lit("discount").alias("feature"),
+                    F.floor(F.col("l_discount") * 100 / 2).cast("long").alias("bin"),
+                ),
+                F.struct(
+                    F.lit("tax").alias("feature"),
+                    F.floor(F.col("l_tax") * 100 / 2).cast("long").alias("bin"),
+                ),
+                F.struct(
+                    F.lit("ship_month").alias("feature"),
+                    F.month("l_shipdate").cast("long").alias("bin"),
+                ),
+            )
+        ).alias("fb"),
+    ).select("label", F.col("fb.feature").alias("feature"), F.col("fb.bin").alias("bin"))
+    cells = base.groupBy("feature", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("label").cast("long").alias("pos"),
+    )
+
+    def h(p):
+        return -(p * F.log2(p) + (1.0 - p) * F.log2(1.0 - p))
+
+    nf = F.sum("n").over(Window.partitionBy("feature")).cast("double")
+    pb = F.col("pos").cast("double") / F.col("n")
+    cell_term = (F.col("n").cast("double") / nf) * (
+        F.when((F.col("pos") == 0) | (F.col("pos") == F.col("n")), 0.0).otherwise(h(pb))
+    )
+    feat = (
+        cells.withColumn("term", cell_term)
+        .groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.sum("n").cast("double").alias("nn"),
+            F.sum("pos").cast("double").alias("pp"),
+            F.sum("term").alias("h_cond"),
+        )
+    )
+    pt = F.col("pp") / F.col("nn")
+    h_label = F.when(
+        (F.col("pp") == 0) | (F.col("pp") == F.col("nn")), 0.0
+    ).otherwise(h(pt))
+    return feat.select(
+        "feature",
+        "n_bins",
+        fround(h_label - F.col("h_cond"), 4).alias("info_gain"),
+    )
+
+
+@register(
+    "rel_sequence_pair_support",
+    oracle=f"""
+    WITH spans AS (
+        SELECT user_id, event_type,
+               min(ts::TIMESTAMP) AS t0, max(ts::TIMESTAMP) AS t1
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    total AS (
+        SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n_total FROM spans
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM spans a JOIN spans b ON a.user_id = b.user_id
+        WHERE a.event_type <> b.event_type AND a.t0 < b.t1
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_users,
+           {sql_fround('CAST(n_users AS DOUBLE) / n_total', 6)} AS support
+    FROM pairs CROSS JOIN total
+    """,
+)
+def rel_sequence_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern support (PrefixSpan level-2): for each ordered
+    pair of event types, the share of users who performed type_a and
+    LATER type_b at least once. 'a then b somewhere' reduces to
+    min_ts(a) < max_ts(b) on the per-(user, type) span table, so no
+    event-level self-join ever forms.
+
+    Scale: events compact to |users|×|types| span rows in one map-side
+    combined aggregation (the only data-sized stage); the pair join is
+    per-user with fan-out bounded by |types|^2, co-partitioned on
+    user_id; the total is a 1-row broadcast."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    spans = e.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    total = spans.agg(
+        F.countDistinct("user_id").cast("double").alias("n_total")
+    )
+    a = spans.select("user_id", F.col("event_type").alias("type_a"), "t0")
+    b = spans.select("user_id", F.col("event_type").alias("type_b"), "t1")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("type_a") != F.col("type_b")) & (F.col("t0") < F.col("t1"))
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    return pairs.crossJoin(F.broadcast(total)).select(
+        "type_a",
+        "type_b",
+        "n_users",
+        fround(F.col("n_users").cast("double") / F.col("n_total"), 6).alias(
+            "support"
+        ),
+    )

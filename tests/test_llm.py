@@ -2145,3 +2145,33 @@ def test_weighted_sampling_biases_toward_long_docs(spark):
         len(v) for v in per_src.values()
     )
     assert mean_strat > mean_all
+
+
+def test_pmi_collocations_match_pandas_recompute(spark):
+    """Spot-check: every (w1, w2) row's count and PMI must equal an
+    independent pandas/python recomputation over the same corpus, and
+    no pair below the min-count floor may appear."""
+    import math
+
+    from collections import Counter
+
+    from randas_spark.queries import queries, t
+
+    docs = t(spark, SF_DIR, "documents").select("text").toPandas()["text"]
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for text in docs:
+        toks = [w for w in text.lower().split(" ") if w != ""]
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    nu, nb = float(sum(uni.values())), float(sum(big.values()))
+
+    rows = queries()["llm_pmi_collocations"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    got = {(r.w1, r.w2): r for r in rows}
+    expected = {k: c for k, c in big.items() if c >= 5}
+    assert set(got) == set(expected)
+    for (w1, w2), c in expected.items():
+        pmi = math.log2((c / nb) / ((uni[w1] / nu) * (uni[w2] / nu)))
+        assert got[(w1, w2)].cb == c
+        assert got[(w1, w2)].pmi == pytest.approx(pmi, abs=1e-3)

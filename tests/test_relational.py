@@ -950,3 +950,58 @@ def test_seasonal_decompose_identity_and_trend(spark):
     expect_trend = (ys[in_win].sum() / sum(in_win)) / 10000.0
     got = pdf[(pdf["event_type"] == etype) & (pdf["h"] == hourly.index[mid])]
     assert got["trend"].iloc[0] == pytest.approx(expect_trend, abs=1e-9)
+
+
+def test_infogain_matches_pandas_recompute(spark):
+    """Every feature's info gain must equal an independent pandas
+    recomputation of IG = H(label) - sum (n_b/N) H(label|b) over the
+    same bin definitions."""
+    import math
+
+    from randas_spark.queries import queries, t
+
+    li = t(spark, SF_DIR, "lineitem").toPandas()
+    li["label"] = (li["l_returnflag"] == "R").astype(int)
+    bins = {
+        "quantity": (li["l_quantity"] / 10).apply(math.floor),
+        "discount": (li["l_discount"] * 100 / 2).apply(math.floor),
+        "tax": (li["l_tax"] * 100 / 2).apply(math.floor),
+        "ship_month": li["l_shipdate"].dt.month,
+    }
+
+    def h(p):
+        return 0.0 if p in (0.0, 1.0) else -(p * math.log2(p) + (1 - p) * math.log2(1 - p))
+
+    got = {r.feature: r for r in queries()["rel_infogain_features"](spark, SF_DIR).collect()}
+    n_total = len(li)
+    h_label = h(li["label"].sum() / n_total)
+    for feature, b in bins.items():
+        cells = li.groupby(b)["label"].agg(["count", "sum"])
+        h_cond = sum(
+            (c / n_total) * h(s / c) for c, s in zip(cells["count"], cells["sum"])
+        )
+        assert got[feature].n_bins == len(cells)
+        assert got[feature].info_gain == pytest.approx(h_label - h_cond, abs=1e-3)
+
+
+def test_sequence_pair_support_matches_pandas(spark):
+    """Pair support must equal a brute-force per-user ordered-pair scan
+    in pandas (exists an a-event strictly before some b-event)."""
+    from randas_spark.queries import queries, t
+
+    ev = t(spark, SF_DIR, "events").toPandas().dropna(subset=["user_id"])
+    spans = ev.groupby(["user_id", "event_type"])["ts"].agg(["min", "max"])
+    expected: dict[tuple[str, str], int] = {}
+    for user, g in spans.groupby(level=0):
+        types = g.droplevel(0)
+        for ta in types.index:
+            for tb in types.index:
+                if ta != tb and types.loc[ta, "min"] < types.loc[tb, "max"]:
+                    expected[(ta, tb)] = expected.get((ta, tb), 0) + 1
+    n_total = ev["user_id"].nunique()
+    rows = queries()["rel_sequence_pair_support"](spark, SF_DIR).collect()
+    got = {(r.type_a, r.type_b): r for r in rows}
+    assert set(got) == set(expected)
+    for k, n in expected.items():
+        assert got[k].n_users == n
+        assert got[k].support == pytest.approx(n / n_total, abs=1e-5)
