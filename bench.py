@@ -79,6 +79,11 @@ HEADLINE = [
     # round-6 seventh pass: compressed-ANN representative (blocked PQ
     # trainer + ADC; BASELINE.md r6 row, flat 1.1x slope at 10x)
     "llm_knn_pq_adc",
+    # round-6 continuation-2 representatives: closed-form model fitting
+    # (Gram-sum OLS) and the token-pair PMI join; BASELINE.md rows + 10x
+    # slopes in the continuation-2 table
+    "rel_ols_grouped",
+    "llm_pmi_collocations",
 ]
 
 
