@@ -3225,3 +3225,83 @@ def rel_sequence_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
             "support"
         ),
     )
+
+
+@register(
+    "rel_incremental_rollup",
+    oracle=f"""
+    WITH {_HLL_REGS_CTE},
+    est AS ({_sql_hll_est('regs')}),
+    scalars AS (
+        SELECT o_orderpriority AS grp,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+                   AS revenue,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price
+        FROM orders GROUP BY 1
+    )
+    SELECT grp AS o_orderpriority, n_orders, revenue, min_price, max_price,
+           {sql_fround('est0', 6)} AS approx_customers
+    FROM scalars JOIN est USING (grp)
+    """,
+)
+def rel_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-priority order rollup
+    (count / revenue / min / max / HLL distinct customers) is computed
+    as BASE partial states (orders before 1998) merged with a DELTA
+    batch (1998 on) — never a full rescan of the combined input. The
+    oracle recomputes the view from scratch, so the green row IS the
+    IVM correctness proof: merge(partial(base), partial(delta)) ==
+    full(base ∪ delta).
+
+    Mergeability discipline: counts and scaled-int sums add; min/max
+    re-minimize; HLL registers per-bucket-max (the same law
+    rel_hll_portable pins cross-engine). Every state is O(groups) or
+    O(groups × 256) — at 100 TB the delta merge touches partial-state
+    tables only, which is the entire point of maintaining the view.
+    """
+    from randas_spark.operators.sketches import hll_estimate, hll_registers
+
+    o = t(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    base, delta = o.filter(F.col("o_orderdate") < cutoff), o.filter(
+        F.col("o_orderdate") >= cutoff
+    )
+
+    def scalar_state(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("s"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    merged = (
+        scalar_state(base)
+        .unionByName(scalar_state(delta))
+        .groupBy("grp")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            (F.sum("s") / 100.0).alias("revenue"),
+            F.min("mn").alias("min_price"),
+            F.max("mx").alias("max_price"),
+        )
+    )
+    regs = (
+        hll_registers(base, "o_custkey", ["o_orderpriority"])
+        .unionByName(hll_registers(delta, "o_custkey", ["o_orderpriority"]))
+        .groupBy(F.col("o_orderpriority").alias("grp"), F.col("bucket"))
+        .agg(F.max("rho").alias("rho"))
+    )
+    est = hll_estimate(regs, ["grp"])
+    return merged.join(est, "grp").select(
+        F.col("grp").alias("o_orderpriority"),
+        "n_orders",
+        "revenue",
+        "min_price",
+        "max_price",
+        fround(F.col("est"), 6).alias("approx_customers"),
+    )

@@ -1005,3 +1005,38 @@ def test_sequence_pair_support_matches_pandas(spark):
     for k, n in expected.items():
         assert got[k].n_users == n
         assert got[k].support == pytest.approx(n / n_total, abs=1e-5)
+
+
+def test_incremental_rollup_equals_full_recompute(spark):
+    """The IVM query's merged base+delta states must equal a direct
+    full-scan rollup computed independently here (scalar states), and
+    every group present in the data must appear."""
+    from randas_spark.queries import queries, t
+
+    rows = {r.o_orderpriority: r for r in queries()["rel_incremental_rollup"](spark, SF_DIR).collect()}
+    o = t(spark, SF_DIR, "orders")
+    full = {
+        r.o_orderpriority: r
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+                / 100.0
+            ).alias("revenue"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.countDistinct("o_custkey").alias("exact_custs"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(full)
+    for g, r in rows.items():
+        assert r.n_orders == full[g].n_orders
+        assert r.revenue == pytest.approx(full[g].revenue, abs=1e-6)
+        assert r.min_price == full[g].min_price
+        assert r.max_price == full[g].max_price
+        # HLL estimate within 10% of exact at 256 registers
+        assert abs(r.approx_customers - full[g].exact_custs) <= 0.10 * max(
+            full[g].exact_custs, 20
+        )
