@@ -378,3 +378,35 @@ def stream_hll_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from randas_spark.streaming.engine import hll_stream_registers
 
     return hll_stream_registers(t(spark, sf_dir, "events"), "user_id")
+
+
+@register(
+    "stream_rollup_states",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) / 1000.0
+               AS total_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_rollup_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained scalar rollup view
+    (engine.rollup_stream_states): per-type count/sum/min/max as
+    streaming aggregation state — the live dashboard view with
+    O(groups) state. pytest replays the builder over readStream across
+    multiple triggers and asserts cell equality with a batch rebuild;
+    the batch base/delta merge law is rel_incremental_rollup."""
+    from pyspark.sql import functions as F
+    from randas_spark.streaming.engine import rollup_stream_states
+
+    states = rollup_stream_states(t(spark, sf_dir, "events"))
+    return states.select(
+        "event_type",
+        "n_events",
+        (F.col("s") / 1000.0).alias("total_value"),
+        "min_value",
+        "max_value",
+    )

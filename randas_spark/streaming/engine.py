@@ -642,3 +642,25 @@ def cusum_alert_state(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def rollup_stream_states(df: DataFrame, group_col: str = "event_type", value_col: str = "value") -> DataFrame:
+    """Streaming incremental view maintenance: the per-group scalar
+    rollup (count / scaled-int sum / min / max) IS a streaming
+    aggregation — every state is a commutative monoid (counts and exact
+    integer sums add, min/max re-minimize), so complete/update mode
+    holds the live view with O(groups) state however long the stream
+    runs, and a batch rebuild reproduces it bit-for-bit. The batch IVM
+    twin (rel_incremental_rollup) proves the same merge law across a
+    base/delta split; this is the per-micro-batch version of that law.
+    The sum runs over floor(value*1000+0.5) int64 cells so state
+    restore order across triggers can never produce a float-order
+    divergence from the batch twin."""
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.floor(F.col(value_col) * 1000 + F.lit(0.5)).cast("long")
+        ).alias("s"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )

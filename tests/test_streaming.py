@@ -740,3 +740,22 @@ def test_cusum_stream_skips_unmodeled_types(spark, batch_events):
         files_per_trigger=1,
     )
     assert streamed.count() == 0
+
+
+def test_rollup_states_stream_matches_batch(spark, batch_events):
+    """The streamed scalar rollup states (count/int-sum/min/max as
+    streaming aggregation state) must equal a batch rebuild over the
+    same doubled input, across >=2 micro-batches so the cross-trigger
+    state restore (monoid merge) is exercised — counts and sums are NOT
+    duplicate-idempotent, so the batch twin doubles the input too."""
+    from randas_spark.streaming.engine import rollup_stream_states
+
+    batch = rollup_stream_states(batch_events.union(batch_events))
+    streamed = _run_stream(
+        spark,
+        rollup_stream_states,
+        "t_rollup_states",
+        copies=2,
+        files_per_trigger=1,
+    )
+    assert _collect_sorted(streamed) == _collect_sorted(batch)
