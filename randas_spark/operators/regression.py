@@ -201,3 +201,214 @@ def sql_grouped_ols(
            {sql_fround('1.0 - (ayy - b0 * ay - b1 * a1y - b2 * a2y) / (ayy - ay * ay / n)', digits)} AS r2
     FROM coefs
     """
+
+
+def _logreg_scaled_cols(x1: str, x2: str, label_pred: str):
+    """Integerized features + binary label, shared by both engines:
+    the model is DEFINED over floor(x+0.5)-integerized features, so
+    feature values are exactly identical cross-engine and every Gram /
+    gradient cell below is an exact int64 sum."""
+    sx1 = F.floor(F.col(x1) + F.lit(0.5)).cast("long")
+    sx2 = F.floor(F.col(x2) * 100 + F.lit(0.5)).cast("long")
+    return sx1, sx2
+
+
+def logreg_newton(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    label: Column,
+    n_iter: int = 2,
+    digits: int = 6,
+) -> DataFrame:
+    """Logistic regression via ``n_iter`` Newton-Raphson (IRLS) steps —
+    iterative distributed model fitting with a cross-engine-exact
+    contract.
+
+    The determinism discipline extends the Gram-sum OLS trick to an
+    ITERATIVE optimizer (the same move llm_bpe_learn makes for merge
+    learning): per-row sigmoid outputs are quantized to the 1e-6 grid
+    (``floor(p*1e6+0.5)`` int64), so every gradient/Hessian cell is an
+    exact integer sum — associative, order-free — and the per-step
+    3x3 Cramer solve runs on bit-identical doubles on both engines.
+    The only cross-engine exposure is libm ``exp`` landing within half
+    an ulp of a quantization boundary (~1e-10/row). Step 1 is even
+    exact: b=0 gives p=0.5 on every row.
+
+    Scale: each step is ONE map-side-combined scan emitting 9 int
+    cells; the solve is a constant-size codegen expression; n_iter
+    chained steps = n_iter scans, no driver-side data motion. Output:
+    one row (n, b0, b1, b2, accuracy) where accuracy is the training
+    0/1 score of the final boundary (sign of eta — no exp in the
+    finisher).
+    """
+    from randas_spark.queries import fround
+
+    sx1, sx2 = _logreg_scaled_cols(x1, x2, label)
+    data = df.select(
+        sx1.alias("sx1"), sx2.alias("sx2"), label.cast("long").alias("y")
+    )
+    b = (0.0, 0.0, 0.0)  # literal state: folded into each step's plan
+    bdf = None
+    for _ in range(n_iter):
+        if bdf is None:
+            eta = F.lit(b[0]) + F.lit(b[1]) * F.col("sx1") + F.lit(b[2]) * F.col("sx2")
+            step_in = data
+        else:
+            eta = (
+                F.col("b0")
+                + F.col("b1") * F.col("sx1")
+                + F.col("b2") * F.col("sx2")
+            )
+            step_in = data.crossJoin(F.broadcast(bdf))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        pq = F.floor(p * 1000000 + F.lit(0.5)).cast("long")
+        wq = F.floor(p * (F.lit(1.0) - p) * 1000000 + F.lit(0.5)).cast("long")
+        r = F.col("y") * F.lit(1000000).cast("long") - pq
+        cells = step_in.select(
+            F.col("sx1"), F.col("sx2"), r.alias("r"), wq.alias("w"),
+            *( [F.col("b0"), F.col("b1"), F.col("b2")] if bdf is not None else
+               [F.lit(b[0]).alias("b0"), F.lit(b[1]).alias("b1"), F.lit(b[2]).alias("b2")] ),
+        )
+        s = cells.groupBy("b0", "b1", "b2").agg(
+            F.sum("r").alias("g0"),
+            F.sum(F.col("sx1") * F.col("r")).alias("g1"),
+            F.sum(F.col("sx2") * F.col("r")).alias("g2"),
+            F.sum("w").alias("h00"),
+            F.sum(F.col("sx1") * F.col("w")).alias("h01"),
+            F.sum(F.col("sx2") * F.col("w")).alias("h02"),
+            F.sum(F.col("sx1") * F.col("sx1") * F.col("w")).alias("h11"),
+            F.sum(F.col("sx1") * F.col("sx2") * F.col("w")).alias("h12"),
+            F.sum(F.col("sx2") * F.col("sx2") * F.col("w")).alias("h22"),
+        )
+        # Cramer solve of H delta = g on the exact int sums (common 1e-6
+        # scale cancels between H and g); same expression tree as the SQL
+        a00, a01, a02 = (F.col("h00").cast("double"), F.col("h01").cast("double"), F.col("h02").cast("double"))
+        a11, a12, a22 = (F.col("h11").cast("double"), F.col("h12").cast("double"), F.col("h22").cast("double"))
+        g0, g1, g2 = (F.col("g0").cast("double"), F.col("g1").cast("double"), F.col("g2").cast("double"))
+        det = (
+            a00 * (a11 * a22 - a12 * a12)
+            - a01 * (a01 * a22 - a12 * a02)
+            + a02 * (a01 * a12 - a11 * a02)
+        )
+        d0 = (
+            g0 * (a11 * a22 - a12 * a12)
+            - a01 * (g1 * a22 - a12 * g2)
+            + a02 * (g1 * a12 - a11 * g2)
+        ) / det
+        d1 = (
+            a00 * (g1 * a22 - a12 * g2)
+            - g0 * (a01 * a22 - a12 * a02)
+            + a02 * (a01 * g2 - g1 * a02)
+        ) / det
+        d2 = (
+            a00 * (a11 * g2 - g1 * a12)
+            - a01 * (a01 * g2 - g1 * a02)
+            + g0 * (a01 * a12 - a11 * a02)
+        ) / det
+        # Singular-Hessian guard (e.g. a constant feature): det == 0
+        # would send NaN through every later step; hold the coefficients
+        # instead. Mirrored as CASE det = 0 in the SQL twin.
+        bdf = s.select(
+            F.when(det == 0, F.col("b0")).otherwise(F.col("b0") + d0).alias("b0"),
+            F.when(det == 0, F.col("b1")).otherwise(F.col("b1") + d1).alias("b1"),
+            F.when(det == 0, F.col("b2")).otherwise(F.col("b2") + d2).alias("b2"),
+        )
+    scored = data.crossJoin(F.broadcast(bdf))
+    eta = F.col("b0") + F.col("b1") * F.col("sx1") + F.col("b2") * F.col("sx2")
+    correct = F.when((eta >= 0) == (F.col("y") == 1), 1).otherwise(0)
+    return scored.groupBy("b0", "b1", "b2").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(correct).cast("long").alias("n_correct"),
+    ).select(
+        F.col("n"),
+        fround(F.col("b0"), digits).alias("b0"),
+        fround(F.col("b1"), digits).alias("b1"),
+        fround(F.col("b2"), digits).alias("b2"),
+        fround(F.col("n_correct").cast("double") / F.col("n"), digits).alias(
+            "accuracy"
+        ),
+    )
+
+
+def sql_logreg_newton(
+    table_expr: str,
+    x1: str,
+    x2: str,
+    label_sql: str,
+    n_iter: int = 2,
+    digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`logreg_newton`: the Newton loop macro-
+    expands into one CTE pair (cells -> solve) per step, each carrying
+    the previous step's coefficients via a 1-row CROSS JOIN — the same
+    Cramer expression tree, the same int64 quantization."""
+    from randas_spark.queries import sql_fround
+
+    base = f"""
+    base AS (
+        SELECT CAST(floor({x1} + 0.5) AS BIGINT) AS sx1,
+               CAST(floor({x2} * 100 + 0.5) AS BIGINT) AS sx2,
+               CAST({label_sql} AS BIGINT) AS y
+        FROM {table_expr}
+    ),
+    it0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)"""
+    solve = """
+        CAST(h00 AS DOUBLE) * (CAST(h11 AS DOUBLE) * CAST(h22 AS DOUBLE) - CAST(h12 AS DOUBLE) * CAST(h12 AS DOUBLE))
+        - CAST(h01 AS DOUBLE) * (CAST(h01 AS DOUBLE) * CAST(h22 AS DOUBLE) - CAST(h12 AS DOUBLE) * CAST(h02 AS DOUBLE))
+        + CAST(h02 AS DOUBLE) * (CAST(h01 AS DOUBLE) * CAST(h12 AS DOUBLE) - CAST(h11 AS DOUBLE) * CAST(h02 AS DOUBLE))"""
+    d0 = """(
+        CAST(g0 AS DOUBLE) * (CAST(h11 AS DOUBLE) * CAST(h22 AS DOUBLE) - CAST(h12 AS DOUBLE) * CAST(h12 AS DOUBLE))
+        - CAST(h01 AS DOUBLE) * (CAST(g1 AS DOUBLE) * CAST(h22 AS DOUBLE) - CAST(h12 AS DOUBLE) * CAST(g2 AS DOUBLE))
+        + CAST(h02 AS DOUBLE) * (CAST(g1 AS DOUBLE) * CAST(h12 AS DOUBLE) - CAST(h11 AS DOUBLE) * CAST(g2 AS DOUBLE))
+    ) / det"""
+    d1 = """(
+        CAST(h00 AS DOUBLE) * (CAST(g1 AS DOUBLE) * CAST(h22 AS DOUBLE) - CAST(h12 AS DOUBLE) * CAST(g2 AS DOUBLE))
+        - CAST(g0 AS DOUBLE) * (CAST(h01 AS DOUBLE) * CAST(h22 AS DOUBLE) - CAST(h12 AS DOUBLE) * CAST(h02 AS DOUBLE))
+        + CAST(h02 AS DOUBLE) * (CAST(h01 AS DOUBLE) * CAST(g2 AS DOUBLE) - CAST(g1 AS DOUBLE) * CAST(h02 AS DOUBLE))
+    ) / det"""
+    d2 = """(
+        CAST(h00 AS DOUBLE) * (CAST(h11 AS DOUBLE) * CAST(g2 AS DOUBLE) - CAST(g1 AS DOUBLE) * CAST(h12 AS DOUBLE))
+        - CAST(h01 AS DOUBLE) * (CAST(h01 AS DOUBLE) * CAST(g2 AS DOUBLE) - CAST(g1 AS DOUBLE) * CAST(h02 AS DOUBLE))
+        + CAST(g0 AS DOUBLE) * (CAST(h01 AS DOUBLE) * CAST(h12 AS DOUBLE) - CAST(h11 AS DOUBLE) * CAST(h02 AS DOUBLE))
+    ) / det"""
+    ctes = [base]
+    for i in range(1, n_iter + 1):
+        prev = f"it{i - 1}"
+        ctes.append(f"""
+    cells{i} AS (
+        SELECT sx1, sx2, b0, b1, b2,
+               CAST(y * 1000000 AS BIGINT)
+                   - CAST(floor((1.0 / (1.0 + exp(-(b0 + b1 * sx1 + b2 * sx2)))) * 1000000 + 0.5) AS BIGINT) AS r,
+               CAST(floor((1.0 / (1.0 + exp(-(b0 + b1 * sx1 + b2 * sx2))))
+                          * (1.0 - (1.0 / (1.0 + exp(-(b0 + b1 * sx1 + b2 * sx2)))))
+                          * 1000000 + 0.5) AS BIGINT) AS w
+        FROM base CROSS JOIN {prev}
+    ),
+    sums{i} AS (
+        SELECT b0, b1, b2,
+               sum(r) AS g0, sum(sx1 * r) AS g1, sum(sx2 * r) AS g2,
+               sum(w) AS h00, sum(sx1 * w) AS h01, sum(sx2 * w) AS h02,
+               sum(sx1 * sx1 * w) AS h11, sum(sx1 * sx2 * w) AS h12,
+               sum(sx2 * sx2 * w) AS h22
+        FROM cells{i} GROUP BY b0, b1, b2
+    ),
+    det{i} AS (SELECT *, ({solve}) AS det FROM sums{i}),
+    it{i} AS (
+        SELECT CASE WHEN det = 0 THEN b0 ELSE b0 + {d0} END AS b0,
+               CASE WHEN det = 0 THEN b1 ELSE b1 + {d1} END AS b1,
+               CASE WHEN det = 0 THEN b2 ELSE b2 + {d2} END AS b2
+        FROM det{i}
+    )""")
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           {sql_fround('any_value(b0)', digits)} AS b0,
+           {sql_fround('any_value(b1)', digits)} AS b1,
+           {sql_fround('any_value(b2)', digits)} AS b2,
+           {sql_fround(
+               'CAST(sum(CASE WHEN ((b0 + b1 * sx1 + b2 * sx2) >= 0) = (y = 1) THEN 1 ELSE 0 END) AS DOUBLE) / count(*)',
+               digits,
+           )} AS accuracy
+    FROM base CROSS JOIN it{n_iter}
+    """

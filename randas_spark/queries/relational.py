@@ -3305,3 +3305,37 @@ def rel_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_price",
         fround(F.col("est"), 6).alias("approx_customers"),
     )
+
+
+from randas_spark.operators.regression import logreg_newton, sql_logreg_newton
+
+
+@register(
+    "rel_logreg_newton",
+    oracle=sql_logreg_newton(
+        "lineitem",
+        "l_quantity",
+        "l_discount",
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END",
+    ),
+)
+def rel_logreg_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative distributed model fitting: logistic regression on the
+    returned-lineitem label via two Newton-Raphson (IRLS) steps, with a
+    cross-engine-EXACT oracle (the macro-expanded CTE chain replays the
+    identical quantized iteration — the llm_bpe_learn discipline applied
+    to a numeric optimizer).
+
+    Scale: each Newton step is ONE map-side-combined lineitem scan
+    emitting 9 exact int64 gradient/Hessian cells (sigmoid outputs
+    quantized to the 1e-6 grid, so the sums are order-free); the 3x3
+    Cramer solve is constant-size codegen; the finisher scores the
+    sign of eta (no exp). n_iter steps = n_iter scans — no collect, no
+    per-iteration driver round-trip beyond plan building."""
+    li = t(spark, sf_dir, "lineitem")
+    return logreg_newton(
+        li,
+        "l_quantity",
+        "l_discount",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0),
+    )

@@ -1040,3 +1040,84 @@ def test_incremental_rollup_equals_full_recompute(spark):
         assert abs(r.approx_customers - full[g].exact_custs) <= 0.10 * max(
             full[g].exact_custs, 20
         )
+
+
+def test_logreg_newton_matches_numpy_replay(spark):
+    """The distributed quantized Newton iteration must match a local
+    numpy replay of the identical algorithm (same 1e-6 quantization,
+    same Cramer solve) on a constructed dataset — coefficients to 1e-6
+    and intercept near the true log-odds."""
+    import math
+
+    import numpy as np
+
+    from randas_spark.operators.regression import logreg_newton
+
+    rng = np.random.RandomState(7)
+    x1 = rng.randint(1, 51, size=2000).astype(float)
+    x2 = rng.randint(0, 11, size=2000).astype(float) / 100.0
+    logits = -2.0 + 0.08 * x1 - 0.1 * (x2 * 100)
+    y = (rng.rand(2000) < 1 / (1 + np.exp(-logits))).astype(int)
+
+    df = spark.createDataFrame(
+        [(float(a), float(b), int(c)) for a, b, c in zip(x1, x2, y)],
+        ["x1", "x2", "y"],
+    )
+    got = logreg_newton(df, "x1", "x2", F.col("y")).collect()[0]
+
+    sx1 = np.floor(x1 + 0.5).astype(np.int64)
+    sx2 = np.floor(x2 * 100 + 0.5).astype(np.int64)
+    b = np.zeros(3)
+    X = np.stack([np.ones_like(sx1), sx1, sx2]).astype(float)
+    for _ in range(2):
+        eta = b[0] + b[1] * sx1 + b[2] * sx2
+        p = 1.0 / (1.0 + np.exp(-eta))
+        pq = np.floor(p * 1e6 + 0.5).astype(np.int64)
+        wq = np.floor(p * (1.0 - p) * 1e6 + 0.5).astype(np.int64)
+        r = y * 1000000 - pq
+        g = np.array([r.sum(), (sx1 * r).sum(), (sx2 * r).sum()], dtype=float)
+        H = np.array(
+            [
+                [wq.sum(), (sx1 * wq).sum(), (sx2 * wq).sum()],
+                [(sx1 * wq).sum(), (sx1 * sx1 * wq).sum(), (sx1 * sx2 * wq).sum()],
+                [(sx2 * wq).sum(), (sx1 * sx2 * wq).sum(), (sx2 * sx2 * wq).sum()],
+            ],
+            dtype=float,
+        )
+        b = b + np.linalg.solve(H, g)
+    assert got.n == 2000
+    assert got.b0 == pytest.approx(b[0], abs=2e-6)
+    assert got.b1 == pytest.approx(b[1], abs=2e-6)
+    assert got.b2 == pytest.approx(b[2], abs=2e-6)
+    eta = b[0] + b[1] * sx1 + b[2] * sx2
+    acc = float(((eta >= 0) == (y == 1)).mean())
+    assert got.accuracy == pytest.approx(acc, abs=1e-6)
+
+
+def test_logreg_newton_separable_fixture_high_accuracy(spark):
+    """On a linearly separable fixture, two Newton steps must already
+    classify essentially everything correctly (the boundary moves to the
+    gap), and the slope sign must match the generating rule."""
+    from randas_spark.operators.regression import logreg_newton
+
+    rows = [
+        (float(q), float((q * 3) % 7) / 100.0, 1 if q >= 25 else 0)
+        for q in range(1, 51)
+    ] * 20
+    df = spark.createDataFrame(rows, ["x1", "x2", "y"])
+    got = logreg_newton(df, "x1", "x2", F.col("y")).collect()[0]
+    assert got.b1 > 0
+    assert got.accuracy >= 0.95
+
+
+def test_logreg_newton_singular_hessian_holds_coefficients(spark):
+    """A constant feature makes the 3x3 Hessian singular; the det==0
+    guard must hold the coefficients at their start instead of sending
+    NaN through the chain."""
+    from randas_spark.operators.regression import logreg_newton
+
+    rows = [(float(q), 0.0, 1 if q >= 25 else 0) for q in range(1, 51)] * 4
+    df = spark.createDataFrame(rows, ["x1", "x2", "y"])
+    got = logreg_newton(df, "x1", "x2", F.col("y")).collect()[0]
+    assert got.b0 == 0.0 and got.b1 == 0.0 and got.b2 == 0.0
+    assert got.accuracy is not None
