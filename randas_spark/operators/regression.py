@@ -412,3 +412,206 @@ def sql_logreg_newton(
            )} AS accuracy
     FROM base CROSS JOIN it{n_iter}
     """
+
+
+def ols_crossval(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    y: str,
+    scale_x: int = 1000,
+    scale_y: int = 10,
+    digits: int = 4,
+) -> DataFrame:
+    """K-fold cross-validated OLS from ONE scan: per-fold Gram cells are
+    aggregated once, each fold's LEAVE-FOLD-OUT model is derived by
+    subtracting the fold's cells from the totals (Gram sums form a
+    group under addition — the same mergeable-state law
+    rel_incremental_rollup pins), and each fold's rows are scored
+    against its complement model. No per-fold rescan, no model ever
+    sees its own test rows.
+
+    Returns one row per fold: (fold, n_test, b0, b1, b2, rmse) where
+    rmse is computed from residuals quantized to the 0.1 grid
+    (``floor(r*10+0.5)`` int64 squares — order-free sums), predictions
+    evaluated on the quantized features (sx/scale) so both engines see
+    bit-identical doubles end-to-end.
+
+    Scale: the scan emits |folds| x 10 integer cells; complement
+    subtraction and the Cramer solve are O(folds) codegen rows; scoring
+    joins the broadcast fold-model table — the whole plan is one
+    data-sized scan plus one broadcast join.
+    """
+    from randas_spark.queries import fround
+
+    if "__fold__" not in df.columns:
+        raise ValueError("caller must supply a deterministic __fold__ column")
+    sx1, sx2 = _scaled(x1, scale_x), _scaled(x2, scale_x)
+    sy = _scaled(y, scale_y)
+    data = df.select(
+        F.col("__fold__"), sx1.alias("sx1"), sx2.alias("sx2"), sy.alias("sy")
+    )
+
+    def cells(grouped):
+        return grouped.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("sx1").alias("s1"),
+            F.sum("sx2").alias("s2"),
+            F.sum("sy").alias("sy0"),
+            F.sum(F.col("sx1") * F.col("sx1")).alias("s11"),
+            F.sum(F.col("sx1") * F.col("sx2")).alias("s12"),
+            F.sum(F.col("sx2") * F.col("sx2")).alias("s22"),
+            F.sum(F.col("sx1") * F.col("sy")).alias("s1y"),
+            F.sum(F.col("sx2") * F.col("sy")).alias("s2y"),
+        )
+
+    per_fold = cells(data.groupBy("__fold__"))
+    names = ["n", "s1", "s2", "sy0", "s11", "s12", "s22", "s1y", "s2y"]
+    totals = per_fold.agg(
+        *[F.sum(c).alias(f"t_{c}") for c in names]
+    )
+    comp = per_fold.crossJoin(F.broadcast(totals)).select(
+        "__fold__",
+        F.col("n").alias("n_test"),
+        *[(F.col(f"t_{c}") - F.col(c)).alias(c) for c in names],
+    )
+    kx, ky = float(scale_x), float(scale_y)
+    n = F.col("n").cast("double")
+    a1 = F.col("s1") / kx
+    a2 = F.col("s2") / kx
+    ay = F.col("sy0") / ky
+    a11 = F.col("s11") / (kx * kx)
+    a12 = F.col("s12") / (kx * kx)
+    a22 = F.col("s22") / (kx * kx)
+    a1y = F.col("s1y") / (kx * ky)
+    a2y = F.col("s2y") / (kx * ky)
+    det = (
+        n * (a11 * a22 - a12 * a12)
+        - a1 * (a1 * a22 - a12 * a2)
+        + a2 * (a1 * a12 - a11 * a2)
+    )
+    b0 = (
+        ay * (a11 * a22 - a12 * a12)
+        - a1 * (a1y * a22 - a12 * a2y)
+        + a2 * (a1y * a12 - a11 * a2y)
+    ) / det
+    b1 = (
+        n * (a1y * a22 - a12 * a2y)
+        - ay * (a1 * a22 - a12 * a2)
+        + a2 * (a1 * a2y - a1y * a2)
+    ) / det
+    b2 = (
+        n * (a11 * a2y - a1y * a12)
+        - a1 * (a1 * a2y - a1y * a2)
+        + ay * (a1 * a12 - a11 * a2)
+    ) / det
+    models = comp.select("__fold__", "n_test", b0.alias("b0"), b1.alias("b1"), b2.alias("b2"))
+    scored = data.join(F.broadcast(models), "__fold__")
+    pred = (
+        F.col("b0")
+        + F.col("b1") * (F.col("sx1") / kx)
+        + F.col("b2") * (F.col("sx2") / kx)
+    )
+    rq = F.floor(((F.col("sy") / ky) - pred) * 10 + F.lit(0.5)).cast("long")
+    out = scored.groupBy("__fold__", "n_test", "b0", "b1", "b2").agg(
+        F.sum(rq * rq).alias("ssq")
+    )
+    rmse = F.sqrt(F.col("ssq").cast("double") / F.col("n_test") / 100.0)
+    return out.select(
+        F.col("__fold__").alias("fold"),
+        F.col("n_test"),
+        fround(F.col("b0"), digits).alias("b0"),
+        fround(F.col("b1"), digits).alias("b1"),
+        fround(F.col("b2"), digits).alias("b2"),
+        fround(rmse, digits).alias("rmse"),
+    )
+
+
+def sql_ols_crossval(
+    table_expr: str,
+    x1: str,
+    x2: str,
+    y: str,
+    fold_sql: str,
+    n_folds: int = 5,
+    scale_x: int = 1000,
+    scale_y: int = 10,
+    digits: int = 4,
+) -> str:
+    """DuckDB twin of :func:`ols_crossval` (same cells, same complement
+    subtraction, same Cramer tree, same quantized-residual RMSE)."""
+    from randas_spark.queries import sql_fround
+
+    kx, ky = float(scale_x), float(scale_y)
+    sq = f"CAST(floor({x1} * {scale_x} + 0.5) AS BIGINT)"
+    sd = f"CAST(floor({x2} * {scale_x} + 0.5) AS BIGINT)"
+    sy = f"CAST(floor({y} * {scale_y} + 0.5) AS BIGINT)"
+    det = (
+        "(n * (a11 * a22 - a12 * a12)"
+        " - a1 * (a1 * a22 - a12 * a2)"
+        " + a2 * (a1 * a12 - a11 * a2))"
+    )
+    b0 = (
+        "((ay * (a11 * a22 - a12 * a12)"
+        " - a1 * (a1y * a22 - a12 * a2y)"
+        " + a2 * (a1y * a12 - a11 * a2y)) / det)"
+    )
+    b1 = (
+        "((n * (a1y * a22 - a12 * a2y)"
+        " - ay * (a1 * a22 - a12 * a2)"
+        " + a2 * (a1 * a2y - a1y * a2)) / det)"
+    )
+    b2 = (
+        "((n * (a11 * a2y - a1y * a12)"
+        " - a1 * (a1 * a2y - a1y * a2)"
+        " + ay * (a1 * a12 - a11 * a2)) / det)"
+    )
+    return f"""
+    WITH data AS (
+        SELECT {fold_sql} AS fold, {sq} AS sx1, {sd} AS sx2, {sy} AS sy
+        FROM {table_expr}
+    ),
+    per_fold AS (
+        SELECT fold, CAST(count(*) AS BIGINT) AS n,
+               sum(sx1) AS s1, sum(sx2) AS s2, sum(sy) AS sy0,
+               sum(sx1 * sx1) AS s11, sum(sx1 * sx2) AS s12,
+               sum(sx2 * sx2) AS s22, sum(sx1 * sy) AS s1y,
+               sum(sx2 * sy) AS s2y
+        FROM data GROUP BY fold
+    ),
+    totals AS (
+        SELECT sum(n) AS t_n, sum(s1) AS t_s1, sum(s2) AS t_s2,
+               sum(sy0) AS t_sy0, sum(s11) AS t_s11, sum(s12) AS t_s12,
+               sum(s22) AS t_s22, sum(s1y) AS t_s1y, sum(s2y) AS t_s2y
+        FROM per_fold
+    ),
+    comp AS (
+        SELECT fold, n AS n_test,
+               CAST(t_n - n AS DOUBLE) AS n,
+               (t_s1 - s1) / {kx} AS a1, (t_s2 - s2) / {kx} AS a2,
+               (t_sy0 - sy0) / {ky} AS ay,
+               (t_s11 - s11) / ({kx} * {kx}) AS a11,
+               (t_s12 - s12) / ({kx} * {kx}) AS a12,
+               (t_s22 - s22) / ({kx} * {kx}) AS a22,
+               (t_s1y - s1y) / ({kx} * {ky}) AS a1y,
+               (t_s2y - s2y) / ({kx} * {ky}) AS a2y
+        FROM per_fold CROSS JOIN totals
+    ),
+    solved AS (SELECT *, {det} AS det FROM comp),
+    models AS (
+        SELECT fold, n_test, {b0} AS b0, {b1} AS b1, {b2} AS b2 FROM solved
+    ),
+    scored AS (
+        SELECT d.fold, m.n_test, m.b0, m.b1, m.b2,
+               CAST(floor(((d.sy / {ky})
+                           - (m.b0 + m.b1 * (d.sx1 / {kx})
+                              + m.b2 * (d.sx2 / {kx}))) * 10 + 0.5) AS BIGINT) AS rq
+        FROM data d JOIN models m ON m.fold = d.fold
+    )
+    SELECT fold, n_test,
+           {sql_fround('b0', digits)} AS b0,
+           {sql_fround('b1', digits)} AS b1,
+           {sql_fround('b2', digits)} AS b2,
+           {sql_fround('sqrt(CAST(sum(rq * rq) AS DOUBLE) / n_test / 100.0)', digits)} AS rmse
+    FROM scored GROUP BY fold, n_test, b0, b1, b2
+    """

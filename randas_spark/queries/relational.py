@@ -3339,3 +3339,35 @@ def rel_logreg_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_discount",
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0),
     )
+
+
+from randas_spark.operators.regression import ols_crossval, sql_ols_crossval
+
+
+@register(
+    "rel_ols_crossval",
+    oracle=sql_ols_crossval(
+        "lineitem",
+        "l_quantity",
+        "l_discount",
+        "l_extendedprice",
+        "(l_orderkey * 7 + l_linenumber) % 5",
+    ),
+)
+def rel_ols_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated OLS (extendedprice ~ quantity + discount)
+    from ONE lineitem scan: per-fold Gram cells aggregate once, each
+    leave-fold-out model is derived by SUBTRACTING the fold's cells
+    from the totals (Gram sums are a mergeable group — the IVM law
+    applied to model fitting), and each fold scores against its
+    complement model. Folds are a deterministic key hash, so the split
+    is reproducible on any engine or cluster layout.
+
+    Scale: the only data-sized stages are the cell scan and the scoring
+    pass against the broadcast 5-row model table; no per-fold rescan —
+    k-fold costs one scan + one broadcast join regardless of k."""
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "__fold__",
+        (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 5,
+    )
+    return ols_crossval(li, "l_quantity", "l_discount", "l_extendedprice")

@@ -1121,3 +1121,44 @@ def test_logreg_newton_singular_hessian_holds_coefficients(spark):
     got = logreg_newton(df, "x1", "x2", F.col("y")).collect()[0]
     assert got.b0 == 0.0 and got.b1 == 0.0 and got.b2 == 0.0
     assert got.accuracy is not None
+
+
+def test_ols_crossval_complement_equals_direct_fit(spark):
+    """Each fold's leave-fold-out coefficients (derived by cell
+    subtraction) must equal a DIRECT grouped_ols fit on the complement
+    rows, and no fold's model may depend on its own test rows (changing
+    a fold's y values must leave that fold's model unchanged)."""
+    from randas_spark.operators.regression import grouped_ols, ols_crossval
+    from randas_spark.queries import t
+
+    li = t(spark, SF_DIR, "lineitem").withColumn(
+        "__fold__", (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 5
+    )
+    cv = {r.fold: r for r in ols_crossval(li, "l_quantity", "l_discount", "l_extendedprice").collect()}
+    assert set(cv) == set(range(5))
+    for fold in range(5):
+        direct = grouped_ols(
+            li.filter(F.col("__fold__") != fold).withColumn("g", F.lit(1)),
+            ["g"],
+            "l_quantity",
+            "l_discount",
+            "l_extendedprice",
+        ).collect()[0]
+        assert cv[fold].b0 == pytest.approx(direct.b0, abs=2e-4)
+        assert cv[fold].b1 == pytest.approx(direct.b1, abs=2e-4)
+        assert cv[fold].b2 == pytest.approx(direct.b2, abs=2e-4)
+        assert cv[fold].rmse > 0
+
+    # leakage probe: perturb y ONLY inside fold 0; fold 0's model must
+    # not move (its model never saw fold-0 rows)
+    perturbed = li.withColumn(
+        "l_extendedprice",
+        F.when(F.col("__fold__") == 0, F.col("l_extendedprice") * 2).otherwise(
+            F.col("l_extendedprice")
+        ),
+    )
+    cv2 = {r.fold: r for r in ols_crossval(perturbed, "l_quantity", "l_discount", "l_extendedprice").collect()}
+    assert cv2[0].b0 == cv[0].b0
+    assert cv2[0].b1 == cv[0].b1
+    assert cv2[0].b2 == cv[0].b2
+    assert cv2[0].rmse != cv[0].rmse  # the test rows did change
