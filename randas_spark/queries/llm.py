@@ -4144,3 +4144,137 @@ def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(pmi * 10000 + F.lit(0.5)) / 10000).alias("pmi"),
         )
     )
+
+
+@register(
+    "llm_nb_lang_confusion",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    toks_ne AS (SELECT * FROM toks WHERE w <> ''),
+    train AS (SELECT * FROM toks_ne WHERE doc_id % 11 <> 0),
+    test AS (SELECT * FROM toks_ne WHERE doc_id % 11 = 0),
+    priors AS (
+        SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM train GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM priors),
+    vocab AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM train),
+    cw AS (
+        SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM train GROUP BY 1, 2
+    ),
+    ct AS (SELECT lang, CAST(count(*) AS BIGINT) AS t FROM train GROUP BY 1),
+    classes AS (
+        SELECT p.lang AS c_lang,
+               CAST(floor(ln(CAST(p.n_docs AS DOUBLE) / n_total) * 1000000 + 0.5) AS BIGINT) AS prior_q,
+               CAST(floor(ln(1.0 / (ct.t + v)) * 1000000 + 0.5) AS BIGINT) AS dq,
+               ct.t, v
+        FROM priors p JOIN ct ON ct.lang = p.lang CROSS JOIN tot CROSS JOIN vocab
+    ),
+    logp AS (
+        SELECT cw.lang AS c_lang, cw.w,
+               CAST(floor(ln(CAST(cw.c + 1 AS DOUBLE) / (ct.t + v)) * 1000000 + 0.5) AS BIGINT) AS lq
+        FROM cw JOIN ct ON ct.lang = cw.lang CROSS JOIN vocab
+    ),
+    scored AS (
+        SELECT te.doc_id, te.lang AS actual_lang, cl.c_lang,
+               cl.prior_q + sum(coalesce(lp.lq, cl.dq)) AS score
+        FROM test te
+        CROSS JOIN classes cl
+        LEFT JOIN logp lp ON lp.c_lang = cl.c_lang AND lp.w = te.w
+        GROUP BY te.doc_id, te.lang, cl.c_lang, cl.prior_q
+    ),
+    pick AS (
+        SELECT doc_id, actual_lang, c_lang AS predicted_lang,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, c_lang
+               ) AS rn
+        FROM scored
+    )
+    SELECT actual_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+    FROM pick WHERE rn = 1
+    GROUP BY actual_lang, predicted_lang
+    """,
+)
+def llm_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier — train, score, and
+    evaluate in ONE declarative plan: Laplace-smoothed per-(class,
+    token) log-probs from the train split (doc_id % 11 <> 0), held-out
+    docs scored by argmax, output the confusion matrix. Log-probs are
+    quantized to the 1e-6 grid so per-doc score sums are exact int64 —
+    order-free — and the argmax (score desc, class asc tie-break) is
+    deterministic on any engine.
+
+    Scale: training is two map-combined count aggregations (the model
+    IS the (class,token) count table — mergeable, so it IVM-updates
+    like rel_incremental_rollup); scoring joins the token stream to the
+    broadcast-sized model per class; no UDF, no iteration, and the
+    class fan-out is |langs|, not data-sized."""
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    train = toks.filter(F.col("doc_id") % 11 != 0)
+    test = toks.filter(F.col("doc_id") % 11 == 0)
+    priors = train.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    tot = priors.agg(F.sum("n_docs").cast("long").alias("n_total"))
+    vocab = train.agg(F.countDistinct("w").cast("long").alias("v"))
+    cw = train.groupBy("lang", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ct = train.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    q = lambda col: F.floor(col * 1000000 + F.lit(0.5)).cast("long")
+    classes = (
+        priors.join(ct, "lang")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("lang").alias("c_lang"),
+            q(F.log(F.col("n_docs").cast("double") / F.col("n_total"))).alias(
+                "prior_q"
+            ),
+            q(F.log(F.lit(1.0) / (F.col("t") + F.col("v")))).alias("dq"),
+        )
+    )
+    logp = (
+        cw.join(ct, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("lang").alias("c_lang"),
+            "w",
+            q(
+                F.log((F.col("c") + 1).cast("double") / (F.col("t") + F.col("v")))
+            ).alias("lq"),
+        )
+    )
+    scored = (
+        test.crossJoin(F.broadcast(classes))
+        .join(logp, ["c_lang", "w"], "left")
+        .groupBy(
+            F.col("doc_id"),
+            F.col("lang").alias("actual_lang"),
+            F.col("c_lang"),
+            F.col("prior_q"),
+        )
+        .agg(F.sum(F.coalesce(F.col("lq"), F.col("dq"))).alias("s"))
+        .select(
+            "doc_id",
+            "actual_lang",
+            "c_lang",
+            (F.col("prior_q") + F.col("s")).alias("score"),
+        )
+    )
+    w_pick = Window.partitionBy("doc_id").orderBy(F.desc("score"), "c_lang")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .groupBy("actual_lang", F.col("c_lang").alias("predicted_lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -3371,3 +3371,87 @@ def rel_ols_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 5,
     )
     return ols_crossval(li, "l_quantity", "l_discount", "l_extendedprice")
+
+
+@register(
+    "rel_ab_test_ztest",
+    oracle=f"""
+    WITH conv AS (
+        SELECT user_id % 2 AS variant,
+               CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                         THEN 1 ELSE 0 END AS BIGINT) AS converted
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id
+    ),
+    agg AS (
+        SELECT
+            CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+            CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+            CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        FROM conv
+    ),
+    z AS (
+        SELECT n_a, n_b, conv_a, conv_b,
+               (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+               / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b)) AS zval
+        FROM agg
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           {sql_fround('zval', 6)} AS z,
+           abs(zval) > 1.959963985 AS significant
+    FROM z
+    """,
+)
+def rel_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-test on user conversion (>= 14 lifetime
+    purchases, the corpus median split):
+    deterministic variant assignment (user_id % 2 — reproducible on any
+    engine, unlike RNG splits), pooled-variance z statistic, and the
+    1.96 two-sided significance verdict.
+
+    Scale: conversion collapses events to one row per user in a single
+    map-combined aggregation; the test statistic evaluates on a 1-row
+    aggregate of exact integer counts — the entire inference costs one
+    scan regardless of data size."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchases")
+        )
+        .select(
+            (F.col("user_id") % 2).alias("variant"),
+            F.when(F.col("n_purchases") >= 14, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("converted"),
+        )
+    )
+    agg = per_user.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)).cast("long").alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)).cast("long").alias("conv_b"),
+    )
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    zval = (
+        F.col("conv_b").cast("double") / F.col("n_b")
+        - F.col("conv_a").cast("double") / F.col("n_a")
+    ) / F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        fround(zval, 6).alias("z"),
+        (F.abs(zval) > 1.959963985).alias("significant"),
+    )

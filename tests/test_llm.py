@@ -2175,3 +2175,56 @@ def test_pmi_collocations_match_pandas_recompute(spark):
         pmi = math.log2((c / nb) / ((uni[w1] / nu) * (uni[w2] / nu)))
         assert got[(w1, w2)].cb == c
         assert got[(w1, w2)].pmi == pytest.approx(pmi, abs=1e-3)
+
+
+def test_nb_lang_confusion_matches_python_replay(spark):
+    """The declarative NB train/score/eval plan must match an
+    independent pure-Python replay of the identical quantized algorithm
+    (Laplace log-probs on the 1e-6 grid, argmax with class tie-break)."""
+    import math
+
+    from collections import Counter, defaultdict
+
+    from randas_spark.queries import queries, t
+
+    pdf = t(spark, SF_DIR, "documents").select("doc_id", "lang", "text").toPandas()
+    train = pdf[pdf["doc_id"] % 11 != 0]
+    test = pdf[pdf["doc_id"] % 11 == 0]
+
+    def toks(s):
+        return [w for w in s.lower().split(" ") if w != ""]
+
+    cw: dict = defaultdict(Counter)
+    ct: Counter = Counter()
+    docs_per_lang: Counter = Counter()
+    vocab = set()
+    for _, r in train.iterrows():
+        ws = toks(r["text"])
+        cw[r["lang"]].update(ws)
+        ct[r["lang"]] += len(ws)
+        docs_per_lang[r["lang"]] += 1
+        vocab.update(ws)
+    v, n_total = len(vocab), sum(docs_per_lang.values())
+
+    def q(x):
+        return math.floor(x * 1e6 + 0.5)
+
+    expected: Counter = Counter()
+    for _, r in test.iterrows():
+        scores = {}
+        for lang in docs_per_lang:
+            s = q(math.log(docs_per_lang[lang] / n_total))
+            for w in toks(r["text"]):
+                c = cw[lang].get(w, 0)
+                s += q(math.log((c + 1) / (ct[lang] + v)))
+            scores[lang] = s
+        # tie-break: highest score, then lexicographically smallest lang
+        best = max(scores.values())
+        pred = sorted(L for L in scores if scores[L] == best)[0]
+        expected[(r["lang"], pred)] += 1
+
+    got = {
+        (r.actual_lang, r.predicted_lang): r.n
+        for r in queries()["llm_nb_lang_confusion"](spark, SF_DIR).collect()
+    }
+    assert got == dict(expected)

@@ -1162,3 +1162,29 @@ def test_ols_crossval_complement_equals_direct_fit(spark):
     assert cv2[0].b1 == cv[0].b1
     assert cv2[0].b2 == cv[0].b2
     assert cv2[0].rmse != cv[0].rmse  # the test rows did change
+
+
+def test_ab_ztest_matches_scipy_free_formula(spark):
+    """The z statistic must match an independent pandas computation of
+    the pooled two-proportion formula, and the significance flag must
+    be |z| > 1.96."""
+    import math
+
+    from randas_spark.queries import queries, t
+
+    r = queries()["rel_ab_test_ztest"](spark, SF_DIR).collect()[0]
+    ev = t(spark, SF_DIR, "events").toPandas().dropna(subset=["user_id"])
+    per = (
+        ev.assign(p=(ev["event_type"] == "purchase").astype(int))
+        .groupby("user_id")["p"]
+        .sum()
+    )
+    conv = (per >= 14).astype(int)
+    variant = (per.index.astype("int64") % 2)
+    n_a, n_b = int((variant == 0).sum()), int((variant == 1).sum())
+    c_a, c_b = int(conv[variant == 0].sum()), int(conv[variant == 1].sum())
+    assert (r.n_a, r.n_b, r.conv_a, r.conv_b) == (n_a, n_b, c_a, c_b)
+    pp = (c_a + c_b) / (n_a + n_b)
+    z = (c_b / n_b - c_a / n_a) / math.sqrt(pp * (1 - pp) * (1 / n_a + 1 / n_b))
+    assert r.z == pytest.approx(z, abs=1e-5)
+    assert r.significant == (abs(z) > 1.959963985)
