@@ -3455,3 +3455,161 @@ def rel_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(zval, 6).alias("z"),
         (F.abs(zval) > 1.959963985).alias("significant"),
     )
+
+
+@register(
+    "rel_chi2_independence",
+    oracle=f"""
+    WITH cells AS (
+        SELECT o_orderpriority AS p, o_orderstatus AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT p, s, n,
+               CAST(sum(n) OVER (PARTITION BY p) AS DOUBLE) AS row_n,
+               CAST(sum(n) OVER (PARTITION BY s) AS DOUBLE) AS col_n,
+               CAST(sum(n) OVER () AS DOUBLE) AS tot
+        FROM cells
+    ),
+    contrib AS (
+        SELECT p, s, n,
+               CAST(floor(((n - row_n * col_n / tot) * (n - row_n * col_n / tot)
+                           / (row_n * col_n / tot)) * 1000000 + 0.5) AS BIGINT) AS cq,
+               tot
+        FROM m
+    ),
+    dims AS (
+        SELECT CAST(count(DISTINCT p) AS BIGINT) AS r,
+               CAST(count(DISTINCT s) AS BIGINT) AS c
+        FROM cells
+    )
+    SELECT CAST(sum(cq) AS BIGINT) / 1000000.0 AS chi2,
+           (r - 1) * (c - 1) AS dof,
+           {sql_fround(
+               'sqrt((CAST(sum(cq) AS BIGINT) / 1000000.0) / (any_value(tot) * CAST(least(r - 1, c - 1) AS DOUBLE)))',
+               6,
+           )} AS cramers_v
+    FROM contrib CROSS JOIN dims
+    GROUP BY r, c
+    """,
+)
+def rel_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (order priority x order status)
+    with Cramér's V effect size — the categorical-association audit
+    beside rel_infogain_features (mutual information) and
+    rel_ab_test_ztest (proportions). Per-cell contributions are
+    quantized to the 1e-6 grid so the chi2 sum over cells is an exact
+    integer — engines disagree on float reduction order even over 15
+    cells.
+
+    Scale: one map-combined count aggregation to the |r|x|c| cell
+    table; margins are windows over that tiny table; the statistic is
+    one more tiny aggregate. Data-sized work = one scan."""
+    o = t(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    m = cells.select(
+        "p",
+        "s",
+        "n",
+        F.sum("n").over(Window.partitionBy("p")).cast("double").alias("row_n"),
+        F.sum("n").over(Window.partitionBy("s")).cast("double").alias("col_n"),
+        F.sum("n").over(Window.partitionBy()).cast("double").alias("tot"),
+    )
+    e = F.col("row_n") * F.col("col_n") / F.col("tot")
+    cq = F.floor(((F.col("n") - e) * (F.col("n") - e) / e) * 1000000 + F.lit(0.5)).cast(
+        "long"
+    )
+    contrib = m.select("p", "s", "n", cq.alias("cq"), "tot")
+    dims = cells.agg(
+        F.countDistinct("p").cast("long").alias("r"),
+        F.countDistinct("s").cast("long").alias("c"),
+    )
+    chi2 = F.sum("cq").cast("long") / 1000000.0
+    return (
+        contrib.crossJoin(F.broadcast(dims))
+        .groupBy("r", "c")
+        .agg(
+            chi2.alias("chi2"),
+            F.first(F.col("tot")).alias("_tot"),
+        )
+        .select(
+            F.col("chi2"),
+            ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+            fround(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("_tot")
+                        * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+@register(
+    "rel_gini_revenue",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               sum(CAST(floor(o_totalprice * 10 + 0.5) AS BIGINT)) AS y
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, y,
+               row_number() OVER (ORDER BY y, o_custkey) AS i
+        FROM per_cust
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(i * y) AS BIGINT) AS siy
+        FROM ranked
+    )
+    SELECT n,
+           sy / 10.0 AS total_revenue,
+           {sql_fround(
+               '(2.0 * siy - (n + 1.0) * sy) / (CAST(n AS DOUBLE) * sy)', 6
+           )} AS gini
+    FROM agg
+    """,
+)
+def rel_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration (the Lorenz
+    statistic behind rel_pareto_revenue's 80/20 view): G =
+    (2*sum(i*y_i) - (n+1)*sum(y)) / (n*sum(y)) over revenues sorted
+    ascending with a deterministic (y, custkey) tie-break.
+
+    Scale: revenue compacts to the per-customer table first (the only
+    data-sized stage, map-side combined); the rank window runs over
+    that |customers| table — documented global sort on the COMPACTED
+    relation, the same concession every exact top-k/quantile makes.
+    Int64 budget: sum(i*y) <= n^2 * max_cust_rev * 10 — ~1e18 at sf1;
+    beyond, shard the Lorenz sum by rank band and merge."""
+    o = t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 10 + F.lit(0.5)).cast("long")
+        ).alias("y")
+    )
+    ranked = per_cust.withColumn(
+        "i", F.row_number().over(Window.orderBy("y", "o_custkey")).cast("long")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("i") * F.col("y")).cast("long").alias("siy"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("siy") - (F.col("n") + F.lit(1.0)) * F.col("sy")
+    ) / (F.col("n").cast("double") * F.col("sy"))
+    return agg.select(
+        "n",
+        (F.col("sy") / 10.0).alias("total_revenue"),
+        fround(gini, 6).alias("gini"),
+    )

@@ -1188,3 +1188,72 @@ def test_ab_ztest_matches_scipy_free_formula(spark):
     z = (c_b / n_b - c_a / n_a) / math.sqrt(pp * (1 - pp) * (1 / n_a + 1 / n_b))
     assert r.z == pytest.approx(z, abs=1e-5)
     assert r.significant == (abs(z) > 1.959963985)
+
+
+def test_chi2_independence_matches_pandas(spark):
+    """chi2, dof, and Cramér's V must match an independent pandas
+    contingency computation (same quantized per-cell contributions)."""
+    import math
+
+    from randas_spark.queries import queries, t
+
+    r = queries()["rel_chi2_independence"](spark, SF_DIR).collect()[0]
+    o = t(spark, SF_DIR, "orders").select("o_orderpriority", "o_orderstatus").toPandas()
+    ct = o.groupby(["o_orderpriority", "o_orderstatus"]).size()
+    tot = ct.sum()
+    rows = ct.groupby(level=0).sum()
+    cols = ct.groupby(level=1).sum()
+    chi2 = 0
+    for (p, s), n in ct.items():
+        e = rows[p] * cols[s] / tot
+        chi2 += math.floor(((n - e) ** 2 / e) * 1e6 + 0.5)
+    chi2 /= 1e6
+    dof = (len(rows) - 1) * (len(cols) - 1)
+    v = math.sqrt(chi2 / (tot * min(len(rows) - 1, len(cols) - 1)))
+    assert r.chi2 == pytest.approx(chi2, abs=1e-9)
+    assert r.dof == dof
+    assert r.cramers_v == pytest.approx(v, abs=1e-5)
+
+
+def test_gini_revenue_bounds_and_pandas_match(spark):
+    """Gini must equal the pandas Lorenz computation and sit in [0, 1);
+    a constructed perfectly-equal distribution must give ~0."""
+    from randas_spark.queries import queries, t
+
+    r = queries()["rel_gini_revenue"](spark, SF_DIR).collect()[0]
+    o = t(spark, SF_DIR, "orders").select("o_custkey", "o_totalprice").toPandas()
+    y = (
+        (o["o_totalprice"] * 10 + 0.5)
+        .apply(int)
+        .groupby(o["o_custkey"])
+        .sum()
+        .sort_values(kind="mergesort")
+    )
+    import numpy as np
+
+    n = len(y)
+    i = np.arange(1, n + 1)
+    gini = (2.0 * (i * y.values).sum() - (n + 1.0) * y.sum()) / (n * y.sum())
+    assert 0 <= r.gini < 1
+    assert r.gini == pytest.approx(gini, abs=1e-5)
+    assert r.n == n
+
+    # equal distribution -> gini ~ 0
+    eq = spark.createDataFrame([(i, 100.0) for i in range(50)], ["o_custkey", "o_totalprice"])
+    # reuse the same formula inline via SQL on a temp view
+    eq.createOrReplaceTempView("eq_orders")
+    res = spark.sql(
+        """
+        WITH per_cust AS (
+            SELECT o_custkey, sum(CAST(floor(o_totalprice * 10 + 0.5) AS BIGINT)) AS y
+            FROM eq_orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT y, row_number() OVER (ORDER BY y, o_custkey) AS i FROM per_cust
+        )
+        SELECT (2.0 * sum(i * y) - (count(*) + 1.0) * sum(y))
+               / (CAST(count(*) AS DOUBLE) * sum(y)) AS gini
+        FROM ranked
+        """
+    ).collect()[0]
+    assert abs(res.gini) < 1e-9
