@@ -84,6 +84,10 @@ HEADLINE = [
     # slopes in the continuation-2 table
     "rel_ols_grouped",
     "llm_pmi_collocations",
+    # continuation-2 later batch: the iterative Newton optimizer (flat
+    # at 10x) and the NB classifier train/score/eval plan
+    "rel_logreg_newton",
+    "llm_nb_lang_confusion",
 ]
 
 
