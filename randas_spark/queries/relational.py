@@ -3613,3 +3613,89 @@ def rel_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sy") / 10.0).alias("total_revenue"),
         fround(gini, 6).alias("gini"),
     )
+
+
+@register(
+    "rel_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               max(o_orderdate::TIMESTAMP) AS last_order,
+               CAST(count(*) AS BIGINT) AS frequency,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS monetary_c
+        FROM orders GROUP BY o_custkey
+    ),
+    mx AS (SELECT max(last_order) AS corpus_max FROM per_cust),
+    rfm AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', last_order, corpus_max) AS BIGINT) AS recency_days,
+               frequency, monetary_c
+        FROM per_cust CROSS JOIN mx
+    ),
+    scored AS (
+        SELECT o_custkey, monetary_c,
+               -- recency: RECENT buyers score high -> rank by DESC days
+               5 - CAST(least(4.0, floor(percent_rank() OVER (ORDER BY recency_days, o_custkey) * 5)) AS BIGINT) AS r_score,
+               1 + CAST(least(4.0, floor(percent_rank() OVER (ORDER BY frequency, o_custkey) * 5)) AS BIGINT) AS f_score,
+               1 + CAST(least(4.0, floor(percent_rank() OVER (ORDER BY monetary_c, o_custkey) * 5)) AS BIGINT) AS m_score
+        FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_c) AS BIGINT) / 100.0 AS total_revenue
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def rel_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer recency/frequency/
+    monetary quintile scores (1-5, over the deterministic
+    (value, custkey) total order so the banding is reproducible on any
+    engine or partitioning) rolled up to segment counts and revenue — the
+    classic marketing-analytics cube.
+
+    Scale: orders compact to the per-customer table first (map-side
+    combined — the only data-sized stage); the three percent_rank
+    windows run over that compacted relation (the documented global-
+    sort concession exact quantiles make), and the rollup is
+    |segments| <= 125 cells. percent_rank is (rank-1)/(n-1) from exact
+    integer ranks, so the quintile floors are bit-identical across
+    engines."""
+    o = t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("monetary_c"),
+    )
+    mx = per_cust.agg(F.max("last_order").alias("corpus_max"))
+    rfm = per_cust.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        F.datediff(F.col("corpus_max"), F.col("last_order"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary_c",
+    )
+
+    def quintile(order_cols):
+        pr = F.percent_rank().over(Window.orderBy(*order_cols))
+        return F.least(F.lit(4.0), F.floor(pr * 5)).cast("long")
+
+    scored = rfm.select(
+        "o_custkey",
+        "monetary_c",
+        (F.lit(5) - quintile([F.col("recency_days"), F.col("o_custkey")])).alias(
+            "r_score"
+        ),
+        (F.lit(1) + quintile([F.col("frequency"), F.col("o_custkey")])).alias(
+            "f_score"
+        ),
+        (F.lit(1) + quintile([F.col("monetary_c"), F.col("o_custkey")])).alias(
+            "m_score"
+        ),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        (F.sum("monetary_c").cast("long") / 100.0).alias("total_revenue"),
+    )

@@ -1257,3 +1257,32 @@ def test_gini_revenue_bounds_and_pandas_match(spark):
         """
     ).collect()[0]
     assert abs(res.gini) < 1e-9
+
+
+def test_rfm_segments_partition_and_quintile_semantics(spark):
+    """Every customer lands in exactly one segment (counts sum to the
+    customer total, revenue to the corpus total), all scores sit in
+    1..5, and the frequency quintile boundaries match an independent
+    pandas percent_rank computation."""
+    from randas_spark.queries import queries, t
+
+    rows = queries()["rel_rfm_segments"](spark, SF_DIR).collect()
+    o = t(spark, SF_DIR, "orders").toPandas()
+    n_cust = o["o_custkey"].nunique()
+    total_rev = int((o["o_totalprice"] * 100 + 0.5).apply(int).sum()) / 100.0
+    assert sum(r.n_customers for r in rows) == n_cust
+    assert sum(r.total_revenue for r in rows) == pytest.approx(total_rev, abs=1e-4)
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+
+    # independent frequency-quintile check: marginal counts by f_score
+    freq = o.groupby("o_custkey").size().rename("f").reset_index()
+    freq = freq.sort_values(["f", "o_custkey"], kind="mergesort").reset_index(drop=True)
+    n = len(freq)
+    pr = freq.index / (n - 1)
+    f_score = 1 + pr.map(lambda p: min(4, int(p * 5)))
+    expected_marginal = f_score.value_counts().to_dict()
+    got_marginal: dict = {}
+    for r in rows:
+        got_marginal[r.f_score] = got_marginal.get(r.f_score, 0) + r.n_customers
+    assert got_marginal == expected_marginal
