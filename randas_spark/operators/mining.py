@@ -287,3 +287,69 @@ def k_core(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    source_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS on an undirected graph: (node, hops) where hops
+    is the length of the shortest path from the NEAREST source, for
+    every node within ``rounds`` hops (sources themselves at hops=0).
+    The reachability/radius primitive next to connected components
+    (operators/dedup.py), PageRank (llm_graph_rank), triangles, and
+    k-core — e.g. "how close is every product to a promoted product in
+    the co-purchase network".
+
+    Level-synchronous frontier expansion (Pregel's BFS shape): each
+    round joins the CURRENT FRONTIER ONLY (not the visited set) against
+    the adjacency list, anti-joins out already-visited nodes, and tags
+    survivors with the round number — each node is settled exactly once,
+    at its minimum hop count, so no min-aggregation pass is needed.
+    Early exit when a frontier empties preserves equality with the
+    ``rounds``-unrolled SQL oracle by construction (an empty frontier
+    expands to an empty frontier on both engines).
+
+    Scale: per round, one join frontier⋈adjacency (frontier is the small
+    side — broadcast when it fits, shuffle on node id otherwise; the
+    adjacency list is partitioned once and reused) plus one anti-join
+    against visited; both shuffles are on the shrinking frontier, never
+    the full graph. visited and frontier are localCheckpoint-ed per
+    round so the lineage never re-expands prior rounds (the star-CC /
+    k-core discipline). Frontier size is bounded by the graph's
+    expansion, not by rounds², and rounds is a small constant (graph
+    diameter budget)."""
+    adj = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = adj.select(F.col("a").alias("node")).distinct()
+    visited = (
+        sources.select(F.col(source_col).alias("node"))
+        .distinct()
+        .join(nodes, "node", "left_semi")
+        .select("node", F.lit(0).cast("long").alias("hops"))
+        .localCheckpoint()
+    )
+    frontier = visited.select("node")
+    for i in range(1, rounds + 1):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(i).cast("long").alias("hops"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return visited

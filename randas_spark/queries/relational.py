@@ -2361,6 +2361,76 @@ def _sql_kcore_copurchase(k: int, rounds: int) -> str:
     )
 
 
+def _sql_bfs_promo(rounds: int) -> str:
+    """Unrolled multi-source BFS oracle: ``rounds`` frontier expansions
+    over the co-purchase graph from the PROMO-part sources. AS
+    MATERIALIZED per round (the k-core/BPE lazy-CTE-chain lesson)."""
+    ctes = [
+        "items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)",
+        """e AS MATERIALIZED (
+            SELECT pa, pb FROM (
+                SELECT a.pk AS pa, b.pk AS pb, count(*) AS c
+                FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                GROUP BY a.pk, b.pk
+            ) WHERE c >= 2
+        )""",
+        "adj AS MATERIALIZED (SELECT pa AS a, pb AS b FROM e UNION SELECT pb, pa FROM e)",
+        """v0 AS MATERIALIZED (
+            SELECT DISTINCT p_partkey AS node, CAST(0 AS BIGINT) AS hops
+            FROM part
+            WHERE p_type LIKE 'PROMO%' AND p_partkey IN (SELECT a FROM adj)
+        )""",
+        "f0 AS MATERIALIZED (SELECT node FROM v0)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""f{i} AS MATERIALIZED (
+                SELECT DISTINCT adj.b AS node
+                FROM f{i - 1} JOIN adj ON adj.a = f{i - 1}.node
+                WHERE adj.b NOT IN (SELECT node FROM v{i - 1})
+            )"""
+        )
+        ctes.append(
+            f"""v{i} AS MATERIALIZED (
+                SELECT node, hops FROM v{i - 1}
+                UNION ALL SELECT node, CAST({i} AS BIGINT) FROM f{i}
+            )"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, hops FROM v{rounds}"
+
+
+@register("rel_graph_bfs_hops", oracle=_sql_bfs_promo(rounds=4))
+def rel_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance: for every part in the co-purchase
+    graph (edges = parts co-ordered in ≥2 baskets), the shortest hop
+    count to the NEAREST promoted part (p_type LIKE 'PROMO%'), within a
+    4-hop budget — the influence-radius / reachability primitive
+    completing the graph family (components, PageRank, triangles,
+    k-core). Level-synchronous frontier expansion; each node settles
+    exactly once at its minimum hop, so the plan never carries a
+    min-aggregation over paths.
+
+    Cross-engine parity: operators/mining.bfs_hops runs ≤4 frontier
+    expansions with an early empty-frontier exit; the oracle unrolls
+    exactly 4 — equal by construction (an empty frontier stays empty on
+    both engines). Scale: the corpus-sized basket contraction runs once
+    before the loop; each round shuffles only the shrinking frontier
+    against the checkpointed adjacency list."""
+    from randas_spark.operators.mining import basket_pair_counts, bfs_hops
+
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    edges = (
+        basket_pair_counts(li, "l_orderkey", "l_partkey")
+        .filter(F.col("pair_count") >= 2)
+        .select(F.col("item_a").alias("pa"), F.col("item_b").alias("pb"))
+    )
+    sources = p.filter(F.col("p_type").like("PROMO%")).select(
+        F.col("p_partkey").alias("node")
+    )
+    return bfs_hops(edges, sources, rounds=4, src="pa", dst="pb")
+
+
 @register("rel_kcore_copurchase", oracle=_sql_kcore_copurchase(k=2, rounds=6))
 def rel_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the part co-purchase graph (edges = parts co-ordered in

@@ -668,6 +668,59 @@ def test_k_core_peel_cascade_and_budget_parity(spark):
     assert one_pass == {1: 2, 2: 2, 3: 3, 4: 2, 5: 1}
 
 
+def test_bfs_hops_settles_minimum_hops(spark):
+    """Path 1-2-3-4-5 plus a shortcut 1-5 and an isolated edge 8-9:
+    multi-source BFS from {1, 8} must settle every node at its MINIMUM
+    hop distance (node 5 via the shortcut at hops=1, not the path's 4;
+    node 4 at 2 via 5), sources at 0, and a node outside the budget is
+    absent. Source 100 (not in the graph) contributes nothing."""
+    from randas_spark.operators.mining import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 5), (8, 9)], "src long, dst long"
+    )
+    sources = spark.createDataFrame([(1,), (8,), (100,)], "node long")
+    got = {r.node: r.hops for r in bfs_hops(edges, sources, rounds=4).collect()}
+    assert got == {1: 0, 8: 0, 2: 1, 5: 1, 9: 1, 3: 2, 4: 2}
+
+    # budget shorter than the eccentricity truncates (oracle-parity rule)
+    short = {r.node: r.hops for r in bfs_hops(edges, sources, rounds=1).collect()}
+    assert short == {1: 0, 8: 0, 2: 1, 5: 1, 9: 1}
+
+
+def test_bfs_query_budget_is_fixpoint(spark):
+    """The registered 4-round budget must reach the frontier fixpoint on
+    the co-purchase graph: rerunning with a larger budget adds no node
+    (the honesty condition behind matching the 4-round-unrolled oracle)."""
+    from randas_spark.queries import load_all, REGISTRY
+    from tests.conftest import SF_DIR
+
+    load_all()
+    out4 = {
+        (r.node, r.hops)
+        for r in REGISTRY["rel_graph_bfs_hops"].fn(spark, SF_DIR).collect()
+    }
+    from randas_spark.operators.mining import basket_pair_counts, bfs_hops
+    from randas_spark.queries.relational import t as _t
+    from pyspark.sql import functions as F
+
+    li = _t(spark, SF_DIR, "lineitem")
+    p = _t(spark, SF_DIR, "part")
+    edges = (
+        basket_pair_counts(li, "l_orderkey", "l_partkey")
+        .filter(F.col("pair_count") >= 2)
+        .select(F.col("item_a").alias("pa"), F.col("item_b").alias("pb"))
+    )
+    sources = p.filter(F.col("p_type").like("PROMO%")).select(
+        F.col("p_partkey").alias("node")
+    )
+    out8 = {
+        (r.node, r.hops)
+        for r in bfs_hops(edges, sources, rounds=8, src="pa", dst="pb").collect()
+    }
+    assert out4 == out8
+
+
 def test_kcore_query_budget_reaches_fixpoint(spark):
     """The registered query's 6-round budget must actually reach the
     fixpoint on the co-purchase graph (min degree ≥ k) — the honesty
