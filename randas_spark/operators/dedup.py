@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from randas_spark.functions.text import fingerprint, shingles
+from randas_spark.functions.text import fingerprint, shingles, tokens
 
 _LOG = logging.getLogger(__name__)
 
@@ -86,6 +86,79 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .withColumn("__rk__", F.row_number().over(w))
         .filter(F.col("__rk__") == 1)
         .drop("__fp__", "__rk__")
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int = 15,
+) -> DataFrame:
+    """CCNet-style segment-level (paragraph) dedup: split each document
+    into consecutive ``seg_tokens``-token segments, hash each segment,
+    and keep only the FIRST occurrence of every segment hash corpus-wide
+    (first = smallest (doc_id, seg_idx)) — the pass that strips shared
+    boilerplate (headers, nav bars, subscribe blocks) that doc-level
+    dedup can't see because the surrounding text differs per page
+    (Wenzek et al., CCNet, LREC'20 dedups on paragraph hashes exactly
+    this way).
+
+    Returns (doc_id, n_segs, n_kept, kept_md5): per-doc segment counts
+    and the md5 of the surviving text (segments re-joined in seg_idx
+    order); kept_md5 is NULL when every segment was removed.
+
+    Scale: segmentation is scan-side array math (tokenize once, slice
+    per window — no shuffle); the first-occurrence rule is a map-side-
+    combinable groupBy(hash).min(packed (doc_id, seg_idx) key) — an
+    integer MIN, deliberately NOT a row_number window over the hash
+    partition, because the whole point is that boilerplate hashes are
+    HOT (millions of instances of one hash at crawl scale) and a window
+    would sort each hot partition while the partial-agg min collapses
+    it map-side. The verdict joins back on the hash (AQE handles the
+    residual skew); the per-doc rollup shuffles on doc_id. The packed
+    key bounds seg_idx < 1e6 — fine for any document under ~15M tokens."""
+    toks = tokens(F.col(text_col))
+    n_segs = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
+    segs = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_segs - 1),
+                    lambda i: F.array_join(
+                        F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
+                    ),
+                )
+            ).alias("seg_idx", "seg_text"),
+        )
+        .withColumn("h", F.md5(F.col("seg_text")))
+        .withColumn(
+            "pk", F.col("doc_id").cast("long") * 1_000_000 + F.col("seg_idx")
+        )
+    )
+    firsts = segs.groupBy("h").agg(F.min("pk").alias("first_pk"))
+    flagged = segs.join(firsts, "h").withColumn(
+        "kept", F.col("pk") == F.col("first_pk")
+    )
+    kept_join = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("kept"), F.struct("seg_idx", "seg_text"))
+                )
+            ),
+            lambda s: s["seg_text"],
+        ),
+        " ",
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segs"),
+        F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+        F.when(
+            F.sum(F.col("kept").cast("long")) > 0, F.md5(kept_join)
+        ).alias("kept_md5"),
     )
 
 

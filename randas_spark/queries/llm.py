@@ -61,6 +61,81 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILERPLATE = (
+    "subscribe to our newsletter for updates and follow us on "
+    "all social media channels today"
+)  # exactly 15 words == one segment, so injected docs share segment 0
+
+
+@register(
+    "llm_paragraph_dedup",
+    oracle=f"""
+    WITH src AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 2
+                    THEN '{_BOILERPLATE} ' || text ELSE text END AS body
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tok AS (
+        SELECT doc_id, {sql_tokens('body')} AS toks FROM src
+    ),
+    segs AS (
+        SELECT doc_id,
+               unnest(generate_series(0, CAST(ceil(len(toks) / 15.0) AS INT) - 1)) AS seg_idx,
+               array_to_string(
+                   toks[unnest(generate_series(0, CAST(ceil(len(toks) / 15.0) AS INT) - 1)) * 15 + 1 :
+                        unnest(generate_series(0, CAST(ceil(len(toks) / 15.0) AS INT) - 1)) * 15 + 15],
+                   ' ') AS seg_text
+        FROM tok
+    ),
+    hashed AS (
+        SELECT doc_id, seg_idx, seg_text, md5(seg_text) AS h,
+               doc_id * 1000000 + seg_idx AS pk
+        FROM segs
+    ),
+    firsts AS (SELECT h, min(pk) AS first_pk FROM hashed GROUP BY h),
+    flagged AS (
+        SELECT hashed.*, hashed.pk = firsts.first_pk AS kept
+        FROM hashed JOIN firsts ON hashed.h = firsts.h
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+           CASE WHEN count(*) FILTER (WHERE kept) > 0
+                THEN md5(string_agg(seg_text, ' ' ORDER BY seg_idx)
+                         FILTER (WHERE kept))
+           END AS kept_md5
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph/segment-level dedup
+    (operators/dedup.segment_dedup): 15-token segments, md5 per segment,
+    keep only each hash's first corpus occurrence, report per-doc
+    (n_segs, n_kept, kept_md5). A shared subscribe-block boilerplate is
+    injected into every doc_id % 5 == 2 document (the
+    llm_dedup_incremental synthetic-duplication discipline) so the pass
+    has real cross-doc boilerplate to strip: those docs lose segment 0
+    to the smallest injected doc_id.
+
+    Scale: the first-occurrence rule is a map-side-combinable integer
+    MIN per hash — deliberately not a window — because boilerplate
+    hashes are the hot keys at crawl scale; see the operator docstring."""
+    from randas_spark.operators.dedup import segment_dedup
+
+    d = t(spark, sf_dir, "documents")
+    body = d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit(_BOILERPLATE + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("body"),
+    )
+    return segment_dedup(body, "doc_id", "body", seg_tokens=15)
+
+
 @register(
     "llm_dedup_incremental",
     oracle=f"""

@@ -120,6 +120,32 @@ def test_exact_dedup_keeps_min_id(spark):
     assert kept == [1, 9]
 
 
+def test_segment_dedup_strips_shared_boilerplate(spark):
+    """Three docs sharing a 4-token boilerplate prefix (seg_tokens=4):
+    only the smallest doc keeps it; unique tails always survive; a doc
+    whose EVERY segment is a repeat of earlier material keeps nothing
+    (NULL kept_md5); partial trailing segments hash independently."""
+    from randas_spark.operators.dedup import segment_dedup
+
+    bp = "one two three four"
+    df = spark.createDataFrame(
+        [
+            (1, bp + " alpha beta gamma delta"),
+            (2, bp + " epsilon zeta eta theta"),
+            (3, bp),  # pure boilerplate: everything removed
+            (4, "iota kappa"),  # short partial segment, unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in segment_dedup(df, "doc_id", "text", 4).collect()}
+    assert (out[1].n_segs, out[1].n_kept) == (2, 2)  # first occurrence keeps all
+    assert (out[2].n_segs, out[2].n_kept) == (2, 1)  # boilerplate stripped
+    assert (out[3].n_segs, out[3].n_kept) == (1, 0)
+    assert out[3].kept_md5 is None
+    assert (out[4].n_segs, out[4].n_kept) == (1, 1)
+    assert out[1].kept_md5 != out[2].kept_md5  # different surviving text
+
+
 def test_knn_graph_covers_every_vector_no_self_edges(spark):
     """Self-join kNN graph: every vector is a query, k<=5 neighbors
     each, never itself, ranks contiguous from 1."""
