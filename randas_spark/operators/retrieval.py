@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from randas_spark.functions.text import tokens
+from randas_spark.queries import fround
 
 
 def inverted_index(
@@ -155,3 +156,56 @@ def rrf_fuse(
     ).limit(top_k)
     w = Window.orderBy(F.desc("rrf"), F.col(id_col))
     return top.withColumn("rk", F.row_number().over(w))
+
+
+def feature_hashing(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al., ICML'09): map
+    each token to bucket h(token) mod D with a second sign hash ξ(token)
+    ∈ {−1, +1}, sum signs per (doc, bucket), and keep the non-zero
+    cells — the fixed-width, vocabulary-free vectorizer every
+    large-scale text classifier front-ends (no vocab build pass, no
+    OOV, bounded width regardless of corpus size; the sign hash keeps
+    collisions unbiased in expectation).
+
+    Returns (doc_id, nnz, l2, feats): non-zero cell count, the vector's
+    L2 norm, and the sparse vector rendered "bucket:value,..." in bucket
+    order (engine-portable text form — array cells crash the driver
+    canon). Hashes derive from md5 hex (first 8 digits → bucket, 9th
+    digit parity → sign) so bucketing is bit-identical cross-engine.
+
+    Scale: tokenize-explode is scan-side; the only shuffles are the
+    (doc, bucket) partial-agg groupBy (map-side combined, cells bounded
+    by min(doc_tokens, D) per doc) and the per-doc rollup. No vocabulary
+    state, no broadcast — the property that makes the hashing trick THE
+    featurizer at 100 TB."""
+    h = F.md5(F.col("tok"))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets
+    sign = (F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2) * 2 - 1
+    cells = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .select("doc_id", bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("long").alias("v"))
+        .filter(F.col("v") != 0)
+    )
+    feats = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket", "v"))),
+            lambda s: F.concat_ws(":", s["bucket"], s["v"]),
+        ),
+        ",",
+    )
+    return cells.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nnz"),
+        fround(F.sqrt(F.sum(F.col("v") * F.col("v"))), 6).alias("l2"),
+        feats.alias("feats"),
+    )

@@ -600,6 +600,43 @@ def llm_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({sql_tokens('text')}) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    cells AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(tok), 1, 8))::BIGINT) % 64 AS bucket,
+               CAST(sum(((('0x' || substr(md5(tok), 9, 1))::BIGINT) % 2) * 2 - 1)
+                    AS BIGINT) AS v
+        FROM tok GROUP BY doc_id, bucket
+    ),
+    nz AS (SELECT * FROM cells WHERE v != 0)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS nnz,
+           {sql_fround('sqrt(CAST(sum(v * v) AS BIGINT))', 6)} AS l2,
+           string_agg(bucket || ':' || v, ',' ORDER BY bucket) AS feats
+    FROM nz GROUP BY doc_id
+    """,
+)
+def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al., ICML'09) over the
+    documents table: 64-bucket signed-hash sparse vectors per doc, as
+    (nnz, l2, "bucket:value,..." in bucket order) —
+    operators/retrieval.feature_hashing; md5-derived bucket and sign
+    hashes make the vectors bit-identical cross-engine. The
+    vocabulary-free counterpart to llm_vocab_build/apply: fixed width,
+    no OOV, no broadcast state — the featurizer that still works when
+    the vocabulary itself would not fit."""
+    from randas_spark.operators.retrieval import feature_hashing
+
+    d = t(spark, sf_dir, "documents")
+    return feature_hashing(d, "doc_id", "text", n_buckets=64)
+
+
+@register(
     "llm_tfidf_top_terms",
     oracle=f"""
     WITH tf AS (

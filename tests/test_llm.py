@@ -120,6 +120,28 @@ def test_exact_dedup_keeps_min_id(spark):
     assert kept == [1, 9]
 
 
+def test_feature_hashing_sign_cancellation_and_shape(spark):
+    """Identical docs hash identically; a repeated token adds ±1 per
+    occurrence in ONE bucket (so 'w w' has the same nnz as 'w' with
+    double the magnitude); nnz never exceeds the token count; l2² equals
+    the sum of squared cell values parsed back from the feats string."""
+    from randas_spark.operators.retrieval import feature_hashing
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "word word"), (4, "word")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in feature_hashing(df, "doc_id", "text", 64).collect()}
+    assert out[1].feats == out[2].feats and out[1].nnz == out[2].nnz
+    assert out[3].nnz == out[4].nnz == 1
+    b3, v3 = out[3].feats.split(":")
+    b4, v4 = out[4].feats.split(":")
+    assert b3 == b4 and int(v3) == 2 * int(v4)
+    for r in out.values():
+        cells = [int(c.split(":")[1]) for c in r.feats.split(",")]
+        assert abs(r.l2 ** 2 - sum(v * v for v in cells)) < 1e-6
+
+
 def test_segment_dedup_strips_shared_boilerplate(spark):
     """Three docs sharing a 4-token boilerplate prefix (seg_tokens=4):
     only the smallest doc keeps it; unique tails always survive; a doc
