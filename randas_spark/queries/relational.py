@@ -2459,6 +2459,110 @@ def rel_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_survival_km",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey, min(o_orderdate::TIMESTAMP) AS f,
+               max(o_orderdate::TIMESTAMP) AS l
+        FROM orders GROUP BY o_custkey
+    ),
+    mx AS (SELECT max(l) AS cm, count(*) AS n_cust FROM per_cust),
+    life AS (
+        SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t,
+               CASE WHEN l < cm - INTERVAL 90 DAY THEN 1 ELSE 0 END AS ev,
+               n_cust
+        FROM per_cust CROSS JOIN mx
+    ),
+    agg AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS leave_n,
+               CAST(sum(ev) AS BIGINT) AS d, max(n_cust) AS n_cust
+        FROM life GROUP BY t
+    ),
+    cum AS (
+        SELECT t, d,
+               CAST(n_cust AS BIGINT)
+                 - CAST(coalesce(sum(leave_n) OVER (
+                       ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS n_risk
+        FROM agg
+    ),
+    km AS (
+        SELECT t, d, n_risk,
+               sum(CASE WHEN d = n_risk THEN 0.0
+                        ELSE ln(1 - d / CAST(n_risk AS DOUBLE)) END)
+                   OVER (ORDER BY t) AS cum_ln
+        FROM cum
+    )
+    SELECT t, n_risk, d AS n_events,
+           CASE WHEN d = n_risk THEN 0.0
+                ELSE {sql_fround('exp(cum_ln)', 6)} END AS survival
+    FROM km WHERE d > 0
+    """,
+)
+def rel_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for customer lifetime: per customer,
+    lifetime = days between first and last order; churned (event) if the
+    last order precedes corpus-max by >90 days, else right-censored (the
+    standard last-seen censoring rule). Output: each event time with its
+    risk-set size, event count, and the product-limit survival estimate
+    S(t) = Π (1 − d_i/n_i) (Kaplan & Meier, JASA 1958) — the
+    churn-analytics primitive next to retention cohorts
+    (rel_retention_cohorts) and RFM (rel_rfm_segments).
+
+    Determinism: the product is exp(Σ ln(1 − d/n)) over the
+    duration-ordered window; d=0 rows contribute ln(1)=0 so censored-only
+    times never perturb the product, and the d=n_risk terminal case
+    (everyone remaining churns) is pinned to exactly 0.0 on both engines
+    instead of exp(ln(0)). fround(6) absorbs libm ulp drift.
+
+    Scale: orders compact to per-customer min/max first (map-side
+    combined — the only data-sized stage); the risk-set and product
+    windows run over the distinct-duration table (≤ |days| rows, the
+    documented global-sort concession exact quantile curves make)."""
+    o = t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l")
+    )
+    mx = per_cust.agg(
+        F.max("l").alias("cm"), F.count(F.lit(1)).cast("long").alias("n_cust")
+    )
+    life = per_cust.crossJoin(F.broadcast(mx)).select(
+        F.datediff(F.col("l"), F.col("f")).cast("long").alias("t"),
+        F.when(F.col("l") < F.col("cm") - F.expr("INTERVAL 90 DAYS"), 1)
+        .otherwise(0)
+        .alias("ev"),
+        "n_cust",
+    )
+    agg = life.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("leave_n"),
+        F.sum("ev").cast("long").alias("d"),
+        F.max("n_cust").alias("n_cust"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = agg.select(
+        "t",
+        "d",
+        (
+            F.col("n_cust")
+            - F.coalesce(F.sum("leave_n").over(w_prev), F.lit(0)).cast("long")
+        ).alias("n_risk"),
+    )
+    term = F.when(F.col("d") == F.col("n_risk"), F.lit(0.0)).otherwise(
+        F.log(F.lit(1.0) - F.col("d") / F.col("n_risk").cast("double"))
+    )
+    km = cum.withColumn("cum_ln", F.sum(term).over(w_run))
+    return km.filter(F.col("d") > 0).select(
+        "t",
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.when(F.col("d") == F.col("n_risk"), F.lit(0.0))
+        .otherwise(fround(F.exp(F.col("cum_ln")), 6))
+        .alias("survival"),
+    )
+
+
+@register(
     "rel_seasonal_naive_backtest",
     oracle=f"""
     WITH hourly AS (

@@ -668,6 +668,52 @@ def test_k_core_peel_cascade_and_budget_parity(spark):
     assert one_pass == {1: 2, 2: 2, 3: 3, 4: 2, 5: 1}
 
 
+def test_survival_km_matches_pure_python_estimator(spark):
+    """The registered KM curve must equal an independent pure-Python
+    product-limit estimator built from the same orders parquet (exact
+    risk sets and event counts; survival to 6dp), and satisfy the KM
+    shape laws: S non-increasing in (0, 1], n_risk strictly decreasing."""
+    import math
+
+    from randas_spark.queries import load_all, REGISTRY
+    from randas_spark.queries.relational import t as _t
+    from tests.conftest import SF_DIR
+
+    load_all()
+    rows = REGISTRY["rel_survival_km"].fn(spark, SF_DIR).collect()
+    got = {r.t: (r.n_risk, r.n_events, r.survival) for r in rows}
+
+    o = _t(spark, SF_DIR, "orders").select("o_custkey", "o_orderdate").collect()
+    per = {}
+    for r in o:
+        f, l = per.get(r.o_custkey, (r.o_orderdate, r.o_orderdate))
+        per[r.o_custkey] = (min(f, r.o_orderdate), max(l, r.o_orderdate))
+    cm = max(l for _, l in per.values())
+    lives = [
+        ((l - f).days, 1 if (cm - l).total_seconds() > 90 * 86400 else 0)
+        for f, l in per.values()
+    ]
+    n_risk, s, want = len(lives), 1.0, {}
+    from collections import Counter
+
+    leave = Counter(t for t, _ in lives)
+    events = Counter(t for t, ev in lives if ev)
+    for tt in sorted(leave):
+        d = events.get(tt, 0)
+        if d:
+            s = 0.0 if d == n_risk else s * (1 - d / n_risk)
+            want[tt] = (n_risk, d, math.floor(s * 1e6 + 0.5) / 1e6)
+        n_risk -= leave[tt]
+    assert set(got) == set(want)
+    for tt in want:
+        assert got[tt][:2] == want[tt][:2]
+        assert abs(got[tt][2] - want[tt][2]) < 2e-6
+    ordered = [got[tt] for tt in sorted(got)]
+    assert all(a[2] >= b[2] for a, b in zip(ordered, ordered[1:]))
+    assert all(a[0] > b[0] for a, b in zip(ordered, ordered[1:]))
+    assert all(0 < v[2] <= 1 or v[1] == v[0] for v in ordered)
+
+
 def test_bfs_hops_settles_minimum_hops(spark):
     """Path 1-2-3-4-5 plus a shortcut 1-5 and an isolated edge 8-9:
     multi-source BFS from {1, 8} must settle every node at its MINIMUM
