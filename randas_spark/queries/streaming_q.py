@@ -98,7 +98,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH flagged AS (
         SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
-               CASE WHEN epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP)) OVER w > 1800000000
+               CASE WHEN epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP)) OVER w > 86400000000
                     OR lag(ts::TIMESTAMP) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -409,4 +409,121 @@ def stream_rollup_states(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s") / 1000.0).alias("total_value"),
         "min_value",
         "max_value",
+    )
+
+
+@register(
+    "stream_pattern_funnel",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(ts::TIMESTAMP) AS us
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    p1 AS (
+        SELECT *,
+               last_value(CASE WHEN event_type = 'view' THEN us END
+                          IGNORE NULLS) OVER w AS lv_us,
+               last_value(CASE WHEN event_type = 'view' THEN event_id END
+                          IGNORE NULLS) OVER w AS lv_id
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    p2 AS (
+        SELECT *,
+               last_value(CASE WHEN event_type = 'click' AND lv_us IS NOT NULL
+                               AND us - lv_us <= 86400000000 THEN us END
+                          IGNORE NULLS) OVER w AS qc_us,
+               last_value(CASE WHEN event_type = 'click' AND lv_us IS NOT NULL
+                               AND us - lv_us <= 86400000000 THEN event_id END
+                          IGNORE NULLS) OVER w AS qc_id,
+               last_value(CASE WHEN event_type = 'click' AND lv_us IS NOT NULL
+                               AND us - lv_us <= 86400000000 THEN lv_us END
+                          IGNORE NULLS) OVER w AS qv_us,
+               last_value(CASE WHEN event_type = 'click' AND lv_us IS NOT NULL
+                               AND us - lv_us <= 86400000000 THEN lv_id END
+                          IGNORE NULLS) OVER w AS qv_id
+        FROM p1
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id AS purchase_event_id, qc_id AS click_event_id,
+           qv_id AS view_event_id, (us - qv_us) / 1000000.0 AS funnel_secs
+    FROM p2
+    WHERE event_type = 'purchase' AND qc_us IS NOT NULL
+      AND us - qc_us <= 86400000000
+    """,
+)
+def stream_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of engine.funnel_state (the CEP kernel): completed
+    view→click→purchase funnels, each step within 24 hours of the
+    previous, with non-consuming last-touch chaining — a purchase links
+    to the last QUALIFIED click before it (a click within 24 h of its
+    own preceding view), and touches are reusable across purchases.
+
+    Two ignore-nulls carry-forward window passes over the filtered
+    event stream (the rel_attribution_last_touch shape, chained once):
+    pass 1 carries the last view onto every row; pass 2 carries the
+    last qualified click onto every purchase. No self-joins: one
+    shuffle on user_id serves both passes, constant per-row state —
+    at 100 TB this beats the three-way interval self-join formulation
+    (two extra shuffles, hot-user skew on every one). The time gates
+    are integer microsecond arithmetic; funnel_secs is one BIGINT
+    difference divided by 1e6 — the same IEEE op on both engines.
+    Kernel equality (the actual streaming state machine) is asserted in
+    tests/test_streaming.py by file replay."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    from pyspark.sql import Window
+
+    base = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    step = 86_400_000_000
+    is_view = F.col("event_type") == "view"
+    p1 = base.select(
+        "*",
+        F.last(F.when(is_view, F.col("us")), ignorenulls=True).over(w).alias("lv_us"),
+        F.last(F.when(is_view, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("lv_id"),
+    )
+    is_qc = (
+        (F.col("event_type") == "click")
+        & F.col("lv_us").isNotNull()
+        & ((F.col("us") - F.col("lv_us")) <= step)
+    )
+    p2 = p1.select(
+        "*",
+        F.last(F.when(is_qc, F.col("us")), ignorenulls=True).over(w).alias("qc_us"),
+        F.last(F.when(is_qc, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("qc_id"),
+        F.last(F.when(is_qc, F.col("lv_us")), ignorenulls=True)
+        .over(w)
+        .alias("qv_us"),
+        F.last(F.when(is_qc, F.col("lv_id")), ignorenulls=True)
+        .over(w)
+        .alias("qv_id"),
+    )
+    return p2.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("qc_us").isNotNull()
+        & ((F.col("us") - F.col("qc_us")) <= step)
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("qc_id").alias("click_event_id"),
+        F.col("qv_id").alias("view_event_id"),
+        ((F.col("us") - F.col("qv_us")) / F.lit(1_000_000.0)).alias("funnel_secs"),
     )

@@ -215,6 +215,90 @@ def attribution_state(events: DataFrame) -> DataFrame:
     )
 
 
+_FUNNEL_STATE_SCHEMA = (
+    "lv_us long, lv_id long, qc_us long, qc_id long, qv_us long, qv_id long"
+)
+_FUNNEL_OUT_SCHEMA = (
+    "user_id long, purchase_event_id long, click_event_id long, "
+    "view_event_id long, funnel_secs double"
+)
+_FUNNEL_STEP_US = 86_400_000_000  # 24 h per step, matching the batch twin
+
+
+def _funnel_state(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful kernel #4: streaming CEP funnel detection
+    (view → click → purchase, each step within 24 h of the previous,
+    non-consuming last-touch chaining). Per-user state is SIX longs —
+    the last view (ts, id) and the last QUALIFIED click (ts, id) with
+    its linked view (ts, id) — regardless of event volume: the O(1)
+    state that makes pattern matching stream at 100 TB where a
+    MATCH_RECOGNIZE backtracking engine would buffer the row history.
+    Emits one row per purchase that completes the chain."""
+    lv_us, lv_id, qc_us, qc_id, qv_us, qv_id = (
+        state.get if state.exists else (None, None, None, None, None, None)
+    )
+    out_rows = []
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        # materialize ALL Arrow chunks before the one sort (chunk order
+        # carries no global order — the _attribution_state discipline)
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+        ts_us_arr = pdf["ts"].astype("int64").to_numpy() // 1000
+        ev_arr = pdf["event_id"].to_numpy()
+        et_arr = pdf["event_type"].to_numpy()
+        for et, ev, ts_us in zip(et_arr, ev_arr, ts_us_arr):
+            ts_us = int(ts_us)
+            if et == "view":
+                lv_us, lv_id = ts_us, int(ev)
+            elif et == "click":
+                if lv_us is not None and ts_us - lv_us <= _FUNNEL_STEP_US:
+                    qc_us, qc_id, qv_us, qv_id = ts_us, int(ev), lv_us, lv_id
+            elif et == "purchase":
+                if qc_us is not None and ts_us - qc_us <= _FUNNEL_STEP_US:
+                    out_rows.append(
+                        (
+                            key[0],
+                            int(ev),
+                            qc_id,
+                            qv_id,
+                            (ts_us - qv_us) / 1_000_000.0,
+                        )
+                    )
+    state.update((lv_us, lv_id, qc_us, qc_id, qv_us, qv_id))
+    yield pd.DataFrame(
+        out_rows,
+        columns=[
+            "user_id",
+            "purchase_event_id",
+            "click_event_id",
+            "view_event_id",
+            "funnel_secs",
+        ],
+    )
+
+
+def funnel_state(events: DataFrame) -> DataFrame:
+    """Streaming view→click→purchase funnel detection via
+    applyInPandasWithState — the streaming twin of the two-pass window
+    formulation (queries/streaming_q.stream_pattern_funnel). Fourth
+    custom-state kernel (after running totals, attribution, and CUSUM): shows
+    the API covers CEP-style sequence patterns with constant state.
+    Cross-trigger correctness holds when triggers respect event-time
+    order per key (file replay here; a kafka source partitioned by user
+    keeps per-key order)."""
+    return events.select(
+        "user_id", "event_id", "ts", "event_type"
+    ).groupBy("user_id").applyInPandasWithState(
+        _funnel_state,
+        outputStructType=_FUNNEL_OUT_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def segment_hourly_activity(
     events: DataFrame, customers: DataFrame, watermark: str | None = None
 ) -> DataFrame:

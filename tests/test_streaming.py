@@ -430,6 +430,81 @@ def test_attribution_state_matches_batch_window(spark, batch_events):
             assert abs(mins - bmins) < 1e-3  # batch rounds via fround(3)
 
 
+def test_funnel_state_matches_batch_two_pass_window(spark, batch_events):
+    """Streaming CEP funnel kernel (view→click→purchase, 30-min steps,
+    O(1) state) must equal the batch two-pass carry-forward window
+    formulation row for row: same purchases emitted, same linked click
+    and view ids, same funnel duration."""
+    from randas_spark.queries.streaming_q import stream_pattern_funnel
+    from randas_spark.streaming.engine import funnel_state
+
+    batch = {
+        (r.user_id, r.purchase_event_id): (
+            r.click_event_id,
+            r.view_event_id,
+            r.funnel_secs,
+        )
+        for r in stream_pattern_funnel(spark, SF_DIR).collect()
+    }
+    streamed = _run_stream(spark, funnel_state, "t_funnel", output_mode="append")
+    got = {
+        (r.user_id, r.purchase_event_id): (
+            r.click_event_id,
+            r.view_event_id,
+            r.funnel_secs,
+        )
+        for r in streamed.collect()
+    }
+    assert set(got) == set(batch)
+    assert len(got) > 0  # the fixture must actually exercise the pattern
+    for k, (cid, vid, secs) in got.items():
+        bcid, bvid, bsecs = batch[k]
+        assert (cid, vid) == (bcid, bvid), (k, cid, vid, bcid, bvid)
+        assert abs(secs - bsecs) < 1e-9
+
+
+def test_funnel_kernel_chunk_order_independent():
+    """The funnel kernel must produce identical matches no matter how
+    the trigger's rows are split across Arrow chunks (the
+    applyInPandasWithState no-global-order contract): a purchase in
+    chunk 1 whose click/view arrived in chunk 2 still completes."""
+    import pandas as pd
+
+    from randas_spark.streaming.engine import _funnel_state
+
+    class _FakeState:
+        exists = False
+
+        def update(self, v):
+            self.saved = v
+
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    rows = [
+        (1, base, "view"),
+        (2, base + pd.Timedelta(minutes=10), "click"),
+        (3, base + pd.Timedelta(minutes=25), "purchase"),
+        (4, base + pd.Timedelta(hours=30), "purchase"),  # > 24h gate: no match
+    ]
+
+    def mk(ids):
+        sel = [r for r in rows if r[0] in ids]
+        return pd.DataFrame(
+            {
+                "event_id": [r[0] for r in sel],
+                "ts": [r[1] for r in sel],
+                "event_type": [r[2] for r in sel],
+            }
+        )
+
+    for split in ([{1, 2, 3, 4}], [{3, 4}, {1, 2}], [{2}, {4, 1}, {3}]):
+        st = _FakeState()
+        out = pd.concat(list(_funnel_state((7,), iter([mk(s) for s in split]), st)))
+        assert list(out["purchase_event_id"]) == [3]
+        assert list(out["click_event_id"]) == [2]
+        assert list(out["view_event_id"]) == [1]
+        assert list(out["funnel_secs"]) == [25 * 60.0]
+
+
 def test_stream_stream_left_outer_watermark_gated(spark, batch_events):
     """Left-outer stream-stream join: every MATCHED pair emits and
     equals the batch inner set; null (unconverted) rows emit ONLY for
