@@ -2459,6 +2459,110 @@ def rel_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_ks_two_sample",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT o_totalprice AS x,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    counts AS (
+        SELECT x,
+               CAST(sum(g) AS BIGINT) AS c1,
+               CAST(sum(1 - g) AS BIGINT) AS c2
+        FROM labeled GROUP BY x
+    ),
+    tot AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        FROM counts
+    ),
+    cum AS (
+        SELECT x,
+               sum(c1) OVER (ORDER BY x) AS f1,
+               sum(c2) OVER (ORDER BY x) AS f2,
+               n1, n2
+        FROM counts CROSS JOIN tot
+    ),
+    gaps AS (
+        SELECT x, abs(f1 * n2 - f2 * n1) AS gap_num, n1, n2 FROM cum
+    ),
+    best AS (
+        SELECT n1, n2, max(gap_num) AS mg FROM gaps GROUP BY n1, n2
+    )
+    SELECT best.n1, best.n2,
+           {sql_fround('CAST(mg AS DOUBLE) / (best.n1 * best.n2)', 6)} AS ks_stat,
+           min(gaps.x) AS at_value
+    FROM best JOIN gaps ON gaps.gap_num = best.mg
+    GROUP BY best.n1, best.n2, mg
+    """,
+)
+def rel_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic: the max ECDF gap between
+    the order-price distributions of BUILDING vs MACHINERY customers —
+    the standard nonparametric drift test next to the KL divergence
+    monitor (llm_source_drift_kl): KL needs binning, KS does not.
+    Output: sample sizes, D = sup|F1−F2|, and the price where the max
+    gap occurs (min such price on ties).
+
+    Determinism: the gap is kept as the INTEGER cross-product
+    |f1·n2 − f2·n1| through the max (exact int64 arithmetic — no float
+    ECDFs to drift), divided out once at the end. Int64 budget:
+    f·n ≤ n1·n2 ≈ 2e10 at sf1 — headroom to ~3e9 rows per side.
+
+    Scale: one join + one map-side-combinable groupBy collapse the fact
+    table to |distinct prices| cells; the ECDF cumsum windows run over
+    that compacted table (the documented global-sort concession); the
+    argmax is a two-row broadcast join. At 100 TB, pre-bin prices to
+    10^-2 (they already are) and the cell table stays ≪ facts."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    labeled = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("g"),
+    )
+    counts = labeled.groupBy("x").agg(
+        F.sum("g").cast("long").alias("c1"),
+        F.sum(1 - F.col("g")).cast("long").alias("c2"),
+    )
+    tot = counts.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.crossJoin(F.broadcast(tot)).select(
+        "x",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+        "n1",
+        "n2",
+    )
+    gaps = cum.select(
+        "x",
+        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).alias(
+            "gap_num"
+        ),
+        "n1",
+        "n2",
+    )
+    best = gaps.agg(F.max("gap_num").alias("mg"))
+    return (
+        gaps.join(F.broadcast(best), F.col("gap_num") == F.col("mg"))
+        .groupBy("n1", "n2", "gap_num")
+        .agg(F.min("x").alias("at_value"))
+        .select(
+            "n1",
+            "n2",
+            fround(
+                F.col("gap_num").cast("double") / (F.col("n1") * F.col("n2")), 6
+            ).alias("ks_stat"),
+            "at_value",
+        )
+    )
+
+
+@register(
     "rel_survival_km",
     oracle=f"""
     WITH per_cust AS (

@@ -668,6 +668,42 @@ def test_k_core_peel_cascade_and_budget_parity(spark):
     assert one_pass == {1: 2, 2: 2, 3: 3, 4: 2, 5: 1}
 
 
+def test_ks_two_sample_matches_pure_python(spark):
+    """The KS statistic must equal a brute-force pure-Python ECDF sweep
+    over the same two samples (exact integer gap), and sit in [0, 1]."""
+    from randas_spark.queries import load_all, REGISTRY
+    from randas_spark.queries.relational import t as _t
+    from tests.conftest import SF_DIR
+
+    load_all()
+    row = REGISTRY["rel_ks_two_sample"].fn(spark, SF_DIR).collect()[0]
+
+    o = _t(spark, SF_DIR, "orders").select("o_custkey", "o_totalprice").collect()
+    seg = {
+        r.c_custkey: r.c_mktsegment
+        for r in _t(spark, SF_DIR, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .collect()
+    }
+    s1 = sorted(r.o_totalprice for r in o if seg.get(r.o_custkey) == "BUILDING")
+    s2 = sorted(r.o_totalprice for r in o if seg.get(r.o_custkey) == "MACHINERY")
+    n1, n2 = len(s1), len(s2)
+    xs = sorted(set(s1) | set(s2))
+    import bisect
+
+    best, at = -1, None
+    for x in xs:
+        gap = abs(bisect.bisect_right(s1, x) * n2 - bisect.bisect_right(s2, x) * n1)
+        if gap > best:
+            best, at = gap, x
+    import math
+
+    assert (row.n1, row.n2) == (n1, n2)
+    assert row.at_value == at
+    assert abs(row.ks_stat - math.floor(best / (n1 * n2) * 1e6 + 0.5) / 1e6) < 2e-6
+    assert 0.0 <= row.ks_stat <= 1.0
+
+
 def test_survival_km_matches_pure_python_estimator(spark):
     """The registered KM curve must equal an independent pure-Python
     product-limit estimator built from the same orders parquet (exact
