@@ -2459,6 +2459,93 @@ def rel_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_acf_hourly",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               epoch_us(date_trunc('hour', ts::TIMESTAMP)) / 3600000000 AS hi,
+               sum(value) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               sum(y) AS sy, sum(y * y) AS syy
+        FROM hourly GROUP BY 1
+    ),
+    lags AS (SELECT unnest(generate_series(1, 6)) AS lag),
+    pairs AS (
+        SELECT a.event_type, lag, a.y AS ya, b.y AS yb
+        FROM hourly a
+        JOIN lags ON true
+        JOIN hourly b ON b.event_type = a.event_type AND b.hi + lag = a.hi
+    )
+    SELECT p.event_type, CAST(lag AS BIGINT) AS lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           {sql_fround('sum((ya - sy / n) * (yb - sy / n)) / (syy - sy * sy / n)', 6)} AS acf
+    FROM pairs p JOIN stats s ON s.event_type = p.event_type
+    GROUP BY p.event_type, lag, s.n, s.sy, s.syy
+    """,
+)
+def rel_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly per-type event-value
+    series at lags 1-6 hours — the periodicity detector that feeds
+    seasonal modeling (rel_seasonal_decompose picks its period from
+    exactly this curve). r_k = Σ(y_t−ȳ)(y_{t−k}−ȳ) / Σ(y−ȳ)² with the
+    mean and denominator over the full series (the standard estimator)
+    and the numerator over hours where both endpoints exist, so series
+    gaps drop pairs instead of fabricating zeros.
+
+    Scale: events compact to the (type, hour) series first — the only
+    data-sized shuffle, map-side combined. All six lags come from ONE
+    self-join of the compacted series against an exploded 6-row lag
+    table (hour indices are integers, so the lag match is an equi-join
+    on (type, hi−lag) — no range scan), and per-type stats broadcast.
+    Work is 6×|series|, independent of the fact-table size."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.date_trunc("hour", F.col("ts"))) / 3_600_000_000)
+        .cast("long")
+        .alias("hi"),
+    ).agg(F.sum("value").alias("y"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    a = hourly.alias("a")
+    b = hourly.select(
+        F.col("event_type").alias("bt"), F.col("hi").alias("bhi"), F.col("y").alias("yb")
+    )
+    lags = F.explode(F.sequence(F.lit(1), F.lit(6))).alias("lag")
+    expanded = a.select("a.event_type", "a.hi", F.col("a.y").alias("ya"), lags)
+    pairs = expanded.join(
+        b,
+        (F.col("bt") == F.col("event_type"))
+        & (F.col("bhi") + F.col("lag") == F.col("hi")),
+    )
+    ybar = F.col("sy") / F.col("n")
+    return (
+        pairs.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "lag", "n", "sy", "syy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum((F.col("ya") - ybar) * (F.col("yb") - ybar)).alias("num"),
+        )
+        .select(
+            "event_type",
+            F.col("lag").cast("long").alias("lag"),
+            "n_pairs",
+            fround(
+                F.col("num")
+                / (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")),
+                6,
+            ).alias("acf"),
+        )
+    )
+
+
+@register(
     "rel_ks_two_sample",
     oracle=f"""
     WITH labeled AS (

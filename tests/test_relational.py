@@ -668,6 +668,39 @@ def test_k_core_peel_cascade_and_budget_parity(spark):
     assert one_pass == {1: 2, 2: 2, 3: 3, 4: 2, 5: 1}
 
 
+def test_acf_hourly_matches_numpy(spark):
+    """ACF rows must match a numpy recomputation over the same hourly
+    series (mean/denominator over the full series, numerator over
+    existing-pair overlaps), and every r_k must lie in [-1, 1]."""
+    import numpy as np
+
+    from randas_spark.queries import load_all, REGISTRY
+    from randas_spark.queries.relational import t as _t
+    from tests.conftest import SF_DIR
+
+    load_all()
+    rows = REGISTRY["rel_acf_hourly"].fn(spark, SF_DIR).collect()
+    assert rows and all(-1.0 <= r.acf <= 1.0 for r in rows)
+
+    e = _t(spark, SF_DIR, "events").collect()
+    series = {}
+    for r in e:
+        hi = int(r.ts.replace(minute=0, second=0, microsecond=0).timestamp() // 3600)
+        series.setdefault(r.event_type, {})
+        series[r.event_type][hi] = series[r.event_type].get(hi, 0.0) + r.value
+    for r in rows:
+        s = series[r.event_type]
+        ys = np.array(list(s.values()))
+        ybar, ss = ys.mean(), ((ys - ys.mean()) ** 2).sum()
+        num, n_pairs = 0.0, 0
+        for hi, y in s.items():
+            if hi - r.lag in s:
+                num += (y - ybar) * (s[hi - r.lag] - ybar)
+                n_pairs += 1
+        assert r.n_pairs == n_pairs
+        assert abs(r.acf - num / ss) < 2e-6, (r.event_type, r.lag)
+
+
 def test_ks_two_sample_matches_pure_python(spark):
     """The KS statistic must equal a brute-force pure-Python ECDF sweep
     over the same two samples (exact integer gap), and sit in [0, 1]."""
