@@ -111,6 +111,112 @@ def rel_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_attribution_multitouch",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS us
+        FROM events WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    counted AS (
+        SELECT *,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   OVER w AS n_clicks,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   OVER w AS n_views
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN 259200000000 PRECEDING AND 1 PRECEDING)
+    ),
+    purchases AS (
+        SELECT user_id,
+               coalesce(n_clicks, 0) AS nc, coalesce(n_views, 0) AS nv
+        FROM counted WHERE event_type = 'purchase'
+    ),
+    credits AS (
+        SELECT user_id, 'click' AS touch_type,
+               CAST(nc AS DOUBLE) / (nc + nv) AS credit,
+               CASE WHEN nc > 0 THEN 1 ELSE 0 END AS hit
+        FROM purchases WHERE nc + nv > 0
+        UNION ALL
+        SELECT user_id, 'view',
+               CAST(nv AS DOUBLE) / (nc + nv),
+               CASE WHEN nv > 0 THEN 1 ELSE 0 END
+        FROM purchases WHERE nc + nv > 0
+    )
+    SELECT user_id, touch_type,
+           {sql_fround('sum(credit)', 6)} AS credit,
+           CAST(sum(hit) AS BIGINT) AS n_purchases
+    FROM credits GROUP BY user_id, touch_type
+    HAVING sum(hit) > 0
+    """,
+)
+def rel_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click/view in the 72 h
+    strictly before a purchase shares that purchase's credit equally,
+    rolled up to (user, touch_type) totals — the multi-touch complement
+    of rel_attribution_last_touch, answering "how much conversion
+    credit do views earn that last-touch hides?".
+
+    The touch census per purchase is a VALUE-BASED range frame
+    (RANGE 72h-in-micros PRECEDING .. 1 PRECEDING) over the mixed
+    per-user event stream — no touches×purchases self-join, and unlike
+    a rows frame the range bound is tie-order-free (same-microsecond
+    touches are all in or all out on both engines by value, never by
+    sort position). One shuffle on user_id; the unpivot-to-type rollup
+    runs on |purchases| rows. Same 100 TB rationale as last-touch: the
+    self-join alternative shuffles events twice and skews on hot
+    users."""
+    lookback_us = 259_200_000_000  # 72h
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    base = e.select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-lookback_us, -1)
+    )
+    counted = base.select(
+        "user_id",
+        "event_type",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).over(w),
+            F.lit(0),
+        ).alias("nc"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(w),
+            F.lit(0),
+        ).alias("nv"),
+    ).filter(
+        (F.col("event_type") == "purchase") & (F.col("nc") + F.col("nv") > 0)
+    )
+    tot = (F.col("nc") + F.col("nv")).cast("double")
+    credits = counted.select(
+        "user_id",
+        F.lit("click").alias("touch_type"),
+        (F.col("nc") / tot).alias("credit"),
+        F.when(F.col("nc") > 0, 1).otherwise(0).alias("hit"),
+    ).unionAll(
+        counted.select(
+            "user_id",
+            F.lit("view").alias("touch_type"),
+            (F.col("nv") / tot).alias("credit"),
+            F.when(F.col("nv") > 0, 1).otherwise(0).alias("hit"),
+        )
+    )
+    return (
+        credits.groupBy("user_id", "touch_type")
+        .agg(
+            fround(F.sum("credit"), 6).alias("credit"),
+            F.sum("hit").cast("long").alias("n_purchases"),
+        )
+        .filter(F.col("n_purchases") > 0)
+    )
+
+
+@register(
     "rel_attribution_last_touch",
     oracle=f"""
     WITH scored AS (

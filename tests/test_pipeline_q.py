@@ -150,6 +150,46 @@ def test_attribution_lookback_and_ties(spark, monkeypatch):
     assert got[3] == (6, "view", 60.0)
 
 
+def test_multitouch_credit_splits_and_range_gates(spark, monkeypatch):
+    """Linear multi-touch: a purchase with 1 click + 3 views in the 72 h
+    window gives click 0.25 / view 0.75; a same-microsecond touch is
+    OUT of the range frame (value-based, 1 PRECEDING); a 73 h-old touch
+    is out; per-user credits sum to the number of credited purchases."""
+    from randas_spark.queries import pipeline
+
+    t0 = dt.datetime(2024, 1, 10)
+
+    def fake_t(_spark, _sf, name):
+        return _merge_frame(
+            spark,
+            [
+                # user 1: 1 click + 3 views in window
+                (1, 1, t0 - dt.timedelta(hours=5), "click", 0.0),
+                (1, 2, t0 - dt.timedelta(hours=4), "view", 0.0),
+                (1, 3, t0 - dt.timedelta(hours=3), "view", 0.0),
+                (1, 4, t0 - dt.timedelta(hours=2), "view", 0.0),
+                (1, 5, t0, "purchase", 1.0),
+                # user 2: only a same-timestamp view (excluded) + stale click
+                (2, 6, t0 - dt.timedelta(hours=73), "click", 0.0),
+                (2, 7, t0, "view", 0.0),
+                (2, 8, t0, "purchase", 1.0),
+                # user 3: two purchases sharing one click
+                (3, 9, t0 - dt.timedelta(hours=1), "click", 0.0),
+                (3, 10, t0, "purchase", 1.0),
+                (3, 11, t0 + dt.timedelta(hours=1), "purchase", 1.0),
+            ],
+        )
+
+    monkeypatch.setattr(pipeline, "t", fake_t)
+    out = pipeline.rel_attribution_multitouch(spark, "ignored").collect()
+    got = {(r.user_id, r.touch_type): (r.credit, r.n_purchases) for r in out}
+    assert got[(1, "click")] == (0.25, 1)
+    assert got[(1, "view")] == (0.75, 1)
+    assert (2, "click") not in got and (2, "view") not in got
+    assert got[(3, "click")] == (2.0, 2)  # both purchases fully credited
+    assert (3, "view") not in got
+
+
 def test_feature_binning_is_equi_depth(spark):
     """Decile binning must produce 10 buckets of near-equal size (the
     equi-depth property) covering every row."""
