@@ -431,7 +431,7 @@ def test_attribution_state_matches_batch_window(spark, batch_events):
 
 
 def test_funnel_state_matches_batch_two_pass_window(spark, batch_events):
-    """Streaming CEP funnel kernel (view→click→purchase, 30-min steps,
+    """Streaming CEP funnel kernel (view→click→purchase, 24-hour steps,
     O(1) state) must equal the batch two-pass carry-forward window
     formulation row for row: same purchases emitted, same linked click
     and view ids, same funnel duration."""
