@@ -146,17 +146,20 @@ def main() -> None:
     # steady, median inflated).
     floors = {n: round(min(ts), 4) for n, ts in samples.items()}
 
-    # Contention retry (round-6 protocol): a median > 3x its own floor
-    # while the calib witness was elevated in the same rounds means a
-    # contamination window covered >=2 of that query's 3 samples — the
-    # recorded number would be the box's noise, not the plan. Re-run that
-    # query's three rounds ONCE and keep the cleaner (lower-median) set,
-    # so the committed artifact reflects the plan. Floors/calib of both
-    # passes land in the detail sidecar for audit.
-    calib_elevated = max(calibs) > 2.0 * min(calibs)
+    # Contention retry (round-7 protocol, tightened from r6's 3x after
+    # rel_quantile_sketch_mergeable shipped a 4.81 s median over a 1.97 s
+    # floor at 2.4x): a median > 2x its own floor means a contamination
+    # window covered >=2 of that query's 3 samples — the recorded number
+    # would be the box's noise, not the plan. The calib-elevated gate is
+    # gone too (r6's miss happened with calm calib rounds: the windows
+    # fell between calib probes), replaced by an absolute-gap guard so
+    # fixed-overhead jitter on sub-second queries can't spuriously fire.
+    # Re-run that query's three rounds ONCE and keep the cleaner
+    # (lower-median) set, so the committed artifact reflects the plan.
+    # Floors/calib of both passes land in the detail sidecar for audit.
     retried: dict[str, dict] = {}
     for name in names:
-        if results[name] > 3.0 * floors[name] and calib_elevated:
+        if results[name] > 2.0 * floors[name] and results[name] - floors[name] > 0.5:
             recal = round(calib(), 4)
             rerun = [timed(name) for _ in range(3)]
             med2 = round(statistics.median(rerun), 4)

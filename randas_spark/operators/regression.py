@@ -15,14 +15,17 @@ and the downstream double-precision Cramer solve is the same IEEE op
 sequence on both sides (conversion of the same exact integer to double
 rounds identically on both engines even past 2^53).
 
-Overflow budget (Spark sums in int64 and wraps silently in non-ANSI
-mode, so the scales must be sized to the data): the dominant cell is
-sum(y_s^2) <= N * (y_max * scale_y)^2. With y_max ~ 1.05e5 and
-scale_y = 10 that is ~6.6e18 at N = 6e6 (sf1) — inside int64. Past
-that, switch the sum cells to DECIMAL(38,0): same associativity
-argument, exact at any N. The reference engine (dataframe.rs:186-353)
-stops at scalar aggregates; closed-form model fitting is the natural
-next rung for an analytics engine.
+Overflow discipline: per-row products stay in int64 (they fit by
+construction — the dominant cell (y_max * scale_y)^2 is ~1.1e12), but
+the ACCUMULATIONS run in DECIMAL(38,0): Spark's non-ANSI BIGINT sum
+wraps silently past 2^63 (~6e6 rows at these scales), while a
+decimal(38,0) sum is exact to 1e38 — unreachable at any real N
+(1e13 rows x 1e13 per-cell = 1e26) — and DuckDB's HUGEINT sums are
+exact the same way, so both engines hold the true integer and the
+cast-to-double of that same exact value rounds identically. The
+reference engine (dataframe.rs:186-353) stops at scalar aggregates;
+closed-form model fitting is the natural next rung for an analytics
+engine.
 """
 
 from __future__ import annotations
@@ -35,6 +38,16 @@ def _scaled(col: str, scale: int) -> Column:
     """floor(x*scale + 0.5) as BIGINT — the fround integerization, kept
     identical to the SQL oracle so both engines sum the same integers."""
     return F.floor(F.col(col) * scale + F.lit(0.5)).cast("long")
+
+
+def _dsum(expr: Column) -> Column:
+    """Exact wide-accumulator sum: per-row int64 values accumulated in
+    DECIMAL(38,0), so the sum cannot wrap at any realistic N (Spark's
+    non-ANSI BIGINT sum wraps silently past 2^63; decimal is exact to
+    1e38). DuckDB's HUGEINT sums are the oracle-side twin — both hold
+    the true integer, and double conversion of equal exact integers is
+    identical."""
+    return F.sum(expr.cast("decimal(38,0)"))
 
 
 def grouped_ols(
@@ -55,9 +68,11 @@ def grouped_ols(
     ``(groups..., n, b0, b1, b2, r2)`` with coefficients rounded via the
     engine-portable fround formula.
 
-    Determinism: sums run over scaled int64 (exact, order-independent);
-    the solve runs on doubles derived from those exact sums with a fixed
-    expression shape mirrored verbatim in :func:`sql_grouped_ols`.
+    Determinism: per-row values are scaled int64; accumulation runs in
+    DECIMAL(38,0) (exact, order-independent, wrap-free at any N — see
+    module docstring); the solve runs on doubles derived from those
+    exact sums with a fixed expression shape mirrored verbatim in
+    :func:`sql_grouped_ols`.
     """
     from randas_spark.queries import fround
 
@@ -65,15 +80,15 @@ def grouped_ols(
     sy = _scaled(y, scale_y)
     g = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(sx1).alias("s1"),
-        F.sum(sx2).alias("s2"),
-        F.sum(sy).alias("sy"),
-        F.sum(sx1 * sx1).alias("s11"),
-        F.sum(sx1 * sx2).alias("s12"),
-        F.sum(sx2 * sx2).alias("s22"),
-        F.sum(sx1 * sy).alias("s1y"),
-        F.sum(sx2 * sy).alias("s2y"),
-        F.sum(sy * sy).alias("syy"),
+        _dsum(sx1).alias("s1"),
+        _dsum(sx2).alias("s2"),
+        _dsum(sy).alias("sy"),
+        _dsum(sx1 * sx1).alias("s11"),
+        _dsum(sx1 * sx2).alias("s12"),
+        _dsum(sx2 * sx2).alias("s22"),
+        _dsum(sx1 * sy).alias("s1y"),
+        _dsum(sx2 * sy).alias("s2y"),
+        _dsum(sy * sy).alias("syy"),
     )
     kx, ky = float(scale_x), float(scale_y)
     # Unscale the exact integer sums into doubles. Each Gram cell divides
@@ -244,6 +259,8 @@ def logreg_newton(
     """
     from randas_spark.queries import fround
 
+    if n_iter < 1:
+        raise ValueError(f"logreg_newton requires n_iter >= 1, got {n_iter}")
     sx1, sx2 = _logreg_scaled_cols(x1, x2, label)
     data = df.select(
         sx1.alias("sx1"), sx2.alias("sx2"), label.cast("long").alias("y")
@@ -271,15 +288,15 @@ def logreg_newton(
                [F.lit(b[0]).alias("b0"), F.lit(b[1]).alias("b1"), F.lit(b[2]).alias("b2")] ),
         )
         s = cells.groupBy("b0", "b1", "b2").agg(
-            F.sum("r").alias("g0"),
-            F.sum(F.col("sx1") * F.col("r")).alias("g1"),
-            F.sum(F.col("sx2") * F.col("r")).alias("g2"),
-            F.sum("w").alias("h00"),
-            F.sum(F.col("sx1") * F.col("w")).alias("h01"),
-            F.sum(F.col("sx2") * F.col("w")).alias("h02"),
-            F.sum(F.col("sx1") * F.col("sx1") * F.col("w")).alias("h11"),
-            F.sum(F.col("sx1") * F.col("sx2") * F.col("w")).alias("h12"),
-            F.sum(F.col("sx2") * F.col("sx2") * F.col("w")).alias("h22"),
+            _dsum(F.col("r")).alias("g0"),
+            _dsum(F.col("sx1") * F.col("r")).alias("g1"),
+            _dsum(F.col("sx2") * F.col("r")).alias("g2"),
+            _dsum(F.col("w")).alias("h00"),
+            _dsum(F.col("sx1") * F.col("w")).alias("h01"),
+            _dsum(F.col("sx2") * F.col("w")).alias("h02"),
+            _dsum(F.col("sx1") * F.col("sx1") * F.col("w")).alias("h11"),
+            _dsum(F.col("sx1") * F.col("sx2") * F.col("w")).alias("h12"),
+            _dsum(F.col("sx2") * F.col("sx2") * F.col("w")).alias("h22"),
         )
         # Cramer solve of H delta = g on the exact int sums (common 1e-6
         # scale cancels between H and g); same expression tree as the SQL
@@ -455,14 +472,14 @@ def ols_crossval(
     def cells(grouped):
         return grouped.agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("sx1").alias("s1"),
-            F.sum("sx2").alias("s2"),
-            F.sum("sy").alias("sy0"),
-            F.sum(F.col("sx1") * F.col("sx1")).alias("s11"),
-            F.sum(F.col("sx1") * F.col("sx2")).alias("s12"),
-            F.sum(F.col("sx2") * F.col("sx2")).alias("s22"),
-            F.sum(F.col("sx1") * F.col("sy")).alias("s1y"),
-            F.sum(F.col("sx2") * F.col("sy")).alias("s2y"),
+            _dsum(F.col("sx1")).alias("s1"),
+            _dsum(F.col("sx2")).alias("s2"),
+            _dsum(F.col("sy")).alias("sy0"),
+            _dsum(F.col("sx1") * F.col("sx1")).alias("s11"),
+            _dsum(F.col("sx1") * F.col("sx2")).alias("s12"),
+            _dsum(F.col("sx2") * F.col("sx2")).alias("s22"),
+            _dsum(F.col("sx1") * F.col("sy")).alias("s1y"),
+            _dsum(F.col("sx2") * F.col("sy")).alias("s2y"),
         )
 
     per_fold = cells(data.groupBy("__fold__"))
@@ -514,7 +531,7 @@ def ols_crossval(
     )
     rq = F.floor(((F.col("sy") / ky) - pred) * 10 + F.lit(0.5)).cast("long")
     out = scored.groupBy("__fold__", "n_test", "b0", "b1", "b2").agg(
-        F.sum(rq * rq).alias("ssq")
+        _dsum(rq * rq).alias("ssq")
     )
     rmse = F.sqrt(F.col("ssq").cast("double") / F.col("n_test") / 100.0)
     return out.select(

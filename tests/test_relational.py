@@ -1291,6 +1291,18 @@ def test_logreg_newton_singular_hessian_holds_coefficients(spark):
     assert got.accuracy is not None
 
 
+def test_logreg_newton_rejects_zero_iterations(spark):
+    """n_iter=0 used to fall through to crossJoin(broadcast(None)) in the
+    finisher; it must fail loudly at the argument instead."""
+    import pytest
+
+    from randas_spark.operators.regression import logreg_newton
+
+    df = spark.createDataFrame([(1.0, 1.0, 1)], ["x1", "x2", "y"])
+    with pytest.raises(ValueError, match="n_iter >= 1"):
+        logreg_newton(df, "x1", "x2", F.col("y"), n_iter=0)
+
+
 def test_ols_crossval_complement_equals_direct_fit(spark):
     """Each fold's leave-fold-out coefficients (derived by cell
     subtraction) must equal a DIRECT grouped_ols fit on the complement
