@@ -463,6 +463,60 @@ def test_funnel_state_matches_batch_two_pass_window(spark, batch_events):
         assert abs(secs - bsecs) < 1e-9
 
 
+def test_funnel_state_cross_trigger_replay_carries_and_bounds_state(spark, tmp_path):
+    """Late-arrival/state-bound replay for the CEP funnel kernel (the
+    counterpart of the r5 eviction replays the other three custom-state
+    kernels got): the view, click, and purchase arrive in SEPARATE
+    triggers, so the chain only completes if the six-long per-user state
+    genuinely carries across micro-batches. Pins: (1) the funnel row is
+    emitted exactly once, from the trigger the purchase lands in; (2) a
+    user whose click missed the 24 h step window emits nothing — the
+    disqualification survives trigger boundaries too; (3) state stays at
+    exactly ONE row per user after every trigger (the O(1)-state claim,
+    observed via the state-operator counters, not inferred)."""
+    import time as _time
+    from datetime import datetime
+
+    from randas_spark.streaming.engine import funnel_state
+
+    schema = "event_id long, ts timestamp, event_type string, value double, user_id long"
+    # user 1: view -> click (+10 min, qualifies) -> purchase (+10 min)
+    # user 2: view -> click (+25 h, misses the 24 h step) -> purchase
+    files = [
+        ("a", [(100, datetime(2024, 1, 1, 1, 0), "view", 1.0, 1),
+               (200, datetime(2024, 1, 1, 1, 0), "view", 1.0, 2)]),
+        ("b", [(101, datetime(2024, 1, 1, 1, 10), "click", 1.0, 1),
+               (201, datetime(2024, 1, 2, 2, 0), "click", 1.0, 2)]),
+        ("c", [(102, datetime(2024, 1, 1, 1, 20), "purchase", 1.0, 1),
+               (202, datetime(2024, 1, 2, 2, 10), "purchase", 1.0, 2)]),
+    ]
+    stage = tmp_path / "funnel_stream"
+    stage.mkdir()
+    for name, rows in files:
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(stage / name))
+        _time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage) + "/*")
+    )
+    table, progress = _run_append(spark, funnel_state(stream), "t_funnel_replay")
+
+    rows = table.collect()
+    assert len(rows) == 1  # user 1 once; user 2's broken chain never emits
+    r = rows[0]
+    assert (r.user_id, r.purchase_event_id, r.click_event_id, r.view_event_id) == (
+        1, 102, 101, 100,
+    )
+    assert abs(r.funnel_secs - 1200.0) < 1e-9  # purchase - view = 20 min
+    # O(1)-state: after every trigger, exactly one state row per user seen
+    totals = [
+        p["stateOperators"][0]["numRowsTotal"] for p in progress if p["stateOperators"]
+    ]
+    assert totals and totals[-1] == 2
+    assert all(t <= 2 for t in totals)
+
+
 def test_funnel_kernel_chunk_order_independent():
     """The funnel kernel must produce identical matches no matter how
     the trigger's rows are split across Arrow chunks (the
