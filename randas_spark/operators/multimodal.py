@@ -66,6 +66,147 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
     return [b / 255.0 for b in h[:8]]
 
 
+#: SOF markers that carry frame dimensions. C4 (DHT), C8 (JPG ext) and
+#: CC (DAC) share the Cx range but are NOT frame headers — skip them.
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def sniff_image_dims(payload: bytes) -> tuple[str, int, int] | None:
+    """Header-only (mime, width, height) probe — NO pixel decode.
+
+    Metadata extraction must not pay decode cost (nor require the decode
+    libraries this container lacks): dimensions live in the first few
+    hundred bytes of every mainstream container, so a 100 TB metadata
+    scan reads headers, not images. Formats:
+
+    - PNG: IHDR is mandated to be the first chunk — width/height are
+      big-endian u32 at offsets 16/20.
+    - JPEG: walk the FF-marker segment chain to the first SOFn frame
+      header (baseline C0, progressive C2, ...); its body is
+      [precision u8][height u16][width u16] big-endian.
+    - GIF: logical screen descriptor right after the 6-byte signature,
+      little-endian u16 pair.
+
+    Returns None for anything unrecognized or truncated (callers decide
+    whether that's an error row) — never raises on malformed bytes.
+    """
+    from randas_spark.operators.png import PNG_MAGIC
+
+    b = bytes(payload)
+    if b[:8] == PNG_MAGIC and len(b) >= 24 and b[12:16] == b"IHDR":
+        return (
+            "image/png",
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+        )
+    if b[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:  # desynced — not a marker where one must be
+                return None
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte padding before a marker
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length field
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                return None
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            if marker in _JPEG_SOF_MARKERS:
+                if i + 9 > len(b):
+                    return None
+                height = int.from_bytes(b[i + 5 : i + 7], "big")
+                width = int.from_bytes(b[i + 7 : i + 9], "big")
+                return ("image/jpeg", width, height)
+            i += 2 + seg_len
+        return None
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return (
+            "image/gif",
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+        )
+    return None
+
+
+def jpeg_header_bytes(width: int, height: int, sof: int = 0xC0) -> bytes:
+    """Structurally-valid JPEG prefix (SOI, JFIF APP0, a DHT segment,
+    SOFn with the given dimensions) — enough container for any
+    header-level tool (including :func:`sniff_image_dims`) to parse,
+    with no entropy-coded body. Used to exercise the JPEG metadata path
+    in a container that cannot encode real JPEGs."""
+    app0 = (
+        b"\xff\xe0" + (16).to_bytes(2, "big")
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    dht = b"\xff\xc4" + (5).to_bytes(2, "big") + b"\x00\x01\x02"
+    sof_body = b"\x08" + height.to_bytes(2, "big") + width.to_bytes(2, "big") + b"\x03"
+    sofseg = bytes([0xFF, sof]) + (2 + len(sof_body)).to_bytes(2, "big") + sof_body
+    return b"\xff\xd8" + app0 + dht + sofseg
+
+
+def attach_mixed_probe_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Simulate a MIXED-format binary corpus keyed by doc_id % 3:
+    real 8×8 RGB PNGs (md5(text)-seeded pixels), JPEG headers whose
+    dimensions derive arithmetically from doc_id (width = 16 + id % 1000,
+    height = 16 + (7 * id) % 1000 — so an oracle can recompute them), and
+    deliberate non-image garbage. The shape every metadata-probe stage
+    must survive: heterogeneous, partly junk."""
+    import pandas as pd  # noqa: F811
+
+    from randas_spark.operators.png import encode_png
+
+    n_px = 8 * 8 * 3
+
+    @F.pandas_udf("binary")
+    def payload_of(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        def make(doc_id: int, text: str) -> bytes:
+            m = doc_id % 3
+            if m == 0:
+                seed = hashlib.md5(text.encode()).digest()
+                return encode_png((seed * (n_px // len(seed) + 1))[:n_px], 8, 8, 3)
+            if m == 1:
+                return jpeg_header_bytes(16 + doc_id % 1000, 16 + (7 * doc_id) % 1000)
+            return b"\x00garbage:" + text.encode()[:16]
+
+        return pd.Series([make(i, s) for i, s in zip(ids, texts)])
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload_of(F.col(id_col), F.col(text_col)).alias("payload"),
+    )
+
+
+PROBE_SCHEMA = "doc_id long, mime string, width long, height long, n_bytes long"
+
+
+def probe_image_meta(df: DataFrame) -> DataFrame:
+    """mapInPandas metadata probe: payload → sniffed (mime, width,
+    height) from container headers alone. Unrecognized payloads yield
+    null mime/dims rather than failing the scan — at corpus scale a
+    metadata pass must classify garbage, not die on it. No shuffle,
+    header-sized reads per row."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sniffed = [sniff_image_dims(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": [s[0] if s else None for s in sniffed],
+                    "width": [s[1] if s else None for s in sniffed],
+                    "height": [s[2] if s else None for s in sniffed],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=PROBE_SCHEMA)
+
+
 def attach_png_payload(
     df: DataFrame, id_col: str, text_col: str, width: int = 8, height: int = 8
 ) -> DataFrame:

@@ -4390,3 +4390,50 @@ def llm_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("actual_lang", F.col("c_lang").alias("predicted_lang"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# Multimodal metadata probe (header sniffing, no decode)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "llm_multimodal_probe",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                           WHEN 1 THEN 'image/jpeg' END AS mime,
+           CASE doc_id % 3 WHEN 0 THEN CAST(8 AS BIGINT)
+                           WHEN 1 THEN CAST(16 + doc_id % 1000 AS BIGINT)
+           END AS width,
+           CASE doc_id % 3 WHEN 0 THEN CAST(8 AS BIGINT)
+                           WHEN 1 THEN CAST(16 + (7 * doc_id) % 1000 AS BIGINT)
+           END AS height
+    FROM documents
+    """,
+)
+def llm_multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only image metadata extraction over a MIXED binary corpus
+    (operators/multimodal.sniff_image_dims via probe_image_meta): each
+    document carries, keyed by doc_id % 3, a REAL stdlib-encoded 8x8 PNG,
+    a structurally-valid JPEG whose SOF0 dimensions derive arithmetically
+    from doc_id, or deliberate non-image garbage. The probe parses
+    container headers only — PNG IHDR, the JPEG FF-marker chain (skipping
+    the DHT segment jpeg_header_bytes plants before the SOF), GIF screen
+    descriptor — and classifies garbage as NULL rows instead of failing,
+    which is the posture a 100 TB metadata scan needs: header-sized reads,
+    no pixel decode, no decode library, junk tolerated. The oracle
+    recomputes mime/width/height from the doc_id arithmetic alone, so a
+    value match proves the bytes were really built, really parsed, and
+    really survived the junk rows.
+
+    Scale: one embarrassingly-parallel mapInPandas scan, no shuffle; the
+    kernel reads a bounded prefix of each payload."""
+    from randas_spark.operators.multimodal import (
+        attach_mixed_probe_payload,
+        probe_image_meta,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    out = probe_image_meta(attach_mixed_probe_payload(d, "doc_id", "text"))
+    return out.select("doc_id", "mime", "width", "height")

@@ -535,6 +535,54 @@ def test_multimodal_decode_real_for_png_stubbed_otherwise():
     assert feat[5] == 127 / 255.0 and feat[6] == 128 / 255.0
 
 
+def test_sniff_image_dims_jpeg_png_gif_and_garbage():
+    """Header-only dimension sniffing (VERDICT r6 item 8): JPEG SOF0 and
+    progressive SOF2 parse without decode, the C4/C8/CC non-frame markers
+    are skipped (jpeg_header_bytes plants a DHT segment before the SOF),
+    PNG reads IHDR, GIF reads the screen descriptor, and
+    truncated/garbage payloads return None instead of raising."""
+    from randas_spark.operators.multimodal import jpeg_header_bytes, sniff_image_dims
+    from randas_spark.operators.png import encode_png
+
+    _jpeg_header = jpeg_header_bytes
+    assert sniff_image_dims(_jpeg_header(640, 480)) == ("image/jpeg", 640, 480)
+    assert sniff_image_dims(_jpeg_header(31, 7, sof=0xC2)) == ("image/jpeg", 31, 7)
+    png = encode_png(bytes(5 * 3 * 3), 5, 3, 3)
+    assert sniff_image_dims(png) == ("image/png", 5, 3)
+    gif = b"GIF89a" + (12).to_bytes(2, "little") + (34).to_bytes(2, "little") + b"\x00\x00\x00"
+    assert sniff_image_dims(gif) == ("image/gif", 12, 34)
+    # truncation mid-chain, bare SOI, and non-image bytes: None, no raise
+    assert sniff_image_dims(_jpeg_header(640, 480)[:6]) is None
+    assert sniff_image_dims(b"\xff\xd8") is None
+    assert sniff_image_dims(b"not an image at all") is None
+    assert sniff_image_dims(b"") is None
+
+
+def test_probe_image_meta_stage(docs):
+    """The mapInPandas probe classifies real PNG payloads and leaves
+    unknown payloads as null rows (corpus scans must not die on
+    garbage)."""
+    from pyspark.sql import Row
+
+    from randas_spark.operators.multimodal import attach_png_payload, probe_image_meta
+
+    src = attach_png_payload(docs.limit(3), "doc_id", "text", width=8, height=8)
+    spark = src.sparkSession
+    junk_meta = Row(mime="application/octet-stream", n_bytes=23, width=0, height=0)
+    junk = spark.createDataFrame(
+        [Row(doc_id=10**6, payload=b"definitely not an image", meta=junk_meta)],
+        src.schema,
+    )
+    out = {r.doc_id: r for r in probe_image_meta(src.unionByName(junk)).collect()}
+    assert len(out) == 4
+    for doc_id, r in out.items():
+        if doc_id == 10**6:
+            assert r.mime is None and r.width is None and r.height is None
+            assert r.n_bytes == len(b"definitely not an image")
+        else:
+            assert (r.mime, r.width, r.height) == ("image/png", 8, 8)
+
+
 def test_multimodal_features_query_real_decode(spark):
     """The registered llm_multimodal_features query must produce, for a
     known document, exactly the feature that a driver-side encode→decode
