@@ -88,6 +88,12 @@ HEADLINE = [
     # at 10x) and the NB classifier train/score/eval plan
     "rel_logreg_newton",
     "llm_nb_lang_confusion",
+    # round-7: the three streaming queries the driver's 50-query sample
+    # had never drawn (VERDICT r6 item 7) — keeping them in the headline
+    # keeps a recorded, current number next to their canon evidence
+    "stream_pattern_funnel",
+    "stream_hll_cells",
+    "stream_rollup_states",
 ]
 
 
