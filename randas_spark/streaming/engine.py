@@ -235,7 +235,30 @@ def _funnel_state(
     its linked view (ts, id) — regardless of event volume: the O(1)
     state that makes pattern matching stream at 100 TB where a
     MATCH_RECOGNIZE backtracking engine would buffer the row history.
-    Emits one row per purchase that completes the chain."""
+    Emits one row per purchase that completes the chain.
+
+    TTL eviction (EventTimeTimeout mode, via funnel_state(watermark=...)):
+    the 24 h step bound makes a user's state SEMANTICALLY DEAD once the
+    user has been idle past it — every stored timestamp is <= the user's
+    last event, so any future click/purchase arriving > 24 h later fails
+    its `ts - prev <= _FUNNEL_STEP_US` check against ALL stored values
+    regardless. Dropping the state at last_event + 24 h therefore changes
+    NO emitted row, and bounds live state to users ACTIVE within the
+    horizon instead of every user ever seen — the difference between
+    O(active) and O(lifetime-distinct) state at 100 TB."""
+    if state.hasTimedOut:
+        # idle past the step horizon: no stored chain can ever qualify
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "purchase_event_id": pd.Series([], dtype="int64"),
+                "click_event_id": pd.Series([], dtype="int64"),
+                "view_event_id": pd.Series([], dtype="int64"),
+                "funnel_secs": pd.Series([], dtype="float64"),
+            }
+        )
+        return
     lv_us, lv_id, qc_us, qc_id, qv_us, qv_id = (
         state.get if state.exists else (None, None, None, None, None, None)
     )
@@ -267,6 +290,25 @@ def _funnel_state(
                         )
                     )
     state.update((lv_us, lv_id, qc_us, qc_id, qv_us, qv_id))
+    if _state_has_timeout(state):
+        # EventTimeTimeout mode (watermarked input): schedule eviction at
+        # last-event + step horizon. max() over stored ts because chunks
+        # within one trigger were sorted, but a prior trigger's state may
+        # already carry the latest timestamp if this batch is all-stale.
+        last_us = max(v for v in (lv_us, qc_us, 0) if v is not None)
+        if chunks:
+            last_us = max(last_us, int(ts_us_arr[-1]))
+        if last_us > 0:
+            # clamp to watermark+1: a batch of very-late events could put
+            # last_event + horizon behind the watermark, which Spark
+            # rejects; evicting LATER than semantically needed is always
+            # emission-safe (the eviction argument only needs >= horizon)
+            state.setTimeoutTimestamp(
+                max(
+                    last_us // 1000 + _FUNNEL_STEP_US // 1000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
     yield pd.DataFrame(
         out_rows,
         columns=[
@@ -279,7 +321,16 @@ def _funnel_state(
     )
 
 
-def funnel_state(events: DataFrame) -> DataFrame:
+def _state_has_timeout(state: GroupState) -> bool:
+    """True when the query runs under EventTimeTimeout (the only mode in
+    which setTimeoutTimestamp is legal — pyspark raises otherwise).
+    GroupState carries the conf string; reading it beats a module-level
+    flag that a concurrent NoTimeout query in the same session would
+    race on."""
+    return getattr(state, "_timeout_conf", "") == GroupStateTimeout.EventTimeTimeout
+
+
+def funnel_state(events: DataFrame, watermark: str | None = None) -> DataFrame:
     """Streaming view→click→purchase funnel detection via
     applyInPandasWithState — the streaming twin of the two-pass window
     formulation (queries/streaming_q.stream_pattern_funnel). Fourth
@@ -287,7 +338,15 @@ def funnel_state(events: DataFrame) -> DataFrame:
     the API covers CEP-style sequence patterns with constant state.
     Cross-trigger correctness holds when triggers respect event-time
     order per key (file replay here; a kafka source partitioned by user
-    keeps per-key order)."""
+    keeps per-key order).
+
+    With ``watermark`` set, the kernel runs under EventTimeTimeout and
+    EVICTS a user's six-long state once the watermark passes their last
+    event + the 24 h step horizon — provably emission-identical (see
+    _funnel_state docstring) while bounding state to active users. Leave
+    None for the NoTimeout twin (exact batch-replay comparisons)."""
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
     return events.select(
         "user_id", "event_id", "ts", "event_type"
     ).groupBy("user_id").applyInPandasWithState(
@@ -295,7 +354,11 @@ def funnel_state(events: DataFrame) -> DataFrame:
         outputStructType=_FUNNEL_OUT_SCHEMA,
         stateStructType=_FUNNEL_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if watermark is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -517,6 +517,66 @@ def test_funnel_state_cross_trigger_replay_carries_and_bounds_state(spark, tmp_p
     assert all(t <= 2 for t in totals)
 
 
+def test_funnel_state_ttl_evicts_idle_users_without_changing_emissions(spark, tmp_path):
+    """EventTimeTimeout mode: the 24 h step bound makes an idle user's
+    state semantically dead, so TTL eviction must (1) emit exactly the
+    rows the NoTimeout kernel emits on the same replay, (2) actually
+    REMOVE idle users' state (numRowsRemoved > 0, final state only the
+    recently-active users), and (3) still emit nothing for a user whose
+    chain resumes after the horizon (state gone AND the step check would
+    have rejected it anyway — the equivalence the eviction proof rests
+    on)."""
+    import time as _time
+    from datetime import datetime, timedelta
+
+    from randas_spark.streaming.engine import funnel_state
+
+    schema = "event_id long, ts timestamp, event_type string, value double, user_id long"
+    base = datetime(2024, 1, 1, 0, 0)
+    d2 = base + timedelta(days=2)
+    # user 1 completes a funnel on day 0 then goes idle; user 2 views on
+    # day 0 and clicks on day 2 (past the horizon — never qualifies);
+    # user 3 is active on day 2 (advances the watermark past day 0+24h)
+    files = [
+        ("a", [(100, base, "view", 1.0, 1),
+               (101, base + timedelta(minutes=5), "click", 1.0, 1),
+               (102, base + timedelta(minutes=9), "purchase", 1.0, 1),
+               (200, base, "view", 1.0, 2)]),
+        ("b", [(300, d2, "view", 1.0, 3),
+               (301, d2 + timedelta(minutes=1), "click", 1.0, 3)]),
+        ("c", [(201, d2 + timedelta(minutes=30), "click", 1.0, 2),
+               (202, d2 + timedelta(minutes=31), "purchase", 1.0, 2),
+               (302, d2 + timedelta(minutes=40), "purchase", 1.0, 3)]),
+    ]
+    stage = tmp_path / "funnel_ttl"
+    stage.mkdir()
+    for name, rows in files:
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(stage / name))
+        _time.sleep(1.1)
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stage) + "/*")
+        )
+
+    ttl, progress = _run_append(
+        spark, funnel_state(stream(), watermark="0 seconds"), "t_funnel_ttl"
+    )
+    plain, _ = _run_append(spark, funnel_state(stream()), "t_funnel_ttl_twin")
+    key = lambda r: (r.user_id, r.purchase_event_id, r.click_event_id, r.view_event_id)
+    assert sorted(map(key, ttl.collect())) == sorted(map(key, plain.collect()))
+    # user 1 funneled on day 0; user 2's late click never qualified; user
+    # 3 funneled on day 2
+    assert {r.user_id for r in ttl.collect()} == {1, 3}
+    removed, final_state = _state_counters(progress)
+    assert removed >= 1  # idle users' six-long state was evicted
+    # only users touched within the last horizon remain (2 and 3 have
+    # day-2 events; user 1's state died at day0+9min+24h)
+    assert final_state == 2
+
+
 def test_funnel_kernel_chunk_order_independent():
     """The funnel kernel must produce identical matches no matter how
     the trigger's rows are split across Arrow chunks (the
@@ -528,6 +588,8 @@ def test_funnel_kernel_chunk_order_independent():
 
     class _FakeState:
         exists = False
+        hasTimedOut = False
+        _timeout_conf = "NoTimeout"
 
         def update(self, v):
             self.saved = v
