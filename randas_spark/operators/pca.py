@@ -1,0 +1,365 @@
+"""Distributed PCA (top principal component) via exact integer Gram
+aggregation + deterministic power iteration — dimensionality reduction /
+whitening for embedding pipelines (dedup preprocessing, ANN compression,
+drift monitoring all start with "project onto the top components").
+
+Architecture (the closed-form-OLS law applied to eigen-decomposition):
+
+1. QUANTIZE: each float32 component maps to ``floor(double(x) * scale +
+   0.5)`` int64 — from here every data-sized computation is exact
+   integer arithmetic, so ANY execution shape gives the same numbers.
+2. GRAM, distributed: one mapInPandas scan computes the per-Arrow-batch
+   Gram of the AUGMENTED matrix ``A = [1 | q]`` with a numpy int64
+   matmul (``A.T @ A`` — order-free because integer addition is
+   associative); batches emit (i, j, partial) cells and one tiny
+   map-side-combined groupBy sums them in DECIMAL(38,0) (wrap-free; the
+   regression-module law). The augmented trick yields n (cell 0,0),
+   column sums s_j (row 0) and second moments S_ij (body) from ONE
+   matrix. Shuffle volume: (d+1)^2 cells per batch, independent of N.
+3. CENTER, exact: M_ij = n * S_ij - s_i * s_j in arbitrary-precision
+   Python int (driver holds (d+1)^2 ints — bounded state, the k-means
+   centroid discipline), then converts ONCE to double.
+4. POWER ITERATION, driver-side: ``rounds`` fixed steps of
+   w = M v; v = w / ||w||, starting from v0 = 1/sqrt(d) per component
+   (exactly representable for power-of-two d). O(d^2 * rounds) scalar
+   ops — microseconds; the data-sized work was step 2's single scan.
+5. PROJECT (pca_project): each vector's PC1 score is the centered
+   projection ``sum_j double(n*q_j - s_j) * v_j`` — a codegen'd left
+   fold over the scan, no Python.
+
+Cross-engine exactness: steps 1-3 are exact integers on both engines
+(DuckDB sums to HUGEINT; Spark sums to DECIMAL(38,0); Python holds
+bigints) and the double conversions of equal ints round identically;
+steps 4-5 execute the SAME IEEE op sequence — left folds in ascending
+index order with a 0.0 init (the functions/vectors.py convention:
+F.aggregate(…, lit(0.0)) == list_reduce(list_prepend(0.0, …))) — so
+loadings, eigenvalue, and projections are BIT-IDENTICAL, no rounding
+slack. The SQL twins macro-expand the iteration into one CTE pair per
+round (the sql_logreg_newton pattern).
+
+Scale: the only data-sized stage is one embarrassingly-parallel scan
+emitting fixed-size cell batches; everything after is O(d^2) driver /
+constant-folded work, and the projection is a second scan. At 100 TB:
+one pass, no shuffle of vectors, (d+1)^2-cell reduce. Convergence is a
+quality concern only (12 rounds of power iteration on a spread spectrum;
+a flat spectrum converges slower) — determinism never depends on it,
+because both engines run the identical step count.
+
+Overflow budget: |q| <= scale * |x|; S_ij <= N * (scale*|x|)^2. With
+scale=1e4, |x|<=1: S_ij ~ 1e8*N — inside DECIMAL(38,0)/HUGEINT to
+N ~ 1e30, and M_ij = n*S_ij - s_i*s_j ~ N^2 * 1e8 inside 1e38 to
+N ~ 1e15 rows. The projection's per-row ``n*q_j - s_j`` stays in int64
+to n ~ 1.8e15 / scale — documented, asserted nowhere hot.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CELL_SCHEMA = "i long, j long, g long"
+
+
+def _quantize_np(values, scale: int):
+    """float32 array-of-arrays → int64 matrix, elementwise
+    floor(double(x) * scale + 0.5) — identical IEEE ops to the SQL twin's
+    CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)."""
+    import numpy as np
+
+    x = np.asarray([np.asarray(v, dtype=np.float64) for v in values])
+    return np.floor(x * scale + 0.5).astype(np.int64)
+
+
+def gram_cells(df: DataFrame, vec_col: str, dim: int, scale: int) -> DataFrame:
+    """(i, j, g) cells of the augmented Gram matrix A^T A where
+    A = [1 | quantize(vec)] — i, j in 0..dim (0 is the intercept/count
+    column). One mapInPandas scan, numpy int64 matmul per batch,
+    decimal-summed groupBy; (dim+1)^2 cells per batch regardless of rows."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = _quantize_np(pdf[vec_col].to_numpy(), scale)
+            a = np.concatenate([np.ones((len(q), 1), dtype=np.int64), q], axis=1)
+            g = a.T @ a  # exact int64: per-batch rows * scale^2 << 2^63
+            idx = np.arange(dim + 1)
+            ii, jj = np.meshgrid(idx, idx, indexing="ij")
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "g": g.ravel()}
+            )
+
+    cells = df.select(vec_col).mapInPandas(kernel, schema=_CELL_SCHEMA)
+    return cells.groupBy("i", "j").agg(
+        F.sum(F.col("g").cast("decimal(38,0)")).alias("g")
+    )
+
+
+def _collect_moments(
+    df: DataFrame, vec_col: str, dim: int, scale: int
+) -> tuple[int, list[int], list[list[int]]]:
+    """Run the cell scan and split the augmented Gram into
+    (n, s[dim], S[dim][dim]) as exact Python ints."""
+    rows = gram_cells(df, vec_col, dim, scale).collect()
+    g = {(r["i"], r["j"]): int(r["g"]) for r in rows}
+    n = g[(0, 0)]
+    s = [g[(0, j)] for j in range(1, dim + 1)]
+    big = [[g[(i, j)] for j in range(1, dim + 1)] for i in range(1, dim + 1)]
+    return n, s, big
+
+
+def _center(n: int, s: list[int], big: list[list[int]]) -> list[list[float]]:
+    """M_ij = n*S_ij - s_i*s_j, exact bigint, converted once to double."""
+    d = len(s)
+    return [[float(n * big[i][j] - s[i] * s[j]) for j in range(d)] for i in range(d)]
+
+
+def _fold(terms) -> float:
+    """Left fold with 0.0 init, ascending order — the cross-engine sum
+    shape (== list_reduce(list_prepend(0.0, …)) == F.aggregate(…, 0.0))."""
+    acc = 0.0
+    for t in terms:
+        acc = acc + t
+    return acc
+
+
+def _power_iteration(
+    m: list[list[float]], rounds: int
+) -> tuple[list[float], float]:
+    """``rounds`` fixed power-method steps from v0 = 1/sqrt(d); returns
+    (unit eigenvector estimate, Rayleigh quotient v^T M v). Op order is
+    the contract: matvec rows fold ascending j, norm folds ascending i,
+    division per component — mirrored token-for-token by sql_pca_*."""
+    d = len(m)
+    v = [1.0 / math.sqrt(d)] * d
+    for _ in range(rounds):
+        w = [_fold(m[i][j] * v[j] for j in range(d)) for i in range(d)]
+        nrm = math.sqrt(_fold(x * x for x in w))
+        v = [x / nrm for x in w]
+    u = [_fold(m[i][j] * v[j] for j in range(d)) for i in range(d)]
+    lam = _fold(v[i] * u[i] for i in range(d))
+    return v, lam
+
+
+def pca_power(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    scale: int = 10_000,
+    rounds: int = 12,
+) -> DataFrame:
+    """Top principal component of the quantized vector corpus: one row
+    per dimension (dim_idx 1-based, loading, explained_ratio), where
+    explained_ratio = lambda_1 / trace(M) (the fraction of total variance
+    the component captures; trace is exact-int, double-divided)."""
+    spark = df.sparkSession
+    n, s, big = _collect_moments(df, vec_col, dim, scale)
+    m = _center(n, s, big)
+    v, lam = _power_iteration(m, rounds)
+    trace = float(sum(n * big[i][i] - s[i] * s[i] for i in range(dim)))
+    ratio = lam / trace
+    return spark.createDataFrame(
+        [(i + 1, v[i], ratio) for i in range(dim)],
+        "dim_idx long, loading double, explained_ratio double",
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    scale: int = 10_000,
+    rounds: int = 12,
+) -> DataFrame:
+    """Per-vector PC1 score: p = fold_j double(n*q_j - s_j) * v_j over
+    the centered quantized vector — a codegen left fold on a second scan
+    (n, s, v enter as literals; no Python in the projection)."""
+    n, s, big = _collect_moments(df, vec_col, dim, scale)
+    m = _center(n, s, big)
+    v, _ = _power_iteration(m, rounds)
+    s_arr = F.array(*[F.lit(x).cast("long") for x in s])
+    v_arr = F.array(*[F.lit(x) for x in v])
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+    proj = F.aggregate(
+        F.sequence(F.lit(1), F.lit(dim)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (
+            (F.lit(n) * F.element_at(qv, i) - F.element_at(s_arr, i)).cast("double")
+            * F.element_at(v_arr, i)
+        ),
+    )
+    return df.select(F.col(id_col), proj.alias("pc1"))
+
+
+# --------------------------------------------------------------------------
+# SQL twins (DuckDB) — macro-expanded iteration, identical op sequence
+# --------------------------------------------------------------------------
+
+
+def _sql_pca_base(table: str, vec_col: str, dim: int, scale: int) -> list[str]:
+    """Shared CTE prefix: quantized vectors, n, column sums, second
+    moments, the centered double matrix as an ordered list-of-lists, and
+    v0. HUGEINT everywhere integers live (DuckDB's sum already promotes;
+    n*g and s*s products stay exact)."""
+    return [
+        f"""qt AS (
+            SELECT list_transform({vec_col},
+                x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS qv
+            FROM {table}
+        )""",
+        "st AS (SELECT count(*) AS n FROM qt)",
+        f"""sj AS MATERIALIZED (
+            SELECT j, sum(qv[j]) AS s FROM qt, generate_series(1, {dim}) AS gj(j)
+            GROUP BY j
+        )""",
+        f"""cells AS MATERIALIZED (
+            SELECT gi.i AS i, gj.j AS j, sum(qv[gi.i] * qv[gj.j]) AS g
+            FROM qt, generate_series(1, {dim}) AS gi(i),
+                     generate_series(1, {dim}) AS gj(j)
+            GROUP BY gi.i, gj.j
+        )""",
+        """mrows AS MATERIALIZED (
+            SELECT c.i, list(CAST(st.n * c.g - si.s * sj2.s AS DOUBLE) ORDER BY c.j) AS mrow
+            FROM cells c
+            JOIN sj si ON si.j = c.i
+            JOIN sj sj2 ON sj2.j = c.j
+            CROSS JOIN st
+            GROUP BY c.i
+        )""",
+        "cmat AS (SELECT list(mrow ORDER BY i) AS mat FROM mrows)",
+        f"""it0 AS (
+            SELECT list_transform(generate_series(1, {dim}),
+                x -> CAST(1.0 AS DOUBLE) / sqrt(CAST({dim} AS DOUBLE))) AS v
+        )""",
+    ]
+
+
+def _sql_matvec(dim: int) -> str:
+    """w = M v with the contract fold: per row i, left fold (0.0 init)
+    over ascending j of mat[i][j] * v[j]."""
+    return (
+        f"list_transform(generate_series(1, {dim}), i -> "
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), j -> mat[i][j] * v[j])), "
+        f"(acc, x) -> acc + x))"
+    )
+
+
+_SQL_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(w, x -> x * x)), (acc, x) -> acc + x))"
+)
+
+
+def _sql_pca_iter(dim: int, rounds: int) -> list[str]:
+    ctes = []
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""it{k} AS (
+                SELECT list_transform(w, x -> x / nrm) AS v FROM (
+                    SELECT w, {_SQL_NORM} AS nrm FROM (
+                        SELECT {_sql_matvec(dim)} AS w FROM cmat, it{k - 1}
+                    )
+                )
+            )"""
+        )
+    return ctes
+
+
+def sql_pca_power(
+    table: str,
+    vec_col: str,
+    dim: int,
+    scale: int = 10_000,
+    rounds: int = 12,
+    digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`pca_power`."""
+    from randas_spark.queries import sql_fround
+
+    ctes = _sql_pca_base(table, vec_col, dim, scale) + _sql_pca_iter(dim, rounds)
+    # final Rayleigh quotient: u = M v (same matvec shape), lambda = v . u
+    ctes.append(
+        f"""fin AS (
+            SELECT v,
+                   {_sql_matvec(dim)} AS w
+            FROM cmat, it{rounds}
+        )"""
+    )
+    ctes.append(
+        f"""lamt AS (
+            SELECT v,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(generate_series(1, {dim}), i -> v[i] * w[i])),
+                       (acc, x) -> acc + x) AS lam
+            FROM fin
+        )"""
+    )
+    ctes.append(
+        """tracet AS (
+            SELECT CAST(sum(st.n * c.g - si.s * si.s) AS DOUBLE) AS tr
+            FROM cells c JOIN sj si ON si.j = c.i CROSS JOIN st
+            WHERE c.i = c.j
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT gi.i AS dim_idx,
+               {sql_fround('v[gi.i]', digits)} AS loading,
+               {sql_fround('lam / tr', digits)} AS explained_ratio
+        FROM lamt, tracet, generate_series(1, {dim}) AS gi(i)
+        """
+    )
+
+
+def sql_pca_project(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    scale: int = 10_000,
+    rounds: int = 12,
+    digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`pca_project`: re-derives v through the same
+    CTE chain, then projects every vector with the contract fold."""
+    from randas_spark.queries import sql_fround
+
+    ctes = _sql_pca_base(table, vec_col, dim, scale) + _sql_pca_iter(dim, rounds)
+    proj = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dim}), "
+        f"j -> CAST(st.n * qv2.qv[j] - sjj.sv[j] AS DOUBLE) * v[j])), "
+        f"(acc, x) -> acc + x)"
+    )
+    ctes.append("svec AS (SELECT list(s ORDER BY j) AS sv FROM sj)")
+    ctes.append(
+        f"""qt2 AS (
+            SELECT {id_col} AS vid,
+                   list_transform({vec_col},
+                       x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS qv
+            FROM {table}
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT qv2.vid AS {id_col}, {sql_fround(proj, digits)} AS pc1
+        FROM qt2 qv2, it{rounds}, st, svec sjj
+        """
+    )

@@ -4437,3 +4437,57 @@ def llm_multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     out = probe_image_meta(attach_mixed_probe_payload(d, "doc_id", "text"))
     return out.select("doc_id", "mime", "width", "height")
+
+
+# --------------------------------------------------------------------------
+# PCA (dimensionality reduction for embedding pipelines)
+# --------------------------------------------------------------------------
+
+
+def _pca_power_oracle() -> str:
+    from randas_spark.operators.pca import sql_pca_power
+
+    return sql_pca_power("embeddings", "embedding", dim=64)
+
+
+def _pca_project_oracle() -> str:
+    from randas_spark.operators.pca import sql_pca_project
+
+    return sql_pca_project("embeddings", "vec_id", "embedding", dim=64)
+
+
+@register("llm_pca_power", oracle=_pca_power_oracle())
+def llm_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus
+    (operators/pca.pca_power): ONE mapInPandas scan computes the
+    quantized integer Gram matrix (numpy int64 matmul per Arrow batch,
+    DECIMAL(38,0) cell reduce — exact at any N), the driver centers it
+    in bigint arithmetic and runs 12 deterministic power-iteration
+    steps (O(d^2) state — the k-means-centroid discipline). Output: one
+    row per dimension with the PC1 loading and the explained-variance
+    ratio lambda_1 / trace. The oracle macro-expands the identical
+    iteration (left folds, ascending index, 0.0 init) over the same
+    exact integers, so loadings match bit-for-bit before fround."""
+    from randas_spark.operators.pca import pca_power
+
+    out = pca_power(t(spark, sf_dir, "embeddings"), "embedding", dim=64)
+    return out.select(
+        "dim_idx",
+        fround(F.col("loading"), 6).alias("loading"),
+        fround(F.col("explained_ratio"), 6).alias("explained_ratio"),
+    )
+
+
+@register("llm_pca_project", oracle=_pca_project_oracle())
+def llm_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projection onto the learned PC1
+    (operators/pca.pca_project): the component derivation is the
+    pca_power chain; the projection itself is a codegen'd left fold of
+    double(n*q_j - s_j) * v_j over a second scan — no Python in the
+    data-sized stage, n/s/v enter as literals. The whitening/compression
+    primitive embedding pipelines run before dedup thresholds and ANN
+    index builds."""
+    from randas_spark.operators.pca import pca_project
+
+    out = pca_project(t(spark, sf_dir, "embeddings"), "vec_id", "embedding", dim=64)
+    return out.select("vec_id", fround(F.col("pc1"), 6).alias("pc1"))

@@ -438,6 +438,49 @@ def test_knn_ivf_partial_probe_subset_scores(emb):
     assert all(n <= 10 for n in per_q.values())
 
 
+def test_pca_power_matches_numpy_eigvector(spark):
+    """The distributed exact-integer PCA must agree with numpy's dense
+    eigendecomposition of the SAME quantized, centered matrix: the power
+    iteration's v aligns with the top eigenvector (|cos| -> 1 given a
+    spread spectrum) and the explained ratio equals lambda_1/trace. Built
+    on a synthetic corpus with a deliberately dominant direction so 12
+    rounds converge far past the tolerance."""
+    import numpy as np
+
+    from randas_spark.operators.pca import pca_power, pca_project
+
+    rng = np.random.RandomState(7)
+    d, n = 16, 400
+    base = rng.randn(d); base /= np.linalg.norm(base)
+    x = (rng.randn(n, 1) * 3.0) @ base[None, :] + rng.randn(n, d) * 0.3
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = {r.dim_idx: (r.loading, r.explained_ratio) for r in
+           pca_power(df, "embedding", dim=d).collect()}
+    v = np.array([out[i + 1][0] for i in range(d)])
+    ratio = out[1][1]
+
+    # numpy ground truth on the same quantization (float32 parquet-less
+    # path: Spark casts to float; quantize the float32 rendering)
+    q = np.floor(x.astype(np.float32).astype(np.float64) * 10_000 + 0.5)
+    qc = q - q.mean(axis=0)
+    cov = qc.T @ qc  # proportional to the op's M = n*S - s s^T (factor n)
+    w_np, v_np = np.linalg.eigh(cov)
+    top = v_np[:, -1]
+    assert abs(abs(float(np.dot(v, top))) - 1.0) < 1e-9
+    assert abs(ratio - float(w_np[-1] / w_np.sum())) < 1e-9
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-12  # unit loadings
+
+    # projection parity: pc1 scores equal n * (qc @ v) up to the shared
+    # factor (op projects n*q_j - s_j = n * centered component)
+    proj = {r.vec_id: r.pc1 for r in
+            pca_project(df, "vec_id", "embedding", dim=d).collect()}
+    want = n * (qc @ v)
+    got = np.array([proj[i] for i in range(n)])
+    assert np.allclose(got, want, rtol=1e-12, atol=1e-6)
+
+
 def test_cosine_matches_numpy(spark):
     import numpy as np
 
