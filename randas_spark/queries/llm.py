@@ -4491,3 +4491,72 @@ def llm_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = pca_project(t(spark, sf_dir, "embeddings"), "vec_id", "embedding", dim=64)
     return out.select("vec_id", fround(F.col("pc1"), 6).alias("pc1"))
+
+
+@register(
+    "llm_quality_calibration",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(floor(({_sql_qcls('text')}) * 1000000 + 0.5) AS BIGINT) AS pq,
+               CASE WHEN {sql_quality_parts('text')['n_tokens']} BETWEEN 10 AND 5000
+                     AND {sql_quality_score('text')} >= 0.5
+                     AND {sql_lang_id('text')} = 'en'
+                    THEN 1 ELSE 0 END AS label
+        FROM documents
+    )
+    SELECT least(CAST(floor(pq / 100000) AS BIGINT), 9) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(label) AS BIGINT) AS n_keep,
+           {sql_fround('CAST(sum(pq) AS DOUBLE) / count(*) / 1000000.0', 6)} AS mean_pred,
+           {sql_fround('CAST(sum(label) AS DOUBLE) / count(*)', 6)} AS keep_rate,
+           {sql_fround('CAST(sum(pq) AS DOUBLE) / count(*) / 1000000.0 '
+                       '- CAST(sum(label) AS DOUBLE) / count(*)', 6)} AS gap
+    FROM s GROUP BY 1
+    """,
+)
+def llm_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the linear quality classifier: decile
+    bins of predicted probability vs the empirical keep-rate of the
+    independent heuristic gate (the llm_corpus_filter rule set), with
+    the calibration gap per bin — the standard check before a learned
+    filter replaces a rule set in a training-data pipeline. The
+    classifier probability is quantized ONCE to the 1e-6 grid
+    (``floor(p*1e6+0.5)`` int64, the llm_quality_classifier fround(6)
+    atom); bins, sums, and rates all derive from that exact integer, so
+    both engines aggregate identical values in any order. One scan, one
+    10-row map-side-combined groupBy — trivially parallel at 100 TB."""
+    d = t(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    pq = F.floor(_qcls(F.col("text")) * 1000000 + F.lit(0.5)).cast("long")
+    label = (
+        m["n_tokens"].between(10, 5000)
+        & (quality_score(F.col("text")) >= 0.5)
+        & (lang_id(F.col("text")) == "en")
+    ).cast("long")
+    s = d.select(pq.alias("pq"), label.alias("label"))
+    return (
+        s.groupBy(
+            F.least(F.floor(F.col("pq") / 100000), F.lit(9))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("label").cast("long").alias("n_keep"),
+            F.sum("pq").alias("__sp__"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_keep",
+            fround(
+                F.col("__sp__").cast("double") / F.col("n") / F.lit(1000000.0), 6
+            ).alias("mean_pred"),
+            fround(F.col("n_keep").cast("double") / F.col("n"), 6).alias("keep_rate"),
+            fround(
+                F.col("__sp__").cast("double") / F.col("n") / F.lit(1000000.0)
+                - F.col("n_keep").cast("double") / F.col("n"),
+                6,
+            ).alias("gap"),
+        )
+    )

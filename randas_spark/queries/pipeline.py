@@ -798,3 +798,59 @@ def rel_weekday_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         fround(F.avg("value"), 6).alias("avg_value"),
     )
+
+
+@register(
+    "rel_anomaly_mad",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type,
+               {sql_fround('quantile_cont(value, 0.5)', 6)} AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type,
+               {sql_fround('quantile_cont(abs(e.value - m.med), 0.5)', 6)} AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT e.event_type, e.event_id, e.value,
+           {sql_fround('0.6745 * (e.value - m.med) / d.mad', 4)} AS modified_z
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    WHERE abs(0.6745 * (e.value - m.med) / d.mad) > 3.5
+    """,
+)
+def rel_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection via the median-absolute-deviation
+    modified z-score (Iglewicz–Hoaglin |0.6745·(x−med)/MAD| > 3.5) over
+    each event type's heavy-tailed value distribution: the
+    breakdown-point-0.5 sibling of rel_anomaly_zscore (whose mean/std
+    move with the very outliers being fenced) and the distribution-free
+    sibling of rel_iqr_outliers. Two exact-percentile aggregates per
+    group (median, then median of |x − med|), each a tiny per-group
+    table broadcast back into the scan — never a window over the whole
+    fact; at 100 TB the percentiles swap to approx_percentile with the
+    same plan shape. Med/MAD are fround(6)-quantized on BOTH engines
+    before the fence comparison (the rel_iqr_outliers discipline), so
+    borderline rows classify identically."""
+    e = t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        fround(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        fround(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad")
+    )
+    z = 0.6745 * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(z) > 3.5)
+        .select(
+            "event_type",
+            "event_id",
+            "value",
+            fround(z, 4).alias("modified_z"),
+        )
+    )
