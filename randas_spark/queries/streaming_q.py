@@ -270,6 +270,41 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_full_outer",
+    oracle="""
+    WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type FROM events)
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           COALESCE(c.user_id, p.user_id) AS user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM (SELECT * FROM e WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join, completing the join
+    matrix next to the inner and left-outer forms: unconverted clicks
+    emit with null purchase columns AND orphan purchases (no click in
+    the preceding hour by that user) emit with null click columns. On
+    the stream (same builder, how='fullOuter', two-sided watermarks)
+    matched rows emit immediately and each side's null rows emit once
+    the watermark passes that side's eviction point; state stays
+    O(rate x horizon) exactly as the inner form — outer-ness changes
+    what is emitted at eviction, never what is retained."""
+    from randas_spark.streaming.engine import click_purchase_conversions
+
+    e = t(spark, sf_dir, "events")
+    return click_purchase_conversions(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+        how="fullOuter",
+    )
+
+
+@register(
     "stream_window_distinct_users",
     oracle="""
     SELECT CAST(date_trunc('hour', ts::TIMESTAMP) AS TIMESTAMP) AS window_start,

@@ -414,6 +414,10 @@ def click_purchase_conversions(
     click_ts + horizon (before that a matching purchase could still
     arrive). Matched rows emit immediately; the null rows are the
     watermark-gated tail — the semantics tests/test_streaming.py pins.
+    ``how="fullOuter"`` completes the matrix: orphan purchases (no click
+    within the preceding horizon) also emit, with null click columns,
+    once the watermark passes their own eviction point — user_id is
+    coalesced from whichever side is present.
     """
     c = clicks.select(
         F.col("event_id").alias("click_id"),
@@ -436,7 +440,9 @@ def click_purchase_conversions(
     return c.join(p, cond, how).select(
         "click_id",
         "purchase_id",
-        F.col("click_user").alias("user_id"),
+        # coalesce is a no-op for inner/leftOuter (click side present by
+        # construction) and supplies the orphan-purchase id in fullOuter
+        F.coalesce(F.col("click_user"), F.col("purchase_user")).alias("user_id"),
         (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))).alias(
             "lag_us"
         ),

@@ -657,6 +657,43 @@ def test_stream_stream_left_outer_watermark_gated(spark, batch_events):
     assert all(p[1] is None for p in withheld)
 
 
+def test_stream_stream_full_outer_watermark_gated(spark, batch_events):
+    """Full-outer stream-stream join: matched pairs equal the batch
+    inner set; null rows (unconverted clicks AND orphan purchases) may
+    be watermark-withheld but never invented, and every withheld row is
+    a null row from one of the two sides."""
+    from pyspark.sql import functions as F
+    from randas_spark.streaming.engine import click_purchase_conversions
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    batch = click_purchase_conversions(*split(batch_events), horizon="1 hour", how="fullOuter")
+    batch_rows = {(r.click_id, r.purchase_id) for r in batch.collect()}
+    batch_matched = {p for p in batch_rows if p[0] is not None and p[1] is not None}
+
+    streamed = _run_stream(
+        spark,
+        lambda s: click_purchase_conversions(
+            *split(s), horizon="1 hour", watermark="2 hours", how="fullOuter"
+        ),
+        "t_ssjoin_fo",
+        output_mode="append",
+    )
+    got = {(r.click_id, r.purchase_id) for r in streamed.collect()}
+    got_matched = {p for p in got if p[0] is not None and p[1] is not None}
+    assert got_matched == batch_matched  # inner pairs identical
+    assert got <= batch_rows  # no invented rows on either side
+    withheld = batch_rows - got
+    assert all(p[0] is None or p[1] is None for p in withheld)
+    # both outer sides are genuinely exercised by the fixture
+    assert any(p[0] is None for p in batch_rows)
+    assert any(p[1] is None for p in batch_rows)
+
+
 def test_incremental_dedup_ingest_matches_batch(spark, tmp_path):
     """Streamed corpus ingestion with per-batch anti-join dedup ends up
     with exactly the batch exact-dedup survivor set, even when the SAME
