@@ -500,3 +500,48 @@ def test_arrow_ipc_markers_and_column_order(spark, people, tmp):
         w.write_table(renamed)
     with pytest.raises(Exception, match="schema mismatch"):
         read_arrow_ipc(spark, bad_dir).to_spark().count()
+
+
+def test_webdataset_round_trip_reproducible_shards(spark, tmp):
+    """WebDataset tar shard sink/source: (1) write → read round-trips
+    every (key, ext, payload) triple; (2) shard assignment is
+    content-deterministic, so writing the SAME data twice — even from a
+    differently-partitioned frame — yields byte-identical shards
+    (zeroed tar metadata, key-sorted members); (3) non-binary columns
+    encode as utf-8; (4) the manifest accounts for every sample."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from randas_spark.io.webdataset import read_webdataset, write_webdataset
+
+    rows = [(i, f"text of {i}".encode(), f"label-{i % 3}") for i in range(37)]
+    df = spark.createDataFrame(rows, "doc_id long, txt binary, cls string")
+
+    d1 = os.path.join(tmp, "wds1")
+    man1 = {r.shard_id: r for r in
+            write_webdataset(df, d1, "doc_id", ["txt", "cls"], n_shards=4).collect()}
+    assert sum(r.n_samples for r in man1.values()) == 37
+
+    back = read_webdataset(spark, d1)
+    got = {(r.key, r.ext): bytes(r.payload) for r in back.collect()}
+    assert len(got) == 74  # 37 keys x 2 exts
+    for i in range(37):
+        assert got[(str(i), "txt")] == f"text of {i}".encode()
+        assert got[(str(i), "cls")] == f"label-{i % 3}".encode()
+    # every row names its shard file
+    shards = {r.shard for r in back.select("shard").distinct().collect()}
+    assert shards == {f"shard-{s:05d}.tar" for s in man1}
+
+    # reproducibility under different partitioning
+    d2 = os.path.join(tmp, "wds2")
+    man2 = {r.shard_id: r for r in
+            write_webdataset(df.repartition(7, F.col("cls")), d2, "doc_id",
+                             ["txt", "cls"], n_shards=4).collect()}
+    assert {s: m.sha256 for s, m in man1.items()} == {
+        s: m.sha256 for s, m in man2.items()
+    }
+    for s, m in man1.items():
+        p1 = open(os.path.join(d1, f"shard-{s:05d}.tar"), "rb").read()
+        p2 = open(os.path.join(d2, f"shard-{s:05d}.tar"), "rb").read()
+        assert p1 == p2 and len(p1) == m.n_bytes
