@@ -1,0 +1,349 @@
+"""Unigram-LM subword tokenizer (SentencePiece-style) learned by hard
+EM with EXACT integer Viterbi — the second major subword family next to
+BPE (operators/corpus.py): BPE grows a vocabulary bottom-up by merging,
+unigram-LM starts from a candidate set and lets segmentation likelihood
+choose. Reference scope: the randas crate stops at whitespace tokens;
+this is the training-data-pipeline extension the brief calls for.
+
+Determinism discipline (the BPE/logreg law, pushed further): piece
+costs are QUANTIZED to integer micro-nats (``floor(-ln(p)*1e6 + 0.5)``,
+the repo-wide fround(6) atom), so the Viterbi DP is pure int64
+arithmetic — cross-engine equality needs no float reasoning at all, and
+ties break on the total order (cost, n_pieces, -piece_len): prefer
+cheaper, then fewer, then longer-final-piece segmentations.
+
+Hard-EM rounds (fixed count, both engines):
+  vocab0 = top-V candidate substrings (len 1..k_max) by corpus
+           occurrence count, ties piece-ascending, UNION all single
+           chars (coverage guarantee: every word stays segmentable);
+  cost0  = -ln(f / sum f) quantized;              E-step: Viterbi;
+  M-step: recount piece occurrences from the segmentations (weighted
+           by word counts) over the FIXED vocab, add-1 smoothed
+           cost = -ln((f+1)/(T+|V|)) quantized;   repeat.
+
+Distribution shape: the corpus contracts ONCE to the distinct-word
+table (Heaps-bounded — the BPE-learn insight); candidate generation and
+recounts are explode+groupBy over that table; each E-step is one
+Arrow-batched pandas_udf pass with the <=(V + alphabet)-entry cost dict
+broadcast. Driver state: the vocab/cost table (tiny), never data-sized.
+At 100 TB the word table is the only thing that grows, sublinearly.
+
+The SQL twin replicates everything in DuckDB, Viterbi included: the DP
+is macro-expanded over positions 1..l_max as lateral-alias struct
+columns (candidates per position via map_extract against the in-query
+cost map; min by struct order), and the backtrace is a second
+macro-expanded cursor walk — so the oracle re-derives the ENTIRE model
+from the raw corpus with zero values smuggled from the Python side.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _q_cost(num: float, den: float) -> int:
+    """floor(-ln(num/den) * 1e6 + 0.5) — the integer micro-nat atom."""
+    return int(math.floor(-math.log(num / den) * 1_000_000 + 0.5))
+
+
+def _viterbi(word: str, cost: dict[str, int], k_max: int) -> list[str]:
+    """Exact-integer Viterbi segmentation. best[pos] = (cost, n_pieces,
+    -k, k) minimized lexicographically; every single char of every
+    modeled word is in the vocab, so a path always exists."""
+    best: list[tuple[int, int, int, int]] = [(0, 0, 0, 0)]
+    for pos in range(1, len(word) + 1):
+        cands = []
+        for k in range(1, min(k_max, pos) + 1):
+            c = cost.get(word[pos - k : pos])
+            if c is None:
+                continue
+            pc, pn, _, _ = best[pos - k]
+            cands.append((pc + c, pn + 1, -k, k))
+        best.append(min(cands))
+    pieces: list[str] = []
+    pos = len(word)
+    while pos > 0:
+        k = best[pos][3]
+        pieces.append(word[pos - k : pos])
+        pos -= k
+    pieces.reverse()
+    return pieces
+
+
+def _word_table(df: DataFrame, text_col: str, l_max: int) -> DataFrame:
+    from randas_spark.functions.text import tokens
+
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") <= l_max))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def _candidate_freqs(words: DataFrame, k_max: int) -> DataFrame:
+    """(piece, f): every substring occurrence of length 1..k_max,
+    weighted by word count — codegen explode, one shuffle."""
+    subs = F.expr(
+        f"flatten(transform(sequence(1, length(w)), s -> "
+        f"transform(sequence(1, least({k_max}, length(w) - s + 1)), "
+        f"k -> substring(w, s, k))))"
+    )
+    return (
+        words.select(F.col("c"), F.explode(subs).alias("p"))
+        .groupBy("p")
+        .agg(F.sum("c").alias("f"))
+    )
+
+
+def _segment_col(cost: dict[str, int], k_max: int):
+    bc = dict(cost)
+
+    @F.pandas_udf("array<string>")
+    def seg(ws: pd.Series) -> pd.Series:
+        return ws.map(lambda w: _viterbi(w, bc, k_max))
+
+    return seg
+
+
+def unigram_learn(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int = 32,
+    k_max: int = 4,
+    l_max: int = 12,
+    rounds: int = 2,
+) -> DataFrame:
+    """Learn the unigram-LM vocabulary; returns one row per piece:
+    (piece, freq, cost_micro) where freq is the final E-step occurrence
+    recount and cost_micro the add-1-smoothed cost derived from it."""
+    if rounds < 1:
+        raise ValueError(f"unigram_learn requires rounds >= 1, got {rounds}")
+    spark = df.sparkSession
+    words = _word_table(df, text_col, l_max).localCheckpoint()
+    cands = _candidate_freqs(words, k_max)
+    top = cands.orderBy(F.col("f").desc(), "p").limit(vocab_size)
+    singles = cands.filter(F.length("p") == 1)
+    vocab = {r["p"]: int(r["f"]) for r in top.unionAll(singles).distinct().collect()}
+    total = sum(vocab.values())
+    cost = {p: _q_cost(f, total) for p, f in vocab.items()}
+
+    freqs: dict[str, int] = {}
+    for _ in range(rounds):
+        segged = words.select(
+            "c", F.explode(_segment_col(cost, k_max)(F.col("w"))).alias("p")
+        )
+        counted = {
+            r["p"]: int(r["n"])
+            for r in segged.groupBy("p").agg(F.sum("c").alias("n")).collect()
+        }
+        freqs = {p: counted.get(p, 0) for p in vocab}
+        t = sum(freqs.values())
+        v_n = len(vocab)
+        cost = {p: _q_cost(f + 1, t + v_n) for p, f in freqs.items()}
+
+    return spark.createDataFrame(
+        sorted((p, freqs[p], cost[p]) for p in vocab),
+        "piece string, freq long, cost_micro long",
+    )
+
+
+def unigram_segment(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int = 32,
+    k_max: int = 4,
+    l_max: int = 12,
+    rounds: int = 2,
+) -> DataFrame:
+    """Segment the distinct-word table with the learned model: one row
+    per word (w, c, n_pieces, seg) with seg = '|'-joined pieces (string,
+    not array — the driver canon contract)."""
+    learned = unigram_learn(df, text_col, vocab_size, k_max, l_max, rounds)
+    cost = {r["piece"]: int(r["cost_micro"]) for r in learned.collect()}
+    words = _word_table(df, text_col, l_max)
+    pieces = _segment_col(cost, k_max)(F.col("w"))
+    return words.select(
+        "w",
+        "c",
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.array_join(pieces, "|").alias("seg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL twins (DuckDB) — the full model re-derivation, Viterbi included
+# --------------------------------------------------------------------------
+
+
+def _sql_viterbi_struct(pos: int, k_max: int) -> str:
+    """Lateral-alias DP step: s{pos} = min candidate struct at position
+    ``pos``, referencing s{pos-k} (s0 is the base). Struct field order
+    (cost, np, negk, k) IS the comparison order."""
+    cands = []
+    for k in range(1, k_max + 1):
+        prev = f"s{pos - k}" if pos - k > 0 else "s0"
+        piece = f"substr(w, {pos - k + 1}, {k})"
+        cands.append(
+            f"CASE WHEN {pos} >= {k} AND len(w) >= {pos} "
+            f"AND len(map_extract(m, {piece})) = 1 "
+            f"THEN {{'cost': struct_extract({prev}, 'cost') + map_extract(m, {piece})[1], "
+            f"'np': struct_extract({prev}, 'np') + 1, 'negk': {-k}, 'k': {k}}} END"
+        )
+    return (
+        f"list_sort(list_filter([{', '.join(cands)}], x -> x IS NOT NULL))[1]"
+        f" AS s{pos}"
+    )
+
+
+def _sql_viterbi_seg(alias: str, map_cte: str, k_max: int, l_max: int) -> str:
+    """One CTE segmenting every word against cost map ``map_cte``:
+    (w, c, pieces). Each DP position and each backtrace step is its own
+    NESTED SUBQUERY level adding one column — same-select lateral
+    aliases would INLINE each other and the expression tree would grow
+    4^l_max (the k-core/BPE lazy-chain lesson, at the expression level);
+    a projection column is evaluated once per row per level."""
+    # innermost level: the base struct
+    inner = (
+        f"SELECT w, c, m, "
+        f"{{'cost': CAST(0 AS BIGINT), 'np': 0, 'negk': 0, 'k': 0}} AS s0 "
+        f"FROM wt, {map_cte}"
+    )
+    for pos in range(1, l_max + 1):
+        inner = f"SELECT *, {_sql_viterbi_struct(pos, k_max)} FROM ({inner})"
+    poss = "[" + ", ".join(f"s{p}" for p in range(1, l_max + 1)) + "]"
+    inner = f"SELECT w, c, {poss} AS poss, len(w) AS p0 FROM ({inner})"
+    piece_cols = []
+    for i in range(1, l_max + 1):
+        prev = f"p{i - 1}"
+        kk = f"struct_extract(poss[{prev}], 'k')"
+        inner = (
+            f"SELECT *, "
+            f"CASE WHEN {prev} > 0 THEN substr(w, {prev} - {kk} + 1, {kk}) END AS pc{i}, "
+            f"CASE WHEN {prev} > 0 THEN {prev} - {kk} ELSE 0 END AS p{i} "
+            f"FROM ({inner})"
+        )
+        piece_cols.append(f"pc{i}")
+    return f"""{alias} AS MATERIALIZED (
+        SELECT w, c,
+               list_reverse(list_filter([{", ".join(piece_cols)}],
+                                        x -> x IS NOT NULL)) AS pieces
+        FROM ({inner})
+    )"""
+
+
+def _sql_recount(seg_alias: str, vocab_cte: str, out_alias: str) -> str:
+    return f"""{out_alias} AS MATERIALIZED (
+        SELECT v.p, CAST(COALESCE(s.n, 0) AS BIGINT) AS f
+        FROM {vocab_cte} v LEFT JOIN (
+            SELECT piece AS p, sum(c) AS n
+            FROM (SELECT c, unnest(pieces) AS piece FROM {seg_alias})
+            GROUP BY piece
+        ) s USING (p)
+    )"""
+
+
+_SQL_QCOST = "CAST(floor(-ln({num}) * 1000000 + 0.5) AS BIGINT)"
+
+
+def _sql_base(table: str, text_col: str, vocab_size: int, k_max: int, l_max: int) -> list[str]:
+    from randas_spark.functions.text import sql_tokens
+
+    return [
+        f"""wt AS MATERIALIZED (
+            SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT unnest({sql_tokens(text_col)}) AS w FROM {table}
+            ) WHERE w <> '' AND len(w) <= {l_max}
+            GROUP BY w
+        )""",
+        f"""cands AS MATERIALIZED (
+            SELECT substr(w, s.s, k.k) AS p, CAST(sum(c) AS BIGINT) AS f
+            FROM wt,
+                 generate_series(1, {l_max}) AS s(s),
+                 generate_series(1, {k_max}) AS k(k)
+            WHERE s.s + k.k - 1 <= len(w)
+            GROUP BY 1
+        )""",
+        f"""vocab0 AS MATERIALIZED (
+            SELECT DISTINCT p, f FROM (
+                SELECT p, f FROM (SELECT p, f FROM cands ORDER BY f DESC, p LIMIT {vocab_size})
+                UNION ALL
+                SELECT p, f FROM cands WHERE len(p) = 1
+            )
+        )""",
+        "tot0 AS (SELECT CAST(sum(f) AS DOUBLE) AS t, count(*) AS vn FROM vocab0)",
+        f"""cost0 AS (
+            SELECT p, {_SQL_QCOST.format(num='CAST(f AS DOUBLE) / t')} AS cost
+            FROM vocab0, tot0
+        )""",
+        "map0 AS (SELECT map(list(p ORDER BY p), list(cost ORDER BY p)) AS m FROM cost0)",
+    ]
+
+
+def _sql_rounds(rounds: int, k_max: int, l_max: int) -> list[str]:
+    ctes = []
+    for r in range(1, rounds + 1):
+        ctes.append(_sql_viterbi_seg(f"seg{r}", f"map{r - 1}", k_max, l_max))
+        ctes.append(_sql_recount(f"seg{r}", "vocab0", f"f{r}"))
+        ctes.append(
+            f"tot{r} AS (SELECT CAST(sum(f) AS DOUBLE) AS t, count(*) AS vn FROM f{r})"
+        )
+        ctes.append(
+            f"""cost{r} AS (
+                SELECT p,
+                       {_SQL_QCOST.format(num=f'(CAST(f AS DOUBLE) + 1.0) / (t + vn)')} AS cost
+                FROM f{r}, tot{r}
+            )"""
+        )
+        ctes.append(
+            f"map{r} AS (SELECT map(list(p ORDER BY p), list(cost ORDER BY p)) AS m FROM cost{r})"
+        )
+    return ctes
+
+
+def sql_unigram_learn(
+    table: str,
+    text_col: str,
+    vocab_size: int = 32,
+    k_max: int = 4,
+    l_max: int = 12,
+    rounds: int = 2,
+) -> str:
+    ctes = _sql_base(table, text_col, vocab_size, k_max, l_max)
+    ctes += _sql_rounds(rounds, k_max, l_max)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+        SELECT f.p AS piece, f.f AS freq, c.cost AS cost_micro
+        FROM f{rounds} f JOIN cost{rounds} c USING (p)
+        """
+    )
+
+
+def sql_unigram_segment(
+    table: str,
+    text_col: str,
+    vocab_size: int = 32,
+    k_max: int = 4,
+    l_max: int = 12,
+    rounds: int = 2,
+) -> str:
+    ctes = _sql_base(table, text_col, vocab_size, k_max, l_max)
+    ctes += _sql_rounds(rounds, k_max, l_max)
+    ctes.append(_sql_viterbi_seg("segf", f"map{rounds}", k_max, l_max))
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+        SELECT w, c, CAST(len(pieces) AS BIGINT) AS n_pieces,
+               array_to_string(pieces, '|') AS seg
+        FROM segf
+        """
+    )

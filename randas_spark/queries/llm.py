@@ -4560,3 +4560,46 @@ def llm_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM tokenizer (the second subword family, next to BPE)
+# --------------------------------------------------------------------------
+
+
+def _unigram_learn_oracle() -> str:
+    from randas_spark.operators.unigram import sql_unigram_learn
+
+    return sql_unigram_learn("documents", "text")
+
+
+def _unigram_segment_oracle() -> str:
+    from randas_spark.operators.unigram import sql_unigram_segment
+
+    return sql_unigram_segment("documents", "text")
+
+
+@register("llm_unigram_lm", oracle=_unigram_learn_oracle())
+def llm_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM vocabulary learned by hard EM
+    (operators/unigram.py): top-32 candidate substrings + all single
+    chars, integer micro-nat costs, two Viterbi E-steps over the
+    Heaps-bounded distinct-word table (Arrow-batched pandas_udf with the
+    tiny cost dict broadcast) with exact-int DP — so cross-engine
+    equality needs no float reasoning. The oracle re-derives the ENTIRE
+    model in DuckDB, Viterbi included (macro-expanded lateral-alias DP +
+    cursor backtrace)."""
+    from randas_spark.operators.unigram import unigram_learn
+
+    return unigram_learn(t(spark, sf_dir, "documents"), "text")
+
+
+@register("llm_unigram_segment", oracle=_unigram_segment_oracle())
+def llm_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-word segmentation under the learned unigram LM: (word, corpus
+    count, piece count, '|'-joined pieces) — the tokenizer-apply side,
+    segmenting with the post-EM costs. Fertility and compression audits
+    derive directly from (c, n_pieces)."""
+    from randas_spark.operators.unigram import unigram_segment
+
+    return unigram_segment(t(spark, sf_dir, "documents"), "text")

