@@ -1291,6 +1291,22 @@ def test_logreg_newton_singular_hessian_holds_coefficients(spark):
     assert got.accuracy is not None
 
 
+def test_grouped_ols_overflow_guard_fires_loudly(spark):
+    """The int64 Gram-cell budget must fail LOUDLY, not wrap: values
+    large enough that n * max|cell| crosses the guard raise instead of
+    returning corrupted coefficients (the silent-divergence class the
+    r6 advice flagged)."""
+    import pytest
+
+    from randas_spark.operators.regression import grouped_ols
+
+    big = 4.0e9  # (big*scale_x)^2 = 1.6e25 per cell -> guard trips at any n
+    rows = [("g", big + i, big - i, big) for i in range(4)]
+    df = spark.createDataFrame(rows, "grp string, x1 double, x2 double, y double")
+    with pytest.raises(Exception, match="int64 Gram-cell budget exceeded"):
+        grouped_ols(df, ["grp"], "x1", "x2", "y").collect()
+
+
 def test_logreg_newton_rejects_zero_iterations(spark):
     """n_iter=0 used to fall through to crossJoin(broadcast(None)) in the
     finisher; it must fail loudly at the argument instead."""
