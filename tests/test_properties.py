@@ -316,3 +316,45 @@ def test_containment_pairs_match_python_ground_truth(spark, texts):
     assert set(got) == set(want)
     for pair in got:
         assert abs(got[pair] - want[pair]) < 1e-12
+
+
+@settings(deadline=None, max_examples=200)
+@given(
+    word=st.text(alphabet="ab", min_size=1, max_size=7),
+    costs=st.fixed_dictionaries(
+        {},
+        optional={
+            p: st.integers(min_value=1, max_value=50)
+            for p in ["a", "b", "aa", "ab", "ba", "bb", "aab", "abb", "bab"]
+        },
+    ),
+)
+def test_unigram_viterbi_matches_bruteforce(word, costs):
+    """Viterbi over a 2-letter alphabet must return exactly the
+    brute-force-optimal segmentation under the documented total order
+    (total cost, fewer pieces, longer pieces from the END backwards) —
+    enumerating ALL segmentations of words up to length 7."""
+    from randas_spark.operators.unigram import _viterbi
+
+    # singles always present (the operator's coverage guarantee)
+    table = {"a": 7, "b": 9, **costs}
+
+    def all_segs(w):
+        if not w:
+            yield []
+            return
+        for k in range(1, min(4, len(w)) + 1):
+            piece = w[-k:]
+            if piece in table:
+                for rest in all_segs(w[:-k]):
+                    yield rest + [piece]
+
+    def rank(seg):
+        # mirror the DP's comparison: cost, then n_pieces, then at each
+        # boundary from the END prefer the LONGER piece (DP's -k applies
+        # per position from the tail)
+        tail_lens = [-len(p) for p in reversed(seg)]
+        return (sum(table[p] for p in seg), len(seg), tail_lens)
+
+    want = min(all_segs(word), key=rank)
+    assert _viterbi(word, table, 4) == want
