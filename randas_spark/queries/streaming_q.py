@@ -562,3 +562,37 @@ def stream_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qv_id").alias("view_event_id"),
         ((F.col("us") - F.col("qv_us")) / F.lit(1_000_000.0)).alias("funnel_secs"),
     )
+
+
+@register(
+    "stream_gram_cells",
+    oracle="""
+    WITH aug AS (
+        SELECT list_prepend(CAST(1 AS BIGINT),
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))) AS av
+        FROM embeddings
+    )
+    SELECT gi.i - 1 AS i, gj.j - 1 AS j,
+           CAST(sum(av[gi.i] * av[gj.j]) AS BIGINT) AS g
+    FROM aug, generate_series(1, 65) AS gi(i), generate_series(1, 65) AS gj(j)
+    GROUP BY 1, 2
+    """,
+)
+def stream_gram_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-twin of the PCA moment matrix (operators/pca.gram_cells):
+    the augmented [1|q] Gram cells are a MERGEABLE STATE — integer sums —
+    so the same mapInPandas + groupBy plan runs unchanged over a stream
+    in complete mode, maintaining an incrementally-updated covariance
+    model as data arrives (the incremental-PCA ingestion shape). This
+    batch form is the oracle-checked twin; tests/test_streaming.py
+    replays the vectors file-by-file through readStream and pins that
+    the final streamed state equals this batch result cell-for-cell.
+    Joins the mergeable-state series: countmin cells, HLL registers,
+    quantile bins, rollup states — and now second moments."""
+    from randas_spark.operators.pca import gram_cells
+
+    emb = t(spark, sf_dir, "embeddings")
+    return gram_cells(emb, "embedding", dim=64, scale=10_000).select(
+        "i", "j", F.col("g").cast("long").alias("g")
+    )

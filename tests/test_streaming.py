@@ -694,6 +694,46 @@ def test_stream_stream_full_outer_watermark_gated(spark, batch_events):
     assert any(p[1] is None for p in batch_rows)
 
 
+def test_gram_cells_stream_matches_batch(spark, tmp_path):
+    """The PCA moment matrix is mergeable integer state, so the SAME
+    gram_cells plan (mapInPandas + groupBy sum) must produce, over a
+    file-by-file stream replay in complete mode, exactly the batch
+    cells — the incremental-covariance ingestion shape."""
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.pca import gram_cells
+    from randas_spark.queries import t as _t
+
+    emb = _t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    stage = tmp_path / "emb_stream"
+    # three staggered files so the state genuinely merges across triggers
+    for i in range(3):
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(
+            str(stage / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage) + "/*")
+    )
+    agg = gram_cells(stream, "embedding", dim=64, scale=10_000)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_gram")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.i, r.j): int(r.g) for r in spark.table("t_gram").collect()}
+    want = {
+        (r.i, r.j): int(r.g)
+        for r in gram_cells(emb, "embedding", dim=64, scale=10_000).collect()
+    }
+    assert got == want
+    assert len(want) == 65 * 65
+
+
 def test_incremental_dedup_ingest_matches_batch(spark, tmp_path):
     """Streamed corpus ingestion with per-batch anti-join dedup ends up
     with exactly the batch exact-dedup survivor set, even when the SAME
