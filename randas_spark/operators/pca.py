@@ -148,6 +148,15 @@ def _power_iteration(
     return v, lam
 
 
+def _deflate(
+    m: list[list[float]], v: list[float], lam: float
+) -> list[list[float]]:
+    """Hotelling deflation M' = M - lam * v v^T — double arithmetic with
+    the fixed op order ((lam * v_i) * v_j, subtracted) the SQL mirrors."""
+    d = len(m)
+    return [[m[i][j] - (lam * v[i]) * v[j] for j in range(d)] for i in range(d)]
+
+
 def pca_power(
     df: DataFrame,
     vec_col: str,
@@ -168,6 +177,32 @@ def pca_power(
     return spark.createDataFrame(
         [(i + 1, v[i], ratio) for i in range(dim)],
         "dim_idx long, loading double, explained_ratio double",
+    )
+
+
+def pca_top2(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    scale: int = 10_000,
+    rounds: int = 12,
+) -> DataFrame:
+    """Top TWO principal components via Hotelling deflation: PC1 by
+    power iteration on the centered moment matrix, then PC2 by the same
+    iteration on M - lam1 * v1 v1^T. One data-sized scan total — the
+    deflation and second iteration are more O(d^2) driver arithmetic.
+    Output: (component, dim_idx, loading, explained_ratio)."""
+    spark = df.sparkSession
+    n, s, big = _collect_moments(df, vec_col, dim, scale)
+    m = _center(n, s, big)
+    trace = float(sum(n * big[i][i] - s[i] * s[i] for i in range(dim)))
+    v1, lam1 = _power_iteration(m, rounds)
+    v2, lam2 = _power_iteration(_deflate(m, v1, lam1), rounds)
+    rows = [(1, i + 1, v1[i], lam1 / trace) for i in range(dim)]
+    rows += [(2, i + 1, v2[i], lam2 / trace) for i in range(dim)]
+    return spark.createDataFrame(
+        rows,
+        "component long, dim_idx long, loading double, explained_ratio double",
     )
 
 
@@ -239,11 +274,17 @@ def _sql_pca_base(table: str, vec_col: str, dim: int, scale: int) -> list[str]:
             GROUP BY c.i
         )""",
         "cmat AS (SELECT list(mrow ORDER BY i) AS mat FROM mrows)",
-        f"""it0 AS (
+        _sql_v0(dim, "it0"),
+    ]
+
+
+def _sql_v0(dim: int, name: str) -> str:
+    return (
+        f"""{name} AS (
             SELECT list_transform(generate_series(1, {dim}),
                 x -> CAST(1.0 AS DOUBLE) / sqrt(CAST({dim} AS DOUBLE))) AS v
-        )""",
-    ]
+        )"""
+    )
 
 
 def _sql_matvec(dim: int) -> str:
@@ -263,19 +304,37 @@ _SQL_NORM = (
 )
 
 
-def _sql_pca_iter(dim: int, rounds: int) -> list[str]:
+def _sql_pca_iter(
+    dim: int, rounds: int, mat_cte: str = "cmat", prefix: str = "it"
+) -> list[str]:
     ctes = []
     for k in range(1, rounds + 1):
         ctes.append(
-            f"""it{k} AS (
+            f"""{prefix}{k} AS (
                 SELECT list_transform(w, x -> x / nrm) AS v FROM (
                     SELECT w, {_SQL_NORM} AS nrm FROM (
-                        SELECT {_sql_matvec(dim)} AS w FROM cmat, it{k - 1}
+                        SELECT {_sql_matvec(dim)} AS w FROM {mat_cte}, {prefix}{k - 1}
                     )
                 )
             )"""
         )
     return ctes
+
+
+def _sql_rayleigh(dim: int, mat_cte: str, v_cte: str, out: str) -> list[str]:
+    """(v, lam) CTE pair: u = M v, lam = fold v_i * u_i."""
+    return [
+        f"""{out}_fin AS (
+            SELECT v, {_sql_matvec(dim)} AS w FROM {mat_cte}, {v_cte}
+        )""",
+        f"""{out} AS (
+            SELECT v,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(generate_series(1, {dim}), i -> v[i] * w[i])),
+                       (acc, x) -> acc + x) AS lam
+            FROM {out}_fin
+        )""",
+    ]
 
 
 def sql_pca_power(
@@ -290,30 +349,8 @@ def sql_pca_power(
     from randas_spark.queries import sql_fround
 
     ctes = _sql_pca_base(table, vec_col, dim, scale) + _sql_pca_iter(dim, rounds)
-    # final Rayleigh quotient: u = M v (same matvec shape), lambda = v . u
-    ctes.append(
-        f"""fin AS (
-            SELECT v,
-                   {_sql_matvec(dim)} AS w
-            FROM cmat, it{rounds}
-        )"""
-    )
-    ctes.append(
-        f"""lamt AS (
-            SELECT v,
-                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                       list_transform(generate_series(1, {dim}), i -> v[i] * w[i])),
-                       (acc, x) -> acc + x) AS lam
-            FROM fin
-        )"""
-    )
-    ctes.append(
-        """tracet AS (
-            SELECT CAST(sum(st.n * c.g - si.s * si.s) AS DOUBLE) AS tr
-            FROM cells c JOIN sj si ON si.j = c.i CROSS JOIN st
-            WHERE c.i = c.j
-        )"""
-    )
+    ctes += _sql_rayleigh(dim, "cmat", f"it{rounds}", "lamt")
+    ctes.append(_SQL_TRACE)
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -322,6 +359,56 @@ def sql_pca_power(
                {sql_fround('v[gi.i]', digits)} AS loading,
                {sql_fround('lam / tr', digits)} AS explained_ratio
         FROM lamt, tracet, generate_series(1, {dim}) AS gi(i)
+        """
+    )
+
+
+_SQL_TRACE = """tracet AS (
+            SELECT CAST(sum(st.n * c.g - si.s * si.s) AS DOUBLE) AS tr
+            FROM cells c JOIN sj si ON si.j = c.i CROSS JOIN st
+            WHERE c.i = c.j
+        )"""
+
+
+def sql_pca_top2(
+    table: str,
+    vec_col: str,
+    dim: int,
+    scale: int = 10_000,
+    rounds: int = 12,
+    digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`pca_top2`: PC1 chain, Hotelling deflation
+    with the identical ((lam * v_i) * v_j) op order, PC2 chain."""
+    from randas_spark.queries import sql_fround
+
+    ctes = _sql_pca_base(table, vec_col, dim, scale) + _sql_pca_iter(dim, rounds)
+    ctes += _sql_rayleigh(dim, "cmat", f"it{rounds}", "lamt")
+    ctes.append(
+        f"""cmat2 AS (
+            SELECT list_transform(generate_series(1, {dim}), i ->
+                       list_transform(generate_series(1, {dim}), j ->
+                           mat[i][j] - (lam * v[i]) * v[j])) AS mat
+            FROM cmat, lamt
+        )"""
+    )
+    ctes.append(_sql_v0(dim, "jt0"))
+    ctes += _sql_pca_iter(dim, rounds, mat_cte="cmat2", prefix="jt")
+    ctes += _sql_rayleigh(dim, "cmat2", f"jt{rounds}", "lamt2")
+    ctes.append(_SQL_TRACE)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT CAST(1 AS BIGINT) AS component, gi.i AS dim_idx,
+               {sql_fround('v[gi.i]', digits)} AS loading,
+               {sql_fround('lam / tr', digits)} AS explained_ratio
+        FROM lamt, tracet, generate_series(1, {dim}) AS gi(i)
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), gi.i,
+               {sql_fround('v[gi.i]', digits)},
+               {sql_fround('lam / tr', digits)}
+        FROM lamt2, tracet, generate_series(1, {dim}) AS gi(i)
         """
     )
 

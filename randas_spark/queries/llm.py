@@ -4603,3 +4603,28 @@ def llm_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from randas_spark.operators.unigram import unigram_segment
 
     return unigram_segment(t(spark, sf_dir, "documents"), "text")
+
+
+def _pca_top2_oracle() -> str:
+    from randas_spark.operators.pca import sql_pca_top2
+
+    return sql_pca_top2("embeddings", "embedding", dim=64)
+
+
+@register("llm_pca_top2", oracle=_pca_top2_oracle())
+def llm_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal components via Hotelling deflation
+    (operators/pca.pca_top2): PC1 from the centered moment matrix, then
+    PC2 from M - lam1*v1*v1^T with the identical fixed op order on both
+    engines — one data-sized scan total, both iterations are O(d^2)
+    driver arithmetic. The 2-D embedding map every corpus-visualization
+    and stratified-diversity workflow starts from."""
+    from randas_spark.operators.pca import pca_top2
+
+    out = pca_top2(t(spark, sf_dir, "embeddings"), "embedding", dim=64)
+    return out.select(
+        "component",
+        "dim_idx",
+        fround(F.col("loading"), 6).alias("loading"),
+        fround(F.col("explained_ratio"), 6).alias("explained_ratio"),
+    )

@@ -521,6 +521,29 @@ def test_pca_power_matches_numpy_eigvector(spark):
     got = np.array([proj[i] for i in range(n)])
     assert np.allclose(got, want, rtol=1e-12, atol=1e-6)
 
+    # deflation: PC2 aligns with numpy's second eigenvector and is
+    # orthogonal to PC1 (a second dominant direction is planted so the
+    # deflated iteration converges decisively)
+    from randas_spark.operators.pca import pca_top2
+
+    rng2 = np.random.RandomState(11)
+    b2 = rng2.randn(d); b2 -= b2 @ base * base; b2 /= np.linalg.norm(b2)
+    x2 = x + (rng2.randn(n, 1) * 1.5) @ b2[None, :]
+    df2 = spark.createDataFrame(
+        [(i, [float(v_) for v_ in x2[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    rows2 = pca_top2(df2, "embedding", dim=d).collect()
+    vs = {c: np.array([r.loading for r in sorted(
+        (r for r in rows2 if r.component == c), key=lambda r: r.dim_idx)])
+        for c in (1, 2)}
+    q2 = np.floor(x2.astype(np.float32).astype(np.float64) * 10_000 + 0.5)
+    qc2 = q2 - q2.mean(axis=0)
+    w2, ev2 = np.linalg.eigh(qc2.T @ qc2)
+    assert abs(abs(float(vs[1] @ ev2[:, -1])) - 1.0) < 1e-6
+    assert abs(abs(float(vs[2] @ ev2[:, -2])) - 1.0) < 1e-6
+    assert abs(float(vs[1] @ vs[2])) < 1e-6  # orthogonal components
+
 
 def test_cosine_matches_numpy(spark):
     import numpy as np
