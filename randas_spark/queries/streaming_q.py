@@ -596,3 +596,82 @@ def stream_gram_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_cells(emb, "embedding", dim=64, scale=10_000).select(
         "i", "j", F.col("g").cast("long").alias("g")
     )
+
+
+@register(
+    "stream_cdc_apply",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us, value,
+               max(epoch_us(ts::TIMESTAMP)) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        FROM events
+    ),
+    stats AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_updates,
+               CAST(sum(CASE WHEN prev_max IS NULL OR ts_us > prev_max
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_applied,
+               CAST(sum(CASE WHEN prev_max IS NULL OR ts_us > prev_max
+                             THEN 0 ELSE 1 END) AS BIGINT) AS n_stale
+        FROM o GROUP BY user_id
+    ),
+    pick AS (
+        SELECT user_id, ts_us AS final_us, value AS final_value
+        FROM o
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts_us DESC, event_id) = 1
+    )
+    SELECT s.user_id, s.n_updates, s.n_applied, s.n_stale,
+           p.final_us, p.final_value
+    FROM stats s JOIN pick p USING (user_id)
+    """,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the CDC last-writer-wins kernel (engine.cdc_apply_state,
+    custom-state op #5): updates applied in ingestion order (event_id)
+    with event-time versions (ts) — an update lands iff its version
+    strictly exceeds the current one, stale arrivals are counted and
+    dropped. Output per key: update/applied/stale counts and the final
+    materialized (version, value). n_applied == the number of prefix
+    maxima of ts in event_id order, which this batch form computes with
+    one running-max window; the final row is the earliest-ingested
+    carrier of the max version. pytest replays the same updates through
+    readStream (including out-of-order files whose stale drops cross
+    trigger boundaries) and pins state equality."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = e.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        "value",
+        F.max(ts_us).over(w_prev).alias("prev_max"),
+    )
+    applied = F.col("prev_max").isNull() | (F.col("ts_us") > F.col("prev_max"))
+    stats = o.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_updates"),
+        F.sum(applied.cast("long")).cast("long").alias("n_applied"),
+        F.sum((~applied).cast("long")).cast("long").alias("n_stale"),
+    )
+    w_pick = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), "event_id"
+    )
+    pick = (
+        o.withColumn("__rk__", F.row_number().over(w_pick))
+        .filter(F.col("__rk__") == 1)
+        .select(
+            "user_id",
+            F.col("ts_us").alias("final_us"),
+            F.col("value").alias("final_value"),
+        )
+    )
+    return stats.join(pick, "user_id")
