@@ -94,6 +94,11 @@ HEADLINE = [
     "stream_pattern_funnel",
     "stream_hll_cells",
     "stream_rollup_states",
+    # round-7 new families: exact-integer PCA (one-scan Gram + driver
+    # iteration) and the unigram-LM tokenizer (hard-EM Viterbi);
+    # isolated rows + 10x slopes in BASELINE.md r7
+    "llm_pca_power",
+    "llm_unigram_lm",
 ]
 
 

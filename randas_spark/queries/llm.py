@@ -4628,3 +4628,46 @@ def llm_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("loading"), 6).alias("loading"),
         fround(F.col("explained_ratio"), 6).alias("explained_ratio"),
     )
+
+
+#: Blocklist for llm_blocklist_filter — tiny here; production lists are
+#: thousands of terms, still broadcast-literal scale.
+_BLOCKLIST = ("slow", "merge", "forbidden")
+
+
+@register(
+    "llm_blocklist_filter",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               list_filter({sql_tokens('text')},
+                   x -> list_contains({list(_BLOCKLIST)}, x)) AS hits
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(hits) AS BIGINT) AS n_hits,
+           COALESCE(array_to_string(list_sort(list_distinct(hits)), ','), '') AS hit_terms,
+           len(hits) >= 4 AS drop
+    FROM s
+    """,
+)
+def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-blocklist filtering (the NSFW/spam/boilerplate word-list
+    gate every curation suite ships): whole-word matches against a
+    broadcast literal list, per-doc hit count, the distinct terms that
+    fired (for audit), and the drop verdict at >= 4 hits. One codegen
+    scan — array filter against a literal array, no shuffle, no UDF; a
+    production list of thousands of terms is still literal/broadcast
+    scale, and a regex-union compiled once would slot into the same
+    single-scan shape."""
+    from randas_spark.functions.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    blk = F.array(*[F.lit(w) for w in _BLOCKLIST])
+    hits = F.filter(tokens(F.col("text")), lambda x: F.array_contains(blk, x))
+    return d.select(
+        "doc_id",
+        F.size(hits).cast("long").alias("n_hits"),
+        F.array_join(F.array_sort(F.array_distinct(hits)), ",").alias("hit_terms"),
+        (F.size(hits) >= 4).alias("drop"),
+    )
