@@ -4671,3 +4671,86 @@ def llm_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.array_distinct(hits)), ",").alias("hit_terms"),
         (F.size(hits) >= 4).alias("drop"),
     )
+
+
+@register(
+    "llm_shard_balance",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, {sql_token_count_bpe_ish('text')} AS n_tokens,
+               row_number() OVER (
+                   ORDER BY {sql_token_count_bpe_ish('text')} DESC, doc_id
+               ) - 1 AS rn
+        FROM documents
+    ),
+    assigned AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN (rn // 8) % 2 = 0 THEN rn % 8
+                    ELSE 7 - (rn % 8) END AS shard
+        FROM ranked
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM assigned GROUP BY shard
+    """,
+)
+def llm_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment for training-data layout: docs
+    ranked by token count descending and dealt to 8 shards in SNAKE
+    order (0..7, 7..0, ...) — the deterministic, one-pass cousin of the
+    greedy LPT bin-packer (snake alternation cancels the systematic
+    size bias plain round-robin accrues; imbalance is bounded by one
+    document per pass). Output: per-shard doc and token totals, the
+    artifact a pretraining launcher checks before writing shards.
+
+    Scale: the global rank is computed the DISTRIBUTED way — a bare
+    row_number() over an unpartitioned window would funnel every row
+    through one task. Instead: range-repartition on the sort key (the
+    machinery behind any global orderBy), rank WITHIN each partition
+    (parallel), then add broadcast per-partition offsets (a 32-row
+    cumulative table). Identical ranks, no single-task bottleneck. The
+    assignment is scan-side arithmetic on the rank and the audit
+    aggregate is map-side combined. For corpora where even a range
+    shuffle is unwanted, the hash variant (llm_sample_hash's md5
+    assignment) trades balance for shuffle-freedom — this op is the
+    balanced end of that trade."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    nt = token_count_bpe_ish(F.col("text"))
+    proj = d.select("doc_id", nt.alias("n_tokens"))
+    order = [F.col("n_tokens").desc(), F.col("doc_id")]
+    parts = proj.repartitionByRange(32, *order).sortWithinPartitions(*order)
+    local = parts.withColumn("pid", F.spark_partition_id()).withColumn(
+        "lrk",
+        F.row_number().over(Window.partitionBy("pid").orderBy(*order)) - 1,
+    )
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("c").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "off")
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").withColumn(
+        "rn", F.col("off") + F.col("lrk")
+    )
+    pass_even = (F.col("rn") / 8).cast("long") % 2 == 0
+    shard = F.when(pass_even, F.col("rn") % 8).otherwise(7 - F.col("rn") % 8)
+    return (
+        ranked.withColumn("shard", shard.cast("long"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
