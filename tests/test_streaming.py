@@ -694,6 +694,64 @@ def test_stream_stream_full_outer_watermark_gated(spark, batch_events):
     assert any(p[1] is None for p in batch_rows)
 
 
+def test_custom_kernel_state_survives_checkpoint_restart(spark, tmp_path):
+    """Durability of applyInPandasWithState state across a query
+    RESTART: run the running-totals kernel over file a with a
+    checkpoint, stop the query, add file b, start the SAME builder on
+    the SAME checkpoint. The resumed query must (1) not reprocess file
+    a (its batch emits exactly one row per user touched in file b) and
+    (2) carry the state forward — user 1's totals after the restart
+    cover BOTH files. This is the recovery contract a 1000-executor
+    deployment leans on; batch-twin equivalence alone never exercises
+    it."""
+    import os
+    import time as _time
+    from datetime import datetime
+
+    from randas_spark.streaming.engine import (
+        run_foreach_batch_to_parquet,
+        running_user_state,
+    )
+
+    schema = "event_id long, ts timestamp, event_type string, value double, user_id long"
+    stage = tmp_path / "restart_stream"
+    stage.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = datetime(2024, 1, 1, 0, 0)
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stage) + "/*")
+        )
+
+    spark.createDataFrame(
+        [(1, base, "x", 10.0, 1), (2, base, "x", 5.0, 1)], schema
+    ).coalesce(1).write.parquet(str(stage / "a"))
+    run_foreach_batch_to_parquet(running_user_state(stream()), out, ckpt)
+
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [(3, base, "x", 2.5, 1), (4, base, "x", 7.0, 2)], schema
+    ).coalesce(1).write.parquet(str(stage / "b"))
+    run_foreach_batch_to_parquet(running_user_state(stream()), out, ckpt)
+
+    batches = sorted(os.listdir(out))
+    emissions = {
+        b: {r.user_id: (r.n_events, r.total_value)
+            for r in spark.read.parquet(os.path.join(out, b)).collect()}
+        for b in batches
+    }
+    # run 1: one batch, user 1 only, totals from file a
+    assert emissions[batches[0]] == {1: (2, 15.0)}
+    # run 2 resumed from the checkpoint: exactly one new batch; user 1's
+    # state CARRIED (2+1 events, 15+2.5), user 2 fresh; file a not replayed
+    assert len(batches) == 2
+    assert emissions[batches[1]] == {1: (3, 17.5), 2: (1, 7.0)}
+
+
 def test_cdc_state_matches_batch_twin(spark, batch_events):
     """The CDC kernel's final materialized state (last update-mode
     emission per key) must equal the batch running-max twin on the same
