@@ -12,8 +12,12 @@ Architecture (the closed-form-OLS law applied to eigen-decomposition):
    Gram of the AUGMENTED matrix ``A = [1 | q]`` with a numpy int64
    matmul (``A.T @ A`` — order-free because integer addition is
    associative); batches emit (i, j, partial) cells and one tiny
-   map-side-combined groupBy sums them in DECIMAL(38,0) (wrap-free; the
-   regression-module law). The augmented trick yields n (cell 0,0),
+   map-side-combined groupBy sums them in DECIMAL(38,0) — wrap-free at
+   any N, and the decimal tax is irrelevant HERE because it touches
+   only (d+1)^2 cells per batch, never per data row (contrast
+   operators/regression.py, where per-row decimal sums measured
+   2.5-3.5x and guarded int64 won). The augmented trick yields n
+   (cell 0,0),
    column sums s_j (row 0) and second moments S_ij (body) from ONE
    matrix. Shuffle volume: (d+1)^2 cells per batch, independent of N.
 3. CENTER, exact: M_ij = n * S_ij - s_i * s_j in arbitrary-precision
