@@ -602,7 +602,8 @@ def stream_gram_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_cdc_apply",
     oracle="""
     WITH o AS (
-        SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us, value,
+        SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+               event_type, value,
                max(epoch_us(ts::TIMESTAMP)) OVER (
                    PARTITION BY user_id ORDER BY event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
@@ -614,17 +615,22 @@ def stream_gram_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CASE WHEN prev_max IS NULL OR ts_us > prev_max
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_applied,
                CAST(sum(CASE WHEN prev_max IS NULL OR ts_us > prev_max
-                             THEN 0 ELSE 1 END) AS BIGINT) AS n_stale
+                             THEN 0 ELSE 1 END) AS BIGINT) AS n_stale,
+               CAST(sum(CASE WHEN (prev_max IS NULL OR ts_us > prev_max)
+                                  AND event_type = 'error'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
         FROM o GROUP BY user_id
     ),
     pick AS (
-        SELECT user_id, ts_us AS final_us, value AS final_value
+        SELECT user_id, ts_us AS final_us,
+               event_type = 'error' AS is_deleted,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS final_value
         FROM o
         QUALIFY row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts_us DESC, event_id) = 1
     )
-    SELECT s.user_id, s.n_updates, s.n_applied, s.n_stale,
-           p.final_us, p.final_value
+    SELECT s.user_id, s.n_updates, s.n_applied, s.n_stale, s.n_deleted,
+           p.is_deleted, p.final_us, p.final_value
     FROM stats s JOIN pick p USING (user_id)
     """,
 )
@@ -633,8 +639,11 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     custom-state op #5): updates applied in ingestion order (event_id)
     with event-time versions (ts) — an update lands iff its version
     strictly exceeds the current one, stale arrivals are counted and
-    dropped. Output per key: update/applied/stale counts and the final
-    materialized (version, value). n_applied == the number of prefix
+    dropped. An applied tombstone (event_type 'error') clears the value while
+    advancing the version, so stale pre-delete updates can never
+    resurrect the row. Output per key: update/applied/stale/deleted
+    counts, the deletion flag, and the final materialized (version,
+    value — NULL when deleted). n_applied == the number of prefix
     maxima of ts in event_id order, which this batch form computes with
     one running-max window; the final row is the earliest-ingested
     carrier of the max version. pytest replays the same updates through
@@ -649,10 +658,12 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    is_del = F.col("event_type") == "error"
     o = e.select(
         "user_id",
         "event_id",
         ts_us.alias("ts_us"),
+        "event_type",
         "value",
         F.max(ts_us).over(w_prev).alias("prev_max"),
     )
@@ -661,6 +672,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_updates"),
         F.sum(applied.cast("long")).cast("long").alias("n_applied"),
         F.sum((~applied).cast("long")).cast("long").alias("n_stale"),
+        F.sum((applied & is_del).cast("long")).cast("long").alias("n_deleted"),
     )
     w_pick = Window.partitionBy("user_id").orderBy(
         F.col("ts_us").desc(), "event_id"
@@ -671,7 +683,10 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("ts_us").alias("final_us"),
-            F.col("value").alias("final_value"),
+            is_del.alias("is_deleted"),
+            F.when(is_del, F.lit(None).cast("double"))
+            .otherwise(F.col("value"))
+            .alias("final_value"),
         )
     )
     return stats.join(pick, "user_id")

@@ -149,28 +149,35 @@ def running_user_state(events: DataFrame) -> DataFrame:
 
 
 _CDC_STATE_SCHEMA = (
-    "cur_us long, cur_event_id long, cur_value double, n_applied long, n_stale long"
+    "cur_us long, cur_event_id long, cur_value double, cur_deleted long, "
+    "n_applied long, n_stale long, n_deleted long"
 )
 _CDC_OUT_SCHEMA = (
     "user_id long, n_updates long, n_applied long, n_stale long, "
-    "final_us long, final_value double"
+    "n_deleted long, is_deleted boolean, final_us long, final_value double"
 )
+
+#: Event type treated as the CDC tombstone/delete marker.
+_CDC_DELETE_TYPE = "error"
 
 
 def _cdc_state(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Custom stateful kernel #5: CDC last-writer-wins materialization
-    with out-of-order tolerance. Updates arrive in INGESTION order
-    (event_id) carrying an event-time version (ts); an update applies
-    iff its version strictly exceeds the current one, otherwise it is
-    counted stale and dropped — the merge discipline every CDC sink
-    (upsert materialization, dimension mirroring) needs under replay
-    and shuffle-induced disorder. Per-key state is FIVE scalars
-    regardless of update volume. Emits the current materialized row
-    once per trigger (update mode)."""
-    cur_us, cur_id, cur_val, n_applied, n_stale = (
-        state.get if state.exists else (None, None, None, 0, 0)
+    with out-of-order tolerance AND tombstones. Updates arrive in
+    INGESTION order (event_id) carrying an event-time version (ts); an
+    update applies iff its version strictly exceeds the current one,
+    otherwise it is counted stale and dropped — the merge discipline
+    every CDC sink (upsert materialization, dimension mirroring) needs
+    under replay and shuffle-induced disorder. An applied DELETE marker
+    (event_type == 'error' here) clears the materialized value while
+    still advancing the version — so a stale pre-delete update can
+    never resurrect a deleted row, the classic tombstone race. Per-key
+    state is SEVEN scalars regardless of update volume. Emits the
+    current materialized row once per trigger (update mode)."""
+    cur_us, cur_id, cur_val, cur_del, n_applied, n_stale, n_deleted = (
+        state.get if state.exists else (None, None, None, 0, 0, 0, 0)
     )
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if chunks:
@@ -178,20 +185,28 @@ def _cdc_state(
         ts_us_arr = pdf["ts"].astype("int64").to_numpy() // 1000
         ev_arr = pdf["event_id"].to_numpy()
         val_arr = pdf["value"].to_numpy()
-        for ev, ts_us, val in zip(ev_arr, ts_us_arr, val_arr):
+        et_arr = pdf["event_type"].to_numpy()
+        for ev, ts_us, val, et in zip(ev_arr, ts_us_arr, val_arr, et_arr):
             ts_us = int(ts_us)
             if cur_us is None or ts_us > cur_us:
-                cur_us, cur_id, cur_val = ts_us, int(ev), float(val)
+                cur_us, cur_id = ts_us, int(ev)
+                if et == _CDC_DELETE_TYPE:
+                    cur_val, cur_del = None, 1
+                    n_deleted += 1
+                else:
+                    cur_val, cur_del = float(val), 0
                 n_applied += 1
             else:
                 n_stale += 1
-    state.update((cur_us, cur_id, cur_val, n_applied, n_stale))
+    state.update((cur_us, cur_id, cur_val, cur_del, n_applied, n_stale, n_deleted))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_updates": [n_applied + n_stale],
             "n_applied": [n_applied],
             "n_stale": [n_stale],
+            "n_deleted": [n_deleted],
+            "is_deleted": [bool(cur_del)],
             "final_us": [cur_us],
             "final_value": [cur_val],
         }
@@ -200,11 +215,12 @@ def _cdc_state(
 
 def cdc_apply_state(updates: DataFrame) -> DataFrame:
     """applyInPandasWithState CDC merge: one materialized row per key,
-    maintained under out-of-order arrivals. Cross-trigger correctness
-    holds when triggers respect per-key ingestion order (file replay in
-    tests; a kafka source partitioned by key keeps it)."""
+    maintained under out-of-order arrivals and tombstones. Cross-trigger
+    correctness holds when triggers respect per-key ingestion order
+    (file replay in tests; a kafka source partitioned by key keeps
+    it)."""
     return updates.select(
-        "user_id", "event_id", "ts", "value"
+        "user_id", "event_id", "ts", "event_type", "value"
     ).groupBy("user_id").applyInPandasWithState(
         _cdc_state,
         outputStructType=_CDC_OUT_SCHEMA,

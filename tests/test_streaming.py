@@ -759,22 +759,25 @@ def test_cdc_state_matches_batch_twin(spark, batch_events):
     from randas_spark.queries.streaming_q import stream_cdc_apply
     from randas_spark.streaming.engine import cdc_apply_state
 
-    batch = {
-        r.user_id: (r.n_updates, r.n_applied, r.n_stale, r.final_us, r.final_value)
-        for r in stream_cdc_apply(spark, SF_DIR).collect()
-    }
+    def key(r):
+        return (r.n_updates, r.n_applied, r.n_stale, r.n_deleted,
+                r.is_deleted, r.final_us, r.final_value)
+
+    batch = {r.user_id: key(r) for r in stream_cdc_apply(spark, SF_DIR).collect()}
     streamed = _run_stream(spark, cdc_apply_state, "t_cdc", output_mode="update")
     # update mode emits once per (key, trigger); the final state is the
     # emission with the highest processed count per key
     last = {}
     for r in streamed.collect():
         if r.user_id not in last or r.n_updates > last[r.user_id][0]:
-            last[r.user_id] = (r.n_updates, r.n_applied, r.n_stale, r.final_us, r.final_value)
+            last[r.user_id] = key(r)
     assert last == batch
     # the synthetic events table ingests in version order (zero stale
     # rows here); the stale path is pinned by the out-of-order replay
-    # test below
+    # test below. Tombstones DO occur naturally ('error' rows).
     assert all(v[2] == 0 for v in batch.values())
+    assert any(v[3] > 0 for v in batch.values())
+    assert any(v[4] for v in batch.values())  # some users end deleted
 
 
 def test_cdc_state_stale_drops_survive_trigger_boundaries(spark, tmp_path):
@@ -791,9 +794,13 @@ def test_cdc_state_stale_drops_survive_trigger_boundaries(spark, tmp_path):
     schema = "event_id long, ts timestamp, event_type string, value double, user_id long"
     files = [
         ("a", [(1, datetime(2024, 1, 10), "u", 100.0, 1),
-               (2, datetime(2024, 1, 1), "u", 10.0, 2)]),
+               (2, datetime(2024, 1, 1), "u", 10.0, 2),
+               (7, datetime(2024, 1, 20), "error", 0.0, 3)]),  # delete lands
         ("b", [(3, datetime(2024, 1, 5), "u", 50.0, 1),    # stale for user 1
-               (4, datetime(2024, 1, 2), "u", 20.0, 2)]),  # applies for user 2
+               (4, datetime(2024, 1, 2), "u", 20.0, 2),    # applies for user 2
+               (8, datetime(2024, 1, 15), "u", 77.0, 3)]), # pre-delete update,
+                                                           # a trigger later:
+                                                           # must NOT resurrect
         ("c", [(5, datetime(2024, 1, 11), "u", 111.0, 1),  # applies
                (6, datetime(2024, 1, 1), "u", 5.0, 2)]),   # stale (tie < max)
     ]
@@ -821,11 +828,15 @@ def test_cdc_state_stale_drops_survive_trigger_boundaries(spark, tmp_path):
     for r in table.collect():
         if r.user_id not in last or r.n_updates > last[r.user_id].n_updates:
             last[r.user_id] = r
-    u1, u2 = last[1], last[2]
+    u1, u2, u3 = last[1], last[2], last[3]
     assert (u1.n_updates, u1.n_applied, u1.n_stale) == (3, 2, 1)
-    assert u1.final_value == 111.0
+    assert u1.final_value == 111.0 and not u1.is_deleted
     assert (u2.n_updates, u2.n_applied, u2.n_stale) == (3, 2, 1)
-    assert u2.final_value == 20.0
+    assert u2.final_value == 20.0 and not u2.is_deleted
+    # tombstone race: the stale pre-delete update arrived a trigger
+    # AFTER the delete and must not resurrect the row
+    assert (u3.n_updates, u3.n_applied, u3.n_stale, u3.n_deleted) == (2, 1, 1, 1)
+    assert u3.is_deleted and u3.final_value is None
 
 
 def test_gram_cells_stream_matches_batch(spark, tmp_path):
