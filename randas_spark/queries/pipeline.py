@@ -854,3 +854,79 @@ def rel_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(z, 4).alias("modified_z"),
         )
     )
+
+
+@register(
+    "rel_rolling_slope",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts::TIMESTAMP) / 3600) AS BIGINT) AS hx,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS hy
+        FROM events GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT event_type, hx, hy,
+               count(*)    OVER w AS n,
+               sum(hx)     OVER w AS sx,
+               sum(hy)     OVER w AS sy,
+               sum(hx * hy) OVER w AS sxy,
+               sum(hx * hx) OVER w AS sxx
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hx
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           CAST(to_timestamp(hx * 3600) AS TIMESTAMP) AS hour_start,
+           {sql_fround('CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)', 6)} AS slope
+    FROM win WHERE n = 24
+    """,
+)
+def rel_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-hour ROLLING OLS slope of hourly activity value per event
+    type — the rolling-beta/trend primitive (is this series heating up
+    RIGHT NOW?), the windowed sibling of the global closed-form fits in
+    operators/regression.py. Every window statistic (n, Σx, Σy, Σxy,
+    Σx²) is an EXACT integer window sum over the scaled series (the
+    cents-quantized hourly totals and epoch-hour indices), so the slope
+    numerator/denominator are bit-identical across engines before the
+    single double division. Emitted only for full 24-point windows.
+
+    Scale: one hourly compaction (the only data-sized stage), then five
+    integer window sums over one sorted pass per series — no self-join,
+    no per-window rescan; the same shape at 100 TB with the compaction
+    carrying the weight. Integer budget: n·Σxy and Σx·Σy peak ~1e14-1e15
+    at epoch-hour magnitudes — four orders under int64."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    hx = F.floor(F.unix_seconds(F.col("ts")) / 3600).cast("long")
+    vy = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = (
+        e.select(F.col("event_type"), hx.alias("hx"), vy.alias("vy"))
+        .groupBy("event_type", "hx")
+        .agg(F.sum("vy").alias("hy"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hx")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("hx").over(w)
+    sy = F.sum("hy").over(w)
+    sxy = F.sum(F.col("hx") * F.col("hy")).over(w)
+    sxx = F.sum(F.col("hx") * F.col("hx")).over(w)
+    slope = (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx).cast("double")
+    return (
+        hourly.select(
+            "event_type",
+            F.timestamp_seconds(F.col("hx") * 3600).alias("hour_start"),
+            slope.alias("__slope__"),
+            n.alias("__n__"),
+        )
+        .filter(F.col("__n__") == 24)
+        .select(
+            "event_type", "hour_start", fround(F.col("__slope__"), 6).alias("slope")
+        )
+    )
