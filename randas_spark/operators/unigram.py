@@ -233,7 +233,8 @@ def _sql_viterbi_seg(alias: str, map_cte: str, k_max: int, l_max: int) -> str:
     return f"""{alias} AS MATERIALIZED (
         SELECT w, c,
                list_reverse(list_filter([{", ".join(piece_cols)}],
-                                        x -> x IS NOT NULL)) AS pieces
+                                        x -> x IS NOT NULL)) AS pieces,
+               struct_extract(poss[p0], 'cost') AS wc
         FROM ({inner})
     )"""
 
@@ -345,5 +346,100 @@ def sql_unigram_segment(
         SELECT w, c, CAST(len(pieces) AS BIGINT) AS n_pieces,
                array_to_string(pieces, '|') AS seg
         FROM segf
+        """
+    )
+
+
+def unigram_doc_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 32,
+    k_max: int = 4,
+    l_max: int = 12,
+    rounds: int = 2,
+) -> DataFrame:
+    """Per-document cost under the learned unigram LM — the
+    tokenizer-native quality proxy (a document whose words segment
+    cheaply is in-distribution for the corpus the model was fit on;
+    perplexity filtering with OUR OWN model instead of an external LM).
+    Words longer than l_max are outside the model and excluded.
+
+    Output: (id, n_words, total_cost_micro, avg_nats) where avg_nats =
+    mean per-word Viterbi cost in nats. Scale: word costs come from the
+    Heaps-bounded word table (one pandas_udf pass), broadcast back onto
+    the exploded corpus — the data-sized stage is one explode + one
+    broadcast join + one map-side-combined groupBy of int sums."""
+    from randas_spark.functions.text import tokens
+
+    learned = unigram_learn(df, text_col, vocab_size, k_max, l_max, rounds)
+    cost = {r["piece"]: int(r["cost_micro"]) for r in learned.collect()}
+    bc, km = dict(cost), k_max
+
+    @F.pandas_udf("long")
+    def wcost(ws: pd.Series) -> pd.Series:
+        return ws.map(lambda w: sum(bc[p] for p in _viterbi(w, bc, km)))
+
+    word_costs = _word_table(df, text_col, l_max).select(
+        "w", wcost(F.col("w")).alias("wc")
+    )
+    dw = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
+    ).filter((F.col("w") != "") & (F.length("w") <= l_max))
+    from randas_spark.queries import fround
+
+    return (
+        dw.join(F.broadcast(word_costs), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("wc").cast("long").alias("total_cost_micro"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "total_cost_micro",
+            fround(
+                F.col("total_cost_micro").cast("double")
+                / F.col("n_words")
+                / F.lit(1000000.0),
+                6,
+            ).alias("avg_nats"),
+        )
+    )
+
+
+def sql_unigram_doc_score(
+    table: str,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 32,
+    k_max: int = 4,
+    l_max: int = 12,
+    rounds: int = 2,
+) -> str:
+    from randas_spark.functions.text import sql_tokens
+    from randas_spark.queries import sql_fround
+
+    ctes = _sql_base(table, text_col, vocab_size, k_max, l_max)
+    ctes += _sql_rounds(rounds, k_max, l_max)
+    ctes.append(_sql_viterbi_seg("segf", f"map{rounds}", k_max, l_max))
+    ctes.append(
+        f"""dw AS (
+            SELECT {id_col}, w FROM (
+                SELECT {id_col}, unnest({sql_tokens(text_col)}) AS w FROM {table}
+            ) WHERE w <> '' AND len(w) <= {l_max}
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+        SELECT dw.{id_col},
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(s.wc) AS BIGINT) AS total_cost_micro,
+               {sql_fround(f'CAST(sum(s.wc) AS DOUBLE) / count(*) / 1000000.0', 6)} AS avg_nats
+        FROM dw JOIN segf s USING (w)
+        GROUP BY dw.{id_col}
         """
     )

@@ -4754,3 +4754,23 @@ def llm_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+def _unigram_doc_score_oracle() -> str:
+    from randas_spark.operators.unigram import sql_unigram_doc_score
+
+    return sql_unigram_doc_score("documents", "doc_id", "text")
+
+
+@register("llm_unigram_doc_score", oracle=_unigram_doc_score_oracle())
+def llm_unigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cost under the corpus's OWN learned unigram LM
+    (operators/unigram.unigram_doc_score): cheap-to-segment documents
+    are in-distribution — the perplexity-filter loop closed with the
+    tokenizer this engine trains, no external model. Word costs are
+    exact integer Viterbi totals from the Heaps-bounded word table,
+    broadcast onto one corpus explode; the oracle re-derives model AND
+    scores from raw text."""
+    from randas_spark.operators.unigram import unigram_doc_score
+
+    return unigram_doc_score(t(spark, sf_dir, "documents"), "doc_id", "text")
