@@ -242,6 +242,46 @@ def pca_project(
     return df.select(F.col(id_col), proj.alias("pc1"))
 
 
+def pca_project2(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    scale: int = 10_000,
+    rounds: int = 12,
+) -> DataFrame:
+    """2-D embedding map: per-vector projections onto BOTH learned
+    components (pca_top2's v1, v2) — the coordinates corpus
+    visualization, stratified diversity sampling, and cluster triage
+    start from. Same single-moment-scan + codegen-fold design as
+    pca_project, with two folds in one projection pass."""
+    n, s, big = _collect_moments(df, vec_col, dim, scale)
+    m = _center(n, s, big)
+    v1, lam1 = _power_iteration(m, rounds)
+    v2, _ = _power_iteration(_deflate(m, v1, lam1), rounds)
+    s_arr = F.array(*[F.lit(x).cast("long") for x in s])
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+
+    def proj(v: list[float]):
+        v_arr = F.array(*[F.lit(x) for x in v])
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(dim)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (
+                (F.lit(n) * F.element_at(qv, i) - F.element_at(s_arr, i)).cast(
+                    "double"
+                )
+                * F.element_at(v_arr, i)
+            ),
+        )
+
+    return df.select(F.col(id_col), proj(v1).alias("pc1"), proj(v2).alias("pc2"))
+
+
 # --------------------------------------------------------------------------
 # SQL twins (DuckDB) — macro-expanded iteration, identical op sequence
 # --------------------------------------------------------------------------
@@ -452,5 +492,63 @@ def sql_pca_project(
         + f"""
         SELECT qv2.vid AS {id_col}, {sql_fround(proj, digits)} AS pc1
         FROM qt2 qv2, it{rounds}, st, svec sjj
+        """
+    )
+
+
+def sql_pca_project2(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    scale: int = 10_000,
+    rounds: int = 12,
+    digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`pca_project2`: the full top-2 chain
+    (PC1 iteration, Rayleigh, deflation, PC2 iteration), then both
+    contract-fold projections per vector."""
+    from randas_spark.queries import sql_fround
+
+    ctes = _sql_pca_base(table, vec_col, dim, scale) + _sql_pca_iter(dim, rounds)
+    ctes += _sql_rayleigh(dim, "cmat", f"it{rounds}", "lamt")
+    ctes.append(
+        f"""cmat2 AS (
+            SELECT list_transform(generate_series(1, {dim}), i ->
+                       list_transform(generate_series(1, {dim}), j ->
+                           mat[i][j] - (lam * v[i]) * v[j])) AS mat
+            FROM cmat, lamt
+        )"""
+    )
+    ctes.append(_sql_v0(dim, "jt0"))
+    ctes += _sql_pca_iter(dim, rounds, mat_cte="cmat2", prefix="jt")
+    ctes.append(f"v1t AS (SELECT v AS v1 FROM it{rounds})")
+    ctes.append(f"v2t AS (SELECT v AS v2 FROM jt{rounds})")
+    ctes.append("svec AS (SELECT list(s ORDER BY j) AS sv FROM sj)")
+    ctes.append(
+        f"""qt2 AS (
+            SELECT {id_col} AS vid,
+                   list_transform({vec_col},
+                       x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS qv
+            FROM {table}
+        )"""
+    )
+
+    def proj(vname: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), "
+            f"j -> CAST(st.n * qv2.qv[j] - sjj.sv[j] AS DOUBLE) * {vname}[j])), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT qv2.vid AS {id_col},
+               {sql_fround(proj('v1'), digits)} AS pc1,
+               {sql_fround(proj('v2'), digits)} AS pc2
+        FROM qt2 qv2, v1t, v2t, st, svec sjj
         """
     )

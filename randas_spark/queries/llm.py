@@ -4774,3 +4774,25 @@ def llm_unigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from randas_spark.operators.unigram import unigram_doc_score
 
     return unigram_doc_score(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _pca_project2_oracle() -> str:
+    from randas_spark.operators.pca import sql_pca_project2
+
+    return sql_pca_project2("embeddings", "vec_id", "embedding", dim=64)
+
+
+@register("llm_pca_project2", oracle=_pca_project2_oracle())
+def llm_pca_project2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D embedding map (operators/pca.pca_project2): every vector's
+    coordinates on the top two principal components — one moment scan,
+    two codegen folds in one projection pass; the input to corpus
+    visualization, stratified diversity sampling, and cluster triage."""
+    from randas_spark.operators.pca import pca_project2
+
+    out = pca_project2(t(spark, sf_dir, "embeddings"), "vec_id", "embedding", dim=64)
+    return out.select(
+        "vec_id",
+        fround(F.col("pc1"), 6).alias("pc1"),
+        fround(F.col("pc2"), 6).alias("pc2"),
+    )
