@@ -101,6 +101,67 @@ HEADLINE = [
     "llm_unigram_lm",
 ]
 
+# Most-recent ISOLATED sf0.1 median per headline query, transcribed from
+# BASELINE.md's per-round isolated-run tables (each value is the latest
+# calm-box row for that name; BASELINE.md line refs in git history). This
+# is the round-8 verdict's ordered fix: three rounds running (r5 minhash,
+# r6 quantile-sketch, r7 q12 at 2.35x) a contention-inflated median passed
+# the same-run-floor retry gate because the contamination window covered
+# all three samples. Comparing against the query's recorded BASELINE row
+# catches exactly that case: the row was measured on a calm box, so a
+# median > 2x the row is either a plan regression (the re-run will confirm
+# it — floor moves too) or contention (the re-run lands back near the row).
+BASELINE_ROWS = {
+    "q01_pricing_summary": 0.56,
+    "q03_shipping_priority": 0.71,
+    "q05_local_supplier_volume": 1.04,
+    "q06_forecast_revenue": 0.26,
+    "q09_product_profit": 0.93,
+    "q12_shipmode_priority": 0.60,
+    "q18_large_orders": 1.34,
+    "q21_waiting_supplier": 1.21,
+    "rel_join_orders_customer": 0.66,
+    "rel_window_topk_per_group": 0.29,
+    "rel_cube_agg": 0.32,
+    "llm_dedup_exact": 0.35,
+    "llm_dedup_minhash_det": 2.5,
+    "llm_text_quality": 0.44,
+    "llm_knn_bruteforce": 0.68,
+    "stream_tumbling_window": 0.36,
+    "stream_stream_join_conversions": 0.38,
+    "rel_gap_fill_ffill": 0.54,
+    "llm_bm25_topk": 0.84,
+    "llm_chunk_documents": 0.44,
+    "llm_knn_quantized": 1.13,
+    "rel_countmin_sketch": 0.93,
+    "llm_substring_dedup": 1.0,
+    "llm_quality_classifier": 0.39,
+    "llm_text_normalize": 0.49,
+    "rel_ts_similarity_paa": 1.12,
+    "llm_knn_graph": 2.35,
+    "rel_interval_join_binned": 0.80,
+    "rel_quantile_sketch_mergeable": 2.10,
+    "llm_dedup_containment": 1.08,
+    "llm_semantic_dedup": 3.69,
+    "llm_bpe_learn": 2.23,
+    "llm_bpe_apply": 2.83,
+    "llm_url_dedup": 0.45,
+    "llm_kmeans_det": 2.97,
+    "llm_dedup_hybrid": 5.26,
+    "rel_market_basket_lift": 1.55,
+    "rel_triangle_count": 1.78,
+    "llm_knn_pq_adc": 3.98,
+    "rel_ols_grouped": 0.64,
+    "llm_pmi_collocations": 0.91,
+    "rel_logreg_newton": 1.64,
+    "llm_nb_lang_confusion": 1.38,
+    "stream_pattern_funnel": 0.42,
+    "stream_hll_cells": 0.28,
+    "stream_rollup_states": 0.19,
+    "llm_pca_power": 1.05,
+    "llm_unigram_lm": 1.49,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -184,6 +245,56 @@ def main() -> None:
                 results[name] = med2
                 floors[name] = min(floors[name], round(min(rerun), 4))
 
+    # Baseline-row retry (round-8 protocol, VERDICT r7 item 1): the floor
+    # gate above only sees SAME-RUN samples, so a contamination window that
+    # covers all three of a query's rounds sails through (happened three
+    # rounds running). Gate 2 compares the committed median against the
+    # query's recorded calm-box BASELINE row: > 2x the row (with the same
+    # absolute-gap guard against sub-second jitter) triggers up to two
+    # bounded re-runs, keeping the best median. If the number still
+    # exceeds 2x the row after retries, an adjudication note lands in the
+    # detail sidecar — either the plan genuinely regressed (the floors
+    # will agree) or the box never calmed down (calib witnesses show it).
+    baseline_retried: dict[str, dict] = {}
+    for name in names:
+        row = BASELINE_ROWS.get(name)
+        if row is None:
+            continue
+        attempts = []
+        while (
+            results[name] > 2.0 * row
+            and results[name] - row > 0.5
+            and len(attempts) < 2
+        ):
+            recal = round(calib(), 4)
+            rerun = [timed(name) for _ in range(3)]
+            med2 = round(statistics.median(rerun), 4)
+            attempts.append(
+                {
+                    "median_before": results[name],
+                    "rerun_median": med2,
+                    "rerun_floor": round(min(rerun), 4),
+                    "rerun_calib": recal,
+                }
+            )
+            if med2 < results[name]:
+                results[name] = med2
+                floors[name] = min(floors[name], round(min(rerun), 4))
+        if attempts:
+            baseline_retried[name] = {
+                "baseline_row": row,
+                "attempts": attempts,
+                "final_median": results[name],
+                "final_vs_baseline": round(results[name] / row, 2),
+                "adjudication": (
+                    "within 2x of BASELINE row after retry"
+                    if results[name] <= 2.0 * row or results[name] - row <= 0.5
+                    else "still >2x BASELINE row after 2 retries: either a "
+                    "plan regression (check floors vs BASELINE.md) or "
+                    "sustained box contention (check calib witnesses)"
+                ),
+            }
+
     total = round(sum(results.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     compact = {
@@ -198,6 +309,7 @@ def main() -> None:
         "queries_floor_min3": floors,
         "calib_rounds_sec": calibs,
         "contention_retries": retried,
+        "baseline_row_retries": baseline_retried,
     }
     # The compact machine line is the ONLY stdout line, stays well under
     # 2 KB, and is the LAST thing emitted — BENCH_r05's parsed:null was

@@ -40,6 +40,22 @@ def test_coverage_query_count_matches_registry():
     assert _doc_count("COVERAGE.md", r"Totals: (\d+) registry queries") == n
 
 
+def test_every_headline_query_has_a_baseline_row():
+    """bench.py's gate-2 contention retry (round-8 protocol) compares each
+    committed median against the query's recorded calm-box BASELINE row;
+    a headline slot without a row silently skips the gate, re-opening the
+    hole the r7 verdict ordered closed. Adding a headline query now
+    requires transcribing its isolated BASELINE.md row into
+    bench.BASELINE_ROWS in the same change."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in bench.BASELINE_ROWS]
+    assert not missing, missing
+    # and every row must be a sane positive wall-clock figure
+    bad = {n: v for n, v in bench.BASELINE_ROWS.items() if not (0 < v < 60)}
+    assert not bad, bad
+
+
 def test_every_query_has_an_oracle_or_documented_reason():
     """oracle_sql() keys must be exactly queries() keys — the driver
     records a weaker rows-only check for any gap, and today the repo's
