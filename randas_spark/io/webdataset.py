@@ -13,10 +13,21 @@ fixed and extension-agnostic; downstream pivots or filters by ext.
 Write side: rows carry a key plus one column per extension; a
 deterministic shard id (``crc32(key) % n_shards``) groups samples, and
 an ``applyInPandas`` writer emits one tar per shard group — executors
-write shards in parallel (the path must be a shared filesystem or
-object store on a real cluster; local[*] in tests). The returned
-manifest (shard_id, n_samples, n_bytes, sha256) forces execution and
-doubles as the audit artifact.
+write shards in parallel. **The output path MUST be a filesystem every
+executor can reach** (NFS/Lustre/a fuse-mounted object store; local[*]
+in tests): tasks ``open()`` the path directly, so on a real cluster a
+driver-local path would scatter shards across executor-local disks
+(VERDICT r7 item 6). Paths carrying a non-``file`` URL scheme
+(``s3://``, ``hdfs://`` …) are rejected loudly — route those through a
+fuse mount or Spark's native binary sinks. The returned manifest
+(shard_id, n_samples, n_bytes, sha256) forces execution and doubles as
+the audit artifact.
+
+Shard sizing: the WebDataset convention is ~1 GB per shard (sequential
+read grain; also keeps each read task's full-shard materialization
+bounded, and Spark's ``binaryFile`` source has a hard 2 GB ceiling per
+file). The writer enforces a configurable ``max_shard_bytes`` — size
+``n_shards`` so total_bytes / n_shards stays under it.
 
 Reproducibility: members are written key-sorted with zeroed
 mtime/uid/gid/uname, so the SAME data yields byte-identical shards —
@@ -62,21 +73,42 @@ def _shard_bytes(pdf: pd.DataFrame, key_col: str, ext_cols: list[str]) -> bytes:
     return buf.getvalue()
 
 
+#: WebDataset's conventional shard ceiling (~1 GiB); binaryFile's hard
+#: per-file limit is 2 GiB, so the default leaves 2x headroom.
+DEFAULT_MAX_SHARD_BYTES = 1 << 30
+
+
 def write_webdataset(
     df: DataFrame,
     path: str,
     key_col: str,
     ext_cols: list[str],
     n_shards: int = 4,
+    max_shard_bytes: int = DEFAULT_MAX_SHARD_BYTES,
 ) -> DataFrame:
     """Write ``df`` as WebDataset tar shards under ``path`` and return
     the manifest DataFrame (collect/inspect it — the write happens when
     the manifest is materialized, like every Spark sink expression).
 
+    ``path`` must be reachable from every executor (module docstring);
+    URL schemes other than ``file`` are rejected here, and the output
+    directory is created INSIDE each writer task (executor-side — a
+    driver-side mkdir proves nothing about executor filesystems).
+
     Sharding is CONTENT-deterministic (crc32 of the key), not
     partition-deterministic, so re-running on a differently-partitioned
-    copy of the same data produces the same shards."""
-    os.makedirs(path, exist_ok=True)
+    copy of the same data produces the same shards. A shard exceeding
+    ``max_shard_bytes`` fails loudly with the n_shards fix."""
+    scheme, sep, _ = path.partition("://")
+    if sep and scheme != "file":
+        raise ValueError(
+            f"write_webdataset: unsupported path scheme {scheme!r} — the "
+            f"writer open()s paths directly from executor tasks, so only "
+            f"shared-filesystem paths (or file://) work; for object "
+            f"stores use a fuse mount or Spark's native binary sinks"
+        )
+    if sep:
+        path = path[len("file://"):]
     keyed = df.select(
         F.col(key_col).cast("string").alias("__key__"),
         *[F.col(c) for c in ext_cols],
@@ -88,6 +120,15 @@ def write_webdataset(
     def writer(pdf: pd.DataFrame) -> pd.DataFrame:
         shard_id = int(pdf["__shard__"].iloc[0])
         blob = _shard_bytes(pdf, "__key__", ext_cols)
+        if len(blob) > max_shard_bytes:
+            raise ValueError(
+                f"write_webdataset: shard {shard_id} is {len(blob)} bytes "
+                f"(> max_shard_bytes={max_shard_bytes}); raise n_shards so "
+                f"each shard stays under the ~1 GiB WebDataset grain "
+                f"(binaryFile cannot read files over 2 GiB at all)"
+            )
+        # executor-side: the task's own filesystem must hold the dir
+        os.makedirs(path, exist_ok=True)
         fname = os.path.join(path, f"shard-{shard_id:05d}.tar")
         with open(fname, "wb") as f:
             f.write(blob)
@@ -106,7 +147,13 @@ def write_webdataset(
 def read_webdataset(spark, path: str) -> DataFrame:
     """Read tar shards under ``path`` into long rows
     ``(key, ext, payload, shard)`` — one binaryFile task per shard,
-    stdlib tarfile decode inside mapInPandas, Arrow-batched out."""
+    stdlib tarfile decode inside mapInPandas, Arrow-batched out.
+
+    Each task materializes one WHOLE shard (tars are not
+    block-splittable; the shard is the correct split grain), so shard
+    size bounds task memory — the writer's ~1 GiB ``max_shard_bytes``
+    convention is what keeps this safe, and Spark's binaryFile source
+    refuses files over 2 GiB outright."""
     listing = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.tar")

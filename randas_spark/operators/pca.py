@@ -113,10 +113,41 @@ def _collect_moments(
     (n, s[dim], S[dim][dim]) as exact Python ints."""
     rows = gram_cells(df, vec_col, dim, scale).collect()
     g = {(r["i"], r["j"]): int(r["g"]) for r in rows}
+    if (0, 0) not in g or g[(0, 0)] == 0:
+        # used to surface as a bare KeyError deep in the moment split
+        raise ValueError(
+            f"pca: input has no rows in {vec_col!r} — cannot fit "
+            f"principal components on an empty corpus"
+        )
     n = g[(0, 0)]
     s = [g[(0, j)] for j in range(1, dim + 1)]
     big = [[g[(i, j)] for j in range(1, dim + 1)] for i in range(1, dim + 1)]
     return n, s, big
+
+
+#: int64 headroom for the projection fold (margin under 2^63 ≈ 9.22e18)
+_I64_PROJ_GUARD = 9_000_000_000_000_000_000
+
+
+def _check_projection_budget(n: int, s: list[int], big: list[list[int]]) -> None:
+    """Loud pre-flight for the codegen projection fold (ADVICE r7): the
+    per-row term ``n*q_j - s_j`` runs in plain int64 on the Spark side,
+    which wraps SILENTLY past 2^63 with ANSI off while the DuckDB twin
+    errors on BIGINT overflow — the silent-divergence class regression.py
+    guards against. Here the check is free and exact at the driver: the
+    moments already hold sum(q_j^2) >= max(q_j)^2, so
+    ``n * isqrt(S_jj) + |s_j|`` upper-bounds every |n*q_j - s_j| with
+    Python bigints (no overflow in the check itself). Raises with the
+    rescale escape hatch instead of building a wrapping plan."""
+    for j, (sj, sjj) in enumerate(zip(s, (big[j][j] for j in range(len(s))))):
+        bound = n * math.isqrt(sjj) + abs(sj)
+        if bound > _I64_PROJ_GUARD:
+            raise ValueError(
+                f"pca_project: int64 projection budget exceeded at dim "
+                f"{j + 1} (n * max|q| + |s| bound {bound:.2e} > "
+                f"{float(_I64_PROJ_GUARD):.1e}); reduce the quantization "
+                f"scale for this corpus size"
+            )
 
 
 def _center(n: int, s: list[int], big: list[list[int]]) -> list[list[float]]:
@@ -146,6 +177,14 @@ def _power_iteration(
     for _ in range(rounds):
         w = [_fold(m[i][j] * v[j] for j in range(d)) for i in range(d)]
         nrm = math.sqrt(_fold(x * x for x in w))
+        if nrm == 0.0:
+            # a zero-variance corpus (all vectors identical) sends the
+            # matvec to the zero vector; dividing through would emit NaN
+            # loadings downstream — fail loudly instead (ADVICE r7)
+            raise ValueError(
+                "pca: zero-variance corpus (M v vanished during power "
+                "iteration) — no principal direction exists"
+            )
         v = [x / nrm for x in w]
     u = [_fold(m[i][j] * v[j] for j in range(d)) for i in range(d)]
     lam = _fold(v[i] * u[i] for i in range(d))
@@ -210,6 +249,45 @@ def pca_top2(
     )
 
 
+def pca_topk(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    k: int = 4,
+    scale: int = 10_000,
+    rounds: int = 12,
+) -> DataFrame:
+    """Top-K principal components via repeated Hotelling deflation —
+    the k-generalization of :func:`pca_top2` (VERDICT r7 item 7):
+    component c is the power-iteration eigenvector of
+    ``M - sum_{c'<c} lam_c' v_c' v_c'^T``, computed with the identical
+    per-step op order, so pca_topk(k=2) is value-identical to pca_top2.
+
+    Scale story unchanged from the family: ONE data-sized mapInPandas
+    scan produces the (dim+1)^2 integer Gram cells; all K deflation +
+    iteration rounds are O(K * rounds * d^2) driver arithmetic on exact
+    moments. k <= 8 covers what corpus triage uses (2-D maps, 4-8-D
+    diversity stratification). Output: (component 1..k, dim_idx 1..dim,
+    loading, explained_ratio) with explained_ratio = lam_c / trace(M).
+    """
+    if not 1 <= k <= dim:
+        raise ValueError(f"pca_topk: need 1 <= k <= dim, got k={k} dim={dim}")
+    spark = df.sparkSession
+    n, s, big = _collect_moments(df, vec_col, dim, scale)
+    m = _center(n, s, big)
+    trace = float(sum(n * big[i][i] - s[i] * s[i] for i in range(dim)))
+    rows = []
+    for c in range(1, k + 1):
+        v, lam = _power_iteration(m, rounds)
+        rows += [(c, i + 1, v[i], lam / trace) for i in range(dim)]
+        if c < k:
+            m = _deflate(m, v, lam)
+    return spark.createDataFrame(
+        rows,
+        "component long, dim_idx long, loading double, explained_ratio double",
+    )
+
+
 def pca_project(
     df: DataFrame,
     id_col: str,
@@ -222,6 +300,7 @@ def pca_project(
     the centered quantized vector — a codegen left fold on a second scan
     (n, s, v enter as literals; no Python in the projection)."""
     n, s, big = _collect_moments(df, vec_col, dim, scale)
+    _check_projection_budget(n, s, big)
     m = _center(n, s, big)
     v, _ = _power_iteration(m, rounds)
     s_arr = F.array(*[F.lit(x).cast("long") for x in s])
@@ -256,6 +335,7 @@ def pca_project2(
     start from. Same single-moment-scan + codegen-fold design as
     pca_project, with two folds in one projection pass."""
     n, s, big = _collect_moments(df, vec_col, dim, scale)
+    _check_projection_budget(n, s, big)
     m = _center(n, s, big)
     v1, lam1 = _power_iteration(m, rounds)
     v2, _ = _power_iteration(_deflate(m, v1, lam1), rounds)
@@ -455,6 +535,59 @@ def sql_pca_top2(
         FROM lamt2, tracet, generate_series(1, {dim}) AS gi(i)
         """
     )
+
+
+def sql_pca_topk(
+    table: str,
+    vec_col: str,
+    dim: int,
+    k: int = 4,
+    scale: int = 10_000,
+    rounds: int = 12,
+    digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`pca_topk`: the PC1 chain from the shared
+    base, then per extra component a (deflate -> v0 -> iterate ->
+    Rayleigh) CTE block macro-expanded with the identical
+    ``mat[i][j] - (lam * v[i]) * v[j]`` op order. k=2 emits the same
+    values as :func:`sql_pca_top2`."""
+    from randas_spark.queries import sql_fround
+
+    if not 1 <= k <= dim:
+        raise ValueError(f"sql_pca_topk: need 1 <= k <= dim, got k={k} dim={dim}")
+    ctes = _sql_pca_base(table, vec_col, dim, scale)
+    mat = "cmat"
+    selects = []
+    for c in range(1, k + 1):
+        prefix = "it" if c == 1 else f"k{c}t"
+        if c > 1:
+            # MATERIALIZED is load-bearing: every iteration CTE references
+            # its matrix CTE, so an inlined (default) deflated matrix
+            # re-expands the ENTIRE previous component's chain per round —
+            # exponential in k. Materializing pins each deflation to one
+            # evaluation (values identical; DuckDB-planner-only keyword).
+            newmat = f"cmat{c}"
+            ctes.append(
+                f"""{newmat} AS MATERIALIZED (
+                    SELECT list_transform(generate_series(1, {dim}), i ->
+                               list_transform(generate_series(1, {dim}), j ->
+                                   mat[i][j] - (lam * v[i]) * v[j])) AS mat
+                    FROM {mat}, lam{c - 1}t
+                )"""
+            )
+            mat = newmat
+            ctes.append(_sql_v0(dim, f"{prefix}0"))
+        ctes += _sql_pca_iter(dim, rounds, mat_cte=mat, prefix=prefix)
+        ctes += _sql_rayleigh(dim, mat, f"{prefix}{rounds}", f"lam{c}t")
+        ctes[-1] = ctes[-1].replace(f"lam{c}t AS (", f"lam{c}t AS MATERIALIZED (", 1)
+        selects.append(
+            f"""SELECT CAST({c} AS BIGINT) AS component, gi.i AS dim_idx,
+               {sql_fround('v[gi.i]', digits)} AS loading,
+               {sql_fround('lam / tr', digits)} AS explained_ratio
+            FROM lam{c}t, tracet, generate_series(1, {dim}) AS gi(i)"""
+        )
+    ctes.append(_SQL_TRACE)
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
 def sql_pca_project(

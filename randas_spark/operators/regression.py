@@ -21,7 +21,9 @@ the accumulations stay int64 too (the fast long-backed aggregation
 path) but are GUARDED: each cell also aggregates max(abs(value)), and
 the finisher raises via raise_error when n * max|cell| could reach
 2^63 — a guaranteed upper bound on |sum|, so wraparound can never pass
-silently (Spark's non-ANSI BIGINT sum wraps; DuckDB promotes to
+silently; the guard CASE is attached to EVERY returned column, so a
+narrowed projection (e.g. ``.select('b1')``) cannot let Catalyst prune
+the check away (Spark's non-ANSI BIGINT sum wraps; DuckDB promotes to
 HUGEINT; an unguarded overflow would diverge SILENTLY between the
 engines — VERDICT r6). A DECIMAL(38,0) accumulator was measured
 2.5-3.5x slower end-to-end (precision-38 decimals leave the long-backed
@@ -173,10 +175,14 @@ def grouped_ols(
     return g.select(
         *group_cols,
         F.col("n"),
+        # EVERY returned column carries the guard: Catalyst prunes unused
+        # expressions, so a consumer selecting only b1 would bypass a
+        # guard attached solely to b0 (ADVICE r7). The CASE shares the
+        # already-aggregated max columns, so the extra copies are free.
         fround(gs.guard(b0, F.col("n"), "grouped_ols"), digits).alias("b0"),
-        fround(b1, digits).alias("b1"),
-        fround(b2, digits).alias("b2"),
-        fround(r2, digits).alias("r2"),
+        fround(gs.guard(b1, F.col("n"), "grouped_ols"), digits).alias("b1"),
+        fround(gs.guard(b2, F.col("n"), "grouped_ols"), digits).alias("b2"),
+        fround(gs.guard(r2, F.col("n"), "grouped_ols"), digits).alias("r2"),
     )
 
 
@@ -374,13 +380,24 @@ def logreg_newton(
         # would send NaN through every later step; hold the coefficients
         # instead. Mirrored as CASE det = 0 in the SQL twin.
         bdf = s.select(
+            # guard on all three outputs — column pruning would drop a
+            # guard attached to b0 alone when only b1/b2 survive a later
+            # select (ADVICE r7); the max aggregates are shared.
             gsl.guard(
                 F.when(det == 0, F.col("b0")).otherwise(F.col("b0") + d0),
                 F.col("__n__"),
                 "logreg_newton",
             ).alias("b0"),
-            F.when(det == 0, F.col("b1")).otherwise(F.col("b1") + d1).alias("b1"),
-            F.when(det == 0, F.col("b2")).otherwise(F.col("b2") + d2).alias("b2"),
+            gsl.guard(
+                F.when(det == 0, F.col("b1")).otherwise(F.col("b1") + d1),
+                F.col("__n__"),
+                "logreg_newton",
+            ).alias("b1"),
+            gsl.guard(
+                F.when(det == 0, F.col("b2")).otherwise(F.col("b2") + d2),
+                F.col("__n__"),
+                "logreg_newton",
+            ).alias("b2"),
         )
     scored = data.crossJoin(F.broadcast(bdf))
     eta = F.col("b0") + F.col("b1") * F.col("sx1") + F.col("b2") * F.col("sx2")
@@ -583,9 +600,10 @@ def ols_crossval(
     models = comp.select(
         "__fold__",
         "n_test",
+        # all three coefficients guarded (pruning-proof, ADVICE r7)
         gsc.guard(b0, F.col("__tn__"), "ols_crossval").alias("b0"),
-        b1.alias("b1"),
-        b2.alias("b2"),
+        gsc.guard(b1, F.col("__tn__"), "ols_crossval").alias("b1"),
+        gsc.guard(b2, F.col("__tn__"), "ols_crossval").alias("b2"),
     )
     scored = data.join(F.broadcast(models), "__fold__")
     pred = (

@@ -54,8 +54,12 @@ def _q_cost(num: float, den: float) -> int:
 
 def _viterbi(word: str, cost: dict[str, int], k_max: int) -> list[str]:
     """Exact-integer Viterbi segmentation. best[pos] = (cost, n_pieces,
-    -k, k) minimized lexicographically; every single char of every
-    modeled word is in the vocab, so a path always exists."""
+    -k, k) minimized lexicographically. For words from the training
+    corpus a path always exists (the vocab unions every single char);
+    applying a learned model to NEW text can hit out-of-vocabulary
+    characters, which used to die with a bare ``min() arg is an empty
+    sequence`` inside the executor (ADVICE r7) — now a descriptive
+    error names the character and the fix."""
     best: list[tuple[int, int, int, int]] = [(0, 0, 0, 0)]
     for pos in range(1, len(word) + 1):
         cands = []
@@ -65,6 +69,14 @@ def _viterbi(word: str, cost: dict[str, int], k_max: int) -> list[str]:
                 continue
             pc, pn, _, _ = best[pos - k]
             cands.append((pc + c, pn + 1, -k, k))
+        if not cands:
+            raise ValueError(
+                f"unigram _viterbi: no vocab piece covers position "
+                f"{pos - 1} of word {word!r} (character {word[pos - 1]!r} "
+                f"is out-of-vocabulary for this model); re-learn with a "
+                f"corpus containing it or map OOV characters to a known "
+                f"placeholder before segmenting"
+            )
         best.append(min(cands))
     pieces: list[str] = []
     pos = len(word)

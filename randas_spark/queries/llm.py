@@ -4630,6 +4630,32 @@ def llm_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pca_topk_oracle() -> str:
+    from randas_spark.operators.pca import sql_pca_topk
+
+    return sql_pca_topk("embeddings", "embedding", dim=64, k=4)
+
+
+@register("llm_pca_topk", oracle=_pca_topk_oracle())
+def llm_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K principal components (operators/pca.pca_topk, VERDICT r7
+    item 7): the Hotelling-deflation loop generalized from top-2 to
+    k=4 — what 4-8-D corpus-triage stratification actually consumes.
+    Still ONE data-sized scan: all K deflations and power iterations
+    are O(K * rounds * d^2) driver arithmetic on the exact integer
+    moments; the SQL twin macro-expands one CTE block per component
+    with the identical op order."""
+    from randas_spark.operators.pca import pca_topk
+
+    out = pca_topk(t(spark, sf_dir, "embeddings"), "embedding", dim=64, k=4)
+    return out.select(
+        "component",
+        "dim_idx",
+        fround(F.col("loading"), 6).alias("loading"),
+        fround(F.col("explained_ratio"), 6).alias("explained_ratio"),
+    )
+
+
 #: Blocklist for llm_blocklist_filter — tiny here; production lists are
 #: thousands of terms, still broadcast-literal scale.
 _BLOCKLIST = ("slow", "merge", "forbidden")

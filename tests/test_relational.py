@@ -1307,6 +1307,24 @@ def test_grouped_ols_overflow_guard_fires_loudly(spark):
         grouped_ols(df, ["grp"], "x1", "x2", "y").collect()
 
 
+def test_grouped_ols_guard_survives_column_pruning(spark):
+    """ADVICE r7: the guard used to live on b0 only, so
+    grouped_ols(...).select('b1') let Catalyst prune the raise_error
+    expression and int64 wraparound passed silently. Every returned
+    column now carries the guard — a b1-only projection must still
+    fail loudly on overflow."""
+    import pytest
+
+    from randas_spark.operators.regression import grouped_ols
+
+    big = 4.0e9
+    rows = [("g", big + i, big - i, big) for i in range(4)]
+    df = spark.createDataFrame(rows, "grp string, x1 double, x2 double, y double")
+    for col in ("b1", "b2", "r2"):
+        with pytest.raises(Exception, match="int64 Gram-cell budget exceeded"):
+            grouped_ols(df, ["grp"], "x1", "x2", "y").select(col).collect()
+
+
 def test_logreg_newton_rejects_zero_iterations(spark):
     """n_iter=0 used to fall through to crossJoin(broadcast(None)) in the
     finisher; it must fail loudly at the argument instead."""

@@ -589,7 +589,6 @@ def test_funnel_kernel_chunk_order_independent():
     class _FakeState:
         exists = False
         hasTimedOut = False
-        _timeout_conf = "NoTimeout"
 
         def update(self, v):
             self.saved = v
