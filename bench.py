@@ -99,6 +99,12 @@ HEADLINE = [
     # isolated rows + 10x slopes in BASELINE.md r7
     "llm_pca_power",
     "llm_unigram_lm",
+    # r8 additions: the r6-red-then-fixed session window (kept in headline
+    # so every driver round re-measures it), the top-K PCA generalization,
+    # and the density-capped FULL OUTER interval join
+    "stream_session_window",
+    "llm_pca_topk",
+    "stream_stream_full_outer_capped",
 ]
 
 # Most-recent ISOLATED sf0.1 median per headline query, transcribed from
@@ -160,6 +166,10 @@ BASELINE_ROWS = {
     "stream_rollup_states": 0.19,
     "llm_pca_power": 1.05,
     "llm_unigram_lm": 1.49,
+    # r8 rows (isolated median-of-3, tools/bench_isolated.py, this session)
+    "stream_session_window": 1.60,
+    "llm_pca_topk": 1.07,
+    "stream_stream_full_outer_capped": 0.93,
 }
 
 

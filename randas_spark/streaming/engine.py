@@ -236,13 +236,38 @@ _ATTR_LOOKBACK_US = 259_200_000_000  # 72 h, matching rel_attribution_last_touch
 
 
 def _attribution_state(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    *,
+    evict: bool = False,
 ) -> Iterator[pd.DataFrame]:
     """Custom stateful kernel #2: streaming last-touch attribution. The
     per-user state is ONE (touch_id, touch_us) pair — each trigger
     walks the user's rows in (ts, event_id) order, updating the carried
     touch on click/view and emitting an attributed row per purchase.
-    Bounded state by construction (two longs per user, no history)."""
+    Bounded state by construction (two longs per user, no history).
+
+    TTL eviction (``evict=True``, EventTimeTimeout mode via
+    attribution_state(watermark=...)): a carried touch is SEMANTICALLY
+    DEAD once the user has been idle past the 72 h lookback — any later
+    purchase fails ``ts - touch_us <= _ATTR_LOOKBACK_US`` and emits the
+    unattributed (None, None) row, which is exactly what a purchase
+    against REMOVED state emits too. Dropping the state at
+    touch + 72 h therefore changes NO emitted row (the funnel kernel's
+    emission-identity argument) while shrinking live state from every
+    user ever seen to users ACTIVE within the horizon."""
+    if state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "purchase_event_id": pd.Series([], dtype="int64"),
+                "touch_event_id": pd.Series([], dtype="int64"),
+                "mins_since_touch": pd.Series([], dtype="float64"),
+            }
+        )
+        return
     touch_id, touch_us = state.get if state.exists else (None, None)
     out_rows = []
     # Materialize ALL Arrow chunks before sorting: applyInPandasWithState
@@ -270,12 +295,22 @@ def _attribution_state(
             elif et in ("click", "view"):
                 touch_id, touch_us = int(ev), ts_us
     state.update((touch_id, touch_us))
+    if evict and touch_us is not None:
+        # schedule eviction at touch + lookback; clamp to watermark+1
+        # (evicting later than semantically needed is always safe — the
+        # identity argument only requires >= the lookback horizon)
+        state.setTimeoutTimestamp(
+            max(
+                touch_us // 1000 + _ATTR_LOOKBACK_US // 1000,
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
     yield pd.DataFrame(
         out_rows, columns=["user_id", "purchase_event_id", "touch_event_id", "mins_since_touch"]
     )
 
 
-def attribution_state(events: DataFrame) -> DataFrame:
+def attribution_state(events: DataFrame, watermark: str | None = None) -> DataFrame:
     """Streaming last-touch attribution via applyInPandasWithState —
     the streaming twin of the batch carry-forward window
     (queries/pipeline.rel_attribution_last_touch): per-user state is a
@@ -285,15 +320,31 @@ def attribution_state(events: DataFrame) -> DataFrame:
     the first), showing the escape hatch generalizes. Within-trigger
     rows are walked in (ts, event_id) order; cross-trigger correctness
     holds when triggers respect event-time order per key (file replay
-    here; a kafka source partitioned by user keeps per-key order)."""
+    here; a kafka source partitioned by user keeps per-key order).
+
+    With ``watermark`` set, the kernel runs under EventTimeTimeout and
+    evicts a user's two-long state once the watermark passes their last
+    touch + the 72 h lookback — provably emission-identical (kernel
+    docstring) while bounding state to active users; the mode is passed
+    into the kernel explicitly (the funnel kernel's discipline). Leave
+    None for exact batch-replay comparisons."""
+    import functools
+
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    kernel = functools.partial(_attribution_state, evict=watermark is not None)
     return events.select("user_id", "event_id", "ts", "event_type").groupBy(
         "user_id"
     ).applyInPandasWithState(
-        _attribution_state,
+        kernel,
         outputStructType=_ATTR_OUT_SCHEMA,
         stateStructType=_ATTR_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if watermark is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

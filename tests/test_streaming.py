@@ -517,6 +517,64 @@ def test_funnel_state_cross_trigger_replay_carries_and_bounds_state(spark, tmp_p
     assert all(t <= 2 for t in totals)
 
 
+def test_attribution_state_ttl_evicts_idle_users_without_changing_emissions(
+    spark, tmp_path
+):
+    """EventTimeTimeout mode for the attribution kernel: a touch idle
+    past the 72 h lookback can never attribute (any later purchase
+    fails the lookback check and emits the unattributed row — exactly
+    what removed state emits), so TTL eviction must (1) produce
+    emissions identical to the NoTimeout kernel on the same replay,
+    (2) actually REMOVE the idle user's state, and (3) still emit the
+    unattributed row for a purchase arriving after eviction."""
+    import time as _time
+    from datetime import datetime, timedelta
+
+    from randas_spark.streaming.engine import attribution_state
+
+    schema = "event_id long, ts timestamp, event_type string, value double, user_id long"
+    base = datetime(2024, 1, 1, 0, 0)
+    d5 = base + timedelta(days=5)
+    # user 1: click day 0, purchase 10 min later (attributed), then idle;
+    # user 2: click day 0, purchase day 5 (past 72 h — unattributed, and
+    # by then user 2's state was evicted, proving the identity);
+    # user 3: active day 5 (advances the watermark past day 0 + 72 h)
+    files = [
+        ("a", [(100, base, "click", 1.0, 1),
+               (101, base + timedelta(minutes=10), "purchase", 1.0, 1),
+               (200, base, "click", 1.0, 2)]),
+        ("b", [(300, d5, "view", 1.0, 3)]),
+        ("c", [(201, d5 + timedelta(minutes=30), "purchase", 1.0, 2),
+               (301, d5 + timedelta(minutes=40), "purchase", 1.0, 3)]),
+    ]
+    stage = tmp_path / "attr_ttl"
+    stage.mkdir()
+    for name, rows in files:
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(stage / name))
+        _time.sleep(1.1)
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stage) + "/*")
+        )
+
+    ttl, progress = _run_append(
+        spark, attribution_state(stream(), watermark="0 seconds"), "t_attr_ttl"
+    )
+    plain, _ = _run_append(spark, attribution_state(stream()), "t_attr_ttl_twin")
+    key = lambda r: (r.user_id, r.purchase_event_id, r.touch_event_id)
+    assert sorted(map(key, ttl.collect())) == sorted(map(key, plain.collect()))
+    got = {r.purchase_event_id: r.touch_event_id for r in ttl.collect()}
+    # user 1 attributed to their click; user 2's stale click must NOT
+    # attribute; user 3's purchase follows their own view within lookback
+    assert got == {101: 100, 201: None, 301: 300}
+    removed, final_state = _state_counters(progress)
+    assert removed >= 1  # idle users' carried touch was evicted
+    assert final_state <= 2  # users 1/2's day-0 state is gone at the end
+
+
 def test_funnel_state_ttl_evicts_idle_users_without_changing_emissions(spark, tmp_path):
     """EventTimeTimeout mode: the 24 h step bound makes an idle user's
     state semantically dead, so TTL eviction must (1) emit exactly the
@@ -966,6 +1024,7 @@ def test_attribution_kernel_chunk_order_independent():
 
     class FakeState:
         exists = False
+        hasTimedOut = False
 
         def update(self, v):
             self.value = v
