@@ -323,6 +323,100 @@ def ngram_jaccard_pairs(
     )
 
 
+def ppjoin_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (the
+    SSJoin/PPJoin family, Chaudhuri et al. ICDE'06 / Xiao et al.
+    WWW'08): all pairs with k-shingle Jaccard >= threshold — the same
+    output contract as :func:`ngram_jaccard_pairs`, reached through a
+    candidate set that is a strict subset of the full shingle self-join.
+
+    Prefix principle: order every doc's shingles by ONE global total
+    order (ascending document frequency, ties by shingle text — rarest
+    first) and keep only the first ``|S| - ceil(t*|S|) + 1`` as the
+    doc's PREFIX. Two sets with J >= t overlap in at least
+    ``ceil(t/(1+t) * (|a|+|b|))`` elements, which pigeonholes at least
+    one shared element into both prefixes — so joining prefix-to-prefix
+    loses no qualifying pair, while skipping every pair whose only
+    shared shingles are common ones. Exactness is enforced, not
+    assumed: candidates are verified with the full intersection before
+    the threshold filter (and the DuckDB oracle recomputes plain
+    Jaccard from scratch).
+
+    Scale: candidate cost is Σ_over_PREFIX_shingles(freq²) — prefixes
+    are the RAREST shingles, exactly the ones with tiny freq, so the
+    quadratic term collapses relative to the full self-join's
+    Σ_all(freq²) (boilerplate shingles never generate candidates
+    because no doc carries them in its prefix). The global order needs
+    no global rank: each doc sorts its own shingles by the broadcast-
+    free ``(freq, shingle)`` tuple via a per-doc sort_array — no
+    single-task row_number funnel. Verification joins candidate pairs
+    (already few) back to the two shingle arrays and intersects
+    in-memory per pair.
+    """
+    sh = fan_out(df).select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
+    ).localCheckpoint()
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+    # per-doc shingles sorted by the global (freq, shingle) order
+    ordered = (
+        ex.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("f", "s"))).alias("ord"))
+    )
+    n = F.size("ord")
+    # prefix length |S| - ceil(t*|S|) + 1 (>=1 always: t <= 1)
+    plen = n - F.ceil(F.lit(float(threshold)) * n).cast("int") + 1
+    # MATERIALIZED once: both candidate-join sides explode this frame
+    pref = ordered.select(
+        "doc_id",
+        F.transform(
+            F.slice("ord", F.lit(1), plen), lambda x: x["s"]
+        ).alias("pref"),
+    ).localCheckpoint()
+    cand = (
+        pref.select(F.col("doc_id").alias("id_a"), F.explode("pref").alias("s"))
+        .join(
+            pref.select(F.col("doc_id").alias("id_b"), F.explode("pref").alias("s")),
+            "s",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,

@@ -130,3 +130,49 @@ def scd2_apply(
     )
     merged = j.select(F.explode(rows).alias("r")).select("r.*")
     return hist.select(*out_cols).unionByName(merged)
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time join of a fact stream against a Type-2 versioned
+    dimension: each fact row picks the dim version whose
+    ``[valid_from, valid_to)`` interval contains its timestamp
+    (``valid_to`` NULL = open/current version). This is the temporal
+    companion to :func:`scd2_apply` — the feature-store / training-set
+    correctness primitive that prevents LEAKAGE of future attribute
+    values into past examples (a fact must see the dim AS OF its own
+    time, never the latest version).
+
+    Plan shape (the scale argument): Catalyst extracts the key equality
+    as the join key and evaluates the interval bounds as join-condition
+    filters, so this runs as ONE hash/sort-merge equi-join shuffled on
+    ``key`` — never a range-join cross product. Per-key cost is
+    |versions(key)| x |facts(key)|; SCD dims hold a handful of versions
+    per key, so the join stays linear in facts at 100 TB (and a skewed
+    key salts exactly like any equi-join). Facts with no covering
+    version keep NULL dim columns (left join) — absence is visible, not
+    dropped.
+
+    Output: every fact column, then the dim's non-key columns (tracked
+    attributes + both validity bounds).
+    """
+    f = facts.alias("__f__")
+    d = dim.alias("__d__")
+    cond = (
+        (F.col(f"__f__.{key}") == F.col(f"__d__.{key}"))
+        & (F.col(f"__d__.{valid_from}") <= F.col(f"__f__.{ts_col}"))
+        & (
+            F.col(f"__d__.{valid_to}").isNull()
+            | (F.col(f"__f__.{ts_col}") < F.col(f"__d__.{valid_to}"))
+        )
+    )
+    dim_cols = [c for c in dim.columns if c != key]
+    return f.join(d, cond, "left").select(
+        "__f__.*", *[F.col(f"__d__.{c}") for c in dim_cols]
+    )

@@ -219,6 +219,49 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_dedup_ppjoin",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(lower(text), ' ')) - 4, 1)),
+            i -> array_to_string(string_split(lower(text), ' ')[i:i+4], ' ')))) AS s
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+)
+def llm_dedup_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT set-similarity join
+    (operators/dedup.ppjoin_pairs, SSJoin/PPJoin family): identical
+    output to the plain 5-gram Jaccard join at threshold 0.5 — the
+    oracle recomputes Jaccard from scratch with no prefix logic, so the
+    lossless-filtering claim is value-checked, not assumed — but the
+    candidate set comes only from rarest-first shingle PREFIXES, so the
+    quadratic Σfreq² term runs over rare shingles instead of the whole
+    vocabulary. The third exact-scale path next to the capped self-join
+    and MinHash-LSH."""
+    from randas_spark.operators.dedup import ppjoin_pairs
+
+    # raw jaccard (no fround): numerator/denominator are exact ints on
+    # both engines and the single division is the same IEEE op — the
+    # llm_dedup_ngram_jaccard convention
+    return ppjoin_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=5, threshold=0.5
+    )
+
+
 from randas_spark.functions.text import sql_shingles as _sql_sh5
 
 

@@ -1589,6 +1589,89 @@ def rel_scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_temporal_join_scd2",
+    oracle=f"""
+    WITH upd AS (
+        SELECT o_custkey AS c_custkey,
+               {sql_fround('sum(o_totalprice)', 2)} AS bal,
+               max(o_orderdate) AS ts
+        FROM orders GROUP BY 1
+    ), cur AS (
+        SELECT c_custkey, c_acctbal AS bal,
+               TIMESTAMP '1970-01-01 00:00:00' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM customer
+    ), dim AS (
+        SELECT cur.c_custkey, cur.bal, cur.valid_from,
+               CAST(upd.ts AS TIMESTAMP) AS valid_to
+        FROM cur JOIN upd USING (c_custkey)
+        WHERE cur.bal IS DISTINCT FROM upd.bal
+        UNION ALL
+        SELECT upd.c_custkey, upd.bal, CAST(upd.ts AS TIMESTAMP),
+               CAST(NULL AS TIMESTAMP)
+        FROM upd LEFT JOIN cur USING (c_custkey)
+        WHERE cur.c_custkey IS NULL OR cur.bal IS DISTINCT FROM upd.bal
+        UNION ALL
+        SELECT cur.c_custkey, cur.bal, cur.valid_from, cur.valid_to
+        FROM cur LEFT JOIN upd USING (c_custkey)
+        WHERE upd.c_custkey IS NULL OR NOT (cur.bal IS DISTINCT FROM upd.bal)
+    ), f AS (
+        SELECT o_orderkey, o_custkey AS c_custkey,
+               CAST(o_orderdate AS TIMESTAMP) AS o_ts
+        FROM orders
+    )
+    SELECT f.o_orderkey, f.c_custkey,
+           d.bal AS bal_at_order,
+           d.valid_to IS NULL AS from_current_version
+    FROM f LEFT JOIN dim d
+      ON d.c_custkey = f.c_custkey
+     AND d.valid_from <= f.o_ts
+     AND (d.valid_to IS NULL OR f.o_ts < d.valid_to)
+    """,
+)
+def rel_temporal_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (operators/merge.point_in_time_join): every
+    order fetches the customer-dimension VERSION valid at its own order
+    date from the SCD2 dim rel_scd2_customer_dim maintains — the
+    feature-store leakage guard (a training example must see attributes
+    as of its event time, never the future). Orders before a customer's
+    balance change see the pre-change balance; the order that closed the
+    version sees the new one. Runs as one key equi-join with the
+    interval bounds as join filters — never a range-join blowup; exactly
+    |orders| output rows (each order covered by exactly one version)."""
+    from randas_spark.operators.merge import point_in_time_join, scd2_apply
+
+    c = t(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    upd = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            fround(F.sum("o_totalprice"), 2).alias("bal"),
+            F.max("o_orderdate").alias("ts"),
+        )
+    )
+    versioned = scd2_apply(dim, upd, "c_custkey", ["bal"], "ts")
+    facts = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderdate").cast("timestamp").alias("o_ts"),
+    )
+    out = point_in_time_join(facts, versioned, "c_custkey", "o_ts")
+    return out.select(
+        "o_orderkey",
+        "c_custkey",
+        F.col("bal").alias("bal_at_order"),
+        F.col("valid_to").isNull().alias("from_current_version"),
+    )
+
+
+@register(
     "rel_histogram_prices",
     oracle=f"""
     SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,

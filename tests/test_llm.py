@@ -57,6 +57,31 @@ def test_minhash_lsh_recall_and_precision(docs):
     assert recall >= 0.8, f"MinHash recall {recall:.2f} below bound (exact={len(exact)})"
 
 
+def test_ppjoin_equals_plain_jaccard_join(docs):
+    """Prefix filtering must be LOSSLESS: ppjoin_pairs (candidates only
+    from rarest-first prefixes, then verified) returns exactly the
+    pairs+scores of the full shingle self-join at the same threshold —
+    recall 1.0 and precision 1.0, not an approximation. Checked at two
+    thresholds to exercise different prefix lengths."""
+    from randas_spark.operators.dedup import ngram_jaccard_pairs, ppjoin_pairs
+
+    for th in (0.3, 0.6):
+        exact = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", k=5, threshold=th
+            ).collect()
+        }
+        pp = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ppjoin_pairs(docs, "doc_id", "text", k=5, threshold=th).collect()
+        }
+        assert exact, "fixture must contain qualifying pairs"
+        assert set(pp) == set(exact)
+        for pair, j in pp.items():
+            assert abs(j - exact[pair]) < 1e-12
+
+
 @pytest.fixture(scope="module")
 def boilerplate_corpus(spark):
     """40 byte-identical boilerplate docs (every shingle / band bucket is
