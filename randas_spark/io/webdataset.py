@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 
 READ_SCHEMA = "key string, ext string, payload binary, shard string"
 MANIFEST_SCHEMA = "shard_id long, n_samples long, n_bytes long, sha256 string"
+INDEX_SCHEMA = "key string, ext string, offset long, n_bytes long, shard string"
 
 
 def _shard_bytes(pdf: pd.DataFrame, key_col: str, ext_cols: list[str]) -> bytes:
@@ -85,6 +86,7 @@ def write_webdataset(
     ext_cols: list[str],
     n_shards: int = 4,
     max_shard_bytes: int = DEFAULT_MAX_SHARD_BYTES,
+    write_index: bool = True,
 ) -> DataFrame:
     """Write ``df`` as WebDataset tar shards under ``path`` and return
     the manifest DataFrame (collect/inspect it — the write happens when
@@ -98,7 +100,13 @@ def write_webdataset(
     Sharding is CONTENT-deterministic (crc32 of the key), not
     partition-deterministic, so re-running on a differently-partitioned
     copy of the same data produces the same shards. A shard exceeding
-    ``max_shard_bytes`` fails loudly with the n_shards fix."""
+    ``max_shard_bytes`` fails loudly with the n_shards fix.
+
+    ``write_index`` (default on) also writes a ``shard-XXXXX.idx``
+    sidecar — one JSON line per member with the payload's (offset,
+    n_bytes) inside the tar, so metadata queries and single-sample
+    ranged fetches never stream whole shards (the WebDataset-community
+    index convention); read with :func:`read_webdataset_index`."""
     scheme, sep, _ = path.partition("://")
     if sep and scheme != "file":
         raise ValueError(
@@ -132,6 +140,31 @@ def write_webdataset(
         fname = os.path.join(path, f"shard-{shard_id:05d}.tar")
         with open(fname, "wb") as f:
             f.write(blob)
+        if write_index:
+            # sidecar index: one JSON line per member with the payload's
+            # byte range inside the tar — a metadata scan (or a ranged
+            # fetch of one sample) never has to stream the shard
+            import json as _json
+
+            with tarfile.open(fileobj=io.BytesIO(blob)) as tar, open(
+                os.path.join(path, f"shard-{shard_id:05d}.idx"), "w"
+            ) as idx:
+                for m in tar.getmembers():
+                    if not m.isfile():
+                        continue
+                    stem, dot, ext = m.name.rpartition(".")
+                    idx.write(
+                        _json.dumps(
+                            {
+                                "key": stem if dot else m.name,
+                                "ext": ext if dot else "",
+                                "offset": m.offset_data,
+                                "n_bytes": m.size,
+                            },
+                            sort_keys=True,
+                        )
+                        + "\n"
+                    )
         return pd.DataFrame(
             {
                 "shard_id": [shard_id],
@@ -142,6 +175,45 @@ def write_webdataset(
         )
 
     return keyed.groupBy("__shard__").applyInPandas(writer, schema=MANIFEST_SCHEMA)
+
+
+def read_webdataset_index(spark, path: str) -> DataFrame:
+    """Read the ``.idx`` sidecars under ``path`` into
+    ``(key, ext, offset, n_bytes, shard)`` rows WITHOUT touching any tar
+    byte — the metadata plane of the corpus. At 100 TB this is the
+    difference between scanning kilobytes of index and streaming every
+    shard for a size histogram, an ext census, or a sample locator; the
+    (offset, n_bytes) pair is exactly what a ranged GET needs to pull
+    one sample out of an object store. Schema is fixed
+    (``INDEX_SCHEMA``), shard derived from the source file name."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("ext", StringType()),
+            StructField("offset", LongType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("pathGlobFilter", "*.idx")
+        .json(path)
+        .withColumn(
+            "shard",
+            F.regexp_replace(
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+                r"\.idx$",
+                ".tar",
+            ),
+        )
+    )
 
 
 def read_webdataset(spark, path: str) -> DataFrame:

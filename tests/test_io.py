@@ -547,6 +547,41 @@ def test_webdataset_round_trip_reproducible_shards(spark, tmp):
         assert p1 == p2 and len(p1) == m.n_bytes
 
 
+def test_webdataset_index_sidecar(spark, tmp):
+    """The .idx sidecar must (1) enumerate exactly the members the tar
+    reader yields, with matching sizes, WITHOUT reading tar bytes, and
+    (2) carry byte ranges that slice the correct payload straight out of
+    the shard file — the ranged-fetch contract."""
+    import os
+
+    from randas_spark.io.webdataset import (
+        read_webdataset,
+        read_webdataset_index,
+        write_webdataset,
+    )
+
+    rows = [(i, f"payload {i}".encode(), f"label-{i % 3}") for i in range(23)]
+    df = spark.createDataFrame(rows, "doc_id long, txt binary, cls string")
+    d = os.path.join(tmp, "wds_idx")
+    write_webdataset(df, d, "doc_id", ["txt", "cls"], n_shards=3).collect()
+
+    full = {(r.key, r.ext): bytes(r.payload) for r in read_webdataset(spark, d).collect()}
+    idx = read_webdataset_index(spark, d).collect()
+    assert {(r.key, r.ext) for r in idx} == set(full)
+    blobs = {}
+    for r in idx:
+        assert r.n_bytes == len(full[(r.key, r.ext)])
+        assert r.shard.endswith(".tar")
+        if r.shard not in blobs:
+            blobs[r.shard] = open(os.path.join(d, r.shard), "rb").read()
+        assert blobs[r.shard][r.offset : r.offset + r.n_bytes] == full[(r.key, r.ext)]
+
+    # write_index=False: no sidecars
+    d2 = os.path.join(tmp, "wds_noidx")
+    write_webdataset(df, d2, "doc_id", ["txt"], n_shards=2, write_index=False).collect()
+    assert not [f for f in os.listdir(d2) if f.endswith(".idx")]
+
+
 def test_webdataset_guards(spark, tmp):
     """VERDICT r7 item 6 / ADVICE r7: (1) object-store schemes are
     rejected loudly (tasks open() paths directly — only shared
