@@ -332,8 +332,10 @@ def stream_stream_full_outer_capped(spark: SparkSession, sf_dir: str) -> DataFra
     instead of the uncapped form's per-user density-SQUARED pair count —
     the scale-safe variant the r7 verdict asked for after the 6.0×
     slope reading on stream_stream_full_outer. Orphan purchases and
-    unconverted clicks still emit (audit completeness); the synthetic
-    window key coalesce(click_id, -purchase_id) avoids a null-key skew
+    unconverted clicks still emit; matched-but-not-first purchases are
+    dropped — that drop is the cap (precise coverage contract on the
+    operator docstring). The synthetic window key
+    coalesce(click_id, -purchase_id) avoids a null-key skew
     partition."""
     from randas_spark.streaming.engine import click_purchase_first_touch
 

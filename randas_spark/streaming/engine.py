@@ -609,9 +609,14 @@ def click_purchase_first_touch(
     Scale rationale (VERDICT r7): the uncapped join emits c×p pairs for
     a user with c clicks and p purchases inside one horizon — quadratic
     in per-user density, the only superlinear slope in the r7 bench. The
-    cap makes output O(clicks + purchases) by construction while keeping
-    the audit completeness of FULL OUTER (every event accounted for
-    exactly once on its own side).
+    cap makes output O(clicks + purchases) by construction.
+
+    Coverage contract (precise): every CLICK emits exactly once (with
+    its earliest qualifying purchase, or with nulls if none), and every
+    purchase with NO qualifying click emits as an orphan — but a
+    purchase that qualified for some click without being anyone's
+    first touch is DROPPED, not null-rowed; that drop IS the cap. Use
+    the uncapped form when every matched pair matters.
 
     Plan: ONE full-outer interval join (shuffle on user_id), then a
     row_number window partitioned by ``coalesce(click_id, -purchase_id)``

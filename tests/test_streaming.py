@@ -678,6 +678,48 @@ def test_funnel_kernel_chunk_order_independent():
         assert list(out["funnel_secs"]) == [25 * 60.0]
 
 
+def test_first_touch_caps_pairs_and_keeps_both_outer_sides(spark):
+    """click_purchase_first_touch on a crafted dense user: (1) a click
+    with several in-horizon purchases matches ONLY the earliest (ties by
+    purchase_id); (2) output is exactly one row per click plus one per
+    orphan purchase — O(clicks+purchases) where the uncapped FULL OUTER
+    emits c x p pairs; (3) every uncapped matched pair's click appears,
+    so the cap loses coverage of events, never of clicks."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+    from randas_spark.streaming.engine import (
+        click_purchase_conversions,
+        click_purchase_first_touch,
+    )
+
+    base = datetime(2024, 1, 1, 10, 0)
+    rows = [
+        # user 7: 2 clicks, 3 purchases all inside one hour -> uncapped 6 pairs
+        (1, base, "click", 7),
+        (2, base + timedelta(minutes=5), "click", 7),
+        (3, base + timedelta(minutes=10), "purchase", 7),
+        (4, base + timedelta(minutes=20), "purchase", 7),
+        (5, base + timedelta(minutes=30), "purchase", 7),
+        # user 8: orphan purchase (no click)
+        (6, base, "purchase", 8),
+        # user 9: unconverted click
+        (7, base, "click", 9),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, user_id long")
+    clicks = df.filter(F.col("event_type") == "click")
+    purchases = df.filter(F.col("event_type") == "purchase")
+
+    uncapped = click_purchase_conversions(clicks, purchases, "1 hour", how="fullOuter").collect()
+    assert len(uncapped) == 2 * 3 + 1 + 1  # the density-squared blow-up
+
+    capped = {(r.click_id, r.purchase_id) for r in
+              click_purchase_first_touch(clicks, purchases, "1 hour").collect()}
+    assert capped == {(1, 3), (2, 3), (None, 6), (7, None)}
+    # one row per click + one per orphan purchase
+    assert len(capped) == 2 + 1 + 1
+
+
 def test_stream_stream_left_outer_watermark_gated(spark, batch_events):
     """Left-outer stream-stream join: every MATCHED pair emits and
     equals the batch inner set; null (unconverted) rows emit ONLY for
