@@ -1,0 +1,70 @@
+"""Distributed global ranking — row_number over a TOTAL order without
+the single-task funnel.
+
+A bare ``row_number() OVER (ORDER BY ...)`` (no PARTITION BY) collapses
+the whole dataset into ONE window task — the classic scale cliff hiding
+in otherwise-fine plans. The alternative here is the machinery a global
+orderBy already uses, kept parallel end-to-end:
+
+1. ``repartitionByRange`` on the sort key — sampled range boundaries
+   put partition i strictly before partition i+1 in the total order;
+2. per-partition ``row_number`` (parallel, each task ranks only its
+   slice);
+3. one 32-row per-partition count table, cumulative-summed on the
+   driver-scale side and BROADCAST back as offsets.
+
+Identical ranks to the funnel formulation, no task ever sees more than
+its range slice. First used inline by llm_shard_balance (queries/
+llm.py); extracted here because the pattern generalizes — percentile
+assignment (rel_global_percentile), deterministic ID issuance,
+pagination. The reference engine (dataframe.rs) has no ranking at all;
+this is the beyond-reference scale path for any global-order need.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distributed_global_rank(
+    df: DataFrame,
+    order: list[Column],
+    n_parts: int = 32,
+    out_col: str = "rn",
+) -> DataFrame:
+    """Add a 0-based global row number ``out_col`` under the total order
+    ``order`` (which must be deterministic — include a tiebreak key).
+
+    Scale: no single-task window. Range-repartition on the sort key,
+    rank within each partition in parallel, then add broadcast
+    cumulative offsets from the ``n_parts``-row count table. On a real
+    cluster set ``n_parts`` ≈ 2-3x total cores (the same sizing as any
+    shuffle).
+    """
+    parts = df.repartitionByRange(n_parts, *order).sortWithinPartitions(*order)
+    local = parts.withColumn("__pid__", F.spark_partition_id()).withColumn(
+        "__lrk__",
+        F.row_number().over(Window.partitionBy("__pid__").orderBy(*order)) - 1,
+    )
+    offsets = (
+        local.groupBy("__pid__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .withColumn(
+            "__off__",
+            F.coalesce(
+                F.sum("__c__").over(
+                    Window.orderBy("__pid__").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid__", "__off__")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid__")
+        .withColumn(out_col, (F.col("__off__") + F.col("__lrk__")).cast("long"))
+        .drop("__pid__", "__lrk__", "__off__")
+    )

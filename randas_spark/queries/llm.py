@@ -4774,45 +4774,23 @@ def llm_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the global rank is computed the DISTRIBUTED way — a bare
     row_number() over an unpartitioned window would funnel every row
-    through one task. Instead: range-repartition on the sort key (the
-    machinery behind any global orderBy), rank WITHIN each partition
-    (parallel), then add broadcast per-partition offsets (a 32-row
-    cumulative table). Identical ranks, no single-task bottleneck. The
+    through one task. Instead (operators/rank.distributed_global_rank):
+    range-repartition on the sort key (the machinery behind any global
+    orderBy), rank WITHIN each partition (parallel), then add broadcast
+    per-partition offsets (a 32-row cumulative table). Identical ranks,
+    no single-task bottleneck. The
     assignment is scan-side arithmetic on the rank and the audit
     aggregate is map-side combined. For corpora where even a range
     shuffle is unwanted, the hash variant (llm_sample_hash's md5
     assignment) trades balance for shuffle-freedom — this op is the
     balanced end of that trade."""
-    from pyspark.sql import Window
+    from randas_spark.operators.rank import distributed_global_rank
 
     d = t(spark, sf_dir, "documents")
     nt = token_count_bpe_ish(F.col("text"))
     proj = d.select("doc_id", nt.alias("n_tokens"))
     order = [F.col("n_tokens").desc(), F.col("doc_id")]
-    parts = proj.repartitionByRange(32, *order).sortWithinPartitions(*order)
-    local = parts.withColumn("pid", F.spark_partition_id()).withColumn(
-        "lrk",
-        F.row_number().over(Window.partitionBy("pid").orderBy(*order)) - 1,
-    )
-    offsets = (
-        local.groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn(
-            "off",
-            F.coalesce(
-                F.sum("c").over(
-                    Window.orderBy("pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("pid", "off")
-    )
-    ranked = local.join(F.broadcast(offsets), "pid").withColumn(
-        "rn", F.col("off") + F.col("lrk")
-    )
+    ranked = distributed_global_rank(proj, order)
     pass_even = (F.col("rn") / 8).cast("long") % 2 == 0
     shard = F.when(pass_even, F.col("rn") % 8).otherwise(7 - F.col("rn") % 8)
     return (

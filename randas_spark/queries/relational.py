@@ -1589,6 +1589,48 @@ def rel_scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_global_percentile",
+    oracle=f"""
+    WITH r AS (
+        SELECT o_orderkey, o_totalprice,
+               row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER () AS n
+        FROM orders
+    )
+    SELECT o_orderkey, o_totalprice,
+           {sql_fround('CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)', 6)} AS pct_rank,
+           CAST(least(floor(10 * (CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE))), 9) AS BIGINT) AS decile
+    FROM r
+    """,
+)
+def rel_global_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global percentile assignment
+    (operators/rank.distributed_global_rank): every order gets its
+    percent_rank over ALL orders by total price (ties broken by order
+    key, so the rank — and hence the percentile — is deterministic) and
+    its decile bucket. The oracle's window formulation is the SPEC; the
+    Spark plan replaces the single-task unpartitioned window with
+    range-repartition + parallel local ranks + 32 broadcast offsets —
+    identical numbers, no scale cliff. (Approximate quantiles for when
+    exactness isn't required: rel_percentile_approx /
+    rel_quantile_sketch_mergeable.)"""
+    from randas_spark.operators.rank import distributed_global_rank
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = distributed_global_rank(
+        o, [F.col("o_totalprice"), F.col("o_orderkey")]
+    )
+    nrow = o.agg(F.count(F.lit(1)).alias("__n__"))
+    pct = F.col("rn").cast("double") / (F.col("__n__") - 1).cast("double")
+    return ranked.crossJoin(F.broadcast(nrow)).select(
+        "o_orderkey",
+        "o_totalprice",
+        fround(pct, 6).alias("pct_rank"),
+        F.least(F.floor(10 * pct), F.lit(9)).cast("long").alias("decile"),
+    )
+
+
+@register(
     "rel_temporal_join_scd2",
     oracle=f"""
     WITH upd AS (

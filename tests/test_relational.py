@@ -1500,3 +1500,30 @@ def test_rfm_segments_partition_and_quintile_semantics(spark):
     for r in rows:
         got_marginal[r.f_score] = got_marginal.get(r.f_score, 0) + r.n_customers
     assert got_marginal == expected_marginal
+
+
+def test_distributed_global_rank_equals_single_window(spark):
+    """operators/rank.distributed_global_rank must produce EXACTLY the
+    ranks of a bare unpartitioned row_number window (the spec it
+    replaces for scale), including across range-partition boundaries
+    and under ties broken by the tiebreak key — and must not add, drop,
+    or duplicate rows."""
+    from pyspark.sql import Window
+
+    from randas_spark.operators.rank import distributed_global_rank
+
+    rows = [(i, (i * 37) % 11) for i in range(500)]  # heavy ties in v
+    df = spark.createDataFrame(rows, "id long, v long")
+    order = [F.col("v").desc(), F.col("id")]
+    got = {
+        r.id: r.rn
+        for r in distributed_global_rank(df, order, n_parts=8).collect()
+    }
+    want = {
+        r.id: r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order)) - 1
+        ).collect()
+    }
+    assert got == want
+    assert sorted(got.values()) == list(range(500))
