@@ -4216,6 +4216,216 @@ def llm_sample_weighted_stratified(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "llm_preference_pairs",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang, source,
+               ({sql_quality_score('text')}) AS q
+        FROM documents
+    ), best AS (
+        SELECT lang, source, doc_id AS chosen_id, q AS chosen_q,
+               row_number() OVER (PARTITION BY lang, source
+                                  ORDER BY q DESC, doc_id) AS rk
+        FROM s
+    ), worst AS (
+        SELECT lang, source, doc_id AS rejected_id, q AS rejected_q,
+               row_number() OVER (PARTITION BY lang, source
+                                  ORDER BY q ASC, doc_id) AS rk
+        FROM s
+    )
+    SELECT b.lang, b.source, b.chosen_id, w.rejected_id,
+           {sql_fround('b.chosen_q', 6)} AS chosen_q,
+           {sql_fround('w.rejected_q', 6)} AS rejected_q,
+           {sql_fround('b.chosen_q - w.rejected_q', 6)} AS margin
+    FROM best b JOIN worst w USING (lang, source)
+    WHERE b.rk = 1 AND w.rk = 1
+      AND b.chosen_id <> w.rejected_id AND b.chosen_q - w.rejected_q > 0
+    """,
+)
+def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction — the alignment-data-prep step
+    (DPO/RLHF reward modeling): within each (lang, source) stratum,
+    pair the highest-quality document (chosen) with the lowest
+    (rejected), ties broken by doc_id, emitting the pair with both
+    scores and the quality margin. Degenerate strata (one doc, or a
+    zero margin) are dropped — a preference pair with no preference is
+    noise. In production the stratum is a prompt/topic cluster and the
+    score a reward model; the shape — per-stratum argmax/argmin join —
+    is exactly this, and both extremes come from ONE shuffle on the
+    stratum key (two rank windows over the same partitioning, no
+    global sort, no cross join)."""
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", "source", quality_score(F.col("text")).alias("q")
+    )
+    wb = Window.partitionBy("lang", "source").orderBy(F.desc("q"), F.asc("doc_id"))
+    ww = Window.partitionBy("lang", "source").orderBy(F.asc("q"), F.asc("doc_id"))
+    best = (
+        scored.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select(
+            "lang",
+            "source",
+            F.col("doc_id").alias("chosen_id"),
+            F.col("q").alias("chosen_q"),
+        )
+    )
+    worst = (
+        scored.withColumn("rk", F.row_number().over(ww))
+        .filter(F.col("rk") == 1)
+        .select(
+            "lang",
+            "source",
+            F.col("doc_id").alias("rejected_id"),
+            F.col("q").alias("rejected_q"),
+        )
+    )
+    return (
+        best.join(worst, ["lang", "source"])
+        .filter(
+            (F.col("chosen_id") != F.col("rejected_id"))
+            & (F.col("chosen_q") - F.col("rejected_q") > 0)
+        )
+        .select(
+            "lang",
+            "source",
+            "chosen_id",
+            "rejected_id",
+            fround(F.col("chosen_q"), 6).alias("chosen_q"),
+            fround(F.col("rejected_q"), 6).alias("rejected_q"),
+            fround(F.col("chosen_q") - F.col("rejected_q"), 6).alias("margin"),
+        )
+    )
+
+
+#: Poisson(1) CDF thresholds scaled to 2^32 (floor(P(W<=k) * 2^32) for
+#: k = 0..6; weight 7 beyond) — ONE Python list feeds both the Spark
+#: CASE ladder and the oracle SQL, so the two engines draw identical
+#: integer weights from identical md5 uniforms by construction.
+_POIS1_T = [1580030168, 3160060337, 3950075421, 4213413783,
+            4279248373, 4292415291, 4294609777]
+_BOOT_B = 200
+
+
+def _bootstrap_w_spark(u32: F.Column) -> F.Column:
+    w = F.lit(7)
+    for k in range(len(_POIS1_T) - 1, -1, -1):
+        w = F.when(u32 < _POIS1_T[k], F.lit(k)).otherwise(w)
+    return w.cast("long")
+
+
+def _bootstrap_w_sql(u32: str) -> str:
+    cases = " ".join(
+        f"WHEN {u32} < {t} THEN {k}" for k, t in enumerate(_POIS1_T)
+    )
+    return f"(CASE {cases} ELSE 7 END)"
+
+
+@register(
+    "llm_bootstrap_ci",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(floor(({sql_quality_score('text')}) * 1000000 + 0.5) AS BIGINT) AS sc
+        FROM documents
+    ), rep AS (
+        SELECT b, doc_id, sc,
+               {_bootstrap_w_sql(
+                   "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)"
+               )} AS w
+        FROM s, generate_series(0, {_BOOT_B - 1}) AS gb(b)
+    ), means AS (
+        SELECT b,
+               CAST(sum(w) AS BIGINT) AS n_eff,
+               CAST(CAST(sum(w * sc) AS BIGINT) AS DOUBLE)
+                   / CAST(sum(w) AS DOUBLE) / 1000000.0 AS mean_q
+        FROM rep GROUP BY b
+    ), ranked AS (
+        SELECT *, row_number() OVER (ORDER BY mean_q, b) AS rk FROM means
+    ), ci AS (
+        SELECT max(CASE WHEN rk = {int(0.025 * _BOOT_B) + 1} THEN mean_q END) AS lo,
+               max(CASE WHEN rk = {_BOOT_B - int(0.025 * _BOOT_B)} THEN mean_q END) AS hi
+        FROM ranked
+    )
+    SELECT m.b, m.n_eff,
+           {sql_fround('m.mean_q', 6)} AS mean_q,
+           {sql_fround('ci.lo', 6)} AS ci_lo,
+           {sql_fround('ci.hi', 6)} AS ci_hi
+    FROM means m, ci
+    """,
+)
+def llm_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap of the corpus mean quality score
+    — the AT-SCALE bootstrap: multinomial resampling needs the corpus
+    size up front and a shared draw, but Poisson(1) weights are i.i.d.
+    per (replicate, row), so ALL B=200 replicates compute in ONE scan
+    (explode x B, map-side-combinable groupBy to B rows). Weights come
+    from md5(doc_id:b) uniforms pushed through one integer CDF ladder —
+    the SAME Python constant list feeds both engines, so replicate
+    means are bit-identical cross-engine (quantized integer scores,
+    exact integer weighted sums, one double division at the end).
+
+    Output: one row per replicate (b, effective n, mean quality) plus
+    the percentile CI bounds (2.5%/97.5% order statistics over the B
+    replicate means — the rank window runs over B=200 rows, driver
+    scale, not data scale). The statistical backbone for 'did corpus
+    quality actually move between snapshots'."""
+    d = t(spark, sf_dir, "documents")
+    sc = F.floor(quality_score(F.col("text")) * 1_000_000 + F.lit(0.5)).cast("long")
+    base = d.select(F.col("doc_id"), sc.alias("sc"))
+    rep = base.select(
+        "doc_id",
+        "sc",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = _bootstrap_w_spark(u32)
+    means = (
+        rep.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            (
+                F.sum(F.col("w") * F.col("sc")).cast("long").cast("double")
+                / F.sum("w").cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("mean_q"),
+        )
+    )
+    rk = F.row_number().over(Window.orderBy("mean_q", "b"))
+    lo_rk, hi_rk = int(0.025 * _BOOT_B) + 1, _BOOT_B - int(0.025 * _BOOT_B)
+    ci = (
+        means.withColumn("rk", rk)
+        .filter(F.col("rk").isin(lo_rk, hi_rk))
+        .agg(
+            F.max(F.when(F.col("rk") == lo_rk, F.col("mean_q"))).alias("lo"),
+            F.max(F.when(F.col("rk") == hi_rk, F.col("mean_q"))).alias("hi"),
+        )
+    )
+    return means.crossJoin(F.broadcast(ci)).select(
+        "b",
+        "n_eff",
+        fround(F.col("mean_q"), 6).alias("mean_q"),
+        fround(F.col("lo"), 6).alias("ci_lo"),
+        fround(F.col("hi"), 6).alias("ci_hi"),
+    )
+
+
+@register(
     "llm_pmi_collocations",
     oracle="""
     WITH tok AS (
