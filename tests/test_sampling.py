@@ -193,3 +193,47 @@ def test_importance_resample_zero_weight_corpus_degrades_to_uniform(spark):
 
     neg = importance_resample(df, "doc_id", F.lit(-5.0), target_frac=0.3)
     assert neg.count() == n  # clamped to the same zero-signal fallback
+
+
+def test_poisson_bootstrap_ci_is_sane_and_deterministic(docs, spark):
+    """llm_bootstrap_ci statistical pins: (1) deterministic — two runs
+    produce identical replicate means (md5 weights, no RNG state);
+    (2) the replicate-mean distribution centers on the plain corpus
+    mean (each Poisson(1) weight has E[w]=1) — the grand mean lies
+    within 3 bootstrap-sigma of the plain mean and the 95% CI contains
+    it; (3) n_eff per replicate is within 20% of N; (4) the CI bounds
+    are genuine order statistics: ci_lo <= median replicate <= ci_hi
+    and roughly 95% of replicate means fall inside."""
+    import statistics
+
+    from pyspark.sql import functions as F
+    from randas_spark.functions.text import quality_score
+    from randas_spark.queries import REGISTRY, load_all
+
+    load_all()
+    fn = REGISTRY["llm_bootstrap_ci"].fn
+    rows1 = sorted(fn(spark, SF).collect(), key=lambda r: r.b)
+    rows2 = sorted(fn(spark, SF).collect(), key=lambda r: r.b)
+    assert [(r.b, r.n_eff, r.mean_q) for r in rows1] == [
+        (r.b, r.n_eff, r.mean_q) for r in rows2
+    ]
+    assert len(rows1) == 200
+
+    d = docs.select(
+        (F.floor(quality_score(F.col("text")) * 1_000_000 + F.lit(0.5)))
+        .cast("long")
+        .alias("sc")
+    )
+    agg = d.agg(F.sum("sc").alias("s"), F.count(F.lit(1)).alias("n")).first()
+    plain_mean = agg.s / agg.n / 1_000_000.0
+    n = agg.n
+
+    means = [r.mean_q for r in rows1]
+    lo, hi = rows1[0].ci_lo, rows1[0].ci_hi
+    sigma = statistics.pstdev(means)
+    assert abs(statistics.mean(means) - plain_mean) <= 3 * sigma + 1e-9
+    assert lo <= plain_mean <= hi
+    assert all(abs(r.n_eff - n) <= 0.2 * n for r in rows1)
+    inside = sum(1 for m in means if lo <= m <= hi)
+    assert inside >= 0.9 * len(means)
+    assert lo <= statistics.median(means) <= hi
