@@ -352,12 +352,14 @@ def ppjoin_pairs(
     are the RAREST shingles, exactly the ones with tiny freq, so the
     quadratic term collapses relative to the full self-join's
     Σ_all(freq²) (boilerplate shingles never generate candidates
-    because no doc carries them in its prefix). The global order needs
-    no global rank: each doc sorts its own shingles by the broadcast-
-    free ``(freq, shingle)`` tuple via a per-doc sort_array — no
-    single-task row_number funnel. Verification joins candidate pairs
-    (already few) back to the two shingle arrays and intersects
-    in-memory per pair.
+    because no doc carries them in its prefix); the SSJoin LENGTH
+    filter (min size >= t * max size — a necessary condition for
+    J >= t) prunes size-mismatched pairs inside the candidate join
+    itself. The global order needs no global rank: each doc sorts its
+    own shingles by the broadcast-free ``(freq, shingle)`` tuple via a
+    per-doc sort_array — no single-task row_number funnel.
+    Verification joins candidate pairs (already few) back to the two
+    shingle arrays and intersects in-memory per pair.
     """
     sh = fan_out(df).select(
         F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
@@ -376,17 +378,37 @@ def ppjoin_pairs(
     # MATERIALIZED once: both candidate-join sides explode this frame
     pref = ordered.select(
         "doc_id",
+        n.alias("n_sh"),
         F.transform(
             F.slice("ord", F.lit(1), plen), lambda x: x["s"]
         ).alias("pref"),
     ).localCheckpoint()
+    ex_a = pref.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("n_sh").alias("__na__"),
+        F.explode("pref").alias("s"),
+    )
+    ex_b = pref.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("n_sh").alias("__nb__"),
+        F.explode("pref").alias("s"),
+    )
+    # SSJoin LENGTH filter, applied inside the candidate join: J(a,b) is
+    # at most min(|a|,|b|)/max(|a|,|b|), so any qualifying pair has
+    # min >= t*max — pairs outside the size band are pruned BEFORE the
+    # distinct/verify legs ever see them. Pure candidate pruning: the
+    # verification step still decides membership, so exactness is
+    # untouched (and the losslessness pytest + plain-Jaccard oracle
+    # would catch an over-aggressive bound).
+    t_lit = F.lit(float(threshold))
     cand = (
-        pref.select(F.col("doc_id").alias("id_a"), F.explode("pref").alias("s"))
-        .join(
-            pref.select(F.col("doc_id").alias("id_b"), F.explode("pref").alias("s")),
-            "s",
+        ex_a.join(
+            ex_b,
+            (ex_a["s"] == ex_b["s"])
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("__na__").cast("double") >= t_lit * F.col("__nb__"))
+            & (F.col("__nb__").cast("double") >= t_lit * F.col("__na__")),
         )
-        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
