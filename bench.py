@@ -190,10 +190,21 @@ def main() -> None:
     # back-to-back repeats of one query can land entirely inside such a
     # window; spread rounds make that improbable, and the median discards
     # a single contaminated round entirely.
+    def drop_persisted() -> None:
+        # clearCache() misses localCheckpoint RDDs, which pin executor
+        # storage for the session's lifetime — consecutive measurements
+        # of checkpoint-heavy queries (the shingle-dedup family)
+        # accumulate pinned blocks and inflate later samples (diagnosed
+        # r8). Unpersist every persistent RDD between measurements.
+        spark.catalog.clearCache()
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(True)
+
     samples: dict[str, list[float]] = {n: [] for n in names}
     for name in names:
         qs[name](spark, sf_dir).collect()
-        spark.catalog.clearCache()
+        drop_persisted()
 
     def calib() -> float:
         # Fixed-size JVM workload (constant work, no I/O): its wall time
@@ -210,8 +221,8 @@ def main() -> None:
         qs[name](spark, sf_dir).collect()
         dt = time.perf_counter() - t0
         # drop caches operators pin (minhash signatures, q15 revenue)
-        # so heap pressure doesn't accumulate across measurements
-        spark.catalog.clearCache()
+        # AND checkpointed RDDs, so storage pressure doesn't accumulate
+        drop_persisted()
         return dt
 
     calibs: list[float] = []

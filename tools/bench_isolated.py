@@ -42,16 +42,28 @@ def main() -> None:
         # validate BEFORE running: a typo'd later name would discard
         # minutes of measurements already taken (JSON prints at the end)
         raise SystemExit(f"unknown query name(s): {unknown}")
+    def drop_persisted() -> None:
+        """clearCache() misses localCheckpoint RDDs, which pin executor
+        storage for the session — repeated runs of checkpoint-heavy
+        queries (the shingle-dedup family) accumulate pinned blocks and
+        degrade later samples (diagnosed r8: ppjoin medians inflated
+        ~2x by run 3). Unpersist every persistent RDD between samples."""
+        spark.catalog.clearCache()
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(True)
+
     results: dict[str, float] = {}
     for name in args:
         qs[name](spark, sf_dir).collect()  # warm: codegen + file cache
-        spark.catalog.clearCache()
+        drop_persisted()
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).collect()
             ts.append(time.perf_counter() - t0)
-            spark.catalog.clearCache()
+            drop_persisted()
         results[name] = round(statistics.median(ts), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
