@@ -87,3 +87,49 @@ def test_merge_upsert_schema_mismatch_raises(spark):
     bad = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError):
         merge_upsert(target, bad, "k")
+
+
+def test_point_in_time_join_randomized_against_python_lookup(spark):
+    """Randomized (seeded) correctness for point_in_time_join: build
+    random non-overlapping version chains per key (last version open),
+    random facts, and compare against a per-row pure-Python interval
+    lookup — every fact must pick exactly the version covering its
+    timestamp (valid_from <= ts < valid_to, open = infinity), facts
+    before a key's first version or for unknown keys get NULLs, and no
+    fact row is ever dropped or duplicated."""
+    import random
+
+    from randas_spark.operators.merge import point_in_time_join
+
+    rng = random.Random(1234)
+    dim_rows, chains = [], {}
+    for k in range(40):
+        n_ver = rng.randint(1, 5)
+        cuts = sorted(rng.sample(range(1, 1000), n_ver))
+        chain = []
+        for i, start in enumerate(cuts):
+            end = cuts[i + 1] if i + 1 < n_ver else None
+            val = float(k * 100 + i)
+            chain.append((start, end, val))
+            dim_rows.append((k, val, start, end))
+        chains[k] = chain
+    fact_rows = [
+        (fid, rng.randint(0, 44), rng.randint(0, 1100)) for fid in range(600)
+    ]
+
+    dim = spark.createDataFrame(
+        dim_rows, "k long, val double, valid_from long, valid_to long"
+    )
+    facts = spark.createDataFrame(fact_rows, "fid long, k long, ts long")
+    got = {
+        r.fid: r.val
+        for r in point_in_time_join(facts, dim, "k", "ts").collect()
+    }
+    assert len(got) == len(fact_rows)  # no drops, no dupes
+
+    for fid, k, ts in fact_rows:
+        want = None
+        for start, end, val in chains.get(k, []):
+            if start <= ts and (end is None or ts < end):
+                want = val
+        assert got[fid] == want, (fid, k, ts, got[fid], want)
