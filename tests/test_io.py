@@ -545,6 +545,11 @@ def test_webdataset_round_trip_reproducible_shards(spark, tmp):
         p1 = open(os.path.join(d1, f"shard-{s:05d}.tar"), "rb").read()
         p2 = open(os.path.join(d2, f"shard-{s:05d}.tar"), "rb").read()
         assert p1 == p2 and len(p1) == m.n_bytes
+        # the .idx sidecars are byte-reproducible too (sorted JSON keys,
+        # offsets derive from the deterministic tar layout)
+        i1 = open(os.path.join(d1, f"shard-{s:05d}.idx"), "rb").read()
+        i2 = open(os.path.join(d2, f"shard-{s:05d}.idx"), "rb").read()
+        assert i1 == i2 and len(i1) > 0
 
 
 def test_webdataset_index_sidecar(spark, tmp):

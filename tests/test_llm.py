@@ -2516,3 +2516,36 @@ def test_nb_lang_confusion_matches_python_replay(spark):
         for r in queries()["llm_nb_lang_confusion"](spark, SF_DIR).collect()
     }
     assert got == dict(expected)
+
+
+def test_ppjoin_threshold_and_length_filter_boundaries(spark):
+    """Crafted boundary cases for ppjoin_pairs (k=1 so shingle sets are
+    just distinct-token sets): (1) a containment pair at EXACTLY
+    J = t must be found — it also sits exactly on the length-filter
+    equality edge (n_a = t * n_b), so an off-by-one/strict-inequality
+    bug in either bound would drop it; (2) a pair just below t is
+    excluded; (3) disjoint docs never pair; results equal the plain
+    self-join at the same threshold."""
+    from randas_spark.operators.dedup import ngram_jaccard_pairs, ppjoin_pairs
+
+    rows = [
+        (1, "w1 w2"),                 # subset of doc 2: J(1,2) = 2/4 = 0.5 exactly
+        (2, "w1 w2 w3 w4"),
+        (3, "w1 w5 w6 w7 w8"),        # J(3,2) = 1/8, J(3,1) = 1/6 — below t
+        (4, "x1 x2 x3"),              # disjoint from everything
+        (5, "w1 w2 w3"),              # J(5,2) = 3/4, J(5,1) = 2/3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ppjoin_pairs(df, "doc_id", "text", k=1, threshold=0.5).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", k=1, threshold=0.5).collect()
+    }
+    assert got == want
+    assert (1, 2) in got and abs(got[(1, 2)] - 0.5) < 1e-15  # the boundary pair
+    assert (2, 5) in got or (5, 2) in got
+    assert all(4 not in pair for pair in got)
+    assert all(3 not in pair for pair in got)
