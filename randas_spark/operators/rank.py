@@ -68,3 +68,60 @@ def distributed_global_rank(
         .withColumn(out_col, (F.col("__off__") + F.col("__lrk__")).cast("long"))
         .drop("__pid__", "__lrk__", "__off__")
     )
+
+
+def distributed_prefix_max(
+    df: DataFrame,
+    order: list[Column],
+    value_col: str,
+    out_col: str = "prior_max",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Add ``out_col`` = max of ``value_col`` over all STRICTLY earlier
+    rows under the total order ``order`` (NULL for the first row) — a
+    distributed prefix scan, the same offsets trick as
+    :func:`distributed_global_rank` generalized from count to any
+    associative/commutative prefix aggregate:
+
+    1. range-repartition on the order key;
+    2. per-partition running max over earlier LOCAL rows (parallel);
+    3. an ``n_parts``-row per-partition max table, cumulative over
+       prior partitions and BROADCAST back;
+    4. row result = greatest(local prior, prior partitions' max).
+
+    A bare ``max() OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` puts
+    the whole dataset through one window task; this never does. The
+    motivating use is the watermark-lateness audit (an event's lateness
+    is how far the arrival-time high-water mark had already passed its
+    event time), but any running high-water/record-to-date computation
+    fits.
+    """
+    parts = df.repartitionByRange(n_parts, *order).sortWithinPartitions(*order)
+    local = parts.withColumn("__pid__", F.spark_partition_id()).withColumn(
+        "__lpm__",
+        F.max(value_col).over(
+            Window.partitionBy("__pid__")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    pstats = (
+        local.groupBy("__pid__")
+        .agg(F.max(value_col).alias("__pmx__"))
+        .withColumn(
+            "__prior__",
+            F.max("__pmx__").over(
+                Window.orderBy("__pid__").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("__pid__", "__prior__")
+    )
+    return (
+        local.join(F.broadcast(pstats), "__pid__")
+        # greatest() skips NULLs, so the first rows of the first
+        # partition (no local prior, no prior partition) stay NULL
+        .withColumn(out_col, F.greatest("__lpm__", "__prior__"))
+        .drop("__pid__", "__lpm__", "__prior__")
+    )

@@ -348,6 +348,66 @@ def stream_stream_full_outer_capped(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "stream_lateness_audit",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, ts::TIMESTAMP AS ts,
+               md5(CAST(event_id AS VARCHAR)) AS arr
+        FROM events
+    ), w AS (
+        SELECT ts,
+               max(epoch_us(ts)) OVER (
+                   ORDER BY arr, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS pm
+        FROM e
+    )
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN pm > epoch_us(ts) THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(max(CASE WHEN pm > epoch_us(ts) THEN pm - epoch_us(ts) ELSE 0 END) AS BIGINT) AS max_late_us
+    FROM w GROUP BY 1
+    """,
+)
+def stream_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness audit — the measurement that SIZES watermarks
+    (you cannot justify '2 hours' without the observed lateness
+    distribution): per event-time hour, how many events arrived after
+    the arrival-clock high-water mark had already passed their event
+    time, and by how much at worst. Arrival order is simulated by a
+    deterministic hash shuffle of event_id (the testdata file replays
+    in event-time order, which would make every lateness zero; on a
+    live stream the arrival clock is simply processing order).
+
+    Scale: the arrival high-water mark is a DISTRIBUTED prefix scan
+    (operators/rank.distributed_prefix_max — range-repartition +
+    per-partition running max + broadcast prior-partition maxima), so
+    the oracle's single-task unpartitioned window is the SPEC, never
+    the plan; the per-hour rollup is one map-combined groupBy."""
+    from randas_spark.operators.rank import distributed_prefix_max
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        F.md5(F.col("event_id").cast("string").cast("binary")).alias("arr"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    scanned = distributed_prefix_max(
+        e, [F.col("arr"), F.col("event_id")], "ts_us", out_col="pm"
+    )
+    late = F.col("pm") > F.col("ts_us")
+    return scanned.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
+        F.max(
+            F.when(late, F.col("pm") - F.col("ts_us")).otherwise(F.lit(0))
+        ).cast("long").alias("max_late_us"),
+    )
+
+
+@register(
     "stream_window_distinct_users",
     oracle="""
     SELECT CAST(date_trunc('hour', ts::TIMESTAMP) AS TIMESTAMP) AS window_start,

@@ -1527,3 +1527,32 @@ def test_distributed_global_rank_equals_single_window(spark):
     }
     assert got == want
     assert sorted(got.values()) == list(range(500))
+
+
+def test_distributed_prefix_max_equals_single_window(spark):
+    """operators/rank.distributed_prefix_max must equal the bare
+    unpartitioned running-max window (the spec it replaces), including
+    NULL for the global first row, across partition boundaries, under
+    a non-monotonic value sequence."""
+    from pyspark.sql import Window
+
+    from randas_spark.operators.rank import distributed_prefix_max
+
+    rows = [(i, ((i * 193) % 101) - 50) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    order = [F.col("id")]
+    got = {
+        r.id: r.prior_max
+        for r in distributed_prefix_max(df, order, "v", n_parts=8).collect()
+    }
+    want = {
+        r.id: r.prior_max
+        for r in df.withColumn(
+            "prior_max",
+            F.max("v").over(
+                Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        ).collect()
+    }
+    assert got == want
+    assert got[0] is None
