@@ -445,3 +445,79 @@ def quantile_bands(df: DataFrame, score_col: str, n_bands: int) -> DataFrame:
     return df.join(
         F.broadcast(bands), df[score_col] == bands["__s__"], "left"
     ).select(*[df[c] for c in df.columns], "band")
+
+
+def sequence_pack(
+    df: DataFrame,
+    id_col: str,
+    ntok_col: str,
+    pack_len: int,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Concat-and-chop sequence packing — the GPT-style training-batch
+    layout: order documents deterministically (md5 interleave, the
+    repo's standard engine-portable shuffle), concatenate their token
+    streams, and cut the stream every ``pack_len`` tokens. Documents may
+    span cuts; the output is one row per (document, pack) SEGMENT — the
+    shard map a training loader actually consumes:
+
+    - ``pack_id``       — 0-based pack (context window) index
+    - ``doc_start``     — the doc's global token-stream offset
+    - ``seg_start``     — segment start WITHIN the doc (0 for its first)
+    - ``seg_len``       — tokens of this doc inside this pack (>= 1)
+    - ``pack_offset``   — where the segment begins inside the pack
+
+    Packing is a pure function of the exclusive prefix sum of token
+    counts under the interleave order: a doc starting at global offset
+    ``s`` with ``n`` tokens spans packs ``s // L .. (s+n-1) // L``, and
+    each segment's bounds are modular arithmetic on (s, n, L) — all
+    int64, exact in both engines. Zero-token docs are excluded (they
+    occupy no stream positions).
+
+    Scale: the prefix sum is operators/rank.distributed_prefix_sum (two
+    narrow shuffles + a broadcast n_parts-row offset table — NO
+    single-task global window), the explode emits only
+    ceil(n / L) + 1 segments per doc, and everything else is scan-side
+    codegen. Every pack except the last is exactly full by
+    construction — the padding-waste question packing exists to answer
+    is 'how partial is the tail pack', which falls out of the segment
+    rows for free.
+    """
+    from randas_spark.operators.rank import distributed_prefix_sum
+
+    if pack_len <= 0:
+        raise ValueError(f"sequence_pack: pack_len must be positive, got {pack_len}")
+    L = F.lit(int(pack_len))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(ntok_col).cast("long").alias("n_tok"),
+        F.md5(F.col(id_col).cast("string")).alias("__ord__"),
+    ).filter(F.col("n_tok") > 0)
+    started = distributed_prefix_sum(
+        base,
+        [F.col("__ord__"), F.col("doc_id")],
+        "n_tok",
+        out_col="doc_start",
+        n_parts=n_parts,
+    )
+    segs = started.select(
+        "doc_id",
+        "n_tok",
+        "doc_start",
+        F.explode(
+            F.sequence(
+                (F.col("doc_start") / L).cast("long"),
+                ((F.col("doc_start") + F.col("n_tok") - 1) / L).cast("long"),
+            )
+        ).alias("pack_id"),
+    )
+    g0 = F.greatest(F.col("doc_start"), F.col("pack_id") * L)
+    g1 = F.least(F.col("doc_start") + F.col("n_tok"), (F.col("pack_id") + 1) * L)
+    return segs.select(
+        "doc_id",
+        "pack_id",
+        "doc_start",
+        (g0 - F.col("doc_start")).alias("seg_start"),
+        (g1 - g0).alias("seg_len"),
+        (g0 - F.col("pack_id") * L).alias("pack_offset"),
+    )

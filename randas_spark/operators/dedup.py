@@ -360,7 +360,19 @@ def ppjoin_pairs(
     per-doc sort_array — no single-task row_number funnel.
     Verification joins candidate pairs (already few) back to the two
     shingle arrays and intersects in-memory per pair.
+
+    Both pre-filters are made CONSERVATIVE against IEEE rounding: when
+    t*n is integral in exact arithmetic but the float product rounds up
+    (t=0.07, n=100 -> ceil gives 8 vs exact 7), a naive ceil(t*n) would
+    shorten the prefix and silently drop an exact-threshold pair. A
+    1e-9 slack keeps the prefix one longer / the length band one wider
+    in those cases; a longer prefix is always safe because the full
+    verification leg decides membership.
     """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(
+            f"ppjoin_pairs: threshold must be in (0, 1], got {threshold!r}"
+        )
     sh = fan_out(df).select(
         F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
     ).localCheckpoint()
@@ -373,8 +385,14 @@ def ppjoin_pairs(
         .agg(F.sort_array(F.collect_list(F.struct("f", "s"))).alias("ord"))
     )
     n = F.size("ord")
-    # prefix length |S| - ceil(t*|S|) + 1 (>=1 always: t <= 1)
-    plen = n - F.ceil(F.lit(float(threshold)) * n).cast("int") + 1
+    # prefix length |S| - ceil(t*|S| - eps) + 1 (>=1 always: t <= 1);
+    # the eps makes the ceil conservative where float t*n rounds above
+    # the exact integer product (see docstring)
+    plen = (
+        n
+        - F.ceil(F.lit(float(threshold)) * n - F.lit(1e-9)).cast("int")
+        + 1
+    )
     # MATERIALIZED once: both candidate-join sides explode this frame
     pref = ordered.select(
         "doc_id",
@@ -406,8 +424,8 @@ def ppjoin_pairs(
             ex_b,
             (ex_a["s"] == ex_b["s"])
             & (F.col("id_a") < F.col("id_b"))
-            & (F.col("__na__").cast("double") >= t_lit * F.col("__nb__"))
-            & (F.col("__nb__").cast("double") >= t_lit * F.col("__na__")),
+            & (F.col("__na__").cast("double") >= t_lit * F.col("__nb__") - F.lit(1e-9))
+            & (F.col("__nb__").cast("double") >= t_lit * F.col("__na__") - F.lit(1e-9)),
         )
         .select("id_a", "id_b")
         .distinct()

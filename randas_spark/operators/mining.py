@@ -353,3 +353,65 @@ def bfs_hops(
         visited = visited.unionAll(nxt).localCheckpoint()
         frontier = nxt.select("node")
     return visited
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+    scale: int = 10**12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Fixed-round PageRank (Brin & Page '98) in EXACT int64 fixed-point:
+    ranks carry ``scale`` units of probability mass, and both the
+    per-edge contribution ``(r * damp_num) div (damp_den * outdeg)`` and
+    the teleport base ``(scale * (damp_den - damp_num)) div
+    (damp_den * N)`` are integer divisions — order-free, overflow-safe
+    (max intermediate = scale * damp_num ≈ 8.5e13 « 2^63), and
+    bit-identical in any engine with integral division (Spark ``div``,
+    DuckDB ``//``), which is what makes a value-hash oracle possible for
+    an iterative graph algorithm. Callers pass a DIRECTED edge list with
+    no dangling sources (symmetrize an undirected graph first — then
+    every node has outdeg >= 1 and the damping-mass argument is exact).
+
+    Scale: each round is ONE join of the rank table onto the edge list
+    (shuffle on the join key) + ONE map-side-combinable groupBy(dst) —
+    the textbook distributed PageRank shape; the rank table is
+    localCheckpoint-ed per round so the lineage stays flat across
+    rounds instead of re-deriving round i-1 inside round i (the k-core
+    lesson). Driver state is a single scalar (N)."""
+    if rounds < 1:
+        raise ValueError(f"pagerank_int: rounds must be >= 1, got {rounds}")
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+    nodes = deg.select(F.col("s").alias("node"), "od").localCheckpoint()
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank_int: empty edge list")
+    base = (scale * (damp_den - damp_num)) // (damp_den * n)
+    r = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
+    for _ in range(rounds):
+        contrib = (
+            r.join(nodes, "node")
+            .join(e, F.col("node") == F.col("s"))
+            .select(
+                F.col("d").alias("node"),
+                F.expr(f"(r * {damp_num}) div ({damp_den} * od)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("tot"))
+        )
+        r = (
+            nodes.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("tot"), F.lit(0)))
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return r

@@ -125,3 +125,57 @@ def distributed_prefix_max(
         .withColumn(out_col, F.greatest("__lpm__", "__prior__"))
         .drop("__pid__", "__lpm__", "__prior__")
     )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order: list[Column],
+    value_col: str,
+    out_col: str = "prior_sum",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Add ``out_col`` = sum of ``value_col`` over all STRICTLY earlier
+    rows under the total order ``order`` (0 for the first row) — the
+    EXCLUSIVE prefix sum on the same two-narrow-shuffles +
+    broadcast-offsets plan as :func:`distributed_prefix_max`. A bare
+    ``sum() OVER (ORDER BY ...)`` is the single-task funnel this
+    module exists to kill.
+
+    Integer discipline: callers pass integer value columns (token
+    counts, byte sizes) so the scan is exact and order-free; the
+    motivating use is sequence packing (operators/corpus.sequence_pack),
+    where a doc's global token offset is exactly this prefix sum.
+    """
+    parts = df.repartitionByRange(n_parts, *order).sortWithinPartitions(*order)
+    local = parts.withColumn("__pid__", F.spark_partition_id()).withColumn(
+        "__lps__",
+        F.sum(value_col).over(
+            Window.partitionBy("__pid__")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    pstats = (
+        local.groupBy("__pid__")
+        .agg(F.sum(value_col).alias("__psm__"))
+        .withColumn(
+            "__prior__",
+            F.sum("__psm__").over(
+                Window.orderBy("__pid__").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("__pid__", "__prior__")
+    )
+    return (
+        local.join(F.broadcast(pstats), "__pid__")
+        .withColumn(
+            out_col,
+            (
+                F.coalesce(F.col("__lps__"), F.lit(0))
+                + F.coalesce(F.col("__prior__"), F.lit(0))
+            ).cast("long"),
+        )
+        .drop("__pid__", "__lps__", "__prior__")
+    )

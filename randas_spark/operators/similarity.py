@@ -499,6 +499,112 @@ def knn_graph_ivf(
     )
 
 
+def _pq_quantize(emb: DataFrame, id_col: str, vec_col: str, scale: float) -> DataFrame:
+    """(vid, qx) projection with the shared integer quantization atom —
+    ONE expression used by fit, encode, and query paths so the engines
+    (and the persisted index vs a fresh fit) can never drift."""
+    return emb.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+        ).alias("qx"),
+    )
+
+
+def _pq_sub_dist(j: int, sub: int, carr: list[float]) -> Column:
+    """Squared L2 between the j-th subvector of F.col('qx') and a literal
+    sub-centroid, folded in fixed order from 0.0 (bit-deterministic)."""
+    lit = F.array(*[F.lit(x) for x in carr])
+    return F.aggregate(
+        F.zip_with(
+            F.slice(F.col("qx"), j * sub + 1, sub),
+            lit,
+            lambda x, mu: (x.cast("double") - mu) * (x.cast("double") - mu),
+        ),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def _pq_code_col(j: int, sub: int, cents_j: list) -> Column:
+    """argmin sub-centroid for subspace j as a codegen'd F.least over
+    (dist, cluster) structs — ties break to the lower cluster id because
+    the struct comparison is lexicographic."""
+    structs = [
+        F.struct(_pq_sub_dist(j, sub, carr).alias("d"), F.lit(c).alias("c"))
+        for c, carr in cents_j
+    ]
+    best = structs[0] if len(structs) == 1 else F.least(*structs)
+    return best.getField("c").alias(f"code_{j}")
+
+
+def _pq_train(
+    v: DataFrame, m: int, sub: int, k_sub: int, n_iter: int
+) -> list[list]:
+    """Blocked joint Lloyd over all m subspaces (see knn_pq_adc's
+    docstring for the scan/shuffle accounting): returns
+    ``cents[j] = sorted [(cluster_id, [sub centroid coords as double])]``.
+    Driver state is m × k_sub × sub floats — bounded model state, the
+    only .collect() in the fit."""
+    from randas_spark.operators.sampling import _md5_hex
+
+    seed_rows = (
+        v.orderBy(_md5_hex(F.col("vid")), F.col("vid"))
+        .limit(k_sub)
+        .select(F.col("vid").alias("cluster"), "qx")
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("pq fit: input DataFrame is empty")
+    cents: list[list] = [
+        sorted(
+            (r["cluster"], [float(x) for x in r["qx"][j * sub : (j + 1) * sub]])
+            for r in seed_rows
+        )
+        for j in range(m)
+    ]
+    for _ in range(n_iter - 1):
+        assigned = v.select(
+            "qx", *[_pq_code_col(j, sub, cents[j]) for j in range(m)]
+        )
+        sums = (
+            assigned.select(
+                F.posexplode("qx").alias("pos0", "x"),
+                *[F.col(f"code_{j}") for j in range(m)],
+            )
+            .select(
+                "pos0",
+                "x",
+                F.element_at(
+                    F.array(*[F.col(f"code_{j}") for j in range(m)]),
+                    (F.col("pos0") / sub).cast("int") + 1,
+                ).alias("cluster"),
+            )
+            .groupBy("pos0", "cluster")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        acc: dict = {}
+        for r in sums:
+            acc.setdefault(r["pos0"] // sub, {}).setdefault(r["cluster"], {})[
+                r["pos0"] % sub
+            ] = (r["s"], r["cnt"])
+        cents = [
+            [
+                (
+                    c,
+                    [acc[j][c][p][0] / acc[j][c][p][1] for p in range(sub)]
+                    if c in acc.get(j, {})
+                    else prev,
+                )
+                for c, prev in cents[j]
+            ]
+            for j in range(m)
+        ]
+    return cents
+
+
 def knn_pq_adc(
     emb: DataFrame,
     id_col: str,
@@ -546,112 +652,40 @@ def knn_pq_adc(
     knn_ivf_det's cell assignment feeding this encoder; kept separate so
     each stage carries its own oracle.
     """
-    from randas_spark.operators.sampling import _md5_hex
-
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
 
-    v = emb.select(
-        F.col(id_col).alias("vid"),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
-        ).alias("qx"),
-    ).localCheckpoint()
-
-    seed_rows = (
-        v.orderBy(_md5_hex(F.col("vid")), F.col("vid"))
-        .limit(k_sub)
-        .select(F.col("vid").alias("cluster"), "qx")
-        .collect()
-    )
-    if not seed_rows:
-        raise ValueError("knn_pq_adc: input DataFrame is empty")
-    # cents[j] = sorted [(cluster_id, [sub centroid coords as double])]
-    cents: list[list] = [
-        sorted(
-            (r["cluster"], [float(x) for x in r["qx"][j * sub : (j + 1) * sub]])
-            for r in seed_rows
-        )
-        for j in range(m)
-    ]
-
-    def sub_dist(j: int, carr: list[float]) -> Column:
-        lit = F.array(*[F.lit(x) for x in carr])
-        return F.aggregate(
-            F.zip_with(
-                F.slice(F.col("qx"), j * sub + 1, sub),
-                lit,
-                lambda x, mu: (x.cast("double") - mu) * (x.cast("double") - mu),
-            ),
-            F.lit(0.0),
-            lambda acc, z: acc + z,
-        )
-
-    def code_col(j: int) -> Column:
-        structs = [
-            F.struct(sub_dist(j, carr).alias("d"), F.lit(c).alias("c"))
-            for c, carr in cents[j]
-        ]
-        best = structs[0] if len(structs) == 1 else F.least(*structs)
-        return best.getField("c").alias(f"code_{j}")
-
-    for _ in range(n_iter - 1):
-        assigned = v.select("qx", *[code_col(j) for j in range(m)])
-        sums = (
-            assigned.select(
-                F.posexplode("qx").alias("pos0", "x"),
-                *[F.col(f"code_{j}") for j in range(m)],
-            )
-            .select(
-                "pos0",
-                "x",
-                F.element_at(
-                    F.array(*[F.col(f"code_{j}") for j in range(m)]),
-                    (F.col("pos0") / sub).cast("int") + 1,
-                ).alias("cluster"),
-            )
-            .groupBy("pos0", "cluster")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        )
-        acc: dict = {}
-        for r in sums:
-            acc.setdefault(r["pos0"] // sub, {}).setdefault(r["cluster"], {})[
-                r["pos0"] % sub
-            ] = (r["s"], r["cnt"])
-        cents = [
-            [
-                (
-                    c,
-                    [
-                        acc[j][c][p][0] / acc[j][c][p][1]
-                        for p in range(sub)
-                    ]
-                    if c in acc.get(j, {})
-                    else prev,
-                )
-                for c, prev in cents[j]
-            ]
-            for j in range(m)
-        ]
-
+    v = _pq_quantize(emb, id_col, vec_col, scale).localCheckpoint()
+    cents = _pq_train(v, m, sub, k_sub, n_iter)
     enc = v.select(
-        F.col("vid").alias("cid"), *[code_col(j) for j in range(m)]
+        F.col("vid").alias("cid"),
+        *[_pq_code_col(j, sub, cents[j]) for j in range(m)],
     )
 
     # queries come from the SAME checkpointed quantized corpus (no
-    # second scan, no second copy of the quantize expression to drift),
-    # and each LUT is one explode over a literal (code, dist) struct
-    # array — not k_sub unionAll legs each re-deriving the query plan
+    # second scan, no second copy of the quantize expression to drift)
     q = v.filter(F.col("vid") < n_queries).select(F.col("vid").alias("qid"), "qx")
+    return _pq_score(enc, q, cents, m, sub, top_k)
+
+
+def _pq_score(
+    enc: DataFrame, q: DataFrame, cents: list[list], m: int, sub: int, top_k: int
+) -> DataFrame:
+    """Query-time half of PQ-ADC: broadcast per-query lookup tables
+    (each LUT is one explode over a literal (code, dist) struct array —
+    not k_sub unionAll legs each re-deriving the query plan), m
+    broadcast hash-joins onto the code columns, a fixed-order m-term
+    sum (bit-deterministic regardless of partitioning), row_number
+    top-k. ``enc`` may be a freshly encoded frame (knn_pq_adc) or a
+    persisted codes table scan (knn_pq_query) — the plan is identical
+    either way: codes scan + broadcast joins + one window."""
     luts = []
     for j in range(m):
         entries = F.array(
             *[
                 F.struct(
-                    F.lit(c).alias("code"), sub_dist(j, carr).alias("d")
+                    F.lit(c).alias("code"), _pq_sub_dist(j, sub, carr).alias("d")
                 )
                 for c, carr in cents[j]
             ]
@@ -682,3 +716,104 @@ def knn_pq_adc(
         .filter(F.col("rk") <= top_k)
         .select("qid", "cid", "adc_dist", "rk")
     )
+
+
+def pq_build_index(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dir: str,
+    dim: int = 64,
+    m: int = 4,
+    k_sub: int = 8,
+    n_iter: int = 2,
+    scale: float = 512.0,
+) -> None:
+    """BUILD half of the persisted PQ index: train the deterministic
+    joint Lloyd codebooks, encode the corpus, and persist both as plain
+    parquet tables under ``out_dir``:
+
+    - ``codes.parquet``   — (cid long, code_0..code_{m-1} long): the
+      64x-compressed corpus representation; the ONLY per-row artifact.
+    - ``codebooks.parquet`` — (j int, cluster long, carr array<double>):
+      m × k_sub rows of model state.
+
+    This is the shape a 100 TB vector corpus actually needs: the fit
+    (corpus scans + Lloyd shuffles) runs ONCE at ingest, and every
+    query after that is knn_pq_query's scan-plus-broadcast plan against
+    the codes table. Determinism makes the split lossless: the
+    persisted constants are exactly what a fresh fit would produce, so
+    query results are bit-identical to knn_pq_adc's fused fit+query
+    (and the same DuckDB oracle that replays the fit still hash-matches
+    the persisted path — parquet round-trips doubles and longs exactly).
+    An ``_INDEX_OK`` marker commits the pair atomically-enough for the
+    build-if-absent pattern: readers treat a dir without the marker as
+    absent and rebuild."""
+    import os
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    v = _pq_quantize(emb, id_col, vec_col, scale).localCheckpoint()
+    cents = _pq_train(v, m, sub, k_sub, n_iter)
+    enc = v.select(
+        F.col("vid").alias("cid"),
+        *[_pq_code_col(j, sub, cents[j]) for j in range(m)],
+    )
+    enc.write.mode("overwrite").parquet(os.path.join(out_dir, "codes.parquet"))
+    spark = emb.sparkSession
+    cb_rows = [
+        (j, int(c), [float(x) for x in carr])
+        for j in range(m)
+        for c, carr in cents[j]
+    ]
+    spark.createDataFrame(
+        cb_rows, "j int, cluster long, carr array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "codebooks.parquet")
+    )
+    with open(os.path.join(out_dir, "_INDEX_OK"), "w") as fh:
+        fh.write("ok\n")
+
+
+def pq_index_ready(out_dir: str) -> bool:
+    """True when ``out_dir`` holds a committed PQ index (marker present)."""
+    import os
+
+    return os.path.exists(os.path.join(out_dir, "_INDEX_OK"))
+
+
+def knn_pq_query(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    dim: int = 64,
+    m: int = 4,
+    top_k: int = 10,
+    scale: float = 512.0,
+) -> DataFrame:
+    """QUERY half of the persisted PQ index: load the m × k_sub codebook
+    rows (bounded model state — the only .collect()), quantize the query
+    vectors with the shared atom, and score against the persisted codes
+    table. The plan is exactly the 100 TB steady-state shape: ONE scan
+    of the (64x-compressed) codes parquet + m broadcast LUT joins + one
+    top-k window — no corpus scan of raw vectors, no Lloyd iteration,
+    no checkpoint."""
+    import os
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    spark = queries.sparkSession
+    cb = spark.read.parquet(os.path.join(index_dir, "codebooks.parquet")).collect()
+    cents: list[list] = [[] for _ in range(m)]
+    for r in sorted(cb, key=lambda r: (r["j"], r["cluster"])):
+        cents[r["j"]].append((r["cluster"], [float(x) for x in r["carr"]]))
+    if any(not cj for cj in cents):
+        raise ValueError(f"knn_pq_query: codebooks at {index_dir} missing a subspace")
+    enc = spark.read.parquet(os.path.join(index_dir, "codes.parquet"))
+    q = _pq_quantize(queries, id_col, vec_col, scale).select(
+        F.col("vid").alias("qid"), "qx"
+    )
+    return _pq_score(enc, q, cents, m, sub, top_k)

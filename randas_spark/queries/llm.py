@@ -3970,6 +3970,44 @@ def llm_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_pq_adc(emb, "vec_id", "embedding")
 
 
+@register("llm_knn_pq_persisted", oracle=_pq_oracle())
+def llm_knn_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index PQ ANN: the fit/query SPLIT of llm_knn_pq_adc
+    (VERDICT r8 order #2). The codebooks + corpus codes are built ONCE
+    per (sf, params) into a parquet index under benchdata/ by
+    operators/similarity.pq_build_index (build-if-absent, marker-file
+    committed), and the registered query is operators/similarity.
+    knn_pq_query — a scan of the 64x-compressed codes table + m
+    broadcast LUT joins + one top-k window. No Lloyd iteration, no raw
+    corpus scan, no checkpoint in the measured plan: this is the
+    steady-state latency a 100 TB vector corpus pays per query batch.
+    Results are bit-identical to llm_knn_pq_adc (deterministic fit +
+    exact parquet round-trip of doubles/longs), so the same DuckDB
+    oracle that replays the fit hash-matches the persisted path — that
+    identity IS the proof the persistence layer is lossless."""
+    import os
+
+    from randas_spark.operators.similarity import (
+        knn_pq_query,
+        pq_build_index,
+        pq_index_ready,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "benchdata",
+        "pq_index",
+        f"{sf_tag}_m4k8i2s512_v1",
+    )
+    if not pq_index_ready(index_dir):
+        pq_build_index(emb, "vec_id", "embedding", index_dir)
+    return knn_pq_query(
+        emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", index_dir
+    )
+
+
 @register(
     "llm_tokenizer_fertility",
     oracle=f"""
@@ -5053,3 +5091,58 @@ def llm_pca_project2(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.col("pc1"), 6).alias("pc1"),
         fround(F.col("pc2"), 6).alias("pc2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (round 9)
+# --------------------------------------------------------------------------
+
+_PACK_LEN = 512
+
+
+@register(
+    "llm_sequence_pack",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {sql_token_count_bpe_ish('text')} AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS ord
+        FROM documents
+    ), nz AS (SELECT * FROM d WHERE n_tok > 0),
+    st AS (
+        SELECT doc_id, n_tok,
+               CAST(coalesce(sum(n_tok) OVER (
+                   ORDER BY ord, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS doc_start
+        FROM nz
+    )
+    SELECT doc_id,
+           pack_id,
+           doc_start,
+           greatest(doc_start, pack_id * {_PACK_LEN}) - doc_start AS seg_start,
+           least(doc_start + n_tok, (pack_id + 1) * {_PACK_LEN})
+               - greatest(doc_start, pack_id * {_PACK_LEN}) AS seg_len,
+           greatest(doc_start, pack_id * {_PACK_LEN})
+               - pack_id * {_PACK_LEN} AS pack_offset
+    FROM st, UNNEST(generate_series(
+                 doc_start // {_PACK_LEN},
+                 (doc_start + n_tok - 1) // {_PACK_LEN})) AS u(pack_id)
+    """,
+)
+def llm_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing (operators/corpus.sequence_pack):
+    md5-interleave the corpus, concatenate token streams, cut every 512
+    tokens — one row per (doc, pack) segment, the shard map a training
+    loader consumes. The global token offset rides operators/rank.
+    distributed_prefix_sum (two narrow shuffles + a 32-row broadcast
+    offset table — the r8 prefix-scan primitive, never a single-task
+    global window); everything downstream is int64 modular arithmetic,
+    exact in both engines. The oracle's unpartitioned window is the
+    SPEC, not the plan."""
+    from randas_spark.functions.text import token_count_bpe_ish
+    from randas_spark.operators.corpus import sequence_pack
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_bpe_ish(F.col("text")).alias("n_tok")
+    )
+    return sequence_pack(d, "doc_id", "n_tok", _PACK_LEN)

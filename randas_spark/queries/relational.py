@@ -2486,6 +2486,74 @@ def _sql_kcore_copurchase(k: int, rounds: int) -> str:
     )
 
 
+def _sql_pagerank_copurchase(rounds: int = 3, scale: int = 10**12) -> str:
+    """Unrolled fixed-point PageRank oracle: ``rounds`` exact int64
+    power-iteration passes over the symmetrized co-purchase graph,
+    mirroring operators/mining.pagerank_int's integer recurrence
+    (DuckDB ``//`` == Spark ``div`` on non-negative int64). AS
+    MATERIALIZED per round (the k-core/BPE lazy-CTE-chain lesson)."""
+    ctes = [
+        "items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)",
+        """e0 AS MATERIALIZED (
+            SELECT pa, pb FROM (
+                SELECT a.pk AS pa, b.pk AS pb, count(*) AS c
+                FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                GROUP BY a.pk, b.pk
+            ) WHERE c >= 2
+        )""",
+        "ed AS MATERIALIZED (SELECT pa AS s, pb AS d FROM e0 UNION ALL SELECT pb, pa FROM e0)",
+        "deg AS MATERIALIZED (SELECT s AS node, CAST(count(*) AS BIGINT) AS od FROM ed GROUP BY s)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM deg)",
+        f"r0 AS MATERIALIZED (SELECT node, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS r FROM deg)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+                SELECT deg.node,
+                       CAST(({scale} * 15) // (100 * (SELECT n FROM nn))
+                            + coalesce(c.tot, 0) AS BIGINT) AS r
+                FROM deg LEFT JOIN (
+                    SELECT ed.d AS node,
+                           CAST(sum((p.r * 85) // (100 * dg.od)) AS BIGINT) AS tot
+                    FROM r{i - 1} p
+                    JOIN ed ON ed.s = p.node
+                    JOIN deg dg ON dg.node = p.node
+                    GROUP BY ed.d
+                ) c ON c.node = deg.node
+            )"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, r AS pagerank FROM r{rounds}"
+
+
+@register("rel_pagerank", oracle=_sql_pagerank_copurchase(rounds=3))
+def rel_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank on the symmetrized part co-purchase graph
+    (operators/mining.pagerank_int): 3 exact int64 power-iteration
+    rounds, ranks in 1e12 fixed-point units. Completes the graph-
+    analytics family (triangles, k-core, BFS, star-CC) with the
+    canonical iterative-importance algorithm — and shows the repo's
+    integer-atom discipline extends to iterative graph math: integral
+    division (Spark ``div`` / DuckDB ``//``) makes every round
+    bit-identical across engines, so an iterative PageRank carries a
+    full value-hash oracle. Each round is one edge join + one
+    map-side-combinable groupBy; ranks are checkpointed per round to
+    keep lineage flat."""
+    from randas_spark.operators.mining import basket_pair_counts, pagerank_int
+
+    li = t(spark, sf_dir, "lineitem")
+    und = (
+        basket_pair_counts(li, "l_orderkey", "l_partkey")
+        .filter(F.col("pair_count") >= 2)
+        .select(F.col("item_a").alias("pa"), F.col("item_b").alias("pb"))
+    )
+    edges = und.select(F.col("pa").alias("s"), F.col("pb").alias("d")).unionAll(
+        und.select(F.col("pb").alias("s"), F.col("pa").alias("d"))
+    )
+    return pagerank_int(edges, "s", "d", rounds=3).select(
+        "node", F.col("r").alias("pagerank")
+    )
+
+
 def _sql_bfs_promo(rounds: int) -> str:
     """Unrolled multi-source BFS oracle: ``rounds`` frontier expansions
     over the co-purchase graph from the PROMO-part sources. AS

@@ -314,7 +314,8 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                COALESCE(c.user_id, p.user_id) AS user_id,
                epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
                row_number() OVER (
-                   PARTITION BY COALESCE(c.event_id, -p.event_id)
+                   PARTITION BY (c.event_id IS NULL),
+                                COALESCE(c.event_id, p.event_id)
                    ORDER BY p.ts ASC NULLS LAST, p.event_id ASC NULLS LAST
                ) AS rn
         FROM (SELECT * FROM e WHERE event_type = 'click') c
@@ -334,13 +335,61 @@ def stream_stream_full_outer_capped(spark: SparkSession, sf_dir: str) -> DataFra
     slope reading on stream_stream_full_outer. Orphan purchases and
     unconverted clicks still emit; matched-but-not-first purchases are
     dropped — that drop is the cap (precise coverage contract on the
-    operator docstring). The synthetic window key
-    coalesce(click_id, -purchase_id) avoids a null-key skew
-    partition."""
+    operator docstring; stream_capped_drop_audit makes the dropped-row
+    count observable). The composite window key
+    (click_id IS NULL, coalesce(click_id, purchase_id)) gives each
+    orphan purchase a unique synthetic key with no null-key skew
+    partition AND no collision with click keys for 0/signed id
+    domains."""
     from randas_spark.streaming.engine import click_purchase_first_touch
 
     e = t(spark, sf_dir, "events")
     return click_purchase_first_touch(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+    )
+
+
+@register(
+    "stream_capped_drop_audit",
+    oracle="""
+    WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type FROM events),
+    pairs AS (
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id, p.ts AS purchase_ts
+        FROM (SELECT * FROM e WHERE event_type = 'click') c
+        JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY click_id
+                   ORDER BY purchase_ts ASC, purchase_id ASC
+               ) AS rn
+        FROM pairs
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs_uncapped,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_capped,
+           CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pairs_dropped,
+           CAST(count(DISTINCT purchase_id)
+                - count(DISTINCT CASE WHEN rn = 1 THEN purchase_id END) AS BIGINT)
+               AS n_purchases_dropped
+    FROM ranked
+    """,
+)
+def stream_capped_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss accounting for the first-touch cap (VERDICT r8 order #6,
+    streaming/engine.first_touch_drop_audit): one row quantifying
+    exactly what stream_stream_full_outer_capped's coverage contract
+    drops — matched-pair rows lost to the cap and qualifying purchases
+    that appear in no capped output row. capped + dropped = uncapped by
+    construction, and a pytest asserts the identity against the two
+    real join outputs."""
+    from randas_spark.streaming.engine import first_touch_drop_audit
+
+    e = t(spark, sf_dir, "events")
+    return first_touch_drop_audit(
         e.filter(F.col("event_type") == "click"),
         e.filter(F.col("event_type") == "purchase"),
         horizon="1 hour",

@@ -294,17 +294,27 @@ def _attribution_state(
                     out_rows.append((key[0], int(ev), None, None))
             elif et in ("click", "view"):
                 touch_id, touch_us = int(ev), ts_us
-    state.update((touch_id, touch_us))
-    if evict and touch_us is not None:
-        # schedule eviction at touch + lookback; clamp to watermark+1
-        # (evicting later than semantically needed is always safe — the
-        # identity argument only requires >= the lookback horizon)
-        state.setTimeoutTimestamp(
-            max(
-                touch_us // 1000 + _ATTR_LOOKBACK_US // 1000,
-                state.getCurrentWatermarkMs() + 1,
+    if evict and touch_us is None:
+        # purchase-only users carry no touch: (None, None) state is
+        # emission-identical to NO state (a purchase against either
+        # emits the unattributed row), so drop it rather than pinning
+        # an idle key in the store forever — without this, the "live
+        # state shrinks to users ACTIVE within the horizon" bound fails
+        # for the purchase-only class of keys
+        if state.exists:
+            state.remove()
+    else:
+        state.update((touch_id, touch_us))
+        if evict:
+            # schedule eviction at touch + lookback; clamp to watermark+1
+            # (evicting later than semantically needed is always safe —
+            # the identity argument only requires >= the lookback horizon)
+            state.setTimeoutTimestamp(
+                max(
+                    touch_us // 1000 + _ATTR_LOOKBACK_US // 1000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
             )
-        )
     yield pd.DataFrame(
         out_rows, columns=["user_id", "purchase_event_id", "touch_event_id", "mins_since_touch"]
     )
@@ -619,10 +629,16 @@ def click_purchase_first_touch(
     the uncapped form when every matched pair matters.
 
     Plan: ONE full-outer interval join (shuffle on user_id), then a
-    row_number window partitioned by ``coalesce(click_id, -purchase_id)``
-    — orphan purchases get a unique synthetic key each, so there is no
-    null-key skew partition, and the cap costs one additional shuffle on
-    a key that is unique-per-output-row (perfectly spread).
+    row_number window partitioned by the composite key
+    ``(click_id IS NULL, coalesce(click_id, purchase_id))`` — orphan
+    purchases get a unique synthetic key each, so there is no null-key
+    skew partition, and the cap costs one additional shuffle on a key
+    that is unique-per-output-row (perfectly spread). The boolean arm
+    keeps click keys and orphan-purchase keys in DISJOINT spaces
+    regardless of the id domain (the earlier ``coalesce(click_id,
+    -purchase_id)`` form collided when ids could be 0 or signed,
+    merging a click's partition with an orphan's and letting the rn=1
+    cap drop a real row).
 
     Streaming deployment note: row_number isn't stream-executable; on a
     live stream the same cap is the append-mode interval join followed by
@@ -649,7 +665,10 @@ def click_purchase_first_touch(
         & (F.col("purchase_ts") < F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
     )
     j = c.join(p, cond, "fullOuter")
-    part = F.coalesce(F.col("click_id"), -F.col("purchase_id"))
+    part = F.struct(
+        F.col("click_id").isNull().alias("is_orphan"),
+        F.coalesce(F.col("click_id"), F.col("purchase_id")).alias("key_id"),
+    )
     w = Window.partitionBy(part).orderBy(
         F.col("purchase_ts").asc_nulls_last(), F.col("purchase_id").asc_nulls_last()
     )
@@ -665,6 +684,63 @@ def click_purchase_first_touch(
                 - F.unix_micros(F.col("click_ts"))
             ).alias("lag_us"),
         )
+    )
+
+
+def first_touch_drop_audit(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Loss accounting for :func:`click_purchase_first_touch` (VERDICT
+    r8 order #6): the cap's coverage contract DROPS matched-but-not-first
+    purchase pairs, and this audit makes that loss a number instead of a
+    docstring. One row:
+
+    - ``n_pairs_uncapped``    — matched pairs the uncapped join emits
+    - ``n_pairs_capped``      — matched rows the capped join emits
+      (= clicks with >= 1 qualifying purchase; each emits exactly once)
+    - ``n_pairs_dropped``     — the cap's row loss (uncapped - capped)
+    - ``n_purchases_dropped`` — qualifying purchases that appear in NO
+      capped output row (matched somewhere, first-touch nowhere)
+
+    Invariant by construction: capped + dropped = uncapped (a pytest
+    asserts it against the two real join outputs on the fixture). Plan:
+    the SAME inner interval join as the uncapped form (shuffle on
+    user_id), one first-touch window, one global aggregate — null rows
+    never enter, so the audit costs strictly less than the uncapped
+    join it accounts for."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    pairs = c.join(p, cond, "inner").select("click_id", "purchase_id", "purchase_ts")
+    w = Window.partitionBy("click_id").orderBy(
+        F.col("purchase_ts").asc(), F.col("purchase_id").asc()
+    )
+    ranked = pairs.withColumn("__rn__", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_pairs_uncapped"),
+        F.sum((F.col("__rn__") == 1).cast("long")).alias("n_pairs_capped"),
+        (
+            F.count(F.lit(1))
+            - F.sum((F.col("__rn__") == 1).cast("long"))
+        ).alias("n_pairs_dropped"),
+        (
+            F.count_distinct(F.col("purchase_id"))
+            - F.count_distinct(F.when(F.col("__rn__") == 1, F.col("purchase_id")))
+        ).alias("n_purchases_dropped"),
     )
 
 

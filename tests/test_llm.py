@@ -2294,6 +2294,39 @@ def test_quantile_bands_ties_share_band_and_repartition_invariant(spark):
     assert out2 == out
 
 
+def test_pq_persisted_index_query_matches_fused(spark, tmp_path):
+    """The fit/query split (pq_build_index + knn_pq_query, VERDICT r8
+    order #2) must be BIT-identical to the fused knn_pq_adc — the
+    deterministic fit plus parquet's exact round-trip of doubles/longs
+    makes the persistence layer lossless, and this identity is the
+    proof. Also pins the marker protocol (no _INDEX_OK => not ready)."""
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.similarity import (
+        knn_pq_adc,
+        knn_pq_query,
+        pq_build_index,
+        pq_index_ready,
+    )
+    from randas_spark.queries import t
+
+    emb = t(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "pqidx")
+    assert not pq_index_ready(idx)
+    pq_build_index(emb, "vec_id", "embedding", idx)
+    assert pq_index_ready(idx)
+    fused = sorted(
+        tuple(r) for r in knn_pq_adc(emb, "vec_id", "embedding").collect()
+    )
+    split = sorted(
+        tuple(r)
+        for r in knn_pq_query(
+            emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", idx
+        ).collect()
+    )
+    assert fused == split  # includes exact adc_dist doubles
+
+
 def test_knn_pq_adc_matches_numpy_replay(spark):
     """Independent numpy replay of the full PQ pipeline — per-subspace
     md5-seeded quantized Lloyd, code assignment, query LUT, fixed-order
@@ -2549,3 +2582,99 @@ def test_ppjoin_threshold_and_length_filter_boundaries(spark):
     assert (2, 5) in got or (5, 2) in got
     assert all(4 not in pair for pair in got)
     assert all(3 not in pair for pair in got)
+
+
+def test_ppjoin_ieee_ceil_boundary_pair_not_dropped(spark):
+    """r8 ADVICE regression: t=0.07 is one of the ~290 (t, n) pairs where
+    the IEEE product t*n rounds ABOVE the exact integer (0.07*100 =
+    7.000000000000001, so ceil gives 8 vs exact 7). A containment pair
+    |A|=7 ⊂ |B|=100 sits exactly at J = 7/100 = t and broke BOTH
+    pre-filters before the conservative-epsilon fix: B's prefix came out
+    one short (93 — excluding B's first shared shingle at sorted
+    position 94), and the SSJoin length filter pruned on
+    7.0 >= 7.000000000000001. Verified failing against the old bounds;
+    the verify leg makes the looser bounds lossless in the other
+    direction."""
+    from randas_spark.operators.dedup import ngram_jaccard_pairs, ppjoin_pairs
+
+    rows = [
+        (1, " ".join(f"s{i:03d}" for i in range(7))),            # A ⊂ B
+        (2, " ".join(f"s{i:03d}" for i in range(7))
+            + " " + " ".join(f"u{i:03d}" for i in range(93))),    # |B| = 100
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ppjoin_pairs(df, "doc_id", "text", k=1, threshold=0.07).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", k=1, threshold=0.07).collect()
+    }
+    assert (1, 2) in got and abs(got[(1, 2)] - 0.07) < 1e-15
+    assert got == want
+
+
+def test_ppjoin_rejects_invalid_threshold(spark):
+    """r8 ADVICE: threshold > 1 used to fail deep in an executor (F.slice
+    on a non-positive length); threshold <= 0 silently under-returned.
+    Both now raise loudly at entry, matching the pca_topk/webdataset
+    guard convention."""
+    import pytest as _pytest
+
+    from randas_spark.operators.dedup import ppjoin_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for bad in (0.0, -0.3, 1.0001, 7.0):
+        with _pytest.raises(ValueError, match="threshold"):
+            ppjoin_pairs(df, "doc_id", "text", k=1, threshold=bad)
+    # threshold == 1.0 is legal (exact-duplicate join)
+    assert ppjoin_pairs(df, "doc_id", "text", k=1, threshold=1.0).count() == 0
+
+
+def test_sequence_pack_tiles_the_stream_exactly(spark):
+    """sequence_pack invariants on a crafted corpus (pack_len=10): the
+    segments of each doc are contiguous and cover [0, n_tok); every
+    pack except the last is EXACTLY full; pack offsets tile each pack
+    left-to-right with no gaps or overlaps; zero-token docs are absent;
+    and the whole layout equals a Python replay of the md5-interleave
+    concat-and-chop."""
+    import hashlib
+
+    from randas_spark.operators.corpus import sequence_pack
+
+    rows = [(i, n) for i, n in [(1, 7), (2, 13), (3, 0), (4, 25), (5, 3), (6, 2)]]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    segs = sequence_pack(df, "doc_id", "n_tok", 10).collect()
+
+    # python replay
+    order = sorted(
+        [r for r in rows if r[1] > 0],
+        key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]),
+    )
+    want, start = [], 0
+    for doc, n in order:
+        for p in range(start // 10, (start + n - 1) // 10 + 1):
+            g0, g1 = max(start, p * 10), min(start + n, (p + 1) * 10)
+            want.append((doc, p, start, g0 - start, g1 - g0, g0 - p * 10))
+        start += n
+    assert sorted(tuple(r) for r in segs) == sorted(want)
+
+    total = sum(n for _, n in order)
+    per_pack = {}
+    for r in segs:
+        per_pack[r.pack_id] = per_pack.get(r.pack_id, 0) + r.seg_len
+    last = max(per_pack)
+    assert all(v == 10 for p, v in per_pack.items() if p != last)
+    assert per_pack[last] == total - 10 * last
+    assert all(r.doc_id != 3 for r in segs)
+
+
+def test_sequence_pack_rejects_bad_pack_len(spark):
+    import pytest as _pytest
+
+    from randas_spark.operators.corpus import sequence_pack
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tok long")
+    with _pytest.raises(ValueError, match="pack_len"):
+        sequence_pack(df, "doc_id", "n_tok", 0)

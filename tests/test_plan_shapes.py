@@ -1,0 +1,84 @@
+"""Pin the INTENDED physical plan shape of headline queries (VERDICT r8
+order #7).
+
+tools/plan_lint.py catches categorical anti-patterns (CartesianProduct,
+row-UDFs) across all registry plans; this file pins the load-bearing
+POSITIVE features of ~12 headline plans — which join strategy each join
+compiles to, and the exchange (shuffle) count — so a Spark upgrade, a
+stats change, or an innocent-looking refactor can't silently swap a
+broadcast join for a full shuffle (or grow a plan an extra Exchange)
+without failing the suite.
+
+Counts are transcribed from the executed-plan strings at sf0.001 (the
+suite's fixture scale; broadcast decisions are hint-driven in these
+queries, not size-estimated, so the shape is the intended one at every
+sf — the dims ARE broadcast-hinted in the repo, which is what this
+pins). Planning only: no query result is collected (index-building
+queries may run their build-time jobs once).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+#: query -> expected (BroadcastHashJoin, SortMergeJoin, Exchange) counts
+#: in the initial physical plan. SMJ is 0 EVERYWHERE today: every
+#: headline join either broadcasts a small side or reduces before
+#: joining; a nonzero SMJ count appearing here is exactly the silent
+#: plan regression this file exists to catch.
+PINNED = {
+    "q01_pricing_summary": (0, 0, 2),
+    "q03_shipping_priority": (2, 0, 3),
+    "q05_local_supplier_volume": (5, 0, 7),
+    "q09_product_profit": (4, 0, 5),
+    "q18_large_orders": (3, 0, 5),
+    "q21_waiting_supplier": (4, 0, 5),
+    "rel_join_orders_customer": (1, 0, 2),
+    "llm_dedup_exact": (0, 0, 1),
+    "llm_dedup_minhash_det": (4, 0, 7),
+    # m=4 broadcast LUT joins + the codes-table scan: the persisted-ANN
+    # steady-state plan — a 5th join or an SMJ here means the fit leaked
+    # back into the query path
+    "llm_knn_pq_persisted": (4, 0, 5),
+    "stream_stream_join_conversions": (1, 0, 1),
+}
+
+
+@pytest.fixture(scope="module")
+def registry():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+@pytest.mark.parametrize("name", sorted(PINNED))
+def test_headline_plan_shape_pinned(spark, registry, name):
+    bhj, smj, exch = PINNED[name]
+    df = registry[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    got = (
+        plan.count("BroadcastHashJoin"),
+        plan.count("SortMergeJoin"),
+        plan.count("Exchange"),
+    )
+    assert got == (bhj, smj, exch), (
+        f"{name}: plan shape drifted — (BroadcastHashJoin, SortMergeJoin, "
+        f"Exchange) = {got}, pinned {(bhj, smj, exch)}. If the change is "
+        f"intentional (new operator stage, Spark upgrade), re-transcribe "
+        f"the pin WITH a BENCH re-measurement justifying it."
+    )
+
+
+def test_bm25_single_broadcast_nested_loop_is_the_stats_join(spark, registry):
+    """llm_bm25_topk carries exactly ONE BroadcastNestedLoopJoin — the
+    scalar corpus-stats (N, avgdl) broadcast onto the term table, the
+    accepted tiny-side shape — plus two broadcast hash joins. A second
+    BNLJ (or a CartesianProduct, which plan-lint also forbids) means a
+    real join degraded."""
+    df = registry["llm_bm25_topk"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("SortMergeJoin") == 0

@@ -1556,3 +1556,48 @@ def test_distributed_prefix_max_equals_single_window(spark):
     }
     assert got == want
     assert got[0] is None
+
+
+def test_pagerank_int_matches_python_replay(spark):
+    """pagerank_int on a 4-node graph vs a driver-side Python replay of
+    the EXACT integer recurrence (Python // == Spark div == DuckDB //
+    on non-negative ints): path 1-2-3 plus a pendant 4 on node 2, so
+    the hub (2) must outrank leaves and total fixed-point mass stays
+    within the floor-division leak bound (N units lost per round max)."""
+    from randas_spark.operators.mining import pagerank_int
+
+    und = [(1, 2), (2, 3), (2, 4)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], "s long, d long"
+    )
+    got = {r.node: r.r for r in pagerank_int(edges, "s", "d", rounds=3).collect()}
+
+    # Python replay
+    SCALE, DN, DD, N = 10**12, 85, 100, 4
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    r = {v: SCALE // N for v in adj}
+    base = (SCALE * (DD - DN)) // (DD * N)
+    for _ in range(3):
+        nxt = {v: base for v in adj}
+        for u, nbrs in adj.items():
+            c = (r[u] * DN) // (DD * len(nbrs))
+            for v in nbrs:
+                nxt[v] += c
+        r = nxt
+    assert got == r
+    assert got[2] > got[1] and got[2] > got[3] and got[2] > got[4]
+    # floor-division leak: mass never exceeds SCALE, never drops > rounds*(2N+m) units
+    assert SCALE - 3 * (2 * N + 6) * 10 <= sum(got.values()) <= SCALE
+
+
+def test_pagerank_rejects_bad_rounds(spark):
+    from randas_spark.operators.mining import pagerank_int
+
+    import pytest as _pytest
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "s long, d long")
+    with _pytest.raises(ValueError, match="rounds"):
+        pagerank_int(edges, "s", "d", rounds=0)

@@ -720,6 +720,176 @@ def test_first_touch_caps_pairs_and_keeps_both_outer_sides(spark):
     assert len(capped) == 2 + 1 + 1
 
 
+def test_first_touch_drop_audit_identity(spark, batch_events):
+    """Loss accounting (VERDICT r8 order #6): on the real events fixture,
+    first_touch_drop_audit's numbers must reconcile exactly with the two
+    REAL join outputs — capped matched rows + n_pairs_dropped equals the
+    uncapped inner pair total, n_pairs_capped equals the capped join's
+    matched-row count, and n_purchases_dropped equals the set difference
+    of qualifying vs emitted purchase ids."""
+    from pyspark.sql import functions as F
+    from randas_spark.streaming.engine import (
+        click_purchase_conversions,
+        click_purchase_first_touch,
+        first_touch_drop_audit,
+    )
+
+    clicks = batch_events.filter(F.col("event_type") == "click")
+    purchases = batch_events.filter(F.col("event_type") == "purchase")
+
+    audit = first_touch_drop_audit(clicks, purchases, "1 hour").collect()[0]
+    uncapped = click_purchase_conversions(
+        clicks, purchases, "1 hour", how="inner"
+    ).collect()
+    capped = click_purchase_first_touch(clicks, purchases, "1 hour").collect()
+    capped_matched = [r for r in capped if r.click_id is not None and r.purchase_id is not None]
+
+    assert audit.n_pairs_uncapped == len(uncapped)
+    assert audit.n_pairs_capped == len(capped_matched)
+    assert audit.n_pairs_dropped == len(uncapped) - len(capped_matched)
+    assert audit.n_pairs_capped + audit.n_pairs_dropped == audit.n_pairs_uncapped
+    qualifying = {r.purchase_id for r in uncapped}
+    emitted = {r.purchase_id for r in capped_matched}
+    assert audit.n_purchases_dropped == len(qualifying - emitted)
+
+    # non-trivial loss on a crafted dense user (sf0.001 has no dense
+    # users, so the real-fixture leg above only proves the identity):
+    # 2 clicks x 3 purchases in one hour -> 6 pairs, 2 capped, 4 dropped,
+    # and purchases 4,5 (matched somewhere, first nowhere) are the
+    # dropped entities
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (1, base, "click", 7),
+        (2, base + timedelta(minutes=5), "click", 7),
+        (3, base + timedelta(minutes=10), "purchase", 7),
+        (4, base + timedelta(minutes=20), "purchase", 7),
+        (5, base + timedelta(minutes=30), "purchase", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, user_id long"
+    )
+    dense = first_touch_drop_audit(
+        df.filter(F.col("event_type") == "click"),
+        df.filter(F.col("event_type") == "purchase"),
+        "1 hour",
+    ).collect()[0]
+    assert tuple(dense) == (6, 2, 4, 2)
+
+
+def test_first_touch_zero_id_no_key_collision(spark):
+    """r8 ADVICE regression: the old synthetic window key
+    coalesce(click_id, -purchase_id) collided when ids could be 0 —
+    click_id=0 and an orphan purchase_id=0 landed in ONE partition, and
+    whichever sorted first evicted the other's row. The composite key
+    (click_id IS NULL, coalesce id) keeps the spaces disjoint: both rows
+    must survive."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+    from randas_spark.streaming.engine import click_purchase_first_touch
+
+    base = datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (0, base, "click", 7),                             # click with id 0
+        (5, base + timedelta(minutes=10), "purchase", 7),  # its first touch
+        (0, base, "purchase", 8),                          # orphan purchase id 0
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, user_id long"
+    )
+    out = {
+        (r.click_id, r.purchase_id)
+        for r in click_purchase_first_touch(
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+            "1 hour",
+        ).collect()
+    }
+    # the orphan's synthetic key must NOT merge with click 0's partition:
+    # the old key dropped (0, 5) because the orphan (purchase_ts=base)
+    # sorted first in the shared partition
+    assert out == {(0, 5), (None, 0)}
+
+
+def test_attribution_evict_removes_purchase_only_state():
+    """r8 ADVICE regression: in evict mode a purchases-only user used to
+    carry (None, None) state forever — no timeout was ever scheduled for
+    it, breaking the 'live state shrinks to active users' bound. The
+    kernel must now REMOVE such state (emission-identical: a purchase
+    against removed state and against (None, None) state both emit the
+    unattributed row), while click-bearing users still get a timeout."""
+    import pandas as pd
+
+    from randas_spark.streaming.engine import _attribution_state
+
+    class FakeState:
+        hasTimedOut = False
+
+        def __init__(self, value=None):
+            self.value = value
+            self.exists = value is not None
+            self.removed = False
+            self.timeout_ms = None
+
+        @property
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value, self.exists = v, True
+
+        def remove(self):
+            self.removed, self.exists, self.value = True, False, None
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    def rows(ids_ts_types):
+        return pd.DataFrame(
+            {
+                "event_id": [r[0] for r in ids_ts_types],
+                "ts": pd.to_datetime([r[1] for r in ids_ts_types]),
+                "event_type": [r[2] for r in ids_ts_types],
+            }
+        )
+
+    # purchase-only user, existing (None, None) state: must be removed,
+    # and the purchase still emits the unattributed row
+    st = FakeState(value=(None, None))
+    out = pd.concat(
+        list(
+            _attribution_state(
+                (7,), iter([rows([(5, "2024-01-01 10:00:00", "purchase")])]), st, evict=True
+            )
+        )
+    )
+    assert st.removed and not st.exists and st.timeout_ms is None
+    assert len(out) == 1 and pd.isna(out.iloc[0]["touch_event_id"])
+
+    # purchase-only user, FRESH state: nothing stored at all
+    st2 = FakeState()
+    list(
+        _attribution_state(
+            (8,), iter([rows([(6, "2024-01-01 10:00:00", "purchase")])]), st2, evict=True
+        )
+    )
+    assert not st2.exists and not st2.removed  # remove() skipped when absent
+
+    # click-bearing user still stores state and schedules the TTL
+    st3 = FakeState()
+    list(
+        _attribution_state(
+            (9,), iter([rows([(7, "2024-01-01 10:00:00", "click")])]), st3, evict=True
+        )
+    )
+    assert st3.exists and st3.value[0] == 7 and st3.timeout_ms is not None
+
+
 def test_stream_stream_left_outer_watermark_gated(spark, batch_events):
     """Left-outer stream-stream join: every MATCHED pair emits and
     equals the batch inner set; null (unconverted) rows emit ONLY for

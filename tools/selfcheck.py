@@ -5,7 +5,13 @@ on DuckDB over the same parquet tables, then compares row count, column
 names, and an order-insensitive value hash (columns sorted by name, rows
 sorted, floats rendered via repr of round(9)).
 
-Usage: python tools/selfcheck.py [sf_dir] [query ...]
+Usage: python tools/selfcheck.py [--json OUT.json] [sf_dir] [query ...]
+
+With ``--json`` the run also writes a machine-readable artifact (VERDICT
+r8 order #4): one record per query — ``{rows_match, schema_match,
+hash_match, err, n_rows, secs}`` — plus a summary block, so the
+full-registry correctness claim is a diffable committed file instead of
+a commit-message number. The stdout report is unchanged.
 """
 
 from __future__ import annotations
@@ -60,8 +66,14 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.01"
+    only = set(a for a in argv if not os.path.isdir(a))
 
     import duckdb
 
@@ -77,6 +89,18 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
+    records: dict[str, dict] = {}
+
+    def record(name, *, rows=None, schema=None, vhash=None, err=None, n_rows=None, secs=None):
+        records[name] = {
+            "rows_match": rows,
+            "schema_match": schema,
+            "hash_match": vhash,
+            "err": err,
+            "n_rows": n_rows,
+            "secs": round(secs, 2) if secs is not None else None,
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -87,11 +111,13 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {ex}")
+            record(name, err=f"spark error: {ex}"[:300], secs=time.time() - t0)
             n_fail += 1
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{dt:.1f}s]")
+            record(name, n_rows=len(srows), secs=dt)
             n_rowsonly += 1
             continue
         try:
@@ -100,17 +126,30 @@ def main() -> int:
             drows = rel.fetchall()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {ex}")
+            record(name, err=f"duckdb error: {ex}"[:300], n_rows=len(srows), secs=dt)
             n_fail += 1
             continue
         problems = []
-        if len(srows) != len(drows):
+        rows_ok = len(srows) == len(drows)
+        if not rows_ok:
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
-        if sorted(scols) != sorted(dcols):
+        schema_ok = sorted(scols) == sorted(dcols)
+        hash_ok = None
+        if not schema_ok:
             problems.append(f"columns spark={sorted(scols)} duckdb={sorted(dcols)}")
         else:
             hs, hd = table_hash(scols, srows), table_hash(dcols, drows)
-            if hs != hd:
+            hash_ok = hs == hd
+            if not hash_ok:
                 problems.append(f"valuehash spark={hs} duckdb={hd}")
+        record(
+            name,
+            rows=rows_ok,
+            schema=schema_ok,
+            vhash=hash_ok,
+            n_rows=len(srows),
+            secs=dt,
+        )
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)} [{dt:.1f}s]")
             if "valuehash" in "".join(problems) and len(srows) == len(drows):
@@ -127,6 +166,26 @@ def main() -> int:
             print(f"PASS  {name}: {len(srows)} rows [{dt:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_rowsonly,
+                    "n_registry": len(qs),
+                    "protocol": "tools/selfcheck.py full-oracle canon (round-9 format)",
+                    "queries": records,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+            fh.write("\n")
+        print(f"wrote {json_out} ({len(records)} records)")
     if only:
         unknown = only - set(qs)
         if unknown:
