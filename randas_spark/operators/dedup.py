@@ -373,6 +373,17 @@ def ppjoin_pairs(
         raise ValueError(
             f"ppjoin_pairs: threshold must be in (0, 1], got {threshold!r}"
         )
+    sh, cand = _ppjoin_candidates(df, id_col, text_col, k, threshold)
+    return _ppjoin_verify(sh, cand, threshold)
+
+
+def _ppjoin_candidates(
+    df: DataFrame, id_col: str, text_col: str, k: int, threshold: float
+):
+    """Candidate half of :func:`ppjoin_pairs`: (checkpointed shingle
+    frame, candidate (id_a, id_b) pairs). Split out so stage timing
+    (tools/ppjoin_stages.py) can adjudicate the candidate-join vs
+    verify-leg slopes independently without duplicating the plan."""
     sh = fan_out(df).select(
         F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
     ).localCheckpoint()
@@ -430,6 +441,12 @@ def ppjoin_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    return sh, cand
+
+
+def _ppjoin_verify(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Verify half of :func:`ppjoin_pairs`: join candidates back to both
+    shingle arrays, intersect per pair, keep J >= threshold."""
     verified = (
         cand.join(
             sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),

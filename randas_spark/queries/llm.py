@@ -5146,3 +5146,59 @@ def llm_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count_bpe_ish(F.col("text")).alias("n_tok")
     )
     return sequence_pack(d, "doc_id", "n_tok", _PACK_LEN)
+
+def _ngram_novelty_oracle() -> str:
+    from randas_spark.functions.text import sql_shingles
+
+    ratio = sql_fround(
+        "CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)"
+        " AS DOUBLE) / count(*)",
+        6,
+    )
+    return f"""
+    WITH ex AS (
+        SELECT doc_id, unnest({sql_shingles('text', 5)}) AS s FROM documents
+    ), firsts AS (
+        SELECT s, min(doc_id) AS first_doc FROM ex GROUP BY s
+    )
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           {ratio} AS novelty
+    FROM ex e JOIN firsts f ON f.s = e.s
+    GROUP BY e.doc_id
+    """
+
+
+@register("llm_ngram_novelty", oracle=_ngram_novelty_oracle())
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's distinct
+    5-shingles whose GLOBAL first occurrence (min doc_id) is this doc —
+    the curation signal behind crawl-ordering and incremental-ingest
+    triage ("how much text does this doc add that the corpus doesn't
+    already have"), the doc-level complement of the pairwise dedup
+    family. Plan: one shingle explode, one map-side-combinable
+    min-groupBy over shingles, one equi-join back on the shingle key,
+    one per-doc aggregate — every stage keyed and combinable, nothing
+    all-pairs. Ties (the same shingle in many docs) resolve to the
+    minimum doc_id on both engines, so the metric is deterministic and
+    fully value-hash checked."""
+    from randas_spark.functions.text import shingles
+    from randas_spark.operators.dedup import fan_out
+
+    d = fan_out(t(spark, sf_dir, "documents")).select(
+        "doc_id", shingles(F.col("text"), 5).alias("sh")
+    )
+    ex = d.select("doc_id", F.explode("sh").alias("s"))
+    firsts = ex.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+    return (
+        ex.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+            fround(novel.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
+        )
+    )

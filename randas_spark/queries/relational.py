@@ -4257,3 +4257,76 @@ def rel_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         (F.sum("monetary_c").cast("long") / 100.0).alias("total_revenue"),
     )
+
+
+@register(
+    "rel_interval_coalesce",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, epoch_us(ts::TIMESTAMP) AS s,
+               epoch_us(ts::TIMESTAMP) + 1800000000 AS e
+        FROM events
+    ), m AS (
+        SELECT user_id, s, e,
+               max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS pmax
+        FROM iv
+    ), fl AS (
+        SELECT user_id, s, e,
+               CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS newi
+        FROM m
+    ), isl AS (
+        SELECT user_id, s, e,
+               CAST(sum(newi) OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT
+               ) AS island
+        FROM fl
+    )
+    SELECT user_id, island,
+           CAST(min(s) AS BIGINT) AS start_us,
+           CAST(max(e) AS BIGINT) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM isl GROUP BY user_id, island
+    """,
+)
+def rel_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval coalescing: give every event a 30-min
+    validity interval [ts, ts+30m) and merge each user's overlapping or
+    touching intervals into maximal islands — the classic
+    validity-window union (entitlement windows, on-call coverage, ad
+    exposure spans). Mechanics: per-user running max of interval ends
+    over STRICTLY earlier rows marks rows that start past every prior
+    end as island openers; the running count of openers is the island
+    id; one groupBy collapses each island to (start, end, n_events).
+
+    Scale: both windows are PARTITIONED by user (never global), the
+    finishing aggregate is map-side-combinable, and everything is int64
+    epoch-microsecond arithmetic — exact in both engines. Rows tying on
+    (start, end) are interchangeable, so the within-tie window order
+    cannot change the output."""
+    e = t(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + F.lit(1_800_000_000)).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    m = iv.withColumn(
+        "pmax", F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    fl = m.withColumn(
+        "newi",
+        F.when(F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1).otherwise(0),
+    )
+    isl = fl.withColumn(
+        "island",
+        F.sum("newi")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("start_us"),
+        F.max("e").alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
