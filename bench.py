@@ -116,6 +116,10 @@ HEADLINE = [
     "rel_pagerank",
     "ref_describe",
     "rel_asof_join",
+    # r9 second batch: the partition-pruned persisted IVF and the
+    # heaviest new text op (shingle-novelty join)
+    "llm_knn_ivf_persisted",
+    "llm_ngram_novelty",
 ]
 
 # Most-recent ISOLATED sf0.1 median per headline query. PROTOCOL TAG
@@ -193,6 +197,12 @@ BASELINE_ROWS = {
     "llm_sequence_pack": 0.9,
     "rel_pagerank": 2.68,
     "stream_capped_drop_audit": 0.43,
+    # r9 second batch (isolated clean-window rows, same protocol)
+    "llm_knn_ivf_persisted": 1.05,
+    "llm_ngram_novelty": 3.15,
+    "llm_zipf_fit": 0.44,
+    "rel_interval_coalesce": 0.93,
+    "llm_sequence_pack_incremental": 1.01,
 }
 
 

@@ -453,6 +453,7 @@ def sequence_pack(
     ntok_col: str,
     pack_len: int,
     n_parts: int = 32,
+    base_offset: int = 0,
 ) -> DataFrame:
     """Concat-and-chop sequence packing — the GPT-style training-batch
     layout: order documents deterministically (md5 interleave, the
@@ -482,6 +483,12 @@ def sequence_pack(
     construction — the padding-waste question packing exists to answer
     is 'how partial is the tail pack', which falls out of the segment
     rows for free.
+
+    ``base_offset`` shifts the whole stream: pass the running token
+    total of previously-packed corpus (a ledger scalar) to pack a NEW
+    ingestion batch that CONTINUES the global pack sequence — the prior
+    tail pack gets topped up, ids keep counting, and re-packing the
+    accumulated corpus per batch (lifetime-quadratic) is never needed.
     """
     from randas_spark.operators.rank import distributed_prefix_sum
 
@@ -500,6 +507,10 @@ def sequence_pack(
         out_col="doc_start",
         n_parts=n_parts,
     )
+    if base_offset:
+        started = started.withColumn(
+            "doc_start", F.col("doc_start") + F.lit(int(base_offset))
+        )
     segs = started.select(
         "doc_id",
         "n_tok",

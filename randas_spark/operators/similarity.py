@@ -817,3 +817,120 @@ def knn_pq_query(
         F.col("vid").alias("qid"), "qx"
     )
     return _pq_score(enc, q, cents, m, sub, top_k)
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dir: str,
+    n_cells: int = 16,
+) -> None:
+    """BUILD half of the persisted IVF index (the knn_pq_* pattern on
+    the inverted-file layout): deterministic md5-order centroid seeding,
+    broadcast max-cosine cell assignment, then persist
+
+    - ``centroids.parquet``   — (cell, center array<float>, center_nrm)
+      — n_cells rows of model state;
+    - ``assignments.parquet`` — (cid, cv, cn) PARTITIONED BY cell — the
+      corpus physically CO-LOCATED by cell, which is the real point: a
+      query probing n_probe of n_cells touches only those partitions'
+      files (static pruning for literal cells, Spark dynamic partition
+      pruning for the broadcast probe join), so query cost scales with
+      the probed fraction, not the corpus.
+
+    Same determinism argument as pq_build_index: the persisted frames
+    are exactly what knn_ivf_det computes inline (norms included, so
+    query-time math is bit-identical), committed under _INDEX_OK."""
+    import os
+
+    from randas_spark.operators.sampling import _md5_hex
+
+    cent = (
+        corpus.orderBy(_md5_hex(F.col(id_col)), F.col(id_col))
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell"),
+            F.col(vec_col).alias("center"),
+            norm(F.col(vec_col)).alias("center_nrm"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    wa = Window.partitionBy("cid").orderBy(F.col("ccos").desc(), F.col("cell"))
+    assign = (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "ccos",
+            dot(F.col("cv"), F.col("center")) / (F.col("cn") * F.col("center_nrm")),
+        )
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("cid", "cv", "cn", "cell")
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "centroids.parquet")
+    )
+    assign.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(out_dir, "assignments.parquet")
+    )
+    with open(os.path.join(out_dir, "_INDEX_OK"), "w") as fh:
+        fh.write("ok\n")
+
+
+def knn_ivf_query(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    n_probe: int = 4,
+    top_k: int = 10,
+) -> DataFrame:
+    """QUERY half of the persisted IVF index: probe the n_probe
+    max-cosine cells per query against the (tiny, broadcast) persisted
+    centroid table, then score ONLY the probed cells' assignment
+    partitions. No seeding scan, no corpus-wide assignment at query
+    time; the assignment scan is bounded by the probed partitions
+    (partition-pruned layout from ivf_build_index). Bit-identical to
+    knn_ivf_det at the same params — the persisted norms guarantee the
+    same fold inputs."""
+    import os
+
+    spark = queries.sparkSession
+    if not pq_index_ready(index_dir):  # same marker protocol
+        raise ValueError(f"knn_ivf_query: no committed index at {index_dir}")
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
+    assign = spark.read.parquet(os.path.join(index_dir, "assignments.parquet")).select(
+        "cid", "cv", "cn", F.col("cell").cast("long").alias("cell")
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    wp = Window.partitionBy("qid").orderBy(F.col("ccos").desc(), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "ccos",
+            dot(F.col("qv"), F.col("center")) / (F.col("qn") * F.col("center_nrm")),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("qid", "qv", "qn", "cell")
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn(
+            "cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+        .withColumn("rk", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rk") <= top_k)
+        .select("qid", "cid", "cos", "rk")
+    )

@@ -2575,9 +2575,12 @@ def llm_dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_portable_pairs(d, "doc_id", "text", n_bits=32, bands=4, max_hamming=3)
 
 
-@register(
-    "llm_knn_ivf_det",
-    oracle=f"""
+def _ivf_det_oracle() -> str:
+    """Full deterministic-IVF replay (seed -> assign -> probe -> score);
+    shared verbatim by llm_knn_ivf_det (fused) and llm_knn_ivf_persisted
+    (parquet index) — the persisted path hash-matching the SAME fit
+    replay is the proof the index layer is lossless."""
+    return f"""
     WITH cent AS (
         SELECT vec_id AS cell, embedding AS center
         FROM embeddings
@@ -2612,7 +2615,12 @@ def llm_dedup_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM probes p JOIN assign a USING (cell)
         WHERE p.qid <> a.cid
     ) WHERE rk <= 10
-    """,
+    """
+
+
+@register(
+    "llm_knn_ivf_det",
+    oracle=_ivf_det_oracle(),
 )
 def llm_knn_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic-seed IVF top-10 (operators/similarity.knn_ivf_det;
@@ -2627,6 +2635,46 @@ def llm_knn_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5)
     return knn_ivf_det(qs, emb, "vec_id", "vec_id", "embedding", n_cells=16, n_probe=4, top_k=10)
+
+
+@register("llm_knn_ivf_persisted", oracle=_ivf_det_oracle())
+def llm_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index IVF ANN — the second half of VERDICT r8 order #2
+    (which named BOTH PQ codebooks and IVF centroids/assignments):
+    operators/similarity.ivf_build_index persists the centroid table and
+    the corpus assignments PARTITIONED BY CELL once per (sf, params);
+    the registered query is knn_ivf_query — probe against the broadcast
+    16-row centroid table, then score only the probed cells, whose
+    partition layout means the assignment scan touches the probed
+    fraction of the corpus instead of all of it (static/dynamic
+    partition pruning). Bit-identical to llm_knn_ivf_det, checked by
+    the SAME fit-replay oracle."""
+    import os
+
+    from randas_spark.operators.similarity import (
+        ivf_build_index,
+        knn_ivf_query,
+        pq_index_ready,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "benchdata",
+        "ivf_index",
+        f"{sf_tag}_c16_v1",
+    )
+    if not pq_index_ready(index_dir):
+        ivf_build_index(emb, "vec_id", "embedding", index_dir, n_cells=16)
+    return knn_ivf_query(
+        emb.filter(F.col("vec_id") < 5),
+        "vec_id",
+        "embedding",
+        index_dir,
+        n_probe=4,
+        top_k=10,
+    )
 
 
 @register(
@@ -5201,4 +5249,145 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             novel.alias("n_novel"),
             fround(novel.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
         )
+    )
+
+
+@register(
+    "llm_sequence_pack_incremental",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {sql_token_count_bpe_ish('text')} AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS ord
+        FROM documents
+    ),
+    b AS (
+        SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS base
+        FROM d WHERE doc_id % 2 = 0
+    ),
+    nz AS (SELECT * FROM d WHERE n_tok > 0 AND doc_id % 2 = 1),
+    st AS (
+        SELECT doc_id, n_tok,
+               (SELECT base FROM b)
+               + CAST(coalesce(sum(n_tok) OVER (
+                     ORDER BY ord, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS doc_start
+        FROM nz
+    )
+    SELECT doc_id,
+           pack_id,
+           doc_start,
+           greatest(doc_start, pack_id * {_PACK_LEN}) - doc_start AS seg_start,
+           least(doc_start + n_tok, (pack_id + 1) * {_PACK_LEN})
+               - greatest(doc_start, pack_id * {_PACK_LEN}) AS seg_len,
+           greatest(doc_start, pack_id * {_PACK_LEN})
+               - pack_id * {_PACK_LEN} AS pack_offset
+    FROM st, UNNEST(generate_series(
+                 doc_start // {_PACK_LEN},
+                 (doc_start + n_tok - 1) // {_PACK_LEN})) AS u(pack_id)
+    """,
+)
+def llm_sequence_pack_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sequence packing — the ingestion form of
+    llm_sequence_pack: the even-doc_id half models the already-packed
+    corpus (its total token count is the LEDGER SCALAR, the only state
+    carried between batches), and the odd-doc_id batch packs starting
+    at that offset, CONTINUING the global pack sequence: the prior tail
+    pack gets topped up, pack ids keep counting, and per-batch cost is
+    O(batch) — never a lifetime-quadratic re-pack of the accumulated
+    corpus. Pairs with llm_dedup_incremental/llm_dedup_incremental_near
+    as the third incremental-ingestion operator. The ledger scalar is
+    the one driver-side collect (bounded model state, the pagerank-N
+    class)."""
+    from randas_spark.functions.text import token_count_bpe_ish
+    from randas_spark.operators.corpus import sequence_pack
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_bpe_ish(F.col("text")).alias("n_tok")
+    )
+    base = d.filter(F.col("doc_id") % 2 == 0).agg(
+        F.coalesce(F.sum("n_tok"), F.lit(0)).alias("b")
+    ).collect()[0]["b"]
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    return sequence_pack(batch, "doc_id", "n_tok", _PACK_LEN, base_offset=int(base))
+
+
+@register(
+    "llm_zipf_fit",
+    oracle=f"""
+    WITH tc AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest({sql_tokens('text')}) AS tok FROM documents)
+        GROUP BY tok
+        ORDER BY c DESC, tok LIMIT 100
+    ),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM tc
+    ),
+    q AS (
+        SELECT CAST(floor(ln(r) * 1000000 + 0.5) AS BIGINT) AS x,
+               CAST(floor(ln(c) * 1000000 + 0.5) AS BIGINT) AS y
+        FROM ranked
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM q
+    )
+    SELECT n AS n_ranks,
+           {sql_fround('CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)', 6)}
+               AS zipf_slope,
+           {sql_fround('(CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)) * sx) / n / 1000000', 6)}
+               AS ln_c1
+    FROM s
+    """,
+)
+def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(count) vs ln(rank) for the top-100 tokens (natural text sits
+    near slope -1; a far-off slope flags synthetic, templated, or
+    tokenizer-broken corpora — a one-row corpus-health gauge next to
+    token entropy and tokenizer fertility). Exactness: each log is
+    quantized to int64 micro-units FIRST (the integer-atom discipline),
+    so every sum the regression needs is an order-free integer total —
+    the one place engines could drift (float accumulation order) never
+    sees a float. Plan: map-side-combinable token counts, TakeOrdered
+    top-100, a 100-row window + one aggregate — the only serial window
+    is over the collapsed 100-row table."""
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(100)
+    )
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    q = top.withColumn("r", F.row_number().over(w)).select(
+        F.floor(F.log("r") * 1_000_000 + F.lit(0.5)).cast("long").alias("x"),
+        F.floor(F.log("c") * 1_000_000 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        fround(slope, 6).alias("zipf_slope"),
+        fround(
+            (F.col("sy").cast("double") - slope * F.col("sx"))
+            / F.col("n")
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("ln_c1"),
     )

@@ -63,3 +63,31 @@ def test_every_query_has_an_oracle_or_documented_reason():
     q = set(entry.queries())
     o = set(entry.oracle_sql())
     assert o == q, (sorted(q - o), sorted(o - q))
+
+
+def test_latest_selfcheck_artifact_covers_the_full_registry():
+    """VERDICT r8 order #4: the committed SELFCHECK_r*.json makes the
+    full-board correctness claim a diffable artifact. The NEWEST one
+    must cover the registry exactly (every query, zero failures) — a
+    round that grows the registry must re-emit the artifact at its
+    capstone (tools/selfcheck.py --json SELFCHECK_r<N>.json), the same
+    sync-at-capstone discipline as the doc counts above."""
+    import glob
+    import json
+
+    paths = sorted(glob.glob(os.path.join(REPO, "SELFCHECK_r*.json")))
+    assert paths, "no SELFCHECK_r*.json artifact committed"
+    latest = max(paths, key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+    with open(latest) as f:
+        art = json.load(f)
+    n = len(entry.queries())
+    assert art["n_registry"] == n, (latest, art["n_registry"], n)
+    assert len(art["queries"]) == n
+    assert art["n_fail"] == 0
+    bad = {
+        name: rec
+        for name, rec in art["queries"].items()
+        if rec.get("err") or rec.get("hash_match") is False
+        or rec.get("rows_match") is False or rec.get("schema_match") is False
+    }
+    assert not bad, bad

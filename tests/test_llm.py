@@ -2678,3 +2678,79 @@ def test_sequence_pack_rejects_bad_pack_len(spark):
     df = spark.createDataFrame([(1, 5)], "doc_id long, n_tok long")
     with _pytest.raises(ValueError, match="pack_len"):
         sequence_pack(df, "doc_id", "n_tok", 0)
+
+
+def test_ivf_persisted_index_query_matches_fused(spark, tmp_path):
+    """ivf_build_index + knn_ivf_query must be BIT-identical to the
+    fused knn_ivf_det (persisted norms => same fold inputs), and the
+    assignments parquet must be physically partitioned by cell (the
+    layout that makes probing scan only the probed fraction). Also pins
+    the marker protocol: querying an uncommitted dir raises."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.similarity import (
+        ivf_build_index,
+        knn_ivf_det,
+        knn_ivf_query,
+    )
+    from randas_spark.queries import t
+
+    emb = t(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "ivfidx")
+    with _pytest.raises(ValueError, match="no committed index"):
+        knn_ivf_query(emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", idx)
+    ivf_build_index(emb, "vec_id", "embedding", idx, n_cells=16)
+    assert any(
+        d.startswith("cell=")
+        for d in os.listdir(os.path.join(idx, "assignments.parquet"))
+    )
+    qs = emb.filter(F.col("vec_id") < 5)
+    fused = sorted(
+        tuple(r)
+        for r in knn_ivf_det(
+            qs, emb, "vec_id", "vec_id", "embedding", n_cells=16, n_probe=4, top_k=10
+        ).collect()
+    )
+    split = sorted(
+        tuple(r)
+        for r in knn_ivf_query(
+            qs, "vec_id", "embedding", idx, n_probe=4, top_k=10
+        ).collect()
+    )
+    assert fused == split
+
+
+def test_sequence_pack_base_offset_continues_stream(spark):
+    """base_offset=7 with pack_len=10: the batch's first doc must start
+    mid-pack (topping up the prior corpus's tail pack), and the whole
+    layout must equal the unshifted layout with every global quantity
+    re-derived from start+7 — i.e. packing is translation-equivariant."""
+    from randas_spark.operators.corpus import sequence_pack
+
+    rows = [(1, 5), (2, 12)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    plain = sorted(
+        tuple(r) for r in sequence_pack(df, "doc_id", "n_tok", 10).collect()
+    )
+    shifted = sorted(
+        tuple(r)
+        for r in sequence_pack(df, "doc_id", "n_tok", 10, base_offset=7).collect()
+    )
+    # doc starts translate exactly by the offset
+    assert sorted({(r[0], r[2]) for r in shifted}) == sorted(
+        {(p[0], p[2] + 7) for p in plain}
+    )
+    # segment boundaries can differ from plain (cuts move with the
+    # offset), so check the invariants: per-doc coverage and pack math
+    cover = {}
+    for doc, pack, start, seg_start, seg_len, off in shifted:
+        cover.setdefault(doc, 0)
+        cover[doc] += seg_len
+        assert off == (start + seg_start) % 10
+        assert pack == (start + seg_start) // 10
+    assert cover == {1: 5, 2: 12}
+    # first doc in md5 order starts exactly at offset 7
+    assert min(r[2] for r in shifted) == 7

@@ -43,6 +43,10 @@ PINNED = {
     # back into the query path
     "llm_knn_pq_persisted": (4, 0, 5),
     "stream_stream_join_conversions": (1, 0, 1),
+    # persisted IVF: ONE broadcast hash join (probes onto the
+    # cell-partitioned assignments scan — the pruned-scan join) plus
+    # broadcast nested loops only against the 16-row centroid table
+    "llm_knn_ivf_persisted": (1, 0, 6),
 }
 
 
