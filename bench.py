@@ -199,7 +199,7 @@ BASELINE_ROWS = {
     "stream_capped_drop_audit": 0.43,
     # r9 second batch (isolated clean-window rows, same protocol)
     "llm_knn_ivf_persisted": 1.05,
-    "llm_ngram_novelty": 3.15,
+    "llm_ngram_novelty": 1.21,
     "llm_zipf_fit": 0.44,
     "rel_interval_coalesce": 0.93,
     "llm_sequence_pack_incremental": 1.01,
