@@ -203,6 +203,7 @@ BASELINE_ROWS = {
     "llm_zipf_fit": 0.44,
     "rel_interval_coalesce": 0.93,
     "llm_sequence_pack_incremental": 1.01,
+    "llm_sequence_pack_by_source": 2.47,
 }
 
 

@@ -532,3 +532,93 @@ def sequence_pack(
         (g1 - g0).alias("seg_len"),
         (g0 - F.col("pack_id") * L).alias("pack_offset"),
     )
+
+
+def sequence_pack_by_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    ntok_col: str,
+    pack_len: int,
+    n_parts: int = 32,
+    interleave: bool = True,
+) -> DataFrame:
+    """Per-group concat-and-chop packing: every group (source, domain,
+    language) gets its OWN pack sequence — the layout when training
+    shards must not mix sources (curriculum stages, per-language shards,
+    licensing boundaries). Same segment contract as
+    :func:`sequence_pack`, plus the ``group_col`` column.
+
+    Scale shape: within-group offsets come from ONE GLOBAL distributed
+    prefix sum under the group-major order (group, interleave, id)
+    minus each group's broadcast starting offset (per-group totals are
+    a tiny table; its cumulative window is over |groups| rows). A hot
+    group therefore never funnels into a single window task — the
+    group-partitioned window formulation (the oracle's SPEC shape)
+    would serialize half the corpus when one source dominates, which is
+    exactly the crawl reality.
+
+    ``interleave=False`` orders by plain ``id_col`` instead of the md5
+    shuffle — the arrival-order twin the streaming pack kernel
+    (streaming/engine.pack_state) replays against.
+    """
+    from randas_spark.operators.rank import distributed_prefix_sum
+
+    if pack_len <= 0:
+        raise ValueError(f"sequence_pack_by_group: pack_len must be positive, got {pack_len}")
+    L = F.lit(int(pack_len))
+    # interleave=False must order NUMERICALLY by id (a string cast would
+    # put "20" before "3"); a constant __ord__ defers entirely to the
+    # numeric doc_id tiebreak in the prefix-sum order
+    ordc = (
+        F.md5(F.col(id_col).cast("string")) if interleave else F.lit("")
+    )
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("doc_id"),
+        F.col(ntok_col).cast("long").alias("n_tok"),
+        ordc.alias("__ord__"),
+    ).filter(F.col("n_tok") > 0)
+    g = distributed_prefix_sum(
+        base,
+        [F.col("grp"), F.col("__ord__"), F.col("doc_id")],
+        "n_tok",
+        out_col="gprior",
+        n_parts=n_parts,
+    )
+    wg = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        base.groupBy("grp")
+        .agg(F.sum("n_tok").alias("__tot__"))
+        .withColumn("goff", F.coalesce(F.sum("__tot__").over(wg), F.lit(0)))
+        .select("grp", "goff")
+    )
+    started = g.join(F.broadcast(offsets), "grp").select(
+        "grp",
+        "doc_id",
+        "n_tok",
+        (F.col("gprior") - F.col("goff")).cast("long").alias("doc_start"),
+    )
+    segs = started.select(
+        "grp",
+        "doc_id",
+        "n_tok",
+        "doc_start",
+        F.explode(
+            F.sequence(
+                (F.col("doc_start") / L).cast("long"),
+                ((F.col("doc_start") + F.col("n_tok") - 1) / L).cast("long"),
+            )
+        ).alias("pack_id"),
+    )
+    g0 = F.greatest(F.col("doc_start"), F.col("pack_id") * L)
+    g1 = F.least(F.col("doc_start") + F.col("n_tok"), (F.col("pack_id") + 1) * L)
+    return segs.select(
+        F.col("grp").alias(group_col),
+        "doc_id",
+        "pack_id",
+        "doc_start",
+        (g0 - F.col("doc_start")).alias("seg_start"),
+        (g1 - g0).alias("seg_len"),
+        (g0 - F.col("pack_id") * L).alias("pack_offset"),
+    )

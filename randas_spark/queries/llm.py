@@ -5407,3 +5407,50 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ln_c1"),
     )
+
+
+@register(
+    "llm_sequence_pack_by_source",
+    oracle=f"""
+    WITH d AS (
+        SELECT source, doc_id, {sql_token_count_bpe_ish('text')} AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS ord
+        FROM documents
+    ), nz AS (SELECT * FROM d WHERE n_tok > 0),
+    st AS (
+        SELECT source, doc_id, n_tok,
+               CAST(coalesce(sum(n_tok) OVER (
+                   PARTITION BY source ORDER BY ord, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS doc_start
+        FROM nz
+    )
+    SELECT source, doc_id, pack_id, doc_start,
+           greatest(doc_start, pack_id * {_PACK_LEN}) - doc_start AS seg_start,
+           least(doc_start + n_tok, (pack_id + 1) * {_PACK_LEN})
+               - greatest(doc_start, pack_id * {_PACK_LEN}) AS seg_len,
+           greatest(doc_start, pack_id * {_PACK_LEN})
+               - pack_id * {_PACK_LEN} AS pack_offset
+    FROM st, UNNEST(generate_series(
+                 doc_start // {_PACK_LEN},
+                 (doc_start + n_tok - 1) // {_PACK_LEN})) AS u(pack_id)
+    """,
+)
+def llm_sequence_pack_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sequence packing (operators/corpus.sequence_pack_by_group):
+    every source gets its own pack stream — the layout when shards must
+    not mix sources (curriculum stages, per-language shards, licensing
+    boundaries). The oracle's source-PARTITIONED window is the SPEC;
+    the Spark plan is deliberately NOT that shape — it computes ONE
+    global distributed prefix sum under the source-major order and
+    subtracts each source's broadcast starting offset, so a hot source
+    (half the crawl from one host) never funnels into a single window
+    task. The streaming twin is the pack_state kernel
+    (streaming/engine.py), pinned batch==stream by pytest."""
+    from randas_spark.functions.text import token_count_bpe_ish
+    from randas_spark.operators.corpus import sequence_pack_by_group
+
+    d = t(spark, sf_dir, "documents").select(
+        "source", "doc_id", token_count_bpe_ish(F.col("text")).alias("n_tok")
+    )
+    return sequence_pack_by_group(d, "source", "doc_id", "n_tok", _PACK_LEN)

@@ -1112,3 +1112,82 @@ def rollup_stream_states(df: DataFrame, group_col: str = "event_type", value_col
         F.min(value_col).alias("min_value"),
         F.max(value_col).alias("max_value"),
     )
+
+
+# -- custom stateful kernel #6: streaming sequence packing ------------------
+
+_PACK_STATE_SCHEMA = "next_off long"
+_PACK_OUT_SCHEMA = (
+    "source string, doc_id long, pack_id long, doc_start long, "
+    "seg_start long, seg_len long, pack_offset long"
+)
+
+
+def _pack_state(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    *,
+    pack_len: int = 512,
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful kernel #6: per-source streaming sequence packing.
+    State is ONE long per source — the running token total (= the
+    incremental-packing ledger scalar, here carried by the state store
+    instead of a parquet ledger). Each trigger walks the source's new
+    docs in doc_id order, emits their (doc, pack) segments continuing
+    the source's pack stream, and advances the offset. Emission is a
+    pure function of (carried offset, trigger docs), so batch==stream
+    equivalence holds whenever triggers respect per-source doc order —
+    exactly sequence_pack_by_group(interleave=False)'s contract, which
+    the pytest pins."""
+    off = int(state.get[0]) if state.exists else 0
+    rows = []
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+        L = pack_len
+        for doc, n in zip(pdf["doc_id"].to_numpy(), pdf["n_tok"].to_numpy()):
+            n = int(n)
+            if n <= 0:
+                continue
+            for p in range(off // L, (off + n - 1) // L + 1):
+                g0, g1 = max(off, p * L), min(off + n, (p + 1) * L)
+                rows.append((key[0], int(doc), p, off, g0 - off, g1 - g0, g0 - p * L))
+            off += n
+    state.update((off,))
+    yield pd.DataFrame(
+        rows,
+        columns=[
+            "source",
+            "doc_id",
+            "pack_id",
+            "doc_start",
+            "seg_start",
+            "seg_len",
+            "pack_offset",
+        ],
+    )
+
+
+def pack_stream(docs: DataFrame, pack_len: int = 512) -> DataFrame:
+    """Streaming sequence packing via applyInPandasWithState — the
+    streaming twin of operators/corpus.sequence_pack_by_group(
+    interleave=False): per-source pack streams materialize as docs
+    arrive, with O(1) state per source (one long). The batch form needs
+    the whole corpus's prefix sums; the stream carries just the running
+    total — the same shape win as the attribution kernel vs the
+    carry-forward window. Input needs (source, doc_id, n_tok)."""
+    import functools
+
+    kernel = functools.partial(_pack_state, pack_len=pack_len)
+    return (
+        docs.select("source", "doc_id", "n_tok")
+        .groupBy("source")
+        .applyInPandasWithState(
+            kernel,
+            outputStructType=_PACK_OUT_SCHEMA,
+            stateStructType=_PACK_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1442,3 +1442,52 @@ def test_rollup_states_stream_matches_batch(spark, batch_events):
         files_per_trigger=1,
     )
     assert _collect_sorted(streamed) == _collect_sorted(batch)
+
+
+def test_pack_stream_matches_batch_by_group(spark, tmp_path):
+    """Kernel #6 (streaming sequence packing): replaying the documents
+    table through pack_stream in two ordered triggers must emit EXACTLY
+    the segments of the batch twin sequence_pack_by_group(
+    interleave=False) — per-source offsets carried across the trigger
+    boundary by the one-long state. Closes the loop: DuckDB oracle ==
+    batch plan (llm_sequence_pack_by_source) == streaming kernel."""
+    import os
+
+    from pyspark.sql import functions as F
+    from randas_spark.functions.text import token_count_bpe_ish
+    from randas_spark.operators.corpus import sequence_pack_by_group
+    from randas_spark.queries import t
+    from randas_spark.streaming.engine import pack_stream, run_to_memory
+
+    d = t(spark, SF_DIR, "documents").select(
+        "source", "doc_id", token_count_bpe_ish(F.col("text")).alias("n_tok")
+    )
+    batch_rows = sorted(
+        tuple(r)
+        for r in sequence_pack_by_group(
+            d, "source", "doc_id", "n_tok", 512, interleave=False
+        ).collect()
+    )
+
+    # two trigger files split by doc_id, mtimes forcing a<b order (the
+    # file source processes oldest-first), so the second trigger MUST
+    # resume each source's offset from state, not from zero
+    pdf = d.toPandas()
+    med = pdf["doc_id"].median()
+    stage = tmp_path / "docs"
+    stage.mkdir()
+    pdf[pdf["doc_id"] < med].to_parquet(stage / "a.parquet", index=False)
+    pdf[pdf["doc_id"] >= med].to_parquet(stage / "b.parquet", index=False)
+    now = 1_700_000_000
+    os.utime(stage / "a.parquet", (now, now))
+    os.utime(stage / "b.parquet", (now + 100, now + 100))
+
+    stream = (
+        spark.readStream.schema("source string, doc_id long, n_tok long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    run_to_memory(pack_stream(stream, 512), "t_pack_stream", output_mode="append")
+    got = sorted(tuple(r) for r in spark.table("t_pack_stream").collect())
+    assert got == batch_rows
+    assert len(got) > 0
