@@ -358,3 +358,89 @@ def test_unigram_viterbi_matches_bruteforce(word, costs):
 
     want = min(all_segs(word), key=rank)
     assert _viterbi(word, table, 4) == want
+
+
+# -- sequence packing (round 9) ----------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),   # doc_id
+            st.integers(min_value=0, max_value=40),       # n_tok (0 = dropped)
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=17),               # pack_len
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sequence_pack_invariants_random(spark, docs, pack_len):
+    """Packing invariants for ANY corpus and pack length: (1) per-doc
+    segment coverage equals its token count (contiguous from 0); (2)
+    every pack except the highest is EXACTLY full; (3) pack_offset and
+    pack_id are the modular arithmetic of (doc_start + seg_start); (4)
+    zero-token docs emit nothing."""
+    from randas_spark.operators.corpus import sequence_pack
+
+    df = spark.createDataFrame(docs, "doc_id long, n_tok long")
+    segs = sequence_pack(df, "doc_id", "n_tok", pack_len).collect()
+    total = sum(n for _, n in docs if n > 0)
+    if total == 0:
+        assert segs == []
+        return
+    cover: dict = {}
+    fills: dict = {}
+    for r in segs:
+        assert r.seg_len >= 1
+        cover[r.doc_id] = cover.get(r.doc_id, 0) + r.seg_len
+        fills[r.pack_id] = fills.get(r.pack_id, 0) + r.seg_len
+        g0 = r.doc_start + r.seg_start
+        assert r.pack_id == g0 // pack_len
+        assert r.pack_offset == g0 % pack_len
+    assert cover == {d: n for d, n in docs if n > 0}
+    last = max(fills)
+    assert all(v == pack_len for p, v in fills.items() if p != last)
+    assert fills[last] == total - pack_len * last
+
+
+# -- pagerank fixed-point (round 9) -------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pagerank_matches_python_on_random_graphs(spark, und_edges):
+    """pagerank_int == the pure-Python integer recurrence on random
+    small symmetrized graphs (the exactness contract that lets an
+    iterative graph algorithm carry a value-hash oracle)."""
+    from randas_spark.operators.mining import pagerank_int
+
+    # symmetrize as a SET: the strategy may draw both (a,b) and (b,a),
+    # and a multigraph edge would inflate outdeg on one side only
+    directed = sorted({(a, b) for a, b in und_edges} | {(b, a) for a, b in und_edges})
+    edges = spark.createDataFrame(directed, "s long, d long")
+    got = {r.node: r.r for r in pagerank_int(edges, "s", "d", rounds=2).collect()}
+
+    SCALE, DN, DD = 10**12, 85, 100
+    adj: dict = {}
+    for a, b in directed:
+        adj.setdefault(a, set()).add(b)
+    n = len(adj)
+    r = {v: SCALE // n for v in adj}
+    base = (SCALE * (DD - DN)) // (DD * n)
+    for _ in range(2):
+        nxt = {v: base for v in adj}
+        for u, nbrs in adj.items():
+            c = (r[u] * DN) // (DD * len(nbrs))
+            for v in nbrs:
+                nxt[v] += c
+        r = nxt
+    assert got == r
