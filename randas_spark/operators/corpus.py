@@ -517,8 +517,13 @@ def sequence_pack(
         "doc_start",
         F.explode(
             F.sequence(
-                (F.col("doc_start") / L).cast("long"),
-                ((F.col("doc_start") + F.col("n_tok") - 1) / L).cast("long"),
+                # integral DIV, not double '/': the double quotient is
+                # exact only up to 2^53, and for non-power-of-two L it
+                # can round across an integer near that edge — DIV is
+                # the int64 floordiv that matches the oracle's '//' for
+                # every (doc_start, pack_len)
+                F.expr(f"doc_start DIV {int(pack_len)}"),
+                F.expr(f"(doc_start + n_tok - 1) DIV {int(pack_len)}"),
             )
         ).alias("pack_id"),
     )
@@ -606,8 +611,10 @@ def sequence_pack_by_group(
         "doc_start",
         F.explode(
             F.sequence(
-                (F.col("doc_start") / L).cast("long"),
-                ((F.col("doc_start") + F.col("n_tok") - 1) / L).cast("long"),
+                # int64 floordiv (see sequence_pack): DIV == the
+                # oracle's '//' for all pack_len, unlike the double '/'
+                F.expr(f"doc_start DIV {int(pack_len)}"),
+                F.expr(f"(doc_start + n_tok - 1) DIV {int(pack_len)}"),
             )
         ).alias("pack_id"),
     )

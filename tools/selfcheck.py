@@ -70,6 +70,10 @@ def main() -> int:
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: selfcheck.py [sf_dir] [names...] [--json OUT.json]",
+                  file=sys.stderr)
+            return 2
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.01"
