@@ -2637,36 +2637,99 @@ def llm_knn_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf_det(qs, emb, "vec_id", "vec_id", "embedding", n_cells=16, n_probe=4, top_k=10)
 
 
-@register("llm_knn_ivf_persisted", oracle=_ivf_det_oracle())
+def _ivf_adaptive_oracle() -> str:
+    """Deterministic-IVF replay with the ADAPTIVE cell count
+    (greatest(16, N // 32)) — the persisted index's build formula.
+    Same seed -> assign -> probe -> score shape as _ivf_det_oracle."""
+    return f"""
+    WITH cent AS (
+        SELECT vec_id AS cell, embedding AS center
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT (SELECT greatest(16, count(*) // 32) FROM embeddings)
+    ),
+    assign AS (
+        SELECT cid, cv, cell FROM (
+            SELECT c.vec_id AS cid, c.embedding AS cv, ct.cell,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY {sql_cosine('c.embedding', 'ct.center')} DESC, ct.cell
+                   ) AS rn
+            FROM embeddings c CROSS JOIN cent ct
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT qid, qv, cell FROM (
+            SELECT q.vec_id AS qid, q.embedding AS qv, ct.cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {sql_cosine('q.embedding', 'ct.center')} DESC, ct.cell
+                   ) AS rn
+            FROM embeddings q CROSS JOIN cent ct
+            WHERE q.vec_id < 5
+        ) WHERE rn <= 4
+    )
+    SELECT qid, cid, cos, rk FROM (
+        SELECT p.qid, a.cid, {sql_cosine('p.qv', 'a.cv')} AS cos,
+               row_number() OVER (
+                   PARTITION BY p.qid
+                   ORDER BY {sql_cosine('p.qv', 'a.cv')} DESC, a.cid) AS rk
+        FROM probes p JOIN assign a USING (cell)
+        WHERE p.qid <> a.cid
+    ) WHERE rk <= 10
+    """
+
+
+@register("llm_knn_ivf_persisted", oracle=_ivf_adaptive_oracle())
 def llm_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-index IVF ANN — the second half of VERDICT r8 order #2
     (which named BOTH PQ codebooks and IVF centroids/assignments):
     operators/similarity.ivf_build_index persists the centroid table and
     the corpus assignments PARTITIONED BY CELL once per (sf, params);
     the registered query is knn_ivf_query — probe against the broadcast
-    16-row centroid table, then score only the probed cells, whose
-    partition layout means the assignment scan touches the probed
-    fraction of the corpus instead of all of it (static/dynamic
-    partition pruning). Bit-identical to llm_knn_ivf_det, checked by
-    the SAME fit-replay oracle."""
+    centroid table, then score only the probed cells, whose partition
+    layout means the assignment scan touches the probed fraction of the
+    corpus instead of all of it (static/dynamic partition pruning).
+
+    Cell count ADAPTS to the corpus: max(16, N // 32) — per-cell
+    candidate volume is n_probe * N / n_cells per query, so cells must
+    GROW with N or probe cost goes quadratic (VERDICT r9 #3; the same
+    round-5 lesson knn_ivf_det's graph variant learned: fixed 64 cells
+    measured 4x worse than adaptive at 5x data). One metadata-cheap
+    count job picks the formula; the oracle replays the same formula in
+    its LIMIT subquery.
+
+    Integrity (VERDICT r9 #2): index keyed by n_cells + a fingerprint
+    of the source embeddings parquet — regenerated corpus or changed
+    params triggers a rebuild; knn_ivf_query re-validates at query
+    time."""
     import os
+    import shutil
 
     from randas_spark.operators.similarity import (
+        index_ready,
         ivf_build_index,
         knn_ivf_query,
-        pq_index_ready,
+        parquet_fingerprint,
     )
 
     emb = t(spark, sf_dir, "embeddings")
+    n_cells = max(16, emb.count() // 32)
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     index_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "benchdata",
         "ivf_index",
-        f"{sf_tag}_c16_v1",
+        f"{sf_tag}_adaptive_v2",
     )
-    if not pq_index_ready(index_dir):
-        ivf_build_index(emb, "vec_id", "embedding", index_dir, n_cells=16)
+    fp = parquet_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    if not index_ready(
+        index_dir, kind="ivf", params={"n_cells": n_cells}, fingerprint=fp
+    ):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        ivf_build_index(
+            emb, "vec_id", "embedding", index_dir, n_cells=n_cells, fingerprint=fp
+        )
     return knn_ivf_query(
         emb.filter(F.col("vec_id") < 5),
         "vec_id",
@@ -2674,6 +2737,7 @@ def llm_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         index_dir,
         n_probe=4,
         top_k=10,
+        fingerprint=fp,
     )
 
 
@@ -4032,13 +4096,21 @@ def llm_knn_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     Results are bit-identical to llm_knn_pq_adc (deterministic fit +
     exact parquet round-trip of doubles/longs), so the same DuckDB
     oracle that replays the fit hash-matches the persisted path — that
-    identity IS the proof the persistence layer is lossless."""
+    identity IS the proof the persistence layer is lossless.
+
+    Integrity (VERDICT r9 #2): the index is keyed by build params AND a
+    metadata-cheap fingerprint of the source embeddings parquet — if
+    the sf data is regenerated or the params change, index_ready reads
+    False and the index is rebuilt instead of silently serving stale
+    codes; knn_pq_query re-validates both at query time."""
     import os
+    import shutil
 
     from randas_spark.operators.similarity import (
+        index_ready,
         knn_pq_query,
+        parquet_fingerprint,
         pq_build_index,
-        pq_index_ready,
     )
 
     emb = t(spark, sf_dir, "embeddings")
@@ -4049,10 +4121,17 @@ def llm_knn_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pq_index",
         f"{sf_tag}_m4k8i2s512_v1",
     )
-    if not pq_index_ready(index_dir):
-        pq_build_index(emb, "vec_id", "embedding", index_dir)
+    params = {"dim": 64, "m": 4, "k_sub": 8, "n_iter": 2, "scale": 512.0}
+    fp = parquet_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    if not index_ready(index_dir, kind="pq", params=params, fingerprint=fp):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        pq_build_index(emb, "vec_id", "embedding", index_dir, fingerprint=fp)
     return knn_pq_query(
-        emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", index_dir
+        emb.filter(F.col("vec_id") < 5),
+        "vec_id",
+        "embedding",
+        index_dir,
+        fingerprint=fp,
     )
 
 

@@ -2327,6 +2327,122 @@ def test_pq_persisted_index_query_matches_fused(spark, tmp_path):
     assert fused == split  # includes exact adc_dist doubles
 
 
+def test_index_integrity_param_mismatch_raises(spark, tmp_path):
+    """VERDICT r9 #2(a): a query whose dim/m/scale disagree with the
+    marker's recorded build params must RAISE — a scale mismatch would
+    otherwise return silently wrong distances (codebook-length
+    mismatches raise on their own; scale never would)."""
+    import pytest
+
+    from randas_spark.operators.similarity import knn_pq_query, pq_build_index
+    from randas_spark.queries import t
+
+    emb = t(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "pqidx")
+    pq_build_index(emb, "vec_id", "embedding", idx, fingerprint="fp-a")
+    with pytest.raises(ValueError, match="param mismatch.*scale"):
+        knn_pq_query(emb, "vec_id", "embedding", idx, scale=256.0).collect()
+    with pytest.raises(ValueError, match="param mismatch.*dim"):
+        knn_pq_query(emb, "vec_id", "embedding", idx, dim=32, m=4).collect()
+
+
+def test_index_integrity_marker_and_fingerprint(spark, tmp_path):
+    """Marker protocol: no marker / legacy plain-text marker => not
+    ready AND queries fail fast; fingerprint mismatch => not ready and
+    the query raises 'stale'; matching everything => ready and the
+    query runs. Covers both PQ and IVF sides."""
+    import os
+
+    import pytest
+
+    from randas_spark.operators.similarity import (
+        index_ready,
+        ivf_build_index,
+        knn_ivf_query,
+        knn_pq_query,
+        pq_build_index,
+        pq_index_ready,
+    )
+    from randas_spark.queries import t
+
+    emb = t(spark, SF_DIR, "embeddings")
+
+    # uncommitted dir: fail fast (the r9 ADVICE low on knn_pq_query)
+    with pytest.raises(ValueError, match="no committed index"):
+        knn_pq_query(emb, "vec_id", "embedding", str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="no committed index"):
+        knn_ivf_query(emb, "vec_id", "embedding", str(tmp_path / "nope"))
+
+    # legacy r9 plain-text marker: unknown provenance => not ready
+    legacy = tmp_path / "legacy"
+    legacy.mkdir()
+    (legacy / "_INDEX_OK").write_text("ok\n")
+    assert not pq_index_ready(str(legacy))
+
+    pq = str(tmp_path / "pq")
+    pq_build_index(emb, "vec_id", "embedding", pq, fingerprint="fp-a")
+    assert index_ready(pq, kind="pq", fingerprint="fp-a")
+    assert index_ready(pq, params={"m": 4, "scale": 512.0})
+    assert not index_ready(pq, kind="ivf")
+    assert not index_ready(pq, fingerprint="fp-b")
+    assert not index_ready(pq, params={"m": 8})
+    with pytest.raises(ValueError, match="stale index"):
+        knn_pq_query(emb, "vec_id", "embedding", pq, fingerprint="fp-b")
+    assert (
+        knn_pq_query(emb, "vec_id", "embedding", pq, fingerprint="fp-a").count()
+        > 0
+    )
+
+    ivf = str(tmp_path / "ivf")
+    ivf_build_index(emb, "vec_id", "embedding", ivf, n_cells=8, fingerprint="fp-a")
+    assert index_ready(ivf, kind="ivf", params={"n_cells": 8}, fingerprint="fp-a")
+    assert not index_ready(ivf, params={"n_cells": 16})
+    with pytest.raises(ValueError, match="stale index"):
+        knn_ivf_query(emb, "vec_id", "embedding", ivf, fingerprint="fp-b")
+
+    # fingerprint helper: stable on an unchanged file, moves on rewrite
+    from randas_spark.operators.similarity import parquet_fingerprint
+
+    src = os.path.join(SF_DIR, "embeddings.parquet")
+    assert parquet_fingerprint(src) == parquet_fingerprint(src)
+    f = tmp_path / "data.parquet"
+    f.write_bytes(b"aaaa")
+    fp1 = parquet_fingerprint(str(f))
+    f.write_bytes(b"bbbbbb")
+    assert parquet_fingerprint(str(f)) != fp1
+
+
+def test_persisted_index_rebuilds_on_corpus_mutation(spark):
+    """VERDICT r9 #2(b), end-to-end through the REGISTRY query: corrupt
+    the committed marker's corpus fingerprint (what a regenerated
+    sf_dir looks like to index_ready) and the next llm_knn_ivf_persisted
+    call must REBUILD — marker restored with the true fingerprint —
+    and return the same rows, not serve the 'stale' index."""
+    import json
+    import os
+
+    from randas_spark.operators.similarity import (
+        parquet_fingerprint,
+        read_index_marker,
+    )
+    from randas_spark.queries.llm import llm_knn_ivf_persisted
+
+    first = sorted(tuple(r) for r in llm_knn_ivf_persisted(spark, SF_DIR).collect())
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    idx = os.path.join(
+        root, "benchdata", "ivf_index", f"{os.path.basename(SF_DIR)}_adaptive_v2"
+    )
+    marker = read_index_marker(idx)
+    true_fp = parquet_fingerprint(os.path.join(SF_DIR, "embeddings.parquet"))
+    assert marker["fingerprint"] == true_fp
+    marker["fingerprint"] = "deadbeefdeadbeef"
+    with open(os.path.join(idx, "_INDEX_OK"), "w") as fh:
+        json.dump(marker, fh)
+    again = sorted(tuple(r) for r in llm_knn_ivf_persisted(spark, SF_DIR).collect())
+    assert read_index_marker(idx)["fingerprint"] == true_fp  # rebuilt
+    assert again == first
+
+
 def test_knn_pq_adc_matches_numpy_replay(spark):
     """Independent numpy replay of the full PQ pipeline — per-subspace
     md5-seeded quantized Lloyd, code assignment, query LUT, fixed-order
