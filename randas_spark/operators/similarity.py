@@ -882,6 +882,21 @@ def pq_index_ready(out_dir: str) -> bool:
     return read_index_marker(out_dir) is not None
 
 
+def _pq_load_codebooks(spark, index_dir: str, m: int) -> list[list]:
+    """The persisted codebooks as ``cents[j] = [(cluster, [coords])]``
+    (m × k_sub rows — bounded model state, the only .collect() on the
+    query/append paths)."""
+    import os
+
+    cb = spark.read.parquet(os.path.join(index_dir, "codebooks.parquet")).collect()
+    cents: list[list] = [[] for _ in range(m)]
+    for r in sorted(cb, key=lambda r: (r["j"], r["cluster"])):
+        cents[r["j"]].append((r["cluster"], [float(x) for x in r["carr"]]))
+    if any(not cj for cj in cents):
+        raise ValueError(f"codebooks at {index_dir} missing a subspace")
+    return cents
+
+
 def knn_pq_query(
     queries: DataFrame,
     id_col: str,
@@ -930,12 +945,7 @@ def knn_pq_query(
         )
     sub = dim // m
     spark = queries.sparkSession
-    cb = spark.read.parquet(os.path.join(index_dir, "codebooks.parquet")).collect()
-    cents: list[list] = [[] for _ in range(m)]
-    for r in sorted(cb, key=lambda r: (r["j"], r["cluster"])):
-        cents[r["j"]].append((r["cluster"], [float(x) for x in r["carr"]]))
-    if any(not cj for cj in cents):
-        raise ValueError(f"knn_pq_query: codebooks at {index_dir} missing a subspace")
+    cents = _pq_load_codebooks(spark, index_dir, m)
     enc = spark.read.parquet(os.path.join(index_dir, "codes.parquet"))
     q = _pq_quantize(queries, id_col, vec_col, scale).select(
         F.col("vid").alias("qid"), "qx"
@@ -1071,3 +1081,89 @@ def knn_ivf_query(
         .filter(F.col("rk") <= top_k)
         .select("qid", "cid", "cos", "rk")
     )
+
+
+def ivf_append_batch(
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    fingerprint: str | None = None,
+) -> None:
+    """Append a NEW ingestion batch to a committed IVF index WITHOUT
+    re-fitting (VERDICT r9 #4 — the missing member of the incremental-
+    ingestion family next to the exact-dedup, near-dup, and packing
+    ledgers): assign the batch against the PERSISTED centroids (the
+    same broadcast max-cosine expression ivf_build_index uses, so an
+    appended row lands in exactly the cell a full rebuild would put it
+    in) and append its rows to the cell-partitioned assignments table.
+
+    Lifetime-linear: each batch costs one batch-scan × broadcast
+    centroids + one partitioned append — re-fitting per batch would be
+    lifetime-quadratic in corpus size, and at 100 TB you never re-fit
+    per ingestion. The marker is re-committed LAST with the caller's
+    post-append corpus ``fingerprint``: a crash after the data append
+    but before the marker rewrite leaves the OLD fingerprint in place,
+    so the next index_ready(fingerprint=new) reads stale and triggers a
+    clean rebuild instead of serving a half-appended index."""
+    import os
+
+    marker = read_index_marker(index_dir)
+    if marker is None or marker.get("kind") != "ivf":
+        raise ValueError(f"ivf_append_batch: no committed IVF index at {index_dir}")
+    spark = batch.sparkSession
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
+    b = batch.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    wa = Window.partitionBy("cid").orderBy(F.col("ccos").desc(), F.col("cell"))
+    assign = (
+        b.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "ccos",
+            dot(F.col("cv"), F.col("center")) / (F.col("cn") * F.col("center_nrm")),
+        )
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("cid", "cv", "cn", "cell")
+    )
+    assign.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index_dir, "assignments.parquet")
+    )
+    _write_index_marker(index_dir, "ivf", marker.get("params") or {}, fingerprint)
+
+
+def pq_encode_batch(
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    fingerprint: str | None = None,
+) -> None:
+    """PQ twin of :func:`ivf_append_batch`: encode a new batch against
+    the PERSISTED codebooks (no Lloyd re-fit — the build params come
+    from the marker, so the quantization atom and sub-centroids are
+    exactly the build's) and append the code rows to codes.parquet.
+    Same crash discipline: marker re-committed last with the
+    post-append fingerprint, so a torn append reads stale and rebuilds."""
+    import os
+
+    marker = read_index_marker(index_dir)
+    if marker is None or marker.get("kind") != "pq":
+        raise ValueError(f"pq_encode_batch: no committed PQ index at {index_dir}")
+    params = marker.get("params") or {}
+    dim = int(params.get("dim", 64))
+    m = int(params.get("m", 4))
+    scale = float(params.get("scale", 512.0))
+    sub = dim // m
+    spark = batch.sparkSession
+    cents = _pq_load_codebooks(spark, index_dir, m)
+    v = _pq_quantize(batch, id_col, vec_col, scale)
+    enc = v.select(
+        F.col("vid").alias("cid"),
+        *[_pq_code_col(j, sub, cents[j]) for j in range(m)],
+    )
+    enc.write.mode("append").parquet(os.path.join(index_dir, "codes.parquet"))
+    _write_index_marker(index_dir, "pq", params, fingerprint)

@@ -2741,6 +2741,112 @@ def llm_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_append_oracle() -> str:
+    """Replay of incremental IVF ingestion: centroids seeded from the
+    BASE ingest only (vec_id % 10 <> 9), every row — base and the later
+    batch — assigned against those frozen centroids, probes and scoring
+    over the full index. Cell count adapts to the base, matching
+    ivf_build_index's formula at build time."""
+    return f"""
+    WITH base AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 9),
+    cent AS (
+        SELECT vec_id AS cell, embedding AS center
+        FROM base
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT (SELECT greatest(16, count(*) // 32) FROM base)
+    ),
+    assign AS (
+        SELECT cid, cv, cell FROM (
+            SELECT c.vec_id AS cid, c.embedding AS cv, ct.cell,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY {sql_cosine('c.embedding', 'ct.center')} DESC, ct.cell
+                   ) AS rn
+            FROM embeddings c CROSS JOIN cent ct
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT qid, qv, cell FROM (
+            SELECT q.vec_id AS qid, q.embedding AS qv, ct.cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {sql_cosine('q.embedding', 'ct.center')} DESC, ct.cell
+                   ) AS rn
+            FROM embeddings q CROSS JOIN cent ct
+            WHERE q.vec_id < 5
+        ) WHERE rn <= 4
+    )
+    SELECT qid, cid, cos, rk FROM (
+        SELECT p.qid, a.cid, {sql_cosine('p.qv', 'a.cv')} AS cos,
+               row_number() OVER (
+                   PARTITION BY p.qid
+                   ORDER BY {sql_cosine('p.qv', 'a.cv')} DESC, a.cid) AS rk
+        FROM probes p JOIN assign a USING (cell)
+        WHERE p.qid <> a.cid
+    ) WHERE rk <= 10
+    """
+
+
+@register("llm_knn_ivf_append", oracle=_ivf_append_oracle())
+def llm_knn_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance (VERDICT r9 #4 — the missing
+    member of the incremental-ingestion family): the base ingest
+    (vec_id % 10 <> 9, ~90%) is built into a persisted index ONCE, then
+    a NEW batch (% 10 == 9) is APPENDED by operators/similarity.
+    ivf_append_batch — assigned against the frozen persisted centroids
+    and written into the cell-partitioned assignments, no re-fit, no
+    re-seed. Queries then probe the combined index. The oracle replays
+    exactly those semantics (fit on base, assign all), so a green row
+    proves append ≡ what a from-scratch build with the base's centroids
+    would produce — the property that makes per-batch ingestion
+    lifetime-LINEAR (assign cost ∝ batch) instead of the
+    lifetime-quadratic re-fit-per-batch.
+
+    The marker is only committed with the full-corpus fingerprint AFTER
+    the append, so a torn build+append sequence reads not-ready and
+    redoes the pair; a regenerated corpus likewise."""
+    import os
+    import shutil
+
+    from randas_spark.operators.similarity import (
+        index_ready,
+        ivf_append_batch,
+        ivf_build_index,
+        knn_ivf_query,
+        parquet_fingerprint,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 9)
+    batch = emb.filter(F.col("vec_id") % 10 == 9)
+    n_cells = max(16, base.count() // 32)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "benchdata",
+        "ivf_index",
+        f"{sf_tag}_append_v1",
+    )
+    fp = parquet_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    if not index_ready(
+        index_dir, kind="ivf", params={"n_cells": n_cells}, fingerprint=fp
+    ):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        # build commits with fingerprint=None (base-only index is not the
+        # served corpus); the append's marker rewrite carries fp
+        ivf_build_index(base, "vec_id", "embedding", index_dir, n_cells=n_cells)
+        ivf_append_batch(batch, "vec_id", "embedding", index_dir, fingerprint=fp)
+    return knn_ivf_query(
+        emb.filter(F.col("vec_id") < 5),
+        "vec_id",
+        "embedding",
+        index_dir,
+        n_probe=4,
+        top_k=10,
+        fingerprint=fp,
+    )
+
+
 @register(
     "llm_knn_graph",
     oracle=f"""
@@ -3964,11 +4070,19 @@ def _pq_oracle(
     scale: int = 512,
     n_queries: int = 5,
     top_k: int = 10,
+    fit_where: str = "TRUE",
 ) -> str:
     """Macro-expanded PQ replay: one deterministic Lloyd chain per
     subspace (the _kmeans_oracle pattern on sliced subvectors), then the
     query LUT against each subspace's final centroids and the ADC sum in
-    the engine's fixed operand order. AS MATERIALIZED throughout."""
+    the engine's fixed operand order. AS MATERIALIZED throughout.
+
+    ``fit_where`` restricts the FIT corpus (seeding + Lloyd updates)
+    while encoding/LUT still run over all rows — the replay for the
+    incremental-append query (fit on the base ingest, encode the later
+    batch against the frozen codebooks). The encode-over-all views are
+    only emitted when a real predicate is given, so the default oracle
+    text (and llm_knn_pq_adc's recorded hash) is unchanged."""
 
     def dist(v: str, c: str) -> str:
         return (
@@ -3979,6 +4093,7 @@ def _pq_oracle(
             f"(acc, x) -> acc + x)"
         )
 
+    fitted = fit_where.strip().upper() != "TRUE"
     parts = []
     for j in range(m):
         lo, hi = j * sub + 1, (j + 1) * sub
@@ -3987,13 +4102,22 @@ def _pq_oracle(
         SELECT vec_id AS vid,
                list_transform(embedding[{lo}:{hi}],
                    x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS qx
-        FROM embeddings
+        FROM embeddings{f' WHERE {fit_where}' if fitted else ''}
     ),
     s{j}cent0 AS MATERIALIZED (
         SELECT vid AS cluster, list_transform(qx, x -> CAST(x AS DOUBLE)) AS carr
         FROM s{j}v ORDER BY md5(CAST(vid AS VARCHAR)), vid LIMIT {k_sub}
     )"""
         )
+        if fitted:
+            parts.append(
+                f"""s{j}venc AS MATERIALIZED (
+        SELECT vec_id AS vid,
+               list_transform(embedding[{lo}:{hi}],
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS qx
+        FROM embeddings
+    )"""
+            )
         for it in range(1, n_iter + 1):
             d = dist("v", "c")
             parts.append(
@@ -4022,18 +4146,35 @@ def _pq_oracle(
         FROM s{j}cent{it - 1} c LEFT JOIN s{j}upd{it} u USING (cluster)
     )"""
                 )
+        if fitted:
+            # final encode assignment over ALL rows against the frozen
+            # base-fit centroids — the append path's semantics
+            d = dist("v", "c")
+            parts.append(
+                f"""s{j}enc AS MATERIALIZED (
+        SELECT vid, cluster FROM (
+            SELECT v.vid, c.cluster,
+                   row_number() OVER (
+                       PARTITION BY v.vid ORDER BY ({d}) ASC, c.cluster ASC
+                   ) AS rn
+            FROM s{j}venc v CROSS JOIN s{j}cent{n_iter - 1} c
+        ) WHERE rn = 1
+    )"""
+            )
+        lut_src = f"s{j}venc" if fitted else f"s{j}v"
         parts.append(
             f"""s{j}lut AS MATERIALIZED (
         SELECT v.vid AS qid, c.cluster AS code, {dist('v', 'c')} AS d
-        FROM s{j}v v CROSS JOIN s{j}cent{n_iter - 1} c
+        FROM {lut_src} v CROSS JOIN s{j}cent{n_iter - 1} c
         WHERE v.vid < {n_queries}
     )"""
         )
+    enc_view = "enc" if fitted else f"asg{n_iter}"
     code_cols = ", ".join(
         f"a{j}.cluster AS code_{j}" for j in range(m)
     )
     code_joins = " ".join(
-        f"JOIN s{j}asg{n_iter} a{j} ON a{j}.vid = a0.vid" for j in range(1, m)
+        f"JOIN s{j}{enc_view} a{j} ON a{j}.vid = a0.vid" for j in range(1, m)
     )
     lut_joins = " ".join(
         f"JOIN s{j}lut l{j} ON l{j}.code = c.code_{j} AND l{j}.qid = l0.qid"
@@ -4046,7 +4187,7 @@ def _pq_oracle(
         + f""",
     codes AS MATERIALIZED (
         SELECT a0.vid AS cid, {code_cols}
-        FROM s0asg{n_iter} a0 {code_joins}
+        FROM s0{enc_view} a0 {code_joins}
     ),
     adc AS MATERIALIZED (
         SELECT l0.qid, c.cid, {adc_sum} AS adc_dist
@@ -4126,6 +4267,58 @@ def llm_knn_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not index_ready(index_dir, kind="pq", params=params, fingerprint=fp):
         shutil.rmtree(index_dir, ignore_errors=True)
         pq_build_index(emb, "vec_id", "embedding", index_dir, fingerprint=fp)
+    return knn_pq_query(
+        emb.filter(F.col("vec_id") < 5),
+        "vec_id",
+        "embedding",
+        index_dir,
+        fingerprint=fp,
+    )
+
+
+@register(
+    "llm_knn_pq_append", oracle=_pq_oracle(fit_where="vec_id % 10 <> 9")
+)
+def llm_knn_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ index maintenance (VERDICT r9 #4, the PQ half next
+    to llm_knn_ivf_append): codebooks are FIT on the base ingest
+    (vec_id % 10 <> 9) once, the base is encoded into the persisted
+    codes, then a NEW batch (% 10 == 9) is appended by
+    operators/similarity.pq_encode_batch — encoded against the frozen
+    codebooks read back from the index, no Lloyd re-fit. The oracle
+    replays the same semantics (Lloyd on base only, encode ALL rows
+    against the final base centroids), so a green row proves the append
+    path's codes are exactly what a full re-encode would produce —
+    per-batch ingestion cost stays ∝ batch size. Marker committed with
+    the full-corpus fingerprint only after the append (torn sequence ⇒
+    not-ready ⇒ redo)."""
+    import os
+    import shutil
+
+    from randas_spark.operators.similarity import (
+        index_ready,
+        knn_pq_query,
+        parquet_fingerprint,
+        pq_build_index,
+        pq_encode_batch,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 9)
+    batch = emb.filter(F.col("vec_id") % 10 == 9)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "benchdata",
+        "pq_index",
+        f"{sf_tag}_append_m4k8i2s512_v1",
+    )
+    params = {"dim": 64, "m": 4, "k_sub": 8, "n_iter": 2, "scale": 512.0}
+    fp = parquet_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    if not index_ready(index_dir, kind="pq", params=params, fingerprint=fp):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        pq_build_index(base, "vec_id", "embedding", index_dir)
+        pq_encode_batch(batch, "vec_id", "embedding", index_dir, fingerprint=fp)
     return knn_pq_query(
         emb.filter(F.col("vec_id") < 5),
         "vec_id",

@@ -2443,6 +2443,62 @@ def test_persisted_index_rebuilds_on_corpus_mutation(spark):
     assert again == first
 
 
+def test_index_append_batch_invariants(spark, tmp_path):
+    """Incremental index maintenance (VERDICT r9 #4): appending a batch
+    adds exactly the batch's rows (base rows untouched), the marker's
+    fingerprint is only rewritten by the append, both append fns fail
+    fast on an uncommitted dir, and a satisfied index_ready means the
+    registry query never double-appends."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.similarity import (
+        index_ready,
+        ivf_append_batch,
+        ivf_build_index,
+        pq_build_index,
+        pq_encode_batch,
+        read_index_marker,
+    )
+    from randas_spark.queries import t
+
+    emb = t(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 9)
+    batch = emb.filter(F.col("vec_id") % 10 == 9)
+    n_emb, n_base = emb.count(), base.count()
+
+    with pytest.raises(ValueError, match="no committed IVF index"):
+        ivf_append_batch(batch, "vec_id", "embedding", str(tmp_path / "no"))
+    with pytest.raises(ValueError, match="no committed PQ index"):
+        pq_encode_batch(batch, "vec_id", "embedding", str(tmp_path / "no"))
+
+    ivf = str(tmp_path / "ivf")
+    ivf_build_index(base, "vec_id", "embedding", ivf, n_cells=8)
+    a = spark.read.parquet(os.path.join(ivf, "assignments.parquet"))
+    base_rows = sorted(r["cid"] for r in a.select("cid").collect())
+    assert len(base_rows) == n_base
+    ivf_append_batch(batch, "vec_id", "embedding", ivf, fingerprint="post")
+    a2 = spark.read.parquet(os.path.join(ivf, "assignments.parquet"))
+    assert a2.count() == n_emb
+    # base rows byte-survived the append (append never rewrites them)
+    still = sorted(
+        r["cid"] for r in a2.filter(F.col("cid") % 10 != 9).select("cid").collect()
+    )
+    assert still == base_rows
+    assert read_index_marker(ivf)["fingerprint"] == "post"
+    assert index_ready(ivf, kind="ivf", params={"n_cells": 8}, fingerprint="post")
+
+    pq = str(tmp_path / "pq")
+    pq_build_index(base, "vec_id", "embedding", pq)
+    pq_encode_batch(batch, "vec_id", "embedding", pq, fingerprint="post")
+    codes = spark.read.parquet(os.path.join(pq, "codes.parquet"))
+    assert codes.count() == n_emb
+    assert codes.select("cid").distinct().count() == n_emb  # no double rows
+    assert read_index_marker(pq)["fingerprint"] == "post"
+
+
 def test_knn_pq_adc_matches_numpy_replay(spark):
     """Independent numpy replay of the full PQ pipeline — per-subspace
     md5-seeded quantized Lloyd, code assignment, query LUT, fixed-order
