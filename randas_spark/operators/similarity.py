@@ -953,6 +953,32 @@ def knn_pq_query(
     return _pq_score(enc, q, cents, m, sub, top_k)
 
 
+def _ivf_assign(
+    rows: DataFrame, id_col: str, vec_col: str, cent: DataFrame
+) -> DataFrame:
+    """Max-cosine cell assignment against a (tiny, broadcast) centroid
+    frame — THE shared expression of the IVF family (build, batch
+    append, stream ingest), factored so an appended or streamed row
+    lands in exactly the cell a full rebuild would put it in: one
+    shared definition, zero drift."""
+    r = rows.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    wa = Window.partitionBy("cid").orderBy(F.col("ccos").desc(), F.col("cell"))
+    return (
+        r.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "ccos",
+            dot(F.col("cv"), F.col("center")) / (F.col("cn") * F.col("center_nrm")),
+        )
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("cid", "cv", "cn", "cell")
+    )
+
+
 def ivf_build_index(
     corpus: DataFrame,
     id_col: str,
@@ -990,22 +1016,7 @@ def ivf_build_index(
             norm(F.col(vec_col)).alias("center_nrm"),
         )
     )
-    c = corpus.select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).alias("cv"),
-        norm(F.col(vec_col)).alias("cn"),
-    )
-    wa = Window.partitionBy("cid").orderBy(F.col("ccos").desc(), F.col("cell"))
-    assign = (
-        c.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "ccos",
-            dot(F.col("cv"), F.col("center")) / (F.col("cn") * F.col("center_nrm")),
-        )
-        .withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select("cid", "cv", "cn", "cell")
-    )
+    assign = _ivf_assign(corpus, id_col, vec_col, cent)
     cent.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "centroids.parquet")
     )
@@ -1050,9 +1061,24 @@ def knn_ivf_query(
             "rebuild with ivf_build_index"
         )
     cent = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
-    assign = spark.read.parquet(os.path.join(index_dir, "assignments.parquet")).select(
-        "cid", "cv", "cn", F.col("cell").cast("long").alias("cell")
-    )
+    # the served corpus = the base build + every rename-COMMITTED stream
+    # batch (ivf_commit_stream_batch); all roots share the cell-partition
+    # layout, so the probe join prunes each root to the probed cells
+    roots = [os.path.join(index_dir, "assignments.parquet")]
+    roots += ivf_committed_stream_dirs(index_dir)
+    parts = [
+        spark.read.parquet(r).select(
+            "cid", "cv", "cn", F.col("cell").cast("long").alias("cell")
+        )
+        for r in roots
+    ]
+    assign = parts[0]
+    for p in parts[1:]:
+        # each root is separately cell-partitioned (Spark refuses one
+        # multi-root partition discovery); the union preserves per-root
+        # partition pruning because the probe-cell filter pushes into
+        # every union branch
+        assign = assign.unionByName(p)
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qv"),
@@ -1113,26 +1139,90 @@ def ivf_append_batch(
         raise ValueError(f"ivf_append_batch: no committed IVF index at {index_dir}")
     spark = batch.sparkSession
     cent = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
-    b = batch.select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).alias("cv"),
-        norm(F.col(vec_col)).alias("cn"),
-    )
-    wa = Window.partitionBy("cid").orderBy(F.col("ccos").desc(), F.col("cell"))
-    assign = (
-        b.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "ccos",
-            dot(F.col("cv"), F.col("center")) / (F.col("cn") * F.col("center_nrm")),
-        )
-        .withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select("cid", "cv", "cn", "cell")
-    )
+    assign = _ivf_assign(batch, id_col, vec_col, cent)
     assign.write.mode("append").partitionBy("cell").parquet(
         os.path.join(index_dir, "assignments.parquet")
     )
     _write_index_marker(index_dir, "ivf", marker.get("params") or {}, fingerprint)
+
+
+def ivf_commit_stream_batch(
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    batch_id: int,
+) -> bool:
+    """IDEMPOTENT per-micro-batch IVF append — the foreachBatch sink of
+    streaming ANN ingestion (streaming/engine.ivf_ingest_stream). The
+    checkpoint makes a restarted stream resume at the right offset, but
+    foreachBatch delivery is at-least-once: after a crash between the
+    data write and the offset commit the SAME batch_id is redelivered,
+    and ivf_append_batch's plain ``mode("append")`` would duplicate its
+    rows. Here each micro-batch is assigned against the persisted
+    centroids (``_ivf_assign`` — identical cell placement to a rebuild),
+    written to a private ``stream_appends/b{batch_id}.__tmp__`` dir
+    (cell-partitioned like the base table), then RENAME-committed to
+    ``stream_appends/b{batch_id}``; a redelivered batch sees the
+    committed dir and returns without writing, so replaying any batch
+    any number of times converges to exactly one copy. Returns True when
+    this call committed, False when the batch was already there.
+
+    Scale notes: the rename is the local-FS commit primitive — on an
+    object store the same protocol is a manifest write (temp prefix +
+    manifest pointing at it), which is what table formats (Iceberg/Delta)
+    do under Spark; the per-batch dirs keep ingest O(batch) and are
+    compacted into assignments.parquet offline when small-file count
+    matters (the classic streaming-ingest compaction trade)."""
+    import os
+    import shutil
+
+    marker = read_index_marker(index_dir)
+    if marker is None or marker.get("kind") != "ivf":
+        raise ValueError(
+            f"ivf_commit_stream_batch: no committed IVF index at {index_dir}"
+        )
+    target = os.path.join(index_dir, "stream_appends", f"b{int(batch_id):06d}")
+    if os.path.exists(target):
+        return False  # redelivered batch — already committed
+    spark = batch.sparkSession
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
+    assign = _ivf_assign(batch, id_col, vec_col, cent)
+    tmp = target + ".__tmp__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    assign.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    os.rename(tmp, target)
+    return True
+
+
+def ivf_stamp_fingerprint(index_dir: str, fingerprint: str | None) -> None:
+    """Seal a build+ingest sequence by rewriting the marker with the
+    served-corpus fingerprint LAST (kind and params preserved). Same
+    crash discipline as ivf_append_batch: until the stamp lands, readers
+    validating against the new corpus fingerprint see the index as stale
+    and rebuild — a torn build/ingest sequence is never served."""
+    marker = read_index_marker(index_dir)
+    if marker is None:
+        raise ValueError(f"ivf_stamp_fingerprint: no committed index at {index_dir}")
+    _write_index_marker(
+        index_dir, marker.get("kind", "ivf"), marker.get("params") or {}, fingerprint
+    )
+
+
+def ivf_committed_stream_dirs(index_dir: str) -> list[str]:
+    """Committed stream-append batch dirs under an IVF index, sorted by
+    batch id — ``.__tmp__`` staging dirs (torn writes) are invisible by
+    construction."""
+    import os
+
+    root = os.path.join(index_dir, "stream_appends")
+    if not os.path.isdir(root):
+        return []
+    return [
+        os.path.join(root, d)
+        for d in sorted(os.listdir(root))
+        if d.startswith("b") and not d.endswith(".__tmp__")
+    ]
 
 
 def pq_encode_batch(

@@ -2741,14 +2741,18 @@ def llm_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_append_oracle() -> str:
+def _ivf_append_oracle(base_where: str = "vec_id % 10 <> 9") -> str:
     """Replay of incremental IVF ingestion: centroids seeded from the
-    BASE ingest only (vec_id % 10 <> 9), every row — base and the later
-    batch — assigned against those frozen centroids, probes and scoring
-    over the full index. Cell count adapts to the base, matching
-    ivf_build_index's formula at build time."""
+    BASE ingest only (``base_where``; default = the batch-append query's
+    90% split), every row — base and the later batch(es) — assigned
+    against those frozen centroids, probes and scoring over the full
+    index. Cell count adapts to the base, matching ivf_build_index's
+    formula at build time. Parameterized (r10) so the STREAMING ingest
+    twin replays the same semantics over its own base split — append
+    order never matters because assignment is per-row against frozen
+    centroids, which is exactly the property the oracle proves."""
     return f"""
-    WITH base AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 9),
+    WITH base AS (SELECT * FROM embeddings WHERE {base_where}),
     cent AS (
         SELECT vec_id AS cell, embedding AS center
         FROM base
@@ -5819,4 +5823,133 @@ def llm_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.when(F.col("seg_start") == 0, 1).otherwise(0)),
             6,
         ).alias("split_frac"),
+    )
+
+
+def _bitext_oracle() -> str:
+    """Replay of margin-based bitext mining over the shared coarse
+    quantizer: same md5-seeded centroids, right side assigned top-1,
+    left side probing top-2, candidates per shared cell, mutual-best
+    with a top-2 difference margin."""
+    return f"""
+    WITH cent AS (
+        SELECT vec_id AS cell, embedding AS center
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT (SELECT greatest(16, count(*) // 32) FROM embeddings)
+    ),
+    ra AS (
+        SELECT rid, rv, cell FROM (
+            SELECT r.vec_id AS rid, r.embedding AS rv, ct.cell,
+                   row_number() OVER (
+                       PARTITION BY r.vec_id
+                       ORDER BY {sql_cosine('r.embedding', 'ct.center')} DESC, ct.cell
+                   ) AS rn
+            FROM embeddings r CROSS JOIN cent ct
+            WHERE r.vec_id % 2 = 1
+        ) WHERE rn = 1
+    ),
+    lp AS (
+        SELECT lid, lv, cell FROM (
+            SELECT l.vec_id AS lid, l.embedding AS lv, ct.cell,
+                   row_number() OVER (
+                       PARTITION BY l.vec_id
+                       ORDER BY {sql_cosine('l.embedding', 'ct.center')} DESC, ct.cell
+                   ) AS rn
+            FROM embeddings l CROSS JOIN cent ct
+            WHERE l.vec_id % 2 = 0
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT lp.lid, ra.rid, {sql_cosine('lp.lv', 'ra.rv')} AS cos
+        FROM lp JOIN ra USING (cell)
+    ),
+    ranked AS (
+        SELECT lid, rid, cos,
+               row_number() OVER (PARTITION BY lid ORDER BY cos DESC, rid) AS lrk,
+               row_number() OVER (PARTITION BY rid ORDER BY cos DESC, lid) AS rrk,
+               lead(cos, 1) OVER (PARTITION BY lid ORDER BY cos DESC, rid) AS cos2
+        FROM cand
+    )
+    SELECT lid, rid, cos, cos - coalesce(cos2, 0.0) AS margin
+    FROM ranked WHERE lrk = 1 AND rrk = 1
+    """
+
+
+@register("llm_bitext_mine", oracle=_bitext_oracle())
+def llm_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (the CCMatrix/LASER recipe, public:
+    Artetxe & Schwenk 2019; Schwenk et al. 2021) — the parallel-corpus
+    construction step of a multilingual training pipeline: two corpus
+    halves stand in for two languages (vec_id parity; real deployments
+    embed both languages into one space), and a pair is emitted iff each
+    side is the other's BEST candidate (mutual top-1) with the top-2
+    margin attached so callers threshold precision/recall downstream.
+
+    Scale shape — this is NOT the broadcast-kNN plan: both sides are
+    corpus-sized, so neither broadcasts. A shared deterministic coarse
+    quantizer (md5-seeded max(16, N/32) cells, the IVF family's
+    formula) buckets BOTH sides; the right side lands in its top-1 cell,
+    the left probes top-2; candidates come from ONE equi-join on cell
+    (co-partitioned shuffle join — candidate volume ~ n_probe x N/cells
+    per left row, never |L| x |R|), then two rank windows (per-left,
+    per-right) decide mutuality and the lead() window prices the margin.
+    At 100 TB every stage is a narrow shuffle on cell / lid / rid; the
+    mutual-filter semantics and margins are exactly what the oracle
+    replays, so approximation choices (cells, probes) are pinned, not
+    hidden. Tie margins (cos1 == cos2) emit 0.0 and survive; a left with
+    a single candidate prices margin against 0 (documented convention).
+    """
+    from randas_spark.operators.sampling import _md5_hex
+    from randas_spark.operators.similarity import _ivf_assign, dot, norm
+
+    emb = t(spark, sf_dir, "embeddings")
+    n_cells = max(16, emb.count() // 32)
+    cent = (
+        emb.orderBy(_md5_hex(F.col("vec_id")), F.col("vec_id"))
+        .limit(n_cells)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("embedding").alias("center"),
+            norm(F.col("embedding")).alias("center_nrm"),
+        )
+    )
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    ra = _ivf_assign(right, "vec_id", "embedding", cent).select(
+        F.col("cid").alias("rid"), F.col("cv").alias("rv"),
+        F.col("cn").alias("rn_"), "cell",
+    )
+    l = left.select(
+        F.col("vec_id").alias("lid"),
+        F.col("embedding").alias("lv"),
+        norm(F.col("embedding")).alias("ln_"),
+    )
+    wp = Window.partitionBy("lid").orderBy(F.col("ccos").desc(), F.col("cell"))
+    lp = (
+        l.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "ccos",
+            dot(F.col("lv"), F.col("center")) / (F.col("ln_") * F.col("center_nrm")),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 2)
+        .select("lid", "lv", "ln_", "cell")
+    )
+    cand = lp.join(ra, "cell").withColumn(
+        "cos", dot(F.col("lv"), F.col("rv")) / (F.col("ln_") * F.col("rn_"))
+    )
+    wl = Window.partitionBy("lid").orderBy(F.col("cos").desc(), F.col("rid"))
+    wr = Window.partitionBy("rid").orderBy(F.col("cos").desc(), F.col("lid"))
+    return (
+        cand.withColumn("lrk", F.row_number().over(wl))
+        .withColumn("cos2", F.lead("cos", 1).over(wl))
+        .withColumn("rrk", F.row_number().over(wr))
+        .filter((F.col("lrk") == 1) & (F.col("rrk") == 1))
+        .select(
+            "lid",
+            "rid",
+            "cos",
+            (F.col("cos") - F.coalesce(F.col("cos2"), F.lit(0.0))).alias("margin"),
+        )
     )

@@ -4330,3 +4330,72 @@ def rel_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").alias("end_us"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "rel_kanonymity",
+    oracle="""
+    WITH cls AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+        FROM customer
+    ),
+    sizes AS (
+        SELECT c_nationkey, c_mktsegment, bal_bucket,
+               CAST(count(*) AS BIGINT) AS class_size
+        FROM cls GROUP BY 1, 2, 3
+    ),
+    prio AS (
+        SELECT c.c_nationkey, c.c_mktsegment, c.bal_bucket,
+               CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS l_div
+        FROM cls c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2, 3
+    )
+    SELECT s.c_nationkey, s.c_mktsegment, s.bal_bucket, s.class_size,
+           coalesce(p.l_div, 0) AS l_div,
+           s.class_size < 5 AS k_violation
+    FROM sizes s
+    LEFT JOIN prio p
+      ON p.c_nationkey = s.c_nationkey
+     AND p.c_mktsegment = s.c_mktsegment
+     AND p.bal_bucket = s.bal_bucket
+    """,
+)
+def rel_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit — the privacy gate of a
+    training-data release (public recipe: Sweeney 2002 k-anonymity;
+    Machanavajjhala 2007 l-diversity), sitting next to llm_pii_scrub in
+    the pipeline: after PII scrubbing, quasi-identifier combinations
+    that isolate < k individuals still re-identify. Equivalence classes
+    over the QI tuple (nation, market segment, account-balance
+    thousand-bucket); per class: size, the k=5 violation flag, and
+    l-diversity of a sensitive attribute (distinct order priorities of
+    the class's members — 0 when none ever ordered, mirrored by the
+    oracle's LEFT JOIN + coalesce).
+
+    Scale: one map-side-combinable groupBy for class sizes; l-diversity
+    is a customer-to-orders equi-join re-aggregated on the same QI key
+    (count-distinct expands then combines — never a per-class collect);
+    the final stitch is a QI-key equi-join between two class-grained
+    (small) aggregates. No window, no skew hazard beyond the QI key
+    distribution itself, which an auditor WANTS surfaced."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bucket"),
+    )
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    keys = ["c_nationkey", "c_mktsegment", "bal_bucket"]
+    sizes = c.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+    prio = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy(*keys)
+        .agg(F.countDistinct("o_orderpriority").cast("long").alias("l_div"))
+    )
+    return sizes.join(prio, keys, "left").select(
+        *keys,
+        "class_size",
+        F.coalesce(F.col("l_div"), F.lit(0).cast("long")).alias("l_div"),
+        (F.col("class_size") < 5).alias("k_violation"),
+    )

@@ -842,3 +842,77 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stats.join(pick, "user_id")
+
+
+def _stream_ivf_oracle() -> str:
+    from randas_spark.queries.llm import _ivf_append_oracle
+
+    return _ivf_append_oracle(base_where="vec_id % 4 <> 3")
+
+
+@register("stream_ivf_ingest", oracle=_stream_ivf_oracle())
+def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index ingestion, batch twin: the base corpus
+    (vec_id % 4 <> 3, 75%) is built into a persisted IVF index once,
+    then the remaining 25% arrives as TWO micro-batches committed
+    through operators/similarity.ivf_commit_stream_batch — the exact
+    sink engine.ivf_ingest_stream drives from foreachBatch (idempotent
+    rename-commit per batch id, so at-least-once redelivery converges
+    to one copy). knn_ivf_query then serves base + committed batches in
+    one partition-pruned scan union.
+
+    The oracle replays fit-on-base + assign-ALL (llm._ivf_append_oracle
+    parameterized to this split), so a green row proves the streamed
+    multi-batch ingest is indistinguishable from a from-scratch
+    assignment against the same frozen centroids — batch boundaries and
+    arrival order don't exist in the result, which is the invariant
+    that lets a 100 TB vector corpus ingest continuously without
+    re-fitting. The actual readStream path (file source, one file per
+    trigger, checkpoint restart, redelivery no-op) is pinned equal to
+    this twin in tests/test_streaming.py."""
+    import os
+    import shutil
+
+    from randas_spark.operators.similarity import (
+        index_ready,
+        ivf_build_index,
+        ivf_commit_stream_batch,
+        ivf_stamp_fingerprint,
+        knn_ivf_query,
+        parquet_fingerprint,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    n_cells = max(16, base.count() // 32)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "benchdata",
+        "ivf_index",
+        f"{sf_tag}_stream_v1",
+    )
+    fp = parquet_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    if not index_ready(
+        index_dir, kind="ivf", params={"n_cells": n_cells}, fingerprint=fp
+    ):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        # build commits with fingerprint=None; the stamp lands LAST,
+        # after both stream batches, so a torn sequence reads stale
+        ivf_build_index(base, "vec_id", "embedding", index_dir, n_cells=n_cells)
+        ivf_commit_stream_batch(
+            emb.filter(F.col("vec_id") % 8 == 3), "vec_id", "embedding", index_dir, 0
+        )
+        ivf_commit_stream_batch(
+            emb.filter(F.col("vec_id") % 8 == 7), "vec_id", "embedding", index_dir, 1
+        )
+        ivf_stamp_fingerprint(index_dir, fp)
+    return knn_ivf_query(
+        emb.filter(F.col("vec_id") < 5),
+        "vec_id",
+        "embedding",
+        index_dir,
+        n_probe=4,
+        top_k=10,
+        fingerprint=fp,
+    )

@@ -897,6 +897,42 @@ def dedup_ingest_stream(
     return store_path
 
 
+def ivf_ingest_stream(
+    stream_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    checkpoint: str,
+):
+    """Streaming ANN ingestion: each micro-batch of new vectors is
+    assigned against the PERSISTED IVF centroids and rename-committed as
+    its own cell-partitioned batch dir (operators/similarity.
+    ivf_commit_stream_batch — idempotent under foreachBatch's
+    at-least-once redelivery, so restart replays converge to one copy).
+    knn_ivf_query serves base + committed batches immediately; no re-fit
+    ever runs on the ingest path, so per-batch cost is O(batch ×
+    broadcast centroids) — the streaming form of ivf_append_batch and
+    the last member of the incremental-ingestion family (exact-dedup
+    ledger, near-dup ledger, packing ledger, batch index append, now
+    continuous index ingest)."""
+    from randas_spark.operators.similarity import ivf_commit_stream_batch
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_commit_stream_batch(batch_df, id_col, vec_col, index_dir, batch_id)
+
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return index_dir
+
+
 def countmin_stream_cells(df: DataFrame, key_col: str = "user_id", depth: int = 4) -> DataFrame:
     """Streaming Count-Min maintenance: the sketch IS a streaming
     aggregation — cells (d, bucket, cnt) update incrementally per

@@ -2926,3 +2926,53 @@ def test_sequence_pack_base_offset_continues_stream(spark):
     assert cover == {1: 5, 2: 12}
     # first doc in md5 order starts exactly at offset 7
     assert min(r[2] for r in shifted) == 7
+
+
+def test_bitext_mine_mutuality_and_margin_invariants(spark):
+    """Mutual top-1 means each side appears at most once in the pair
+    set; margins are the top-2 gap so they are never negative; parity
+    split is respected; and every emitted cosine is a valid cosine."""
+    from randas_spark.queries.llm import llm_bitext_mine
+
+    rows = llm_bitext_mine(spark, SF_DIR).collect()
+    assert rows, "expected some mutual pairs on the fixture corpus"
+    lids = [r.lid for r in rows]
+    rids = [r.rid for r in rows]
+    assert len(lids) == len(set(lids))  # a left matched at most once
+    assert len(rids) == len(set(rids))  # a right matched at most once
+    for r in rows:
+        assert r.lid % 2 == 0 and r.rid % 2 == 1
+        assert -1.0 - 1e-9 <= r.cos <= 1.0 + 1e-9
+        assert r.margin >= -1e-12
+        assert r.margin <= r.cos + 1.0 + 1e-9
+
+
+def test_kanonymity_classes_partition_customers(spark):
+    """Equivalence classes partition the customer table exactly; the
+    violation flag is literally class_size < k; l-diversity is bounded
+    by the 5 TPC-H order priorities and zero only for classes none of
+    whose members ever ordered."""
+    from randas_spark.queries import t
+    from randas_spark.queries.relational import rel_kanonymity
+
+    out = rel_kanonymity(spark, SF_DIR)
+    rows = out.collect()
+    n_cust = t(spark, SF_DIR, "customer").count()
+    assert sum(r.class_size for r in rows) == n_cust
+    for r in rows:
+        assert r.k_violation == (r.class_size < 5)
+        assert 0 <= r.l_div <= 5
+    # cross-check one zero-l_div class really has no ordering member
+    zero = [r for r in rows if r.l_div == 0]
+    if zero:
+        r0 = zero[0]
+        c = t(spark, SF_DIR, "customer")
+        o = t(spark, SF_DIR, "orders")
+        members = c.filter(
+            (F.col("c_nationkey") == r0.c_nationkey)
+            & (F.col("c_mktsegment") == r0.c_mktsegment)
+            & (F.floor(F.col("c_acctbal") / 1000.0).cast("long") == r0.bal_bucket)
+        ).select("c_custkey")
+        assert (
+            members.join(o, members.c_custkey == o.o_custkey, "inner").count() == 0
+        )

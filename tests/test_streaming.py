@@ -1553,3 +1553,89 @@ def test_pack_state_survives_checkpoint_restart(spark, tmp_path):
     assert second.filter(F.col("doc_id") < med).count() == 0
     got = sorted(tuple(r) for r in spark.read.parquet(out + "/batch=*").collect())
     assert got == batch_rows
+
+
+def test_ivf_stream_ingest_matches_batch_append(spark, tmp_path):
+    """Streaming ANN ingestion end-to-end: readStream over two vector
+    files -> foreachBatch rename-commits (engine.ivf_ingest_stream) must
+    serve exactly what the r9 batch append path (ivf_append_batch, plain
+    partitioned append into assignments.parquet) serves for the same
+    base/batch split — two genuinely different write paths, one served
+    corpus. Also pins the exactly-once mechanics: a redelivered batch id
+    is a no-op, a restart on the same checkpoint reprocesses nothing,
+    and a torn .__tmp__ staging dir is invisible to the query."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.similarity import (
+        ivf_append_batch,
+        ivf_build_index,
+        ivf_commit_stream_batch,
+        ivf_committed_stream_dirs,
+        knn_ivf_query,
+    )
+    from randas_spark.queries import t
+    from randas_spark.streaming.engine import ivf_ingest_stream
+
+    emb = t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    batch_all = emb.filter(F.col("vec_id") % 4 == 3)
+    n_cells = max(16, base.count() // 32)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    # reference: the already-tested batch append path
+    ref_dir = str(tmp_path / "ivf_ref")
+    ivf_build_index(base, "vec_id", "embedding", ref_dir, n_cells=n_cells)
+    ivf_append_batch(batch_all, "vec_id", "embedding", ref_dir)
+    want = _collect_sorted(
+        knn_ivf_query(queries, "vec_id", "embedding", ref_dir, n_probe=4, top_k=10)
+    )
+
+    # streamed: base build + two files through readStream/foreachBatch
+    idx = str(tmp_path / "ivf_stream")
+    ivf_build_index(base, "vec_id", "embedding", idx, n_cells=n_cells)
+    stage = tmp_path / "incoming"
+    batch_all.filter(F.col("vec_id") % 8 == 3).coalesce(1).write.parquet(
+        str(stage / "f0")
+    )
+    batch_all.filter(F.col("vec_id") % 8 == 7).coalesce(1).write.parquet(
+        str(stage / "f1")
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage) + "/*")
+    )
+    ckpt = str(tmp_path / "ckpt")
+    ivf_ingest_stream(stream, "vec_id", "embedding", idx, ckpt)
+    assert len(ivf_committed_stream_dirs(idx)) == 2
+    got = _collect_sorted(
+        knn_ivf_query(queries, "vec_id", "embedding", idx, n_probe=4, top_k=10)
+    )
+    assert got == want
+
+    # redelivery of an already-committed batch id is a no-op
+    assert (
+        ivf_commit_stream_batch(
+            batch_all.filter(F.col("vec_id") % 8 == 3), "vec_id", "embedding", idx, 0
+        )
+        is False
+    )
+    # restart on the same checkpoint: offsets committed, nothing reruns
+    stream2 = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage) + "/*")
+    )
+    ivf_ingest_stream(stream2, "vec_id", "embedding", idx, ckpt)
+    assert len(ivf_committed_stream_dirs(idx)) == 2
+    # a torn staging dir (crash before rename) is invisible
+    os.makedirs(os.path.join(idx, "stream_appends", "b000099.__tmp__"))
+    assert len(ivf_committed_stream_dirs(idx)) == 2
+    assert (
+        _collect_sorted(
+            knn_ivf_query(queries, "vec_id", "embedding", idx, n_probe=4, top_k=10)
+        )
+        == want
+    )
