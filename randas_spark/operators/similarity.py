@@ -749,23 +749,43 @@ def parquet_fingerprint(path: str) -> str:
 
 
 def _write_index_marker(
-    out_dir: str, kind: str, params: dict, fingerprint: str | None
+    out_dir: str,
+    kind: str,
+    params: dict,
+    fingerprint: str | None,
+    extra: dict | None = None,
 ) -> None:
     """Commit an index dir by writing the ``_INDEX_OK`` marker LAST, as
     JSON recording what was built (kind + build params) and from what
     (corpus fingerprint) — write-to-temp + rename so a crash mid-write
-    never leaves a parseable-but-partial marker."""
+    never leaves a parseable-but-partial marker. ``extra`` carries
+    layout state beyond build provenance (the compaction generation
+    pointer + consumed stream batches); the atomic replace is what makes
+    the marker the index's single commit point."""
     import json
     import os
 
     marker = os.path.join(out_dir, "_INDEX_OK")
     tmp = marker + ".tmp"
+    payload = {"kind": kind, "params": params, "fingerprint": fingerprint}
+    if extra:
+        payload.update(extra)
     with open(tmp, "w") as fh:
-        json.dump(
-            {"kind": kind, "params": params, "fingerprint": fingerprint}, fh
-        )
+        json.dump(payload, fh)
         fh.write("\n")
     os.replace(tmp, marker)
+
+
+def _marker_extra(marker: dict) -> dict:
+    """The layout fields of a marker (everything beyond build
+    provenance) — every marker REWRITE must carry these forward or a
+    fingerprint stamp would silently undo a compaction's generation
+    flip."""
+    return {
+        k: v
+        for k, v in marker.items()
+        if k not in ("kind", "params", "fingerprint")
+    }
 
 
 def read_index_marker(out_dir: str) -> dict | None:
@@ -1061,10 +1081,13 @@ def knn_ivf_query(
             "rebuild with ivf_build_index"
         )
     cent = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
-    # the served corpus = the base build + every rename-COMMITTED stream
-    # batch (ivf_commit_stream_batch); all roots share the cell-partition
-    # layout, so the probe join prunes each root to the probed cells
-    roots = [os.path.join(index_dir, "assignments.parquet")]
+    # the served corpus = the current assignments GENERATION (marker
+    # pointer — compaction flips it atomically) + every rename-COMMITTED,
+    # unconsumed stream batch; all roots share the cell-partition layout,
+    # so the probe join prunes each root to the probed cells
+    roots = [
+        os.path.join(index_dir, marker.get("assignments_dir", "assignments.parquet"))
+    ]
     roots += ivf_committed_stream_dirs(index_dir)
     parts = [
         spark.read.parquet(r).select(
@@ -1141,9 +1164,15 @@ def ivf_append_batch(
     cent = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
     assign = _ivf_assign(batch, id_col, vec_col, cent)
     assign.write.mode("append").partitionBy("cell").parquet(
-        os.path.join(index_dir, "assignments.parquet")
+        os.path.join(index_dir, marker.get("assignments_dir", "assignments.parquet"))
     )
-    _write_index_marker(index_dir, "ivf", marker.get("params") or {}, fingerprint)
+    _write_index_marker(
+        index_dir,
+        "ivf",
+        marker.get("params") or {},
+        fingerprint,
+        extra=_marker_extra(marker),
+    )
 
 
 def ivf_commit_stream_batch(
@@ -1205,24 +1234,109 @@ def ivf_stamp_fingerprint(index_dir: str, fingerprint: str | None) -> None:
     if marker is None:
         raise ValueError(f"ivf_stamp_fingerprint: no committed index at {index_dir}")
     _write_index_marker(
-        index_dir, marker.get("kind", "ivf"), marker.get("params") or {}, fingerprint
+        index_dir,
+        marker.get("kind", "ivf"),
+        marker.get("params") or {},
+        fingerprint,
+        extra=_marker_extra(marker),
     )
 
 
 def ivf_committed_stream_dirs(index_dir: str) -> list[str]:
-    """Committed stream-append batch dirs under an IVF index, sorted by
-    batch id — ``.__tmp__`` staging dirs (torn writes) are invisible by
-    construction."""
+    """Committed, UNCONSUMED stream-append batch dirs under an IVF
+    index, sorted by batch id — ``.__tmp__`` staging dirs (torn writes)
+    are invisible by construction, and dirs listed in the marker's
+    ``consumed`` field (already folded into the compacted assignments
+    generation, awaiting GC) are excluded so a crash between a
+    compaction's marker flip and its directory cleanup can never serve
+    a row twice."""
     import os
 
     root = os.path.join(index_dir, "stream_appends")
     if not os.path.isdir(root):
         return []
+    marker = read_index_marker(index_dir) or {}
+    consumed = set(marker.get("consumed") or [])
     return [
         os.path.join(root, d)
         for d in sorted(os.listdir(root))
-        if d.startswith("b") and not d.endswith(".__tmp__")
+        if d.startswith("b") and not d.endswith(".__tmp__") and d not in consumed
     ]
+
+
+def ivf_compact_stream_appends(spark, index_dir: str) -> dict:
+    """Fold every committed stream-append batch dir into ONE new
+    cell-partitioned assignments GENERATION — the compaction half of
+    streaming ingest (each micro-batch dir is small; a year of
+    continuous ingest is thousands of small files, and small-file count
+    is what kills scan throughput at scale).
+
+    Commit protocol (single atomic decision point, same discipline as
+    the rename-commit on the write path): the compacted table (current
+    generation ∪ stream batches) is first written to a NEW generation
+    dir ``assignments_g{K}.parquet`` — invisible to readers, who follow
+    the marker's ``assignments_dir`` pointer; then one atomic marker
+    replace flips ``assignments_dir`` to the new generation AND records
+    the folded batch dirs as ``consumed``; only then are the old
+    generation and consumed dirs deleted. A crash before the flip
+    serves the old layout (orphan generation dir, harmless); a crash
+    after the flip but before cleanup serves the new generation with
+    consumed dirs excluded by ivf_committed_stream_dirs — NEVER a
+    double-served row. Object-store note: the marker replace plays the
+    role a table format's manifest swap plays; the post-flip deletes
+    would become TTL'd garbage collection to respect in-flight readers
+    (single-writer, snapshot-per-query assumed here).
+
+    Returns a summary dict (generation, n_consumed). No-op when there
+    is nothing to fold."""
+    import os
+    import shutil
+
+    marker = read_index_marker(index_dir)
+    if marker is None or marker.get("kind") != "ivf":
+        raise ValueError(
+            f"ivf_compact_stream_appends: no committed IVF index at {index_dir}"
+        )
+    stream_dirs = ivf_committed_stream_dirs(index_dir)
+    if not stream_dirs:
+        return {"generation": marker.get("assignments_dir", "assignments.parquet"),
+                "n_consumed": 0}
+    cur = marker.get("assignments_dir", "assignments.parquet")
+    gen = int(marker.get("generation", 0)) + 1
+    new_dir = f"assignments_g{gen}.parquet"
+    roots = [os.path.join(index_dir, cur)] + stream_dirs
+    parts = [
+        spark.read.parquet(r).select(
+            "cid", "cv", "cn", F.col("cell").cast("long").alias("cell")
+        )
+        for r in roots
+    ]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    merged.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_dir, new_dir)
+    )
+    consumed = sorted(
+        set(marker.get("consumed") or [])
+        | {os.path.basename(d) for d in stream_dirs}
+    )
+    extra = _marker_extra(marker)
+    extra.update(
+        {"assignments_dir": new_dir, "generation": gen, "consumed": consumed}
+    )
+    _write_index_marker(
+        index_dir,
+        "ivf",
+        marker.get("params") or {},
+        marker.get("fingerprint"),
+        extra=extra,
+    )
+    # post-flip GC: anything below is redundant with the new generation
+    for d in stream_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, cur), ignore_errors=True)
+    return {"generation": new_dir, "n_consumed": len(stream_dirs)}
 
 
 def pq_encode_batch(

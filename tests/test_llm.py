@@ -2976,3 +2976,33 @@ def test_kanonymity_classes_partition_customers(spark):
         assert (
             members.join(o, members.c_custkey == o.o_custkey, "inner").count() == 0
         )
+
+
+def test_ann_recall_audit_and_pq_rerank_improve_or_match(spark, tmp_path):
+    """Recall rows are well-formed fractions over a 10-deep truth set,
+    and the two-stage PQ rerank can only improve (or match) the plain
+    ADC top-10 against brute-force truth — re-scoring a superset of the
+    candidates exactly can never do worse."""
+    from pyspark.sql import functions as F
+
+    from randas_spark.queries.llm import llm_ann_recall_audit, llm_knn_pq_rerank
+    from randas_spark.operators.similarity import knn_bruteforce, knn_pq_adc
+    from randas_spark.queries import t
+
+    rows = llm_ann_recall_audit(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_true == 10
+        assert 0 <= r.n_found <= r.n_true
+        assert abs(r.recall - r.n_found / r.n_true) < 1e-12
+
+    emb = t(spark, SF_DIR, "embeddings")
+    truth = {
+        (r.qid, r.cid)
+        for r in knn_bruteforce(
+            emb.filter(F.col("vec_id") < 5), emb, "vec_id", "vec_id", "embedding"
+        ).collect()
+    }
+    adc = {(r.qid, r.cid) for r in knn_pq_adc(emb, "vec_id", "embedding").collect()}
+    rerank = {(r.qid, r.cid) for r in llm_knn_pq_rerank(spark, SF_DIR).collect()}
+    assert len(rerank & truth) >= len(adc & truth)

@@ -1639,3 +1639,75 @@ def test_ivf_stream_ingest_matches_batch_append(spark, tmp_path):
         )
         == want
     )
+
+
+def test_ivf_compaction_generations_and_crash_windows(spark, tmp_path):
+    """Compacting stream appends must be invisible to queries: the
+    marker's generation pointer flips atomically, consumed batch dirs
+    are excluded even if GC never ran (the crash window), and further
+    stream batches / batch appends keep working against the new
+    generation."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.similarity import (
+        ivf_append_batch,
+        ivf_build_index,
+        ivf_commit_stream_batch,
+        ivf_committed_stream_dirs,
+        ivf_compact_stream_appends,
+        knn_ivf_query,
+        read_index_marker,
+    )
+    from randas_spark.queries import t
+
+    emb = t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(base, "vec_id", "embedding", idx, n_cells=max(16, base.count() // 32))
+    ivf_commit_stream_batch(
+        emb.filter(F.col("vec_id") % 8 == 3), "vec_id", "embedding", idx, 0
+    )
+    ivf_commit_stream_batch(
+        emb.filter(F.col("vec_id") % 8 == 7), "vec_id", "embedding", idx, 1
+    )
+
+    def q():
+        return _collect_sorted(
+            knn_ivf_query(queries, "vec_id", "embedding", idx, n_probe=4, top_k=10)
+        )
+
+    before = q()
+    out = ivf_compact_stream_appends(spark, idx)
+    assert out["n_consumed"] == 2 and out["generation"] == "assignments_g1.parquet"
+    m = read_index_marker(idx)
+    assert m["assignments_dir"] == "assignments_g1.parquet"
+    assert not os.path.exists(os.path.join(idx, "assignments.parquet"))
+    assert ivf_committed_stream_dirs(idx) == []
+    assert q() == before
+
+    # crash window: consumed dir resurrected on disk stays invisible
+    ghost = os.path.join(idx, "stream_appends", "b000000")
+    os.makedirs(ghost, exist_ok=True)
+    assert ivf_committed_stream_dirs(idx) == []
+    assert q() == before
+    import shutil
+
+    shutil.rmtree(ghost)
+
+    # post-compaction ingest still works, next compaction folds it too
+    extra = emb.filter(F.col("vec_id") % 4 == 3).limit(0)  # empty batch ok
+    ivf_commit_stream_batch(
+        emb.filter(F.col("vec_id") % 8 == 3), "vec_id", "embedding", idx, 2
+    )
+    after_b2 = q()
+    out2 = ivf_compact_stream_appends(spark, idx)
+    assert out2["n_consumed"] == 1 and out2["generation"] == "assignments_g2.parquet"
+    assert q() == after_b2
+    # batch append follows the generation pointer
+    ivf_append_batch(extra, "vec_id", "embedding", idx)
+    assert q() == after_b2
+    # no-op compaction
+    assert ivf_compact_stream_appends(spark, idx)["n_consumed"] == 0
