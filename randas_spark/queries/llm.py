@@ -6144,7 +6144,11 @@ def llm_knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wk = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return (
-        shortlist.join(F.broadcast(qv.filter(F.col("qid") < 5)), "qid")
+        # the shortlist is BOUNDED (top_k x |queries| ids) — broadcast it
+        # onto the corpus-sized raw-vector side explicitly, so the exact
+        # leg is one corpus scan + hash probe at any scale, never a
+        # corpus shuffle on cid
+        F.broadcast(shortlist.join(F.broadcast(qv.filter(F.col("qid") < 5)), "qid"))
         .join(cv, "cid")
         .withColumn(
             "cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))

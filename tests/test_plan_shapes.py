@@ -47,6 +47,21 @@ PINNED = {
     # cell-partitioned assignments scan — the pruned-scan join) plus
     # broadcast nested loops only against the 16-row centroid table
     "llm_knn_ivf_persisted": (1, 0, 6),
+    # incremental append: same served-plan shape, one more scan root
+    "llm_knn_ivf_append": (1, 0, 6),
+    # streaming ingest twin: base + 2 committed batch dirs = 3 pruned
+    # scan roots under the same single probe BHJ
+    "stream_ivf_ingest": (1, 0, 10),
+    # bitext mining carries the repo's first INTENDED SortMergeJoin:
+    # the lp x ra candidate join has TWO corpus-sized sides (left
+    # probes, right assignments), so broadcasting either is wrong at
+    # scale — SMJ on the cell key IS the plan a 100 TB run wants. (The
+    # "SMJ is 0 everywhere" note above predates this query; it remains
+    # true for every dim-join.)
+    "llm_bitext_mine": (0, 1, 8),
+    # two-stage rerank: 4 LUT joins + 2 shortlist-side broadcasts (the
+    # bounded candidate set onto the corpus raw-vector scan)
+    "llm_knn_pq_rerank": (6, 0, 8),
 }
 
 
