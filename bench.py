@@ -159,86 +159,90 @@ HEADLINE = [
 # reproduces; the MIN is kept per query in ROW_FLOORS below as the floor
 # witness (a floor that MOVES between rounds is a plan regression; a
 # median that moves over a steady floor is scheduling noise).
+# First-position caveat: the first query measured in a fresh session
+# absorbs whole-stage-codegen/JIT warmup that the single warm run does
+# not fully discharge (measured: q01 first-in-session 0.74-0.93 vs 0.44-
+# 0.54 after ANY other query has run; q12 shows the same when it goes
+# first). The recal passes share one fixed order, so only the first name
+# was biased; q01's row below is the median of 3 warm-POSITION passes.
 BASELINE_ROWS = {
-    "q01_pricing_summary": 0.39,
-    "q03_shipping_priority": 0.82,
-    "q05_local_supplier_volume": 0.94,
-    "q06_forecast_revenue": 0.26,
-    "q09_product_profit": 0.82,
-    "q12_shipmode_priority": 0.47,
-    "q18_large_orders": 1.08,
-    "q21_waiting_supplier": 1.13,
-    "rel_join_orders_customer": 0.61,
-    "rel_window_topk_per_group": 0.26,
+    "q01_pricing_summary": 0.51,
+    "q03_shipping_priority": 0.78,
+    "q05_local_supplier_volume": 0.91,
+    "q06_forecast_revenue": 0.24,
+    "q09_product_profit": 0.79,
+    "q12_shipmode_priority": 0.46,
+    "q18_large_orders": 1.06,
+    "q21_waiting_supplier": 1.17,
+    "rel_join_orders_customer": 0.5,
+    "rel_window_topk_per_group": 0.22,
     "rel_cube_agg": 0.25,
-    "llm_dedup_exact": 0.28,
-    "llm_dedup_minhash_det": 1.92,
-    "llm_text_quality": 0.37,
-    "llm_knn_bruteforce": 0.45,
-    "stream_tumbling_window": 0.3,
-    "stream_stream_join_conversions": 0.38,
-    "rel_gap_fill_ffill": 0.42,
-    "llm_bm25_topk": 0.55,
-    "llm_chunk_documents": 0.43,
-    "llm_knn_quantized": 0.93,
-    "rel_countmin_sketch": 0.96,
-    "llm_substring_dedup": 0.88,
-    "llm_quality_classifier": 0.31,
-    "llm_text_normalize": 0.32,
-    "rel_ts_similarity_paa": 0.88,
-    "llm_knn_graph": 2.55,
-    "rel_interval_join_binned": 0.52,
-    "rel_quantile_sketch_mergeable": 1.61,
-    "llm_dedup_containment": 1.04,
-    "llm_semantic_dedup": 3.64,
+    "llm_dedup_exact": 0.29,
+    "llm_dedup_minhash_det": 2.15,
+    "llm_text_quality": 0.41,
+    "llm_knn_bruteforce": 0.42,
+    "stream_tumbling_window": 0.27,
+    "stream_stream_join_conversions": 0.3,
+    "rel_gap_fill_ffill": 0.41,
+    "llm_bm25_topk": 0.56,
+    "llm_chunk_documents": 0.45,
+    "llm_knn_quantized": 1.22,
+    "rel_countmin_sketch": 0.98,
+    "llm_substring_dedup": 1.02,
+    "llm_quality_classifier": 0.41,
+    "llm_text_normalize": 0.41,
+    "rel_ts_similarity_paa": 0.92,
+    "llm_knn_graph": 2.57,
+    "rel_interval_join_binned": 0.47,
+    "rel_quantile_sketch_mergeable": 1.7,
+    "llm_dedup_containment": 0.95,
+    "llm_semantic_dedup": 3.59,
     "llm_bpe_learn": 2.25,
-    "llm_bpe_apply": 3.03,
-    "llm_url_dedup": 0.49,
-    "llm_kmeans_det": 3.72,
-    "llm_dedup_hybrid": 5.1,
-    "rel_market_basket_lift": 1.81,
-    "rel_triangle_count": 2.13,
-    "llm_knn_pq_adc": 5.16,
-    "rel_ols_grouped": 1.11,
-    "llm_pmi_collocations": 0.94,
-    "rel_logreg_newton": 2.24,
-    "llm_nb_lang_confusion": 1.09,
-    "stream_pattern_funnel": 0.69,
-    "stream_hll_cells": 0.4,
-    "stream_rollup_states": 0.23,
-    "llm_pca_power": 0.79,
-    "llm_unigram_lm": 1.19,
-    "stream_session_window": 1.17,
-    "llm_pca_topk": 0.79,
-    "stream_stream_full_outer_capped": 0.7,
+    "llm_bpe_apply": 2.89,
+    "llm_url_dedup": 0.4,
+    "llm_kmeans_det": 3.35,
+    "llm_dedup_hybrid": 4.04,
+    "rel_market_basket_lift": 1.66,
+    "rel_triangle_count": 1.85,
+    "llm_knn_pq_adc": 5.36,
+    "rel_ols_grouped": 1.03,
+    "llm_pmi_collocations": 0.82,
+    "rel_logreg_newton": 2.08,
+    "llm_nb_lang_confusion": 0.92,
+    "stream_pattern_funnel": 0.48,
+    "stream_hll_cells": 0.31,
+    "llm_unigram_lm": 1.11,
+    "stream_session_window": 1.15,
+    "llm_pca_topk": 0.71,
+    "stream_stream_full_outer_capped": 0.65,
     "llm_knn_pq_persisted": 1.95,
-    "ref_describe": 0.81,
-    "rel_asof_join": 0.54,
-    "llm_sequence_pack": 0.9,
-    "rel_pagerank": 2.68,
-    "stream_capped_drop_audit": 0.43,
-    # r9 second batch (isolated clean-window rows, same protocol)
-    "llm_knn_ivf_persisted": 1.05,
-    "llm_ngram_novelty": 1.21,
-    "llm_zipf_fit": 0.44,
-    "rel_interval_coalesce": 0.93,
-    "llm_sequence_pack_incremental": 1.01,
-    "llm_sequence_pack_by_source": 2.47,
-    # r10 slots (PROVISIONAL single-pass isolated medians 2026-08-16;
-    # replaced by median-of-passes rows when the r10 recalibration
-    # sweep lands at the round capstone)
-    "q02_min_acctbal_supplier": 1.01,
-    "q04_order_priority": 0.89,
-    "q07_nation_volume": 0.85,
-    "rel_sessionize": 1.17,
-    "rel_merge_upsert": 0.36,
-    "rel_window_range_frame": 0.85,
-    "llm_knn_ivf_append": 1.03,
-    "llm_knn_pq_append": 2.02,
-    "llm_pack_efficiency": 1.0,
-    "stream_ivf_ingest": 1.36,
-    "llm_bitext_mine": 1.44,
-    "rel_kanonymity": 0.45,
+    "stream_capped_drop_audit": 0.44,
+    "llm_sequence_pack": 0.89,
+    "rel_pagerank": 2.31,
+    "llm_knn_ivf_persisted": 0.83,
+    "llm_ngram_novelty": 0.82,
+    "q02_min_acctbal_supplier": 0.77,
+    "q04_order_priority": 0.59,
+    "q07_nation_volume": 0.72,
+    "rel_sessionize": 1.29,
+    "rel_merge_upsert": 0.33,
+    "rel_window_range_frame": 0.84,
+    "llm_knn_ivf_append": 0.81,
+    "ref_describe": 0.78,
+    "rel_asof_join": 0.44,
+    "llm_pca_power": 0.71,
+    "stream_rollup_states": 0.17,
+    "llm_zipf_fit": 0.31,
+    "rel_interval_coalesce": 0.73,
+    "llm_sequence_pack_incremental": 0.73,
+    "llm_sequence_pack_by_source": 0.84,
+    "llm_knn_pq_append": 1.89,
+    "llm_pack_efficiency": 0.88,
+    "llm_ann_recall_audit": 1.84,
+    "llm_knn_pq_rerank": 2.06,
+    "stream_ivf_ingest": 1.22,
+    "llm_bitext_mine": 1.56,
+    "rel_kanonymity": 0.43,
 }
 
 # Floor witness per row (round-10 policy): the MIN of isolated medians
@@ -248,7 +252,85 @@ BASELINE_ROWS = {
 # median that moves over a steady floor is scheduling noise. Seeded from
 # the r9 min-of-passes table (those rows WERE the floors); refined by
 # the r10 recalibration sweep.
-ROW_FLOORS = dict(BASELINE_ROWS)
+ROW_FLOORS = {
+    "q01_pricing_summary": 0.39,
+    "q03_shipping_priority": 0.75,
+    "q05_local_supplier_volume": 0.86,
+    "q06_forecast_revenue": 0.24,
+    "q09_product_profit": 0.79,
+    "q12_shipmode_priority": 0.43,
+    "q18_large_orders": 1.03,
+    "q21_waiting_supplier": 1.13,
+    "rel_join_orders_customer": 0.47,
+    "rel_window_topk_per_group": 0.21,
+    "rel_cube_agg": 0.24,
+    "llm_dedup_exact": 0.25,
+    "llm_dedup_minhash_det": 1.92,
+    "llm_text_quality": 0.36,
+    "llm_knn_bruteforce": 0.41,
+    "stream_tumbling_window": 0.26,
+    "stream_stream_join_conversions": 0.28,
+    "rel_gap_fill_ffill": 0.36,
+    "llm_bm25_topk": 0.55,
+    "llm_chunk_documents": 0.41,
+    "llm_knn_quantized": 0.93,
+    "rel_countmin_sketch": 0.94,
+    "llm_substring_dedup": 0.85,
+    "llm_quality_classifier": 0.31,
+    "llm_text_normalize": 0.32,
+    "rel_ts_similarity_paa": 0.88,
+    "llm_knn_graph": 2.54,
+    "rel_interval_join_binned": 0.4,
+    "rel_quantile_sketch_mergeable": 1.45,
+    "llm_dedup_containment": 0.89,
+    "llm_semantic_dedup": 3.46,
+    "llm_bpe_learn": 1.97,
+    "llm_bpe_apply": 2.76,
+    "llm_url_dedup": 0.35,
+    "llm_kmeans_det": 3.19,
+    "llm_dedup_hybrid": 3.56,
+    "rel_market_basket_lift": 1.63,
+    "rel_triangle_count": 1.84,
+    "llm_knn_pq_adc": 5.05,
+    "rel_ols_grouped": 0.95,
+    "llm_pmi_collocations": 0.8,
+    "rel_logreg_newton": 2.04,
+    "llm_nb_lang_confusion": 0.76,
+    "stream_pattern_funnel": 0.38,
+    "stream_hll_cells": 0.27,
+    "llm_unigram_lm": 1.06,
+    "stream_session_window": 1.13,
+    "llm_pca_topk": 0.69,
+    "stream_stream_full_outer_capped": 0.64,
+    "llm_knn_pq_persisted": 1.68,
+    "stream_capped_drop_audit": 0.43,
+    "llm_sequence_pack": 0.83,
+    "rel_pagerank": 2.21,
+    "llm_knn_ivf_persisted": 0.8,
+    "llm_ngram_novelty": 0.79,
+    "q02_min_acctbal_supplier": 0.7,
+    "q04_order_priority": 0.58,
+    "q07_nation_volume": 0.69,
+    "rel_sessionize": 1.12,
+    "rel_merge_upsert": 0.32,
+    "rel_window_range_frame": 0.83,
+    "llm_knn_ivf_append": 0.8,
+    "ref_describe": 0.76,
+    "rel_asof_join": 0.44,
+    "llm_pca_power": 0.67,
+    "stream_rollup_states": 0.17,
+    "llm_zipf_fit": 0.3,
+    "rel_interval_coalesce": 0.72,
+    "llm_sequence_pack_incremental": 0.67,
+    "llm_sequence_pack_by_source": 0.81,
+    "llm_knn_pq_append": 1.78,
+    "llm_pack_efficiency": 0.86,
+    "llm_ann_recall_audit": 1.7,
+    "llm_knn_pq_rerank": 1.99,
+    "stream_ivf_ingest": 1.18,
+    "llm_bitext_mine": 1.44,
+    "rel_kanonymity": 0.41,
+}
 
 
 def main() -> None:
@@ -400,11 +482,16 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": results,
+        # 3-decimal in the COMPACT line only (ms resolution — the r10
+        # 62-slot line measured 1999 B at 4 decimals, one byte under the
+        # driver's ~2 KB tail-capture budget; the detail sidecar keeps
+        # the full-precision medians)
+        "queries": {n: round(v, 3) for n, v in results.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     detail = {
         **compact,
+        "queries": results,
         "queries_floor_min3": floors,
         "calib_rounds_sec": calibs,
         "contention_retries": retried,
