@@ -5936,7 +5936,11 @@ def llm_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .select("lid", "lv", "ln_", "cell")
     )
-    cand = lp.join(ra, "cell").withColumn(
+    # BOTH sides are corpus-sized, so the candidate join must shuffle on
+    # cell at scale — hint it to SortMergeJoin explicitly so the local
+    # optimizer's size estimate (which would happily broadcast a tiny
+    # test corpus) can never pin the wrong strategy into the plan test
+    cand = lp.hint("merge").join(ra, "cell").withColumn(
         "cos", dot(F.col("lv"), F.col("rv")) / (F.col("ln_") * F.col("rn_"))
     )
     wl = Window.partitionBy("lid").orderBy(F.col("cos").desc(), F.col("rid"))
@@ -6156,4 +6160,93 @@ def llm_knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(wk).cast("long"))
         .filter(F.col("rk") <= 10)
         .select("qid", "cid", "cos", "rk")
+    )
+
+
+@register(
+    "llm_corpus_scorecard",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT {sql_fingerprint('text')}) AS BIGINT) AS n_unique,
+               CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_words_total,
+               {sql_fround('avg(n_chars)', 4)} AS mean_doc_chars,
+               {sql_fround('avg(CASE WHEN n_chars < 200 THEN 1.0 ELSE 0.0 END)', 6)} AS pct_short
+        FROM documents
+    ),
+    lc AS (SELECT count(*) AS c FROM documents GROUP BY lang),
+    ent AS (
+        SELECT {sql_fround('CAST(sum(q) AS BIGINT) * 1.0 / 1000000', 6)} AS lang_entropy
+        FROM (
+            SELECT CAST(floor(
+                -(c * 1.0 / t) * log2(c * 1.0 / t) * 1000000 + 0.5
+            ) AS BIGINT) AS q
+            FROM lc, (SELECT CAST(count(*) AS DOUBLE) AS t FROM documents)
+        )
+    ),
+    sc AS (
+        SELECT {sql_fround('max(c) * 1.0 / (SELECT count(*) FROM documents)', 6)}
+               AS source_top_share
+        FROM (SELECT count(*) AS c FROM documents GROUP BY source)
+    )
+    SELECT base.n_docs, base.n_unique,
+           {sql_fround('1.0 - base.n_unique * 1.0 / base.n_docs', 6)} AS dup_rate,
+           base.n_words_total, base.mean_doc_chars, base.pct_short,
+           ent.lang_entropy, sc.source_top_share
+    FROM base, ent, sc
+    """,
+)
+def llm_corpus_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health scorecard — the dashboard number a data
+    curator reads before/after every pipeline change: volume (docs,
+    whitespace words), exact-dup rate (distinct normalized-md5
+    fingerprints over docs), length profile (mean chars, short-doc
+    fraction), language balance (Shannon entropy of the lang mix,
+    bits), and source concentration (top source's share — the
+    one-crawl-dominates warning).
+
+    Numeric discipline: every ratio is an exact int/int division done
+    identically by both engines; the entropy is the ONE genuine float
+    accumulation, so each -p*log2(p) term is quantized to int64
+    micro-units BEFORE the sum (the llm_zipf_fit rule) — order-free and
+    ulp-robust across engines. Scale: one scan for the base aggregate
+    (count-distinct expands then combines map-side), two tiny key-count
+    aggregates, three one-row broadcasts stitched at the end."""
+    d = t(spark, sf_dir, "documents")
+    base = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct(fingerprint(F.col("text"))).cast("long").alias("n_unique"),
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).cast("long").alias("n_words_total"),
+        fround(F.avg("n_chars"), 4).alias("mean_doc_chars"),
+        fround(
+            F.avg(F.when(F.col("n_chars") < 200, 1.0).otherwise(0.0)), 6
+        ).alias("pct_short"),
+    )
+    tot = d.count()
+    lc = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    p = F.col("c") * 1.0 / F.lit(float(tot))
+    ent = (
+        lc.select(
+            F.floor(-p * F.log2(p) * 1_000_000 + F.lit(0.5)).cast("long").alias("q")
+        )
+        .agg(fround(F.sum("q").cast("long") * 1.0 / 1_000_000, 6).alias("lang_entropy"))
+    )
+    sc = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(fround(F.max("c") * 1.0 / F.lit(tot), 6).alias("source_top_share"))
+    )
+    return (
+        base.crossJoin(F.broadcast(ent))
+        .crossJoin(F.broadcast(sc))
+        .select(
+            "n_docs",
+            "n_unique",
+            fround(1.0 - F.col("n_unique") * 1.0 / F.col("n_docs"), 6).alias("dup_rate"),
+            "n_words_total",
+            "mean_doc_chars",
+            "pct_short",
+            "lang_entropy",
+            "source_top_share",
+        )
     )

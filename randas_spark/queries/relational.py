@@ -4399,3 +4399,97 @@ def rel_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("l_div"), F.lit(0).cast("long")).alias("l_div"),
         (F.col("class_size") < 5).alias("k_violation"),
     )
+
+
+def _skew_leg_sql(table: str, key: str) -> str:
+    """One key's skew diagnostics: exact per-key counts, top-1 share,
+    max/mean ratio, and a deterministic exact p99 pick (row_number on
+    (count, key) — the rel_percentiles_exact index-pick discipline)."""
+    return f"""
+    SELECT '{table}.{key}' AS key_name,
+           s.n_rows, s.n_keys, s.max_rows,
+           {sql_fround('s.max_rows * 1.0 / s.n_rows', 6)} AS top1_share,
+           {sql_fround('s.max_rows * s.n_keys * 1.0 / s.n_rows', 4)} AS skew_ratio,
+           p.p99_rows,
+           {sql_fround('p.p99_rows * s.n_keys * 1.0 / s.n_rows', 4)} AS p99_over_mean
+    FROM (
+        SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(c) AS BIGINT) AS max_rows
+        FROM (SELECT count(*) AS c FROM {table} GROUP BY {key})
+    ) s, (
+        SELECT CAST(c AS BIGINT) AS p99_rows FROM (
+            SELECT c, row_number() OVER (ORDER BY c, k) AS rn,
+                   count(*) OVER () AS nk
+            FROM (SELECT {key} AS k, count(*) AS c FROM {table} GROUP BY {key})
+        ) WHERE rn = CAST(ceil(0.99 * nk) AS BIGINT)
+    ) p
+    """
+
+
+@register(
+    "rel_join_skew_report",
+    oracle=" UNION ALL ".join(
+        [
+            _skew_leg_sql("lineitem", "l_orderkey"),
+            _skew_leg_sql("orders", "o_custkey"),
+            _skew_leg_sql("events", "user_id"),
+        ]
+    ),
+)
+def rel_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report — the diagnostic read BEFORE choosing a
+    skew mitigation (salting: rel_join_salted; AQE skew split: the
+    pinned plan test), answering "which join keys are dangerous and how
+    dangerous": per candidate key, exact row/key counts, the hottest
+    key's share, max/mean ratio, and an exact deterministic p99 of the
+    per-key row counts (index pick on (count, key) order — never an
+    engine-specific quantile interpolation).
+
+    Scale: per key, ONE map-side-combinable count aggregate (the same
+    shuffle the join itself would pay) + scalar roll-ups; the p99 pick
+    is a single-column sort of the KEY-GRAINED counts (|keys| rows, not
+    |rows|). The three legs union — at 100 TB you run this weekly per
+    fact table, cached, and the report is bytes."""
+    legs = []
+    for table, key in (
+        ("lineitem", "l_orderkey"),
+        ("orders", "o_custkey"),
+        ("events", "user_id"),
+    ):
+        df = t(spark, sf_dir, table)
+        cnt = df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("c"))
+        s = cnt.agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("c").cast("long").alias("max_rows"),
+        )
+        w = Window.orderBy("c", "k")
+        ranked = cnt.select(
+            "c",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("nk"),
+        )
+        p99 = ranked.filter(
+            F.col("rn") == F.ceil(0.99 * F.col("nk")).cast("long")
+        ).select(F.col("c").cast("long").alias("p99_rows"))
+        legs.append(
+            s.crossJoin(F.broadcast(p99)).select(
+                F.lit(f"{table}.{key}").alias("key_name"),
+                "n_rows",
+                "n_keys",
+                "max_rows",
+                fround(F.col("max_rows") * 1.0 / F.col("n_rows"), 6).alias("top1_share"),
+                fround(
+                    F.col("max_rows") * F.col("n_keys") * 1.0 / F.col("n_rows"), 4
+                ).alias("skew_ratio"),
+                "p99_rows",
+                fround(
+                    F.col("p99_rows") * F.col("n_keys") * 1.0 / F.col("n_rows"), 4
+                ).alias("p99_over_mean"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

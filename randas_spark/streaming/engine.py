@@ -933,6 +933,61 @@ def ivf_ingest_stream(
     return index_dir
 
 
+def ann_serve_stream(
+    stream_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    out_path: str,
+    checkpoint: str,
+    n_probe: int = 4,
+    top_k: int = 10,
+):
+    """Streamed ANN SERVING — the symmetric half of ivf_ingest_stream:
+    there the corpus streams in and queries are batch, here the QUERIES
+    stream in (a live feed needing nearest-corpus enrichment) and the
+    persisted index serves each micro-batch. Per batch: broadcast the
+    persisted centroid table, probe, score only the probed cell
+    partitions (knn_ivf_query — the identical plan the batch twin
+    runs), and rename-commit the batch's results to its own dir, so
+    at-least-once redelivery converges to one copy. Per-row results
+    are a pure function of (query row, index), so batch boundaries are
+    invisible in the union of outputs — the batch==stream invariant the
+    parity test pins.
+
+    Scale: each micro-batch pays probes x batch — no state, no
+    watermark, no cross-batch shuffle; the index side is the
+    partition-pruned scan at any corpus size."""
+    import os
+    import shutil
+
+    from randas_spark.operators.similarity import knn_ivf_query
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        target = os.path.join(out_path, f"b{int(batch_id):06d}")
+        if os.path.exists(target):
+            return  # redelivered batch — already committed
+        res = knn_ivf_query(
+            batch_df, id_col, vec_col, index_dir, n_probe=n_probe, top_k=top_k
+        )
+        tmp = target + ".__tmp__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        res.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, target)
+
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return out_path
+
+
 def countmin_stream_cells(df: DataFrame, key_col: str = "user_id", depth: int = 4) -> DataFrame:
     """Streaming Count-Min maintenance: the sketch IS a streaming
     aggregation — cells (d, bucket, cnt) update incrementally per

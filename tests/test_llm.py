@@ -3006,3 +3006,20 @@ def test_ann_recall_audit_and_pq_rerank_improve_or_match(spark, tmp_path):
     adc = {(r.qid, r.cid) for r in knn_pq_adc(emb, "vec_id", "embedding").collect()}
     rerank = {(r.qid, r.cid) for r in llm_knn_pq_rerank(spark, SF_DIR).collect()}
     assert len(rerank & truth) >= len(adc & truth)
+
+
+def test_corpus_scorecard_identities(spark):
+    """The scorecard's ratios are internally consistent and the lang
+    entropy is bounded by log2(#langs)."""
+    import math
+
+    from randas_spark.queries import t
+    from randas_spark.queries.llm import llm_corpus_scorecard
+
+    r = llm_corpus_scorecard(spark, SF_DIR).collect()[0]
+    assert r.n_unique <= r.n_docs
+    assert abs(r.dup_rate - round(1.0 - r.n_unique / r.n_docs, 6)) < 1e-9
+    assert 0.0 <= r.pct_short <= 1.0
+    n_langs = t(spark, SF_DIR, "documents").select("lang").distinct().count()
+    assert 0.0 <= r.lang_entropy <= math.log2(max(2, n_langs)) + 1e-6
+    assert 0.0 < r.source_top_share <= 1.0

@@ -1601,3 +1601,22 @@ def test_pagerank_rejects_bad_rounds(spark):
     edges = spark.createDataFrame([(1, 2), (2, 1)], "s long, d long")
     with _pytest.raises(ValueError, match="rounds"):
         pagerank_int(edges, "s", "d", rounds=0)
+
+
+def test_join_skew_report_consistency(spark):
+    """Skew metrics cohere: top-1 share times rows reproduces the max
+    count, p99 never exceeds the max, and mean-normalized ratios are
+    >= 1 for the max and <= that for p99."""
+    from randas_spark.queries.relational import rel_join_skew_report
+
+    from tests.conftest import SF_DIR
+
+    rows = rel_join_skew_report(spark, SF_DIR).collect()
+    assert {r.key_name for r in rows} == {
+        "lineitem.l_orderkey", "orders.o_custkey", "events.user_id"
+    }
+    for r in rows:
+        assert r.p99_rows <= r.max_rows
+        assert abs(r.top1_share - round(r.max_rows / r.n_rows, 6)) < 1e-9
+        assert r.skew_ratio >= 1.0 - 1e-9
+        assert r.p99_over_mean <= r.skew_ratio + 1e-9

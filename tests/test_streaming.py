@@ -1711,3 +1711,53 @@ def test_ivf_compaction_generations_and_crash_windows(spark, tmp_path):
     assert q() == after_b2
     # no-op compaction
     assert ivf_compact_stream_appends(spark, idx)["n_consumed"] == 0
+
+
+def test_ann_serve_stream_matches_batch_twin(spark, tmp_path):
+    """Streamed ANN serving: two query files through readStream ->
+    foreachBatch knn_ivf_query with rename-committed result dirs must
+    union to exactly the one-shot batch serve; a restart on the same
+    checkpoint commits nothing new."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.similarity import ivf_build_index, knn_ivf_query
+    from randas_spark.queries import t
+    from randas_spark.streaming.engine import ann_serve_stream
+
+    emb = t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    queries = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(
+        corpus, "vec_id", "embedding", idx, n_cells=max(16, corpus.count() // 32)
+    )
+    want = _collect_sorted(
+        knn_ivf_query(queries, "vec_id", "embedding", idx, n_probe=4, top_k=10)
+    )
+
+    stage = tmp_path / "qfeed"
+    queries.filter(F.col("vec_id") % 4 == 1).coalesce(1).write.parquet(str(stage / "f0"))
+    queries.filter(F.col("vec_id") % 4 == 3).coalesce(1).write.parquet(str(stage / "f1"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage) + "/*")
+    )
+    out = str(tmp_path / "served")
+    ckpt = str(tmp_path / "ckpt")
+    ann_serve_stream(stream, "vec_id", "embedding", idx, out, ckpt)
+    dirs = sorted(d for d in os.listdir(out) if not d.endswith(".__tmp__"))
+    assert dirs == ["b000000", "b000001"]
+    got = _collect_sorted(spark.read.parquet(*[os.path.join(out, d) for d in dirs]))
+    assert got == want
+
+    # restart: offsets committed, no third dir appears
+    stream2 = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage) + "/*")
+    )
+    ann_serve_stream(stream2, "vec_id", "embedding", idx, out, ckpt)
+    assert sorted(d for d in os.listdir(out) if not d.endswith(".__tmp__")) == dirs
