@@ -966,7 +966,11 @@ def knn_pq_query(
     sub = dim // m
     spark = queries.sparkSession
     cents = _pq_load_codebooks(spark, index_dir, m)
-    enc = spark.read.parquet(os.path.join(index_dir, "codes.parquet"))
+    # generation pointer (pq_compact_codes flips it atomically); a
+    # pre-compaction index reads the original codes.parquet
+    enc = spark.read.parquet(
+        os.path.join(index_dir, marker.get("codes_dir", "codes.parquet"))
+    )
     q = _pq_quantize(queries, id_col, vec_col, scale).select(
         F.col("vid").alias("qid"), "qx"
     )
@@ -1369,5 +1373,48 @@ def pq_encode_batch(
         F.col("vid").alias("cid"),
         *[_pq_code_col(j, sub, cents[j]) for j in range(m)],
     )
-    enc.write.mode("append").parquet(os.path.join(index_dir, "codes.parquet"))
-    _write_index_marker(index_dir, "pq", params, fingerprint)
+    enc.write.mode("append").parquet(
+        os.path.join(index_dir, marker.get("codes_dir", "codes.parquet"))
+    )
+    _write_index_marker(
+        index_dir, "pq", params, fingerprint, extra=_marker_extra(marker)
+    )
+
+
+def pq_compact_codes(spark, index_dir: str) -> dict:
+    """PQ twin of :func:`ivf_compact_stream_appends` for the small-file
+    decay of repeated ``pq_encode_batch`` appends (every append lands
+    new files in the codes table; a year of batches is thousands of
+    tiny parquet files on the index's ONLY per-row artifact): rewrite
+    the current codes generation into ``codes_g{K}.parquet``, coalesced
+    to a file count sized by rows, then flip the marker's ``codes_dir``
+    pointer in one atomic replace and GC the old generation. A crash
+    before the flip leaves an orphan dir (harmless); after the flip the
+    old dir is unreferenced — no crash window double-serves a code
+    row."""
+    import os
+    import shutil
+
+    marker = read_index_marker(index_dir)
+    if marker is None or marker.get("kind") != "pq":
+        raise ValueError(f"pq_compact_codes: no committed PQ index at {index_dir}")
+    cur = marker.get("codes_dir", "codes.parquet")
+    gen = int(marker.get("generation", 0)) + 1
+    new_dir = f"codes_g{gen}.parquet"
+    enc = spark.read.parquet(os.path.join(index_dir, cur))
+    n = enc.count()
+    # ~4M code rows per output file: each row is m longs + id, so this
+    # keeps files in the 100 MB class at production m without ever
+    # writing the thousands-of-KB-files shape compaction exists to fix
+    n_files = max(1, n // 4_000_000)
+    enc.coalesce(n_files).write.mode("overwrite").parquet(
+        os.path.join(index_dir, new_dir)
+    )
+    extra = _marker_extra(marker)
+    extra.update({"codes_dir": new_dir, "generation": gen})
+    _write_index_marker(
+        index_dir, "pq", marker.get("params") or {}, marker.get("fingerprint"),
+        extra=extra,
+    )
+    shutil.rmtree(os.path.join(index_dir, cur), ignore_errors=True)
+    return {"generation": new_dir, "n_rows": int(n)}

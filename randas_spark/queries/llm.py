@@ -6250,3 +6250,94 @@ def llm_corpus_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_top_share",
         )
     )
+
+
+@register(
+    "llm_cross_source_overlap",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(lower(text), ' ')) - 4, 1)),
+            i -> array_to_string(string_split(lower(text), ' ')[i:i+4], ' ')))) AS s
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b,
+               CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+    )
+    SELECT least(da.source, db.source) AS src_a,
+           greatest(da.source, db.source) AS src_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(floor(CAST(sum(CAST(floor(p.jaccard * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                / (1000000.0 * count(*)) * 1000000 + 0.5) AS BIGINT) / 1000000.0
+               AS mean_jaccard
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    GROUP BY 1, 2
+    """,
+)
+def llm_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the curation question behind
+    source selection: WHICH crawls/feeds duplicate each other, and how
+    hard. Exact 5-gram Jaccard near-dup pairs (>= 0.6, the
+    llm_dedup_ngram_jaccard ground truth, shingle equi-join — never
+    all-pairs) are attributed to their documents' sources; the
+    unordered (src_a, src_b) cell counts pairs and carries the mean
+    overlap strength. A heavy diagonal means intra-source boilerplate
+    (dedup within the source); a heavy off-diagonal cell means two
+    sources mirror each other (drop or down-weight one BEFORE paying to
+    process both).
+
+    Numeric discipline: each pair's jaccard is quantized to int64
+    micro-units before the per-cell sum (order-free), and the mean is
+    one exact-int division re-quantized — cross-engine value-exact with
+    no fround-on-accumulated-floats hazard. Scale: the pair set is the
+    already-bounded near-dup join; the attribution is two broadcastable
+    dimension joins (doc -> source) + one combinable groupBy on a
+    handful of source-pair cells."""
+    from randas_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.6)
+    src = d.select("doc_id", "source")
+    attributed = (
+        pairs.join(
+            F.broadcast(src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "sa")),
+            "id_a",
+        )
+        .join(
+            F.broadcast(src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "sb")),
+            "id_b",
+        )
+    )
+    q = F.floor(F.col("jaccard") * 1_000_000 + F.lit(0.5)).cast("long")
+    return (
+        attributed.select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+            q.alias("q"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            (
+                F.floor(
+                    F.sum("q").cast("double")
+                    / (F.lit(1_000_000.0) * F.count(F.lit(1)))
+                    * 1_000_000
+                    + F.lit(0.5)
+                ).cast("long")
+                / F.lit(1_000_000.0)
+            ).alias("mean_jaccard"),
+        )
+    )

@@ -3023,3 +3023,49 @@ def test_corpus_scorecard_identities(spark):
     n_langs = t(spark, SF_DIR, "documents").select("lang").distinct().count()
     assert 0.0 <= r.lang_entropy <= math.log2(max(2, n_langs)) + 1e-6
     assert 0.0 < r.source_top_share <= 1.0
+
+
+def test_pq_compact_codes_invisible_to_queries(spark, tmp_path):
+    """Compacting the PQ codes table (generation rewrite + atomic marker
+    flip) must not change a single served row, must survive a further
+    append (which follows the new pointer), and a second compaction
+    chains generations."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.similarity import (
+        knn_pq_query,
+        pq_build_index,
+        pq_compact_codes,
+        pq_encode_batch,
+        read_index_marker,
+    )
+    from randas_spark.queries import t
+
+    emb = t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 10 != 9)
+    batch = emb.filter(F.col("vec_id") % 10 == 9)
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "pq")
+    pq_build_index(base, "vec_id", "embedding", idx)
+    pq_encode_batch(batch, "vec_id", "embedding", idx)
+
+    def q():
+        df = knn_pq_query(queries, "vec_id", "embedding", idx, top_k=10)
+        cols = sorted(df.columns)
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    before = q()
+    out = pq_compact_codes(spark, idx)
+    assert out["generation"] == "codes_g1.parquet"
+    assert out["n_rows"] == emb.count()
+    assert read_index_marker(idx)["codes_dir"] == "codes_g1.parquet"
+    assert not os.path.exists(os.path.join(idx, "codes.parquet"))
+    assert q() == before
+
+    # appends follow the generation pointer; re-compaction chains
+    pq_encode_batch(batch.limit(0), "vec_id", "embedding", idx)
+    assert q() == before
+    assert pq_compact_codes(spark, idx)["generation"] == "codes_g2.parquet"
+    assert q() == before
