@@ -243,6 +243,11 @@ BASELINE_ROWS = {
     "stream_ivf_ingest": 1.22,
     "llm_bitext_mine": 1.56,
     "rel_kanonymity": 0.43,
+    # r10 late additions (median of 3 warm-position passes 2026-08-16)
+    "stream_ann_enrich": 1.70,
+    "llm_corpus_scorecard": 0.82,
+    "rel_join_skew_report": 1.52,
+    "llm_cross_source_overlap": 1.41,
 }
 
 # Floor witness per row (round-10 policy): the MIN of isolated medians
@@ -330,6 +335,10 @@ ROW_FLOORS = {
     "stream_ivf_ingest": 1.18,
     "llm_bitext_mine": 1.44,
     "rel_kanonymity": 0.41,
+    "stream_ann_enrich": 1.61,
+    "llm_corpus_scorecard": 0.74,
+    "rel_join_skew_report": 1.29,
+    "llm_cross_source_overlap": 1.21,
 }
 
 

@@ -1761,3 +1761,70 @@ def test_ann_serve_stream_matches_batch_twin(spark, tmp_path):
     )
     ann_serve_stream(stream2, "vec_id", "embedding", idx, out, ckpt)
     assert sorted(d for d in os.listdir(out) if not d.endswith(".__tmp__")) == dirs
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("seed", [0, 1, 2])
+def test_ivf_protocol_random_schedules_serve_identically(spark, tmp_path, seed):
+    """Protocol-equivalence property: ANY interleaving of stream
+    commits, batch appends, and compactions over the same row set must
+    serve byte-identical query results — assignment is per-row against
+    frozen centroids, so the layout history cannot exist in the result.
+    Three seeded pseudo-random schedules (ops and chunk order drawn
+    from random.Random(seed)) are each compared to a flat
+    build+single-append reference over exactly the rows they ingested."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.similarity import (
+        ivf_append_batch,
+        ivf_build_index,
+        ivf_commit_stream_batch,
+        ivf_compact_stream_appends,
+        knn_ivf_query,
+    )
+    from randas_spark.queries import t
+
+    emb = t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    n_cells = max(16, base.count() // 32)
+    queries = emb.filter(F.col("vec_id") < 5)
+    chunks = [emb.filter((F.col("vec_id") % 8) == m) for m in (1, 3, 5, 7)]
+
+    rng = random.Random(seed)
+    idx = str(tmp_path / f"ivf_s{seed}")
+    ivf_build_index(base, "vec_id", "embedding", idx, n_cells=n_cells)
+    used, next_stream_id = [], 0
+    order = rng.sample(range(4), k=rng.randint(2, 4))
+    for ci in order:
+        op = rng.choice(["stream", "append", "compact_then_stream"])
+        if op == "compact_then_stream":
+            ivf_compact_stream_appends(spark, idx)
+        if op == "append":
+            ivf_append_batch(chunks[ci], "vec_id", "embedding", idx)
+        else:
+            ivf_commit_stream_batch(
+                chunks[ci], "vec_id", "embedding", idx, next_stream_id
+            )
+            next_stream_id += 1
+        used.append(ci)
+    if rng.random() < 0.5:
+        ivf_compact_stream_appends(spark, idx)
+
+    ref = str(tmp_path / f"ivf_ref_s{seed}")
+    ivf_build_index(base, "vec_id", "embedding", ref, n_cells=n_cells)
+    allb = chunks[used[0]]
+    for ci in used[1:]:
+        allb = allb.unionByName(chunks[ci])
+    ivf_append_batch(allb, "vec_id", "embedding", ref)
+
+    got = _collect_sorted(
+        knn_ivf_query(queries, "vec_id", "embedding", idx, n_probe=4, top_k=10)
+    )
+    want = _collect_sorted(
+        knn_ivf_query(queries, "vec_id", "embedding", ref, n_probe=4, top_k=10)
+    )
+    assert got == want
