@@ -248,6 +248,8 @@ BASELINE_ROWS = {
     "llm_corpus_scorecard": 0.82,
     "rel_join_skew_report": 1.52,
     "llm_cross_source_overlap": 1.41,
+    "llm_knn_filtered": 1.44,
+    "llm_ann_index_stats": 0.63,
 }
 
 # Floor witness per row (round-10 policy): the MIN of isolated medians
@@ -339,6 +341,8 @@ ROW_FLOORS = {
     "llm_corpus_scorecard": 0.74,
     "rel_join_skew_report": 1.29,
     "llm_cross_source_overlap": 1.21,
+    "llm_knn_filtered": 1.36,
+    "llm_ann_index_stats": 0.56,
 }
 
 

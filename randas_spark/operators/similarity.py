@@ -1058,6 +1058,7 @@ def knn_ivf_query(
     n_probe: int = 4,
     top_k: int = 10,
     fingerprint: str | None = None,
+    candidate_filter: Column | None = None,
 ) -> DataFrame:
     """QUERY half of the persisted IVF index: probe the n_probe
     max-cosine cells per query against the (tiny, broadcast) persisted
@@ -1122,6 +1123,14 @@ def knn_ivf_query(
         .filter(F.col("rn") <= n_probe)
         .select("qid", "qv", "qn", "cell")
     )
+    if candidate_filter is not None:
+        # FILTERED search (metadata predicate): applied to the candidate
+        # rows BEFORE ranking, so it lands on the partition-pruned
+        # assignments scan (column-pruned, pushed down) — top-k among
+        # survivors. A highly selective filter can return < k rows from
+        # the probed cells; callers widen n_probe or brute-force the
+        # filtered subset (the recall-audit trade).
+        assign = assign.filter(candidate_filter)
     wk = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return (
         F.broadcast(probes)
@@ -1134,6 +1143,29 @@ def knn_ivf_query(
         .filter(F.col("rk") <= top_k)
         .select("qid", "cid", "cos", "rk")
     )
+
+
+def ivf_assignment_counts(spark, index_dir: str) -> DataFrame:
+    """Per-cell row counts of a committed IVF index (base generation ∪
+    unconsumed stream batches) — the raw table behind the balance
+    report. Pure metadata-scale aggregate: reads only the cell
+    partition column, one map-combinable count."""
+    import os
+
+    marker = read_index_marker(index_dir)
+    if marker is None or marker.get("kind") != "ivf":
+        raise ValueError(f"ivf_assignment_counts: no committed IVF index at {index_dir}")
+    roots = [
+        os.path.join(index_dir, marker.get("assignments_dir", "assignments.parquet"))
+    ] + ivf_committed_stream_dirs(index_dir)
+    parts = [
+        spark.read.parquet(r).select(F.col("cell").cast("long").alias("cell"))
+        for r in roots
+    ]
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    return allc.groupBy("cell").agg(F.count(F.lit(1)).alias("c"))
 
 
 def ivf_append_batch(

@@ -6341,3 +6341,184 @@ def llm_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_jaccard"),
         )
     )
+
+
+def _ivf_filtered_oracle() -> str:
+    """Adaptive-cell IVF replay with a metadata predicate applied to
+    the CANDIDATE side before ranking (post-filter inside the probed
+    cells — top-k among survivors)."""
+    return f"""
+    WITH cent AS (
+        SELECT vec_id AS cell, embedding AS center
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT (SELECT greatest(16, count(*) // 32) FROM embeddings)
+    ),
+    assign AS (
+        SELECT cid, cv, cell FROM (
+            SELECT c.vec_id AS cid, c.embedding AS cv, ct.cell,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY {sql_cosine('c.embedding', 'ct.center')} DESC, ct.cell
+                   ) AS rn
+            FROM embeddings c CROSS JOIN cent ct
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT qid, qv, cell FROM (
+            SELECT q.vec_id AS qid, q.embedding AS qv, ct.cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {sql_cosine('q.embedding', 'ct.center')} DESC, ct.cell
+                   ) AS rn
+            FROM embeddings q CROSS JOIN cent ct
+            WHERE q.vec_id < 5
+        ) WHERE rn <= 4
+    )
+    SELECT qid, cid, cos, rk FROM (
+        SELECT p.qid, a.cid, {sql_cosine('p.qv', 'a.cv')} AS cos,
+               row_number() OVER (
+                   PARTITION BY p.qid
+                   ORDER BY {sql_cosine('p.qv', 'a.cv')} DESC, a.cid) AS rk
+        FROM probes p JOIN assign a USING (cell)
+        WHERE p.qid <> a.cid AND a.cid % 3 = 0
+    ) WHERE rk <= 10
+    """
+
+
+@register("llm_knn_filtered", oracle=_ivf_filtered_oracle())
+def llm_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the vector-store staple: top-k nearest
+    AMONG corpus rows satisfying a metadata predicate (here cid % 3 == 0
+    standing in for a tenant/language/license filter). Strategy is
+    post-filter-in-cell: probe the usual n_probe cells, apply the
+    predicate to the candidate rows BEFORE ranking, rank the survivors.
+
+    Why this shape at 100 TB: the predicate lands on the assignment
+    scan (column-pruned, partition-pruned to the probed cells), so the
+    filter costs nothing extra — the alternative, pre-filtering the
+    corpus and re-indexing per predicate, is a per-query index build.
+    The known failure mode is honest here too: a highly selective
+    filter can leave < k survivors in the probed cells (raise n_probe
+    or fall back to brute force over the filtered subset — the recall
+    audit family measures exactly this trade). The oracle replays the
+    same post-filter semantics, so the returned-fewer-than-k behavior
+    is value-pinned, not papered over."""
+    import os
+    import shutil
+
+    from randas_spark.operators.similarity import (
+        index_ready,
+        ivf_build_index,
+        knn_ivf_query,
+        parquet_fingerprint,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    n_cells = max(16, emb.count() // 32)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "benchdata",
+        "ivf_index",
+        f"{sf_tag}_adaptive_v2",
+    )
+    fp = parquet_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    if not index_ready(
+        index_dir, kind="ivf", params={"n_cells": n_cells}, fingerprint=fp
+    ):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        ivf_build_index(
+            emb, "vec_id", "embedding", index_dir, n_cells=n_cells, fingerprint=fp
+        )
+    out = knn_ivf_query(
+        emb.filter(F.col("vec_id") < 5),
+        "vec_id",
+        "embedding",
+        index_dir,
+        n_probe=4,
+        top_k=10,
+        fingerprint=fp,
+        candidate_filter=F.col("cid") % 3 == 0,
+    )
+    return out
+
+
+def _ivf_stats_oracle() -> str:
+    """Replay of the index balance report: adaptive-cell assignment
+    counts rolled up to distribution stats."""
+    return f"""
+    WITH cent AS (
+        SELECT vec_id AS cell, embedding AS center
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT (SELECT greatest(16, count(*) // 32) FROM embeddings)
+    ),
+    assign AS (
+        SELECT cid, cell FROM (
+            SELECT c.vec_id AS cid, ct.cell,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY {sql_cosine('c.embedding', 'ct.center')} DESC, ct.cell
+                   ) AS rn
+            FROM embeddings c CROSS JOIN cent ct
+        ) WHERE rn = 1
+    ),
+    cc AS (SELECT cell, count(*) AS c FROM assign GROUP BY cell)
+    SELECT CAST((SELECT count(*) FROM cent) AS BIGINT) AS n_cells,
+           CAST(count(*) AS BIGINT) AS n_nonempty_cells,
+           CAST(sum(c) AS BIGINT) AS n_vectors,
+           CAST(max(c) AS BIGINT) AS max_cell,
+           {sql_fround('max(c) * count(*) * 1.0 / sum(c)', 4)} AS balance_ratio
+    FROM cc
+    """
+
+
+@register("llm_ann_index_stats", oracle=_ivf_stats_oracle())
+def llm_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index balance report — the operational gauge for a served IVF
+    index (rel_join_skew_report's twin for vector cells): cell count,
+    non-empty cells, vector total, the hottest cell, and max/mean
+    balance ratio. A ratio drifting up over ingestion means new data no
+    longer matches the frozen centroids (distribution shift) — the
+    signal to re-cluster offline, which is exactly the decision this
+    one-aggregate query exists to inform. Scale: one count per cell
+    (map-combinable) + a scalar roll-up; runs against the persisted
+    assignments scan, no vector math at all."""
+    import os
+    import shutil
+
+    from randas_spark.operators.similarity import (
+        index_ready,
+        ivf_assignment_counts,
+        ivf_build_index,
+        parquet_fingerprint,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    n_cells = max(16, emb.count() // 32)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "benchdata",
+        "ivf_index",
+        f"{sf_tag}_adaptive_v2",
+    )
+    fp = parquet_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    if not index_ready(
+        index_dir, kind="ivf", params={"n_cells": n_cells}, fingerprint=fp
+    ):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        ivf_build_index(
+            emb, "vec_id", "embedding", index_dir, n_cells=n_cells, fingerprint=fp
+        )
+    cc = ivf_assignment_counts(spark, index_dir)
+    return cc.agg(
+        F.lit(int(n_cells)).cast("long").alias("n_cells"),
+        F.count(F.lit(1)).cast("long").alias("n_nonempty_cells"),
+        F.sum("c").cast("long").alias("n_vectors"),
+        F.max("c").cast("long").alias("max_cell"),
+        fround(
+            F.max("c") * F.count(F.lit(1)) * 1.0 / F.sum("c"), 4
+        ).alias("balance_ratio"),
+    )

@@ -3069,3 +3069,25 @@ def test_pq_compact_codes_invisible_to_queries(spark, tmp_path):
     assert q() == before
     assert pq_compact_codes(spark, idx)["generation"] == "codes_g2.parquet"
     assert q() == before
+
+
+def test_filtered_knn_and_index_stats_invariants(spark):
+    """Filtered search returns only predicate-satisfying candidates
+    with contiguous 1-based ranks; the balance report's fields cohere."""
+    from randas_spark.queries.llm import llm_ann_index_stats, llm_knn_filtered
+
+    rows = llm_knn_filtered(spark, SF_DIR).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r.cid % 3 == 0
+        by_q.setdefault(r.qid, []).append(r.rk)
+    for rks in by_q.values():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+
+    s = llm_ann_index_stats(spark, SF_DIR).collect()[0]
+    assert 0 < s.n_nonempty_cells <= s.n_cells
+    assert s.max_cell <= s.n_vectors
+    assert abs(
+        s.balance_ratio - round(s.max_cell * s.n_nonempty_cells / s.n_vectors, 4)
+    ) < 1e-9
