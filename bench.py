@@ -250,6 +250,7 @@ BASELINE_ROWS = {
     "llm_cross_source_overlap": 1.41,
     "llm_knn_filtered": 1.44,
     "llm_ann_index_stats": 0.63,
+    "llm_dedup_survivorship": 0.54,
 }
 
 # Floor witness per row (round-10 policy): the MIN of isolated medians
@@ -343,6 +344,7 @@ ROW_FLOORS = {
     "llm_cross_source_overlap": 1.21,
     "llm_knn_filtered": 1.36,
     "llm_ann_index_stats": 0.56,
+    "llm_dedup_survivorship": 0.50,
 }
 
 

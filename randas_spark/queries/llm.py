@@ -6522,3 +6522,64 @@ def llm_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c") * F.count(F.lit(1)) * 1.0 / F.sum("c"), 4
         ).alias("balance_ratio"),
     )
+
+
+@register(
+    "llm_dedup_survivorship",
+    oracle=f"""
+    WITH src AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 7 = 3 THEN 'common duplicated body'
+                    ELSE text END AS body
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, source, {sql_fingerprint('body')} AS fp FROM src
+    ),
+    w AS (SELECT fp, min(doc_id) AS win_id FROM f GROUP BY fp)
+    SELECT lf.source AS loser_source, wf.source AS winner_source,
+           CAST(count(*) AS BIGINT) AS n_dropped
+    FROM f lf
+    JOIN w ON lf.fp = w.fp AND lf.doc_id <> w.win_id
+    JOIN f wf ON wf.doc_id = w.win_id
+    GROUP BY 1, 2
+    """,
+)
+def llm_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship matrix — who WINS when duplicates collide:
+    for every document dropped by the exact-dedup keep-min rule, the
+    (loser source, winner source) cell counts it. The point is bias
+    accounting: keep-on-minimum-id silently favors whichever source was
+    ingested first (low ids), and when an off-diagonal cell is heavy in
+    one direction, one source's documents are systematically surviving
+    at another's expense — the attribution a curation decision (or a
+    licensing question) needs to see, and the exact-dedup twin of the
+    near-dup cross-source matrix (llm_cross_source_overlap). The
+    fixture corpus has no organic exact dups at small sf, so the
+    llm_dedup_incremental synthetic-duplication discipline applies: a
+    shared body is injected into every doc_id % 7 == 3 document, giving
+    the matrix real cross-source collisions at every scale.
+
+    Scale: fingerprint groupBy is map-side combinable; the winner is a
+    per-fp window min (no second aggregate pass); the winner's source
+    comes from ONE id equi-join; the output is a handful of
+    source-pair cells."""
+    d = t(spark, sf_dir, "documents")
+    body = F.when(
+        F.col("doc_id") % 7 == 3, F.lit("common duplicated body")
+    ).otherwise(F.col("text"))
+    f = d.select("doc_id", "source", fingerprint(body).alias("fp"))
+    w = Window.partitionBy("fp")
+    losers = (
+        f.withColumn("win_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("win_id"))
+        .select(F.col("source").alias("loser_source"), "win_id")
+    )
+    winners = f.select(
+        F.col("doc_id").alias("win_id"), F.col("source").alias("winner_source")
+    )
+    return (
+        losers.join(winners, "win_id")
+        .groupBy("loser_source", "winner_source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))
+    )

@@ -24,6 +24,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     args = sys.argv[1:]
+    rotate = 0
+    if "--rotate" in args:
+        i = args.index("--rotate")
+        if i + 1 >= len(args):
+            raise SystemExit("usage: bench_isolated.py [--rotate K] [sf_dir] query ...")
+        rotate = int(args[i + 1])
+        del args[i : i + 2]
     sf_dir = (
         args.pop(0)
         if args and os.path.isdir(args[0])
@@ -42,6 +49,15 @@ def main() -> None:
         # validate BEFORE running: a typo'd later name would discard
         # minutes of measurements already taken (JSON prints at the end)
         raise SystemExit(f"unknown query name(s): {unknown}")
+    if rotate:
+        # start-position rotation (BASELINE.md r10 finding: the FIRST
+        # query measured in a fresh session absorbs JIT/codegen warmup
+        # the single warm run does not fully discharge — q01 measured
+        # 0.74-0.93 s first-in-session vs 0.44-0.54 after any other
+        # query). Rotating the start per pass spreads the bias so the
+        # cross-pass median never sees the same victim twice.
+        k = rotate % len(args)
+        args = args[k:] + args[:k]
     def drop_persisted() -> None:
         """clearCache() misses localCheckpoint RDDs, which pin executor
         storage for the session — repeated runs of checkpoint-heavy
