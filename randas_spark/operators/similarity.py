@@ -1238,7 +1238,20 @@ def ivf_commit_stream_batch(
     manifest pointing at it), which is what table formats (Iceberg/Delta)
     do under Spark; the per-batch dirs keep ingest O(batch) and are
     compacted into assignments.parquet offline when small-file count
-    matters (the classic streaming-ingest compaction trade)."""
+    matters (the classic streaming-ingest compaction trade).
+
+    Id-recycling guard (ADVICE r10 #1): the dir name IS the idempotence
+    key, so a NEW stream epoch (fresh checkpoint restarting batch_id at
+    0) that reuses an id already folded into a compacted generation and
+    GC'd would rename-commit a dir ivf_committed_stream_dirs excludes
+    FOREVER — rows silently never served. A commit whose name is still
+    listed in the marker's ``consumed`` field therefore returns False
+    when the dir still exists (redelivery of a consumed-awaiting-GC
+    batch — already served via the compacted generation) and RAISES when
+    the dir is gone (a recycled id cannot be told apart from such a
+    redelivery by name, and writing would be silent data loss): new
+    epochs must offset their ids by :func:`ivf_stream_epoch_base`, the
+    monotone watermark compaction persists in the marker."""
     import os
     import shutil
 
@@ -1247,9 +1260,18 @@ def ivf_commit_stream_batch(
         raise ValueError(
             f"ivf_commit_stream_batch: no committed IVF index at {index_dir}"
         )
-    target = os.path.join(index_dir, "stream_appends", f"b{int(batch_id):06d}")
+    name = f"b{int(batch_id):06d}"
+    target = os.path.join(index_dir, "stream_appends", name)
     if os.path.exists(target):
         return False  # redelivered batch — already committed
+    if name in set(marker.get("consumed") or []):
+        raise ValueError(
+            f"ivf_commit_stream_batch: batch id {int(batch_id)} at {index_dir} "
+            "was already folded into a compacted generation and its dir GC'd; "
+            "a new stream epoch must not recycle consumed ids — start its "
+            f"batch ids at ivf_stream_epoch_base() = "
+            f"{int(marker.get('next_batch_id', 0))}"
+        )
     spark = batch.sparkSession
     cent = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
     assign = _ivf_assign(batch, id_col, vec_col, cent)
@@ -1258,6 +1280,20 @@ def ivf_commit_stream_batch(
     assign.write.mode("overwrite").partitionBy("cell").parquet(tmp)
     os.rename(tmp, target)
     return True
+
+
+def ivf_stream_epoch_base(index_dir: str) -> int:
+    """The first batch id a NEW stream epoch (fresh checkpoint, ids
+    restarting at 0) may use against this index: the marker's
+    ``next_batch_id`` watermark, advanced by every compaction past the
+    highest id it folded. A new epoch's foreachBatch sink commits with
+    ``epoch_base + batch_id`` so recycled checkpoint ids can never
+    collide with names already consumed by a compacted generation
+    (ivf_commit_stream_batch refuses such collisions loudly)."""
+    marker = read_index_marker(index_dir)
+    if marker is None:
+        raise ValueError(f"ivf_stream_epoch_base: no committed index at {index_dir}")
+    return int(marker.get("next_batch_id", 0))
 
 
 def ivf_stamp_fingerprint(index_dir: str, fingerprint: str | None) -> None:
@@ -1353,13 +1389,38 @@ def ivf_compact_stream_appends(spark, index_dir: str) -> dict:
     merged.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(index_dir, new_dir)
     )
+    # Prune consumed entries whose dirs an EARLIER compaction already
+    # GC'd (ADVICE r10 #2: without this the list grows for the index's
+    # lifetime, bloating the single commit-point file every query reads
+    # and widening the id-recycling trap). An entry still on disk stays
+    # listed — it is in the flip-to-GC crash window and must remain
+    # excluded from serving. The watermark below keeps the recycling
+    # guard sound after pruning: a pruned name can only be recommitted
+    # by an epoch that ignored ivf_stream_epoch_base, and
+    # ivf_commit_stream_batch's consumed check catches the un-pruned
+    # window while next_batch_id documents the safe floor forever.
+    folded = {os.path.basename(d) for d in stream_dirs}
+    root = os.path.join(index_dir, "stream_appends")
     consumed = sorted(
-        set(marker.get("consumed") or [])
-        | {os.path.basename(d) for d in stream_dirs}
+        {
+            n
+            for n in set(marker.get("consumed") or [])
+            if os.path.exists(os.path.join(root, n))
+        }
+        | folded
+    )
+    next_id = max(
+        int(marker.get("next_batch_id", 0)),
+        max(int(n.lstrip("b")) for n in folded) + 1,
     )
     extra = _marker_extra(marker)
     extra.update(
-        {"assignments_dir": new_dir, "generation": gen, "consumed": consumed}
+        {
+            "assignments_dir": new_dir,
+            "generation": gen,
+            "consumed": consumed,
+            "next_batch_id": next_id,
+        }
     )
     _write_index_marker(
         index_dir,
@@ -1369,8 +1430,10 @@ def ivf_compact_stream_appends(spark, index_dir: str) -> dict:
         extra=extra,
     )
     # post-flip GC: anything below is redundant with the new generation
-    for d in stream_dirs:
-        shutil.rmtree(d, ignore_errors=True)
+    # (consumed entries carried over from a crashed earlier GC included —
+    # their rows live in `cur`, which was folded into the new generation)
+    for n in consumed:
+        shutil.rmtree(os.path.join(root, n), ignore_errors=True)
     shutil.rmtree(os.path.join(index_dir, cur), ignore_errors=True)
     return {"generation": new_dir, "n_consumed": len(stream_dirs)}
 
@@ -1413,6 +1476,11 @@ def pq_encode_batch(
     )
 
 
+# Per-file row target for compacted PQ codes (~100 MB at production m);
+# module-level so tests can exercise the file-count sizing without 4M rows.
+PQ_CODES_ROWS_PER_FILE = 4_000_000
+
+
 def pq_compact_codes(spark, index_dir: str) -> dict:
     """PQ twin of :func:`ivf_compact_stream_appends` for the small-file
     decay of repeated ``pq_encode_batch`` appends (every append lands
@@ -1437,11 +1505,20 @@ def pq_compact_codes(spark, index_dir: str) -> dict:
     n = enc.count()
     # ~4M code rows per output file: each row is m longs + id, so this
     # keeps files in the 100 MB class at production m without ever
-    # writing the thousands-of-KB-files shape compaction exists to fix
-    n_files = max(1, n // 4_000_000)
-    enc.coalesce(n_files).write.mode("overwrite").parquet(
-        os.path.join(index_dir, new_dir)
+    # writing the thousands-of-KB-files shape compaction exists to fix.
+    # CEILING division (ADVICE r10 #3): floor would pack e.g. 7.9M rows
+    # into one ~2x-oversized file instead of two at-target files.
+    # coalesce can only REDUCE partition count (the common many-small-
+    # appends case, shuffle-free); when the target exceeds the current
+    # partitioning — few but oversized files — a repartition shuffle is
+    # the correct price for the at-target layout.
+    n_files = max(1, -(-n // PQ_CODES_ROWS_PER_FILE))
+    sized = (
+        enc.coalesce(n_files)
+        if n_files <= enc.rdd.getNumPartitions()
+        else enc.repartition(n_files)
     )
+    sized.write.mode("overwrite").parquet(os.path.join(index_dir, new_dir))
     extra = _marker_extra(marker)
     extra.update({"codes_dir": new_dir, "generation": gen})
     _write_index_marker(

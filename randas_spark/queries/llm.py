@@ -6512,9 +6512,16 @@ def llm_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_build_index(
             emb, "vec_id", "embedding", index_dir, n_cells=n_cells, fingerprint=fp
         )
+    # Report the PERSISTED centroid count, not the requested formula
+    # literal (ADVICE r10 #4): on a corpus smaller than the cell formula
+    # the seeding LIMIT clamps, and the oracle counts the cent CTE —
+    # the persisted table is the ground truth both sides agree on.
+    n_cells_actual = spark.read.parquet(
+        os.path.join(index_dir, "centroids.parquet")
+    ).count()
     cc = ivf_assignment_counts(spark, index_dir)
     return cc.agg(
-        F.lit(int(n_cells)).cast("long").alias("n_cells"),
+        F.lit(int(n_cells_actual)).cast("long").alias("n_cells"),
         F.count(F.lit(1)).cast("long").alias("n_nonempty_cells"),
         F.sum("c").cast("long").alias("n_vectors"),
         F.max("c").cast("long").alias("max_cell"),

@@ -3091,3 +3091,29 @@ def test_filtered_knn_and_index_stats_invariants(spark):
     assert abs(
         s.balance_ratio - round(s.max_cell * s.n_nonempty_cells / s.n_vectors, 4)
     ) < 1e-9
+
+
+def test_pq_compact_codes_ceiling_file_sizing(spark, tmp_path, monkeypatch):
+    """ADVICE r10 #3: compaction sizes output files by CEILING division
+    of the row count over the per-file target, so a table just over the
+    target splits into two at-target files instead of one ~2x file
+    (exercised by shrinking the module target, not by writing 4M rows)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    import randas_spark.operators.similarity as sim
+    from randas_spark.queries import t
+
+    emb = t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    idx = str(tmp_path / "pq")
+    sim.pq_build_index(emb, "vec_id", "embedding", idx)
+    n = emb.count()
+    assert n > 1
+    # target just UNDER the row count: floor division would say 1 file,
+    # ceiling correctly says 2
+    monkeypatch.setattr(sim, "PQ_CODES_ROWS_PER_FILE", n - 1)
+    out = sim.pq_compact_codes(spark, idx)
+    files = glob.glob(os.path.join(idx, out["generation"], "part-*.parquet"))
+    assert len(files) == 2

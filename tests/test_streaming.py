@@ -1828,3 +1828,82 @@ def test_ivf_protocol_random_schedules_serve_identically(spark, tmp_path, seed):
         knn_ivf_query(queries, "vec_id", "embedding", ref, n_probe=4, top_k=10)
     )
     assert got == want
+
+
+def test_ivf_stream_epoch_base_blocks_recycled_batch_ids(spark, tmp_path):
+    """ADVICE r10 #1 repro, closed: after compaction GC's a consumed
+    stream dir, a NEW stream epoch recycling that batch id must be
+    REFUSED (the old behavior rename-committed a dir
+    ivf_committed_stream_dirs excludes forever — rows silently never
+    served), the marker's consumed list must be pruned of GC'd entries
+    at the next compaction (ADVICE r10 #2), and ivf_stream_epoch_base
+    must hand a fresh epoch an id floor that serves every row."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_commit_stream_batch,
+        ivf_committed_stream_dirs,
+        ivf_compact_stream_appends,
+        ivf_stream_epoch_base,
+        knn_ivf_query,
+        read_index_marker,
+    )
+    from randas_spark.queries import t
+
+    emb = t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 4 == 0)
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(base, "vec_id", "embedding", idx, n_cells=max(16, base.count() // 32))
+    assert ivf_stream_epoch_base(idx) == 0
+
+    # epoch 1: ids 0 and 1, then compaction consumes + GCs them
+    ivf_commit_stream_batch(
+        emb.filter(F.col("vec_id") % 4 == 1), "vec_id", "embedding", idx, 0
+    )
+    ivf_commit_stream_batch(
+        emb.filter(F.col("vec_id") % 4 == 2), "vec_id", "embedding", idx, 1
+    )
+    ivf_compact_stream_appends(spark, idx)
+    m = read_index_marker(idx)
+    assert m["consumed"] == ["b000000", "b000001"]
+    assert m["next_batch_id"] == 2
+    assert ivf_stream_epoch_base(idx) == 2
+
+    # epoch 2 recycling id 0 (fresh checkpoint): refused loudly, and the
+    # refused batch never became an invisible dir
+    batch2 = emb.filter(F.col("vec_id") % 4 == 3)
+    with pytest.raises(ValueError, match="recycle consumed ids"):
+        ivf_commit_stream_batch(batch2, "vec_id", "embedding", idx, 0)
+    assert not os.path.exists(os.path.join(idx, "stream_appends", "b000000"))
+
+    # epoch 2 done right: offset by the epoch base — rows ARE served
+    eb = ivf_stream_epoch_base(idx)
+    assert ivf_commit_stream_batch(batch2, "vec_id", "embedding", idx, eb + 0) is True
+    assert len(ivf_committed_stream_dirs(idx)) == 1
+    # the advisor's loss metric: every ingested row is in the served set
+    from randas_spark.operators.similarity import ivf_assignment_counts
+
+    n_served = (
+        ivf_assignment_counts(spark, idx).agg(F.sum("c")).collect()[0][0]
+    )
+    # base (%4==0) + epoch-1 batches (%4 in 1,2) + epoch-2 batch (%4==3)
+    assert n_served == emb.count()
+
+    # second compaction PRUNES the GC'd epoch-1 entries from consumed
+    # (bounded commit-point file) and advances the watermark past b%06d
+    ivf_compact_stream_appends(spark, idx)
+    m2 = read_index_marker(idx)
+    assert m2["consumed"] == [f"b{eb:06d}"]
+    assert m2["next_batch_id"] == eb + 1
+
+    # redelivery of a consumed batch whose dir survives a crashed GC is
+    # a quiet no-op (dir exists -> False), not a raise
+    ghost = os.path.join(idx, "stream_appends", f"b{eb:06d}")
+    os.makedirs(ghost, exist_ok=True)
+    assert (
+        ivf_commit_stream_batch(batch2, "vec_id", "embedding", idx, eb) is False
+    )
