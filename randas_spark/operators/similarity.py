@@ -383,7 +383,13 @@ def knn_ivf_det(
     )
     wk = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return (
-        probes.join(assign, "cell")
+        # probes is panel-bounded (|queries| x n_probe rows) at ANY
+        # corpus size — broadcast explicitly (as knn_ivf_query does)
+        # so a wider panel can't flip the stats-driven plan to an SMJ
+        # that shuffles the corpus-sized assignment table (seen r11:
+        # the 50-query recall panel crossed the threshold)
+        F.broadcast(probes)
+        .join(assign, "cell")
         .filter(F.col("qid") != F.col("cid"))
         .withColumn(
             "cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
@@ -677,9 +683,13 @@ def _pq_score(
     not k_sub unionAll legs each re-deriving the query plan), m
     broadcast hash-joins onto the code columns, a fixed-order m-term
     sum (bit-deterministic regardless of partitioning), row_number
-    top-k. ``enc`` may be a freshly encoded frame (knn_pq_adc) or a
-    persisted codes table scan (knn_pq_query) — the plan is identical
-    either way: codes scan + broadcast joins + one window."""
+    top-k. ``enc`` may be a freshly encoded frame (knn_pq_adc), a
+    persisted codes table scan (knn_pq_query), or a coarse-pruned
+    candidate frame that ALREADY carries ``qid`` (knn_ivfpq_query's
+    probe join) — the plan is identical either way: codes scan +
+    broadcast joins + one window, and sharing this one scorer keeps the
+    flat and cell-pruned ADC paths incapable of drifting apart."""
+    has_qid = "qid" in enc.columns
     luts = []
     for j in range(m):
         entries = F.array(
@@ -700,9 +710,11 @@ def _pq_score(
     scored = enc
     for j, lut in enumerate(luts):
         # leg 0 introduces qid (fanning each code row out to all
+        # queries) UNLESS the candidate frame already carries it (the
+        # cell-pruned path: each candidate belongs to specific probed
         # queries); later legs must key on (qid, code_j) or they would
         # cross-pair query LUTs
-        on = [f"code_{j}"] if j == 0 else ["qid", f"code_{j}"]
+        on = [f"code_{j}"] if j == 0 and not has_qid else ["qid", f"code_{j}"]
         scored = scored.join(F.broadcast(lut), on)
     # fixed-order sum => bit-deterministic regardless of partitioning
     adc = scored.select(
@@ -1527,3 +1539,192 @@ def pq_compact_codes(spark, index_dir: str) -> dict:
     )
     shutil.rmtree(os.path.join(index_dir, cur), ignore_errors=True)
     return {"generation": new_dir, "n_rows": int(n)}
+
+
+def ivfpq_build_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dir: str,
+    n_cells: int = 16,
+    dim: int = 64,
+    m: int = 4,
+    k_sub: int = 8,
+    n_iter: int = 2,
+    scale: float = 512.0,
+    fingerprint: str | None = None,
+) -> None:
+    """BUILD half of the composite IVF+PQ index (VERDICT r10 order #1) —
+    the standard IVFADC layout (Jégou et al., PAMI'11 §V; FAISS
+    IndexIVFPQ): a coarse inverted file prunes WHICH vectors a query
+    scores, product quantization compresses HOW each survivor is
+    scored. This closes the one remaining gap in the ANN ladder: the
+    flat persisted PQ (knn_pq_query) scans the whole 64x-compressed
+    codes table per query panel — linear, but still corpus-sized —
+    while here the codes live PARTITIONED BY coarse cell, so a query
+    probing n_probe of n_cells touches n_probe·N/n_cells code rows.
+
+    Variant note: codebooks quantize the RAW vectors, not per-cell
+    residuals (FAISS's ``by_residual=false`` mode — a supported
+    production variant). Chosen deliberately: shared codebooks make the
+    fit a pure function of the corpus alone, so the composite is
+    exactly {coarse assignment} x {the already-oracled PQ fit} and the
+    DuckDB replay composes the two proven chains; residual encoding
+    would couple the Lloyd fit to the cell layout for a modest recall
+    gain that the two-stage exact rerank (knn_pq_rerank's pattern)
+    recovers anyway.
+
+    Persisted artifacts:
+    - ``centroids.parquet`` — coarse cells (cell, center, center_nrm),
+      n_cells rows of model state (broadcast at query time);
+    - ``codebooks.parquet`` — (j, cluster, carr): m x k_sub PQ rows;
+    - ``codes.parquet``     — (cid, code_0..code_{m-1}) PARTITIONED BY
+      cell: the corpus as m small ints per row, physically co-located
+      by coarse cell — the layout that turns probing into partition
+      pruning on the ONLY corpus-sized artifact.
+
+    Determinism: md5-seeded coarse centroids (ivf_build_index's
+    seeding), the shared ``_ivf_assign`` cell expression, and the
+    blocked deterministic Lloyd PQ fit — every stage replayable
+    cross-engine, so the composite carries a full value-hash oracle."""
+    import os
+
+    from randas_spark.operators.sampling import _md5_hex
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    cent = (
+        corpus.orderBy(_md5_hex(F.col(id_col)), F.col(id_col))
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell"),
+            F.col(vec_col).alias("center"),
+            norm(F.col(vec_col)).alias("center_nrm"),
+        )
+    )
+    assign = _ivf_assign(corpus, id_col, vec_col, cent).select("cid", "cell")
+    v = _pq_quantize(corpus, id_col, vec_col, scale).localCheckpoint()
+    cents = _pq_train(v, m, sub, k_sub, n_iter)
+    enc = v.select(
+        F.col("vid").alias("cid"),
+        *[_pq_code_col(j, sub, cents[j]) for j in range(m)],
+    )
+    # one equi-join stitches code row to coarse cell; at build time both
+    # sides are corpus-sized and co-keyed on the id — a single shuffle,
+    # paid once per build, to buy partition pruning on every query after
+    codes = enc.join(assign, "cid")
+    cent.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "centroids.parquet")
+    )
+    codes.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(out_dir, "codes.parquet")
+    )
+    spark = corpus.sparkSession
+    cb_rows = [
+        (j, int(c), [float(x) for x in carr])
+        for j in range(m)
+        for c, carr in cents[j]
+    ]
+    spark.createDataFrame(
+        cb_rows, "j int, cluster long, carr array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "codebooks.parquet")
+    )
+    _write_index_marker(
+        out_dir,
+        "ivfpq",
+        {
+            "n_cells": n_cells,
+            "dim": dim,
+            "m": m,
+            "k_sub": k_sub,
+            "n_iter": n_iter,
+            "scale": scale,
+        },
+        fingerprint,
+    )
+
+
+def knn_ivfpq_query(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    n_probe: int = 4,
+    top_k: int = 10,
+    dim: int = 64,
+    m: int = 4,
+    scale: float = 512.0,
+    fingerprint: str | None = None,
+) -> DataFrame:
+    """QUERY half of the composite IVF+PQ index: probe the n_probe
+    max-cosine coarse cells per query against the broadcast centroid
+    table, then ADC-score ONLY the probed cells' code partitions. The
+    plan is the 100 TB ANN steady state this repo was missing: the one
+    corpus-sized scan (codes, already 64x-compressed) is partition-
+    pruned to n_probe·N/n_cells rows by the broadcast probe join, the
+    LUTs are per-query literals, and the fixed-order ADC sum keeps the
+    result bit-deterministic. Against the flat persisted PQ this
+    removes the full-codes scan; against the persisted IVF it removes
+    the raw-vector math on the survivors.
+
+    Integrity (same discipline as knn_pq_query/knn_ivf_query): raises
+    on an uncommitted dir, on caller params that contradict the
+    marker's build params, and on a corpus-fingerprint mismatch."""
+    import os
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    marker = read_index_marker(index_dir)
+    if marker is None or marker.get("kind") != "ivfpq":
+        raise ValueError(f"knn_ivfpq_query: no committed IVFPQ index at {index_dir}")
+    built = marker.get("params") or {}
+    for name, want in (("dim", dim), ("m", m), ("scale", scale)):
+        if name in built and built[name] != want:
+            raise ValueError(
+                f"knn_ivfpq_query: param mismatch at {index_dir} — index built "
+                f"with {name}={built[name]}, query passed {name}={want}"
+            )
+    if fingerprint is not None and marker.get("fingerprint") != fingerprint:
+        raise ValueError(
+            f"knn_ivfpq_query: stale index at {index_dir} — built from corpus "
+            f"{marker.get('fingerprint')}, current corpus is {fingerprint}; "
+            "rebuild with ivfpq_build_index"
+        )
+    sub = dim // m
+    spark = queries.sparkSession
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
+    cents = _pq_load_codebooks(spark, index_dir, m)
+    enc = spark.read.parquet(os.path.join(index_dir, "codes.parquet")).select(
+        "cid",
+        *[f"code_{j}" for j in range(m)],
+        F.col("cell").cast("long").alias("cell"),
+    )
+    # probe expression shared with knn_ivf_query's (same max-cosine
+    # fold, same (ccos desc, cell) tiebreak) — raw-vector math happens
+    # on queries x n_cells only, never on the corpus
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    wp = Window.partitionBy("qid").orderBy(F.col("ccos").desc(), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "ccos",
+            dot(F.col("qv"), F.col("center")) / (F.col("qn") * F.col("center_nrm")),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("qid", "cell")
+    )
+    # broadcast probe join prunes the codes scan to the probed cells
+    # (static file pruning per union-free single root); candidates then
+    # carry qid, so the shared ADC scorer keys every LUT leg on it
+    cand = F.broadcast(probes).join(enc, "cell").drop("cell")
+    ql = _pq_quantize(queries, id_col, vec_col, scale).select(
+        F.col("vid").alias("qid"), "qx"
+    )
+    return _pq_score(cand, ql, cents, m, sub, top_k)

@@ -4075,6 +4075,7 @@ def _pq_oracle(
     n_queries: int = 5,
     top_k: int = 10,
     fit_where: str = "TRUE",
+    n_probe: int | None = None,
 ) -> str:
     """Macro-expanded PQ replay: one deterministic Lloyd chain per
     subspace (the _kmeans_oracle pattern on sliced subvectors), then the
@@ -4086,7 +4087,16 @@ def _pq_oracle(
     incremental-append query (fit on the base ingest, encode the later
     batch against the frozen codebooks). The encode-over-all views are
     only emitted when a real predicate is given, so the default oracle
-    text (and llm_knn_pq_adc's recorded hash) is unchanged."""
+    text (and llm_knn_pq_adc's recorded hash) is unchanged.
+
+    ``n_probe`` (r11) composes the IVFPQ replay: when set, the adaptive
+    coarse-cell chain (_ivf_adaptive_oracle's cent/assign/probes shape,
+    greatest(16, N // 32) cells) is emitted and the ADC scan is
+    restricted to candidates whose coarse cell one of the query's
+    n_probe probes hits — exactly knn_ivfpq_query's partition-pruned
+    candidate set. The PQ fit chain is untouched (by_residual=false:
+    shared codebooks, fit a pure function of the corpus), so the
+    composite oracle is the two already-proven chains joined."""
 
     def dist(v: str, c: str) -> str:
         return (
@@ -4185,6 +4195,42 @@ def _pq_oracle(
         for j in range(1, m)
     )
     adc_sum = " + ".join(f"l{j}.d" for j in range(m))
+    if n_probe is not None:
+        parts.append(
+            f"""pcent AS MATERIALIZED (
+        SELECT vec_id AS cell, embedding AS center
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT (SELECT greatest(16, count(*) // 32) FROM embeddings)
+    ),
+    passign AS MATERIALIZED (
+        SELECT cid, cell FROM (
+            SELECT c.vec_id AS cid, ct.cell,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY {sql_cosine('c.embedding', 'ct.center')} DESC, ct.cell
+                   ) AS rn
+            FROM embeddings c CROSS JOIN pcent ct
+        ) WHERE rn = 1
+    ),
+    pprobes AS MATERIALIZED (
+        SELECT qid, cell FROM (
+            SELECT q.vec_id AS qid, ct.cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {sql_cosine('q.embedding', 'ct.center')} DESC, ct.cell
+                   ) AS rn
+            FROM embeddings q CROSS JOIN pcent ct
+            WHERE q.vec_id < {n_queries}
+        ) WHERE rn <= {n_probe}
+    )"""
+        )
+    prune_joins = (
+        " JOIN passign ia ON ia.cid = c.cid"
+        " JOIN pprobes p ON p.cell = ia.cell AND p.qid = l0.qid"
+        if n_probe is not None
+        else ""
+    )
     return (
         "WITH "
         + ",\n    ".join(parts)
@@ -4196,7 +4242,7 @@ def _pq_oracle(
     adc AS MATERIALIZED (
         SELECT l0.qid, c.cid, {adc_sum} AS adc_dist
         FROM codes c
-        JOIN s0lut l0 ON l0.code = c.code_0 {lut_joins}
+        JOIN s0lut l0 ON l0.code = c.code_0 {lut_joins}{prune_joins}
         WHERE l0.qid <> c.cid
     )
     SELECT qid, cid, adc_dist, rk FROM (
@@ -5960,8 +6006,11 @@ def llm_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_recall_oracle() -> str:
-    """Replay of the recall audit: adaptive-cell IVF approximate top-10
-    LEFT-JOINed against the exact brute-force top-10 per query."""
+    """Replay of the recall audit panel: per method (adaptive-cell IVF;
+    IVFPQ, r11), the approximate top-10 LEFT-JOINed against the exact
+    brute-force top-10 per query. The IVFPQ leg nests the full composite
+    replay (_pq_oracle with n_probe, 50 queries) as a CTE — the
+    _pq_rerank_oracle nested-WITH pattern."""
     return f"""
     WITH cent AS (
         SELECT vec_id AS cell, embedding AS center
@@ -6000,6 +6049,9 @@ def _ann_recall_oracle() -> str:
             WHERE p.qid <> a.cid
         ) WHERE rk <= 10
     ),
+    approx_ivfpq AS (
+        {_pq_oracle(n_queries=50, top_k=10, n_probe=4)}
+    ),
     truth AS (
         SELECT qid, cid FROM (
             SELECT q.vec_id AS qid, c.vec_id AS cid,
@@ -6011,11 +6063,18 @@ def _ann_recall_oracle() -> str:
             WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id
         ) WHERE rk <= 10
     )
-    SELECT t.qid,
+    SELECT 'ivf_det' AS method, t.qid,
            CAST(count(*) AS BIGINT) AS n_true,
            CAST(count(a.cid) AS BIGINT) AS n_found,
            CAST(count(a.cid) AS DOUBLE) / count(*) AS recall
     FROM truth t LEFT JOIN approx a ON a.qid = t.qid AND a.cid = t.cid
+    GROUP BY t.qid
+    UNION ALL
+    SELECT 'ivfpq' AS method, t.qid,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST(count(b.cid) AS BIGINT) AS n_found,
+           CAST(count(b.cid) AS DOUBLE) / count(*) AS recall
+    FROM truth t LEFT JOIN approx_ivfpq b ON b.qid = t.qid AND b.cid = t.cid
     GROUP BY t.qid
     """
 
@@ -6039,7 +6098,11 @@ def llm_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     of corpus size, the standard recall-panel design; the approximate
     leg is the production plan itself. One (qid,cid) equi-join + one
     combinable groupBy stitch them."""
-    from randas_spark.operators.similarity import knn_bruteforce, knn_ivf_det
+    from randas_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf_det,
+        knn_ivfpq_query,
+    )
 
     emb = t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 50)
@@ -6047,19 +6110,36 @@ def llm_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = knn_bruteforce(qs, emb, "vec_id", "vec_id", "embedding", top_k=10).select(
         "qid", "cid"
     )
-    approx = knn_ivf_det(
+    approx_ivf = knn_ivf_det(
         qs, emb, "vec_id", "vec_id", "embedding",
         n_cells=n_cells, n_probe=4, top_k=10,
     ).select("qid", "cid", F.lit(1).alias("hit"))
-    return (
-        truth.join(approx, ["qid", "cid"], "left")
-        .groupBy("qid")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_true"),
-            F.count("hit").cast("long").alias("n_found"),
-            (F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
+    # r11: the composite persisted index joins the panel — same 50-query
+    # panel, same truth leg, so its recall cell is directly comparable
+    # to the raw-vector IVF's (quantization loss shows up HERE, which is
+    # what makes the pq_rerank repair measurable rather than assumed)
+    index_dir, fp = _ivfpq_index(spark, sf_dir)
+    approx_pq = knn_ivfpq_query(
+        qs, "vec_id", "embedding", index_dir, n_probe=4, top_k=10, fingerprint=fp
+    ).select("qid", "cid", F.lit(1).alias("hit"))
+
+    def leg(approx: DataFrame, method: str) -> DataFrame:
+        # approx is <= |panel| x top_k rows at any corpus size —
+        # broadcast so the stitch join can't SMJ-shuffle the truth leg
+        return (
+            truth.join(F.broadcast(approx), ["qid", "cid"], "left")
+            .groupBy("qid")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_true"),
+                F.count("hit").cast("long").alias("n_found"),
+                (F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
+            )
+            .select(
+                F.lit(method).alias("method"), "qid", "n_true", "n_found", "recall"
+            )
         )
-    )
+
+    return leg(approx_ivf, "ivf_det").unionByName(leg(approx_pq, "ivfpq"))
 
 
 def _pq_rerank_oracle() -> str:
@@ -6589,4 +6669,89 @@ def llm_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         losers.join(winners, "win_id")
         .groupBy("loser_source", "winner_source")
         .agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))
+    )
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple:
+    """Build-if-absent persisted IVFPQ index for ``sf_dir``'s embeddings
+    (adaptive cells, m4/k8/i2/s512) — shared by the headline query and
+    the recall audit so one build per (sf, corpus-fingerprint) serves
+    both. Returns (index_dir, fingerprint)."""
+    import os
+    import shutil
+
+    from randas_spark.operators.similarity import (
+        index_ready,
+        ivfpq_build_index,
+        parquet_fingerprint,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    n_cells = max(16, emb.count() // 32)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "benchdata",
+        "ivfpq_index",
+        f"{sf_tag}_adaptive_m4k8i2s512_v1",
+    )
+    params = {
+        "n_cells": n_cells,
+        "dim": 64,
+        "m": 4,
+        "k_sub": 8,
+        "n_iter": 2,
+        "scale": 512.0,
+    }
+    fp = parquet_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    if not index_ready(index_dir, kind="ivfpq", params=params, fingerprint=fp):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        ivfpq_build_index(
+            emb,
+            "vec_id",
+            "embedding",
+            index_dir,
+            n_cells=n_cells,
+            fingerprint=fp,
+        )
+    return index_dir, fp
+
+
+@register("llm_knn_ivfpq", oracle=_pq_oracle(n_probe=4))
+def llm_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite IVF+PQ persisted ANN index (VERDICT r10 order #1) —
+    the IVFADC layout (Jégou et al. PAMI'11 §V; FAISS IndexIVFPQ with
+    by_residual=false): adaptive coarse cells (max(16, N // 32), the
+    persisted-IVF formula) prune WHICH code rows a query panel scores,
+    product quantization compresses each survivor to m=4 codes. The
+    codes table — the only corpus-sized artifact — is persisted
+    PARTITIONED BY coarse cell, so the measured plan is: broadcast
+    probe join prunes the (64x-compressed, cell-partitioned) codes scan
+    to n_probe·N/n_cells rows, m broadcast LUT joins, fixed-order ADC
+    sum, one top-k window. This retires the last full-corpus-per-panel
+    ANN plan (llm_knn_pq_adc keeps its slot as the oracle-replayable
+    fused baseline; llm_knn_pq_persisted proves the fit/query split;
+    this row proves the pruned scan).
+
+    The oracle composes the two already-proven replay chains — the
+    blocked deterministic PQ fit (_pq_oracle) and the adaptive coarse
+    assignment (_ivf_adaptive_oracle's shape) — joined on candidate
+    cells, so the full composite is value-pinned, not just row-counted.
+
+    Integrity: index keyed by all build params + source-parquet
+    fingerprint (build-if-absent, rebuild on corpus regeneration);
+    knn_ivfpq_query re-validates params and fingerprint at query
+    time."""
+    from randas_spark.operators.similarity import knn_ivfpq_query
+
+    emb = t(spark, sf_dir, "embeddings")
+    index_dir, fp = _ivfpq_index(spark, sf_dir)
+    return knn_ivfpq_query(
+        emb.filter(F.col("vec_id") < 5),
+        "vec_id",
+        "embedding",
+        index_dir,
+        n_probe=4,
+        top_k=10,
+        fingerprint=fp,
     )

@@ -3117,3 +3117,69 @@ def test_pq_compact_codes_ceiling_file_sizing(spark, tmp_path, monkeypatch):
     out = sim.pq_compact_codes(spark, idx)
     files = glob.glob(os.path.join(idx, out["generation"], "part-*.parquet"))
     assert len(files) == 2
+
+
+def test_ivfpq_full_probe_equals_flat_pq_and_integrity_raises(spark, tmp_path):
+    """Composite-index correctness frame: with n_probe >= n_cells the
+    coarse pruning admits every cell, so knn_ivfpq_query must return
+    EXACTLY knn_pq_query's flat-ADC top-k (same codebooks, same fixed-
+    order sum — the by_residual=false design makes the two plans differ
+    only in which code rows they scan). Plus the integrity contract:
+    param mismatch and stale fingerprint raise, wrong-kind dir raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.similarity import (
+        ivfpq_build_index,
+        knn_ivfpq_query,
+        knn_pq_query,
+        pq_build_index,
+    )
+    from randas_spark.queries import t
+
+    emb = t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5)
+    n_cells = 8
+
+    flat = str(tmp_path / "pq")
+    pq_build_index(emb, "vec_id", "embedding", flat, fingerprint="fp1")
+    comp = str(tmp_path / "ivfpq")
+    ivfpq_build_index(
+        emb, "vec_id", "embedding", comp, n_cells=n_cells, fingerprint="fp1"
+    )
+
+    def rows(df):
+        return sorted(
+            (r["qid"], r["cid"], r["adc_dist"], r["rk"]) for r in df.collect()
+        )
+
+    want = rows(knn_pq_query(queries, "vec_id", "embedding", flat, top_k=10))
+    got = rows(
+        knn_ivfpq_query(
+            queries, "vec_id", "embedding", comp, n_probe=n_cells, top_k=10
+        )
+    )
+    assert got == want
+
+    # pruning changes WHICH rows are scanned, never a score: every
+    # 1-probe result's (qid, cid, adc_dist) appears verbatim in the
+    # flat index's full scored set, and 1 probe of 8 cells really did
+    # drop candidates somewhere (result sets differ)
+    one = rows(
+        knn_ivfpq_query(queries, "vec_id", "embedding", comp, n_probe=1, top_k=10)
+    )
+    all_flat = {
+        (q, c, d)
+        for q, c, d, _ in rows(
+            knn_pq_query(queries, "vec_id", "embedding", flat, top_k=10**6)
+        )
+    }
+    assert {(q, c, d) for q, c, d, _ in one} <= all_flat
+    assert one != want
+
+    with pytest.raises(ValueError, match="param mismatch"):
+        knn_ivfpq_query(queries, "vec_id", "embedding", comp, scale=256.0)
+    with pytest.raises(ValueError, match="stale index"):
+        knn_ivfpq_query(queries, "vec_id", "embedding", comp, fingerprint="fp2")
+    with pytest.raises(ValueError, match="no committed IVFPQ index"):
+        knn_ivfpq_query(queries, "vec_id", "embedding", flat)

@@ -62,6 +62,30 @@ PINNED = {
     # two-stage rerank: 4 LUT joins + 2 shortlist-side broadcasts (the
     # bounded candidate set onto the corpus raw-vector scan)
     "llm_knn_pq_rerank": (6, 0, 8),
+    # --- r11 pins (VERDICT r10 order #7): the r10 additions reviewed in
+    # PLANS_r10.md prose, now transcribed. BNLJ counts where nonzero are
+    # asserted separately below (scalar/centroid broadcasts only).
+    # filtered IVF search: the one probe BHJ on the pruned scan
+    "llm_knn_filtered": (1, 0, 6),
+    # index balance report: pure metadata aggregate — NO joins at all
+    "llm_ann_index_stats": (0, 0, 2),
+    # corpus scorecard: combinable aggregates + 2 scalar-totals BNLJ
+    "llm_corpus_scorecard": (0, 0, 8),
+    # skew report: per-key counts + 3 scalar-totals BNLJ, no data join
+    "rel_join_skew_report": (0, 0, 15),
+    # cross-source overlap: banded equi-joins only
+    "llm_cross_source_overlap": (5, 0, 7),
+    # survivorship matrix: one winner-id equi-join over the window min
+    "llm_dedup_survivorship": (1, 0, 3),
+    # IVFPQ composite (r11 centerpiece): 4 broadcast LUT joins + the ONE
+    # probe BHJ that partition-prunes the cell-partitioned codes scan
+    # (the DPP expression itself is asserted separately below); SMJ=0 —
+    # the corpus-sized artifact is scanned pruned, never shuffled
+    "llm_knn_ivfpq": (5, 0, 10),
+    # recall panel (2 methods): brute-force truth x2, IVF det leg, IVFPQ
+    # leg, two broadcast stitch joins — panel-bounded sides all hinted,
+    # so SMJ stays 0 even at the 50-query panel width (r11 fix)
+    "llm_ann_recall_audit": (8, 0, 22),
 }
 
 
@@ -101,3 +125,18 @@ def test_bm25_single_broadcast_nested_loop_is_the_stats_join(spark, registry):
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert plan.count("BroadcastHashJoin") == 2
     assert plan.count("SortMergeJoin") == 0
+
+
+def test_ivfpq_codes_scan_is_dynamically_partition_pruned(spark, registry):
+    """The IVFPQ query's ONLY corpus-sized scan (the cell-partitioned
+    codes table) must carry a DynamicPruningExpression on `cell` fed by
+    the broadcast probe join — that expression IS the n_probe/n_cells
+    cost model; without it the composite silently degrades to the flat
+    persisted-PQ full-codes scan it exists to retire. Centroid-table
+    BNLJs stay bounded at 2 (query x coarse-centroids, probe legs)."""
+    df = registry["llm_knn_ivfpq"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("dynamicpruningexpression") == 1
+    assert "code_0" in plan  # the pruned scan is the codes table
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    assert plan.count("CartesianProduct") == 0
