@@ -1011,3 +1011,88 @@ def stream_ann_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_k=10,
         fingerprint=fp,
     )
+
+
+@register(
+    "stream_scd2_apply",
+    oracle=f"""
+    WITH upd AS (
+        SELECT o_custkey AS c_custkey,
+               {sql_fround('sum(o_totalprice)', 2)} AS bal,
+               CAST(max(o_orderdate) AS TIMESTAMP) AS ts,
+               CASE WHEN o_orderdate < DATE '1994-01-01' THEN 1
+                    WHEN o_orderdate < DATE '1996-01-01' THEN 2
+                    ELSE 3 END AS b
+        FROM orders
+        GROUP BY o_custkey,
+                 CASE WHEN o_orderdate < DATE '1994-01-01' THEN 1
+                      WHEN o_orderdate < DATE '1996-01-01' THEN 2
+                      ELSE 3 END
+    ),
+    seq AS (
+        SELECT c_custkey, c_acctbal AS bal,
+               TIMESTAMP '1970-01-01 00:00:00' AS ts, 0 AS b
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, bal, ts, b FROM upd
+    ),
+    chg AS (
+        SELECT *, lag(bal) OVER (PARTITION BY c_custkey ORDER BY b) AS prev_bal
+        FROM seq
+    ),
+    keep AS (
+        SELECT c_custkey, bal, ts, b FROM chg
+        WHERE b = 0 OR bal IS DISTINCT FROM prev_bal
+    )
+    SELECT c_custkey, bal, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY c_custkey ORDER BY b) AS valid_to
+    FROM keep
+    """,
+)
+def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming SCD2 dimension materialization (VERDICT
+    r10 order #6; engine.scd2_ingest_stream + operators/merge.
+    scd2_commit_stream_batch): the customer dimension is seeded open at
+    the epoch, then THREE time-ordered CDC batches (orders bucketed
+    <1994 / <1996 / rest, each pre-aggregated to one balance update per
+    customer stamped at its latest order date in the period) are
+    applied SEQUENTIALLY through the exact per-batch operator the
+    foreachBatch sink calls — so this plan is the generation-by-
+    generation history the streaming path materializes, and pytest pins
+    streamed-final == this, batch for batch, under redelivery and a
+    fresh-checkpoint restart.
+
+    The oracle replays the version chains declaratively: per key, the
+    update sequence ordered by batch collapses runs of equal tracked
+    values (lag — exactly scd2_apply's change predicate applied batch
+    by batch), valid_from = the surviving update's ts, valid_to = the
+    NEXT surviving update's ts (lead; open = NULL). The two forms
+    agreeing IS the proof that chained per-batch MERGEs materialize the
+    declarative version history.
+
+    Scale: each apply is one key-shuffle join of the CURRENT dimension
+    against a pre-aggregated batch (history rows filtered out before
+    the shuffle — cost tracks |current| + |batch| per generation, not
+    accumulated history)."""
+    from randas_spark.operators.merge import scd2_apply
+
+    c = t(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    o = t(spark, sf_dir, "orders")
+    for lo, hi in ((None, "1994-01-01"), ("1994-01-01", "1996-01-01"), ("1996-01-01", None)):
+        batch = o
+        if lo is not None:
+            batch = batch.filter(F.col("o_orderdate") >= F.lit(lo))
+        if hi is not None:
+            batch = batch.filter(F.col("o_orderdate") < F.lit(hi))
+        upd = batch.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+            fround(F.sum("o_totalprice"), 2).alias("bal"),
+            F.max("o_orderdate").cast("timestamp").alias("ts"),
+        )
+        dim = scd2_apply(dim, upd, "c_custkey", ["bal"], "ts")
+    return dim

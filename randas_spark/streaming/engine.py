@@ -1282,3 +1282,50 @@ def pack_stream(docs: DataFrame, pack_len: int = 512) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def scd2_ingest_stream(
+    updates_stream: DataFrame,
+    key: str,
+    tracked: list,
+    ts_col: str,
+    dim_dir: str,
+    checkpoint: str,
+):
+    """Streaming SCD2 dimension maintenance (VERDICT r10 order #6):
+    each micro-batch of CDC updates is applied to the PERSISTED Type-2
+    dimension through operators/merge.scd2_commit_stream_batch — a new
+    immutable generation per batch, flipped live by one atomic marker
+    replace, idempotent under foreachBatch's at-least-once redelivery
+    via a per-epoch watermark (the epoch key is derived from the
+    checkpoint path, so a FRESH checkpoint restarting batch ids at 0 is
+    a new watermark, never silently swallowed). Closes the CDC loop:
+    cdc_apply_state resolves event-time conflicts upstream,
+    scd2_apply versions a batch, and this keeps the versioned dimension
+    continuously materialized — the Delta-MERGE-into-SCD2 streaming
+    pattern without a table format."""
+    import hashlib
+    import os
+
+    from randas_spark.operators.merge import scd2_commit_stream_batch
+
+    epoch = hashlib.sha256(
+        os.path.abspath(checkpoint).encode()
+    ).hexdigest()[:12]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        scd2_commit_stream_batch(
+            batch_df, key, tracked, ts_col, dim_dir, batch_id, epoch=epoch
+        )
+
+    q = (
+        updates_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return dim_dir

@@ -1907,3 +1907,114 @@ def test_ivf_stream_epoch_base_blocks_recycled_batch_ids(spark, tmp_path):
     assert (
         ivf_commit_stream_batch(batch2, "vec_id", "embedding", idx, eb) is False
     )
+
+
+def test_scd2_stream_matches_batch_twin_and_survives_redelivery(spark, tmp_path):
+    """Streaming SCD2 materialization (engine.scd2_ingest_stream) must
+    converge to EXACTLY the registered batch twin (stream_scd2_apply —
+    three period batches chained through scd2_apply): three update
+    files through readStream/foreachBatch, each a new committed
+    generation. Exactly-once mechanics pinned: a redelivered batch id
+    within the same epoch is a no-op, a restart on the same checkpoint
+    reprocesses nothing, a pre-flip crash orphan (next-gen dir on disk,
+    marker not flipped) is rewritten on redelivery, and a FRESH
+    checkpoint (new epoch, ids back at 0) applies instead of being
+    swallowed by the old epoch's watermark."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.merge import (
+        _scd2_read_marker,
+        scd2_commit_stream_batch,
+        scd2_init_dim,
+        scd2_read_dim,
+    )
+    from randas_spark.queries import fround, t
+    from randas_spark.streaming.engine import scd2_ingest_stream
+
+    import __spark_entry__ as e
+
+    want = _collect_sorted(e.queries()["stream_scd2_apply"](spark, SF_DIR))
+
+    c = t(spark, SF_DIR, "customer")
+    dim0 = c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    o = t(spark, SF_DIR, "orders")
+
+    def upd(lo, hi):
+        b = o
+        if lo:
+            b = b.filter(F.col("o_orderdate") >= F.lit(lo))
+        if hi:
+            b = b.filter(F.col("o_orderdate") < F.lit(hi))
+        return b.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+            fround(F.sum("o_totalprice"), 2).alias("bal"),
+            F.max("o_orderdate").cast("timestamp").alias("ts"),
+        )
+
+    periods = [(None, "1994-01-01"), ("1994-01-01", "1996-01-01"), ("1996-01-01", None)]
+    dim_dir = str(tmp_path / "dim")
+    scd2_init_dim(dim0, dim_dir)
+
+    # stage the three period batches as files, replay maxFilesPerTrigger=1
+    # (file order == lexicographic staging order == period order)
+    stage = tmp_path / "cdc"
+    for i, (lo, hi) in enumerate(periods):
+        upd(lo, hi).coalesce(1).write.parquet(str(stage / f"f{i}"))
+    schema = upd(None, None).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(stage) + "/*")
+    )
+    ckpt = str(tmp_path / "ckpt")
+    scd2_ingest_stream(stream, "c_custkey", ["bal"], "ts", dim_dir, ckpt)
+    m = _scd2_read_marker(dim_dir)
+    assert m["generation"] == 3
+    assert _collect_sorted(scd2_read_dim(spark, dim_dir)) == want
+
+    # restart on the same checkpoint: offsets committed, nothing reruns
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage) + "/*")
+    )
+    scd2_ingest_stream(stream2, "c_custkey", ["bal"], "ts", dim_dir, ckpt)
+    assert _scd2_read_marker(dim_dir)["generation"] == 3
+    assert _collect_sorted(scd2_read_dim(spark, dim_dir)) == want
+
+    # manual redelivery of an already-applied id in the same epoch: no-op
+    epoch = list(m["applied"])[0]
+    assert (
+        scd2_commit_stream_batch(
+            upd(*periods[2]), "c_custkey", ["bal"], "ts", dim_dir,
+            m["applied"][epoch], epoch=epoch,
+        )
+        is False
+    )
+    assert _scd2_read_marker(dim_dir)["generation"] == 3
+
+    # pre-flip crash orphan: a dead next-gen dir on disk is invisible
+    # (marker still points at g3) and gets rewritten by the next apply
+    orphan = os.path.join(dim_dir, "dim_g000004.parquet")
+    os.makedirs(orphan, exist_ok=True)
+    assert _collect_sorted(scd2_read_dim(spark, dim_dir)) == want
+
+    # fresh checkpoint = fresh epoch: batch id 0 again, and it APPLIES
+    # (an empty update batch — a no-change generation, not a swallow)
+    empty = upd(None, None).limit(0)
+    assert (
+        scd2_commit_stream_batch(
+            empty, "c_custkey", ["bal"], "ts", dim_dir, 0, epoch="epoch2"
+        )
+        is True
+    )
+    m2 = _scd2_read_marker(dim_dir)
+    assert m2["generation"] == 4 and m2["applied"]["epoch2"] == 0
+    assert _collect_sorted(scd2_read_dim(spark, dim_dir)) == want
