@@ -31,7 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # q02/q04/q07 (q01/q03/q05/q06 are permanent-core) and the r5-era rel_
 # block (rel_sessionize, rel_merge_upsert, rel_window_range_frame), whose
 # last driver rows date to r8 and r5 respectively, plus the round's new
-# registration llm_knn_ivf_append. Budget discipline: the compact JSON
+# registration llm_knn_ivf_append; r11 = the TPC-H MID block q08/q10/
+# q13/q17 (last driver rows r8), two aging ref_* rows (ref_json_flatten,
+# ref_query_int_literal_quirk), and the round's new registrations
+# llm_knn_ivfpq + stream_scd2_apply. Budget discipline: the compact JSON
 # line must stay under ~2000 B (driver tail-capture window), which caps
 # the headline near ~62 slots — rotation REPLACES, never accumulates.
 HEADLINE = [
@@ -132,16 +135,22 @@ HEADLINE = [
     # heaviest new text op (shingle-novelty join)
     "llm_knn_ivf_persisted",
     "llm_ngram_novelty",
-    # --- ROTATION block (r10; see policy comment above). Prior rotation
-    # slots ref_describe / rel_asof_join / llm_pca_power /
-    # stream_rollup_states rotated out (rows retained in BASELINE_ROWS).
-    "q02_min_acctbal_supplier",
-    "q04_order_priority",
-    "q07_nation_volume",
-    "rel_sessionize",
-    "rel_merge_upsert",
-    "rel_window_range_frame",
-    "llm_knn_ivf_append",
+    # --- ROTATION block (r11; see policy comment above). The r10 slots
+    # q02/q04/q07 + rel_sessionize/rel_merge_upsert/rel_window_range_frame
+    # + llm_knn_ivf_append rotated out (rows retained in BASELINE_ROWS).
+    # In: the TPC-H mid block whose last driver rows date to r8 (q08,
+    # q10, q13, q17 — q14/q15/q16/q19/q20/q22 queue for r12), two aging
+    # ref_* rows (last driver evidence r9's ref_describe rotation), and
+    # the round's new registrations (the IVFPQ composite — this round's
+    # centerpiece — and the streaming-SCD2 batch twin).
+    "q08_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q17_small_quantity",
+    "ref_json_flatten",
+    "ref_query_int_literal_quirk",
+    "llm_knn_ivfpq",
+    "stream_scd2_apply",
 ]
 
 # Most-recent ISOLATED sf0.1 row per headline query. PROTOCOL TAG
@@ -348,6 +357,42 @@ ROW_FLOORS = {
 }
 
 
+def flag_floor_drift(
+    measured_floors: dict[str, float],
+    row_floors: dict[str, float] = None,
+    ratio_gate: float = 1.3,
+    abs_gap: float = 0.2,
+) -> dict[str, dict]:
+    """Floor-drift gate (round 11, VERDICT r10 order #3) — the
+    enforcement of the r10 policy line "a floor that MOVES between
+    rounds is a plan regression; a median that moves over a steady
+    floor is scheduling noise". Compares this run's min-of-passes floor
+    per query against the committed ROW_FLOORS witness: a measured
+    floor > ratio_gate x its witness AND more than abs_gap seconds above
+    it (the absolute guard keeps fixed-overhead jitter on sub-second
+    slots from firing the gate) is flagged as ``floor_drift`` — a
+    DISTINCT adjudication from the 2x median gate, because a drifted
+    floor cannot be explained by contention (contention inflates
+    medians over a steady floor; only a changed plan, changed data, or
+    sustained environment change moves the floor itself). Flagged slots
+    demand a plan re-read (test_plan_shapes pins) before the round's
+    numbers are trusted."""
+    if row_floors is None:
+        row_floors = ROW_FLOORS
+    flagged: dict[str, dict] = {}
+    for name, measured in measured_floors.items():
+        witness = row_floors.get(name)
+        if witness is None:
+            continue
+        if measured > ratio_gate * witness and measured - witness > abs_gap:
+            flagged[name] = {
+                "measured_floor": round(measured, 4),
+                "row_floor": witness,
+                "ratio": round(measured / witness, 2),
+            }
+    return flagged
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -492,6 +537,10 @@ def main() -> None:
             }
 
     total = round(sum(results.values()), 4)
+    # floor-drift adjudications (r11 gate; normally {}): ratios only in
+    # the compact line to protect the ~2 KB budget, full evidence in the
+    # detail sidecar
+    drift = flag_floor_drift(floors)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     compact = {
         "metric": "headline_queries_total_wall",
@@ -503,6 +552,7 @@ def main() -> None:
         # the full-precision medians)
         "queries": {n: round(v, 3) for n, v in results.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "floor_drift": {n: d["ratio"] for n, d in drift.items()},
     }
     detail = {
         **compact,
@@ -511,6 +561,7 @@ def main() -> None:
         "calib_rounds_sec": calibs,
         "contention_retries": retried,
         "baseline_row_retries": baseline_retried,
+        "floor_drift": drift,
     }
     # The compact machine line is the ONLY stdout line, stays well under
     # 2 KB, and is the LAST thing emitted — BENCH_r05's parsed:null was

@@ -6755,3 +6755,75 @@ def llm_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_k=10,
         fingerprint=fp,
     )
+
+
+def _ivfpq_rerank_oracle() -> str:
+    """The composite IVFPQ replay widened to a 50-candidate shortlist,
+    wrapped with the exact-cosine rerank (the _pq_rerank_oracle
+    nested-WITH pattern over the pruned chain)."""
+    return f"""
+    WITH short AS (
+        {_pq_oracle(top_k=50, n_probe=4)}
+    )
+    SELECT qid, cid, cos, rk FROM (
+        SELECT s.qid, s.cid,
+               {sql_cosine('q.embedding', 'c.embedding')} AS cos,
+               row_number() OVER (
+                   PARTITION BY s.qid
+                   ORDER BY {sql_cosine('q.embedding', 'c.embedding')} DESC, s.cid
+               ) AS rk
+        FROM short s
+        JOIN embeddings q ON q.vec_id = s.qid
+        JOIN embeddings c ON c.vec_id = s.cid
+    ) WHERE rk <= 10
+    """
+
+
+@register("llm_knn_ivfpq_rerank", oracle=_ivfpq_rerank_oracle())
+def llm_knn_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production vector-search stack in one plan (FAISS's
+    IndexIVFPQR shape; Jégou et al. §IV re-ranking over §V IVFADC):
+    coarse cells prune the scan, PQ codes compress the candidates, and
+    a bounded exact-cosine rerank repairs the quantization error on the
+    shortlist. Stage 1 is llm_knn_ivfpq's partition-pruned ADC widened
+    to top-50 per query; stage 2 fetches raw vectors for ONLY those
+    50x|queries| ids (two id equi-joins — never a corpus scan) and
+    re-scores exactly, keeping top-10.
+
+    At 100 TB this is the plan a serving tier actually runs: the one
+    corpus-sized artifact touched is the cell-partitioned codes table,
+    pruned to n_probe cells by DPP; everything downstream is bounded by
+    the panel. Completes the two-stage family next to llm_knn_pq_rerank
+    (flat scan + rerank) — the delta between their stage-1 costs is the
+    pruning win, measured on the same corpus."""
+    from randas_spark.operators.similarity import dot, knn_ivfpq_query, norm
+
+    emb = t(spark, sf_dir, "embeddings")
+    index_dir, fp = _ivfpq_index(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 5)
+    short = knn_ivfpq_query(
+        qs, "vec_id", "embedding", index_dir, n_probe=4, top_k=50, fingerprint=fp
+    ).select("qid", "cid")
+    # query-side raw vectors come from the PANEL frame itself (qs), not
+    # a second pass through the shortlist — reusing `short` twice would
+    # duplicate the whole stage-1 subplan (codes scan included)
+    qv = qs.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("qn"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        norm(F.col("embedding")).alias("cn"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        F.broadcast(short)
+        .join(cv, "cid")
+        .join(F.broadcast(qv), "qid")
+        .withColumn("cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select("qid", "cid", "cos", "rk")
+    )

@@ -91,3 +91,24 @@ def test_latest_selfcheck_artifact_covers_the_full_registry():
         or rec.get("rows_match") is False or rec.get("schema_match") is False
     }
     assert not bad, bad
+
+
+def test_floor_drift_gate_fires_on_ratio_and_abs_gap_together():
+    """VERDICT r10 order #3: the floor-drift gate flags a measured floor
+    only when it exceeds BOTH the 1.3x ratio gate and the absolute gap
+    (sub-second jitter can't fire it), reports the witness and ratio,
+    and ignores queries without a committed witness row."""
+    import bench
+
+    rows = {"big": 4.0, "small": 0.2, "edge": 1.0}
+    flagged = bench.flag_floor_drift(
+        {
+            "big": 5.6,      # 1.4x, +1.6s  -> flagged
+            "small": 0.38,   # 1.9x, +0.18s -> abs guard holds it back
+            "edge": 1.25,    # 1.25x        -> under the ratio gate
+            "unknown": 99.0, # no witness   -> ignored
+        },
+        row_floors=rows,
+    )
+    assert set(flagged) == {"big"}
+    assert flagged["big"] == {"measured_floor": 5.6, "row_floor": 4.0, "ratio": 1.4}

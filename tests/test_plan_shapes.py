@@ -86,6 +86,11 @@ PINNED = {
     # leg, two broadcast stitch joins — panel-bounded sides all hinted,
     # so SMJ stays 0 even at the 50-query panel width (r11 fix)
     "llm_ann_recall_audit": (8, 0, 22),
+    # IVFPQ + exact rerank (IndexIVFPQR shape): stage-1 composite (5 BHJ)
+    # + bounded shortlist/query-vector broadcasts; the shortlist subplan
+    # appears ONCE (a second occurrence means the stage-1 codes scan got
+    # duplicated — the regression this pin exists to catch)
+    "llm_knn_ivfpq_rerank": (7, 0, 13),
 }
 
 
