@@ -1056,7 +1056,10 @@ def ivf_build_index(
     cent.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "centroids.parquet")
     )
-    assign.write.mode("overwrite").partitionBy("cell").parquet(
+    # one file per cell (see ivfpq_build_index): an unrepartitioned
+    # partitioned write fans every task into every cell dir, and the
+    # serve scan pays for tasks x cells tiny files forever after
+    assign.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(out_dir, "assignments.parquet")
     )
     _write_index_marker(out_dir, "ivf", {"n_cells": n_cells}, fingerprint)
@@ -1612,12 +1615,18 @@ def ivfpq_build_index(
     )
     # one equi-join stitches code row to coarse cell; at build time both
     # sides are corpus-sized and co-keyed on the id — a single shuffle,
-    # paid once per build, to buy partition pruning on every query after
+    # paid once per build, to buy partition pruning on every query after.
+    # repartition("cell") before the partitioned write: without it every
+    # write task emits a file into every cell dir (tasks x cells tiny
+    # files — measured 2x+ serve-scan inflation at sf1.0); with it each
+    # cell is ONE file, and the caller sizes n_cells so that file is
+    # file-system-sized (the sqrt(N) coarse granularity, see
+    # queries/llm._ivfpq_index)
     codes = enc.join(assign, "cid")
     cent.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "centroids.parquet")
     )
-    codes.write.mode("overwrite").partitionBy("cell").parquet(
+    codes.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(out_dir, "codes.parquet")
     )
     spark = corpus.sparkSession

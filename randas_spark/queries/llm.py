@@ -4089,9 +4089,11 @@ def _pq_oracle(
     only emitted when a real predicate is given, so the default oracle
     text (and llm_knn_pq_adc's recorded hash) is unchanged.
 
-    ``n_probe`` (r11) composes the IVFPQ replay: when set, the adaptive
-    coarse-cell chain (_ivf_adaptive_oracle's cent/assign/probes shape,
-    greatest(16, N // 32) cells) is emitted and the ADC scan is
+    ``n_probe`` (r11) composes the IVFPQ replay: when set, the coarse-
+    cell chain (_ivf_adaptive_oracle's cent/assign/probes shape, at the
+    composite's greatest(16, floor(sqrt(N))) granularity — see
+    _ivfpq_index for why the COMPRESSED index wants sqrt cells where
+    the raw-vector IVF wants N/32) is emitted and the ADC scan is
     restricted to candidates whose coarse cell one of the query's
     n_probe probes hits — exactly knn_ivfpq_query's partition-pruned
     candidate set. The PQ fit chain is untouched (by_residual=false:
@@ -4201,7 +4203,8 @@ def _pq_oracle(
         SELECT vec_id AS cell, embedding AS center
         FROM embeddings
         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-        LIMIT (SELECT greatest(16, count(*) // 32) FROM embeddings)
+        LIMIT (SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT))
+               FROM embeddings)
     ),
     passign AS MATERIALIZED (
         SELECT cid, cell FROM (
@@ -5882,7 +5885,8 @@ def _bitext_oracle() -> str:
         SELECT vec_id AS cell, embedding AS center
         FROM embeddings
         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-        LIMIT (SELECT greatest(16, count(*) // 32) FROM embeddings)
+        LIMIT (SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT))
+               FROM embeddings)
     ),
     ra AS (
         SELECT rid, rv, cell FROM (
@@ -5934,23 +5938,31 @@ def llm_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape — this is NOT the broadcast-kNN plan: both sides are
     corpus-sized, so neither broadcasts. A shared deterministic coarse
-    quantizer (md5-seeded max(16, N/32) cells, the IVF family's
-    formula) buckets BOTH sides; the right side lands in its top-1 cell,
-    the left probes top-2; candidates come from ONE equi-join on cell
-    (co-partitioned shuffle join — candidate volume ~ n_probe x N/cells
-    per left row, never |L| x |R|), then two rank windows (per-left,
-    per-right) decide mutuality and the lead() window prices the margin.
-    At 100 TB every stage is a narrow shuffle on cell / lid / rid; the
+    quantizer (md5-seeded max(16, floor(sqrt(N))) cells) buckets BOTH
+    sides; the right side lands in its top-1 cell, the left probes
+    top-2; candidates come from ONE equi-join on cell (co-partitioned
+    shuffle join — candidate volume ~ n_probe x N/cells per left row,
+    never |L| x |R|), then two rank windows (per-left, per-right)
+    decide mutuality and the lead() window prices the margin. At 100 TB
+    every stage is a narrow shuffle on cell / lid / rid; the
     mutual-filter semantics and margins are exactly what the oracle
     replays, so approximation choices (cells, probes) are pinned, not
     hidden. Tie margins (cos1 == cos2) emit 0.0 and survive; a left with
     a single candidate prices margin against 0 (documented convention).
+
+    Cell formula (r11): sqrt(N), NOT the serving IVF's N/32. Total cost
+    here is assignment + candidate scoring = N*n_cells + N^2/n_cells,
+    minimized at n_cells = sqrt(N) -> 2*N^1.5. The r10 form's N/32
+    cells made the ASSIGNMENT leg N^2/32 — measured 650 s at 100x data
+    (benchdata/sf10, 1.25B 64-dim cosines in the two assignment
+    cross-joins) where the sqrt form pays ~90M; the 100x slope table in
+    BASELINE.md records the before/after.
     """
     from randas_spark.operators.sampling import _md5_hex
     from randas_spark.operators.similarity import _ivf_assign, dot, norm
 
     emb = t(spark, sf_dir, "embeddings")
-    n_cells = max(16, emb.count() // 32)
+    n_cells = max(16, math.isqrt(emb.count()))
     cent = (
         emb.orderBy(_md5_hex(F.col("vec_id")), F.col("vec_id"))
         .limit(n_cells)
@@ -6674,9 +6686,23 @@ def llm_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple:
     """Build-if-absent persisted IVFPQ index for ``sf_dir``'s embeddings
-    (adaptive cells, m4/k8/i2/s512) — shared by the headline query and
-    the recall audit so one build per (sf, corpus-fingerprint) serves
-    both. Returns (index_dir, fingerprint)."""
+    (m4/k8/i2/s512) — shared by the headline query and the recall audit
+    so one build per (sf, corpus-fingerprint) serves both. Returns
+    (index_dir, fingerprint).
+
+    Coarse granularity is max(16, floor(sqrt(N))) — the FAISS-canonical
+    IVF sizing — NOT the raw-vector IVF's max(16, N/32). The two
+    formulas answer different cost models: the raw IVF serves
+    UNCOMPRESSED vectors, so per-candidate scoring dominates and cells
+    stay small (32 rows) to bound candidate volume; here every
+    candidate is 4 codes scored by LUT lookups (~100x cheaper), while
+    each cell is a PHYSICAL PARTITION of the persisted codes table —
+    N/32 cells means unboundedly many tiny dirs/files (measured: the
+    sf1.0 serve scan spent more listing 625 partitions than scanning),
+    whereas sqrt(N) cells keeps per-cell bytes GROWING with the corpus
+    (file-system-sized partitions at scale: 1B rows -> ~31.6k cells of
+    ~31.6k rows) with candidate volume n_probe*sqrt(N), still
+    sub-linear. The oracle's pcent LIMIT replays the same formula."""
     import os
     import shutil
 
@@ -6687,13 +6713,13 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple:
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    n_cells = max(16, emb.count() // 32)
+    n_cells = max(16, math.isqrt(emb.count()))
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     index_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "benchdata",
         "ivfpq_index",
-        f"{sf_tag}_adaptive_m4k8i2s512_v1",
+        f"{sf_tag}_sqrt_m4k8i2s512_v2",
     )
     params = {
         "n_cells": n_cells,
@@ -6721,8 +6747,10 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple:
 def llm_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite IVF+PQ persisted ANN index (VERDICT r10 order #1) —
     the IVFADC layout (Jégou et al. PAMI'11 §V; FAISS IndexIVFPQ with
-    by_residual=false): adaptive coarse cells (max(16, N // 32), the
-    persisted-IVF formula) prune WHICH code rows a query panel scores,
+    by_residual=false): coarse cells at the FAISS-canonical
+    max(16, floor(sqrt(N))) granularity (file-sized partitions — see
+    _ivfpq_index for the contrast with the raw-vector IVF's N/32)
+    prune WHICH code rows a query panel scores,
     product quantization compresses each survivor to m=4 codes. The
     codes table — the only corpus-sized artifact — is persisted
     PARTITIONED BY coarse cell, so the measured plan is: broadcast
