@@ -2899,12 +2899,14 @@ def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N x n_probe rows) join assignments (N rows) as a shuffle EQUI-JOIN
     keyed on the cell id — per-cell fan-out bounded by cell size, never
     the broadcast-the-queries plan (impossible when queries = corpus)
-    and never N². Cell count ADAPTS to the corpus (max(64, N/32), one
-    metadata-cheap count job, same formula in the oracle's subquery
-    LIMIT): candidate volume is N*n_probe*cell_size, so fixed cells go
-    quadratic while fixed cell SIZE stays linear — measured 31.6 s
-    (fixed 64) vs 13.0 s (proportional) at 5x vectors, sf0.5. See
-    operators/similarity.knn_graph_ivf for the norm-staging rationale."""
+    and never N². Cell count ADAPTS to the corpus — max(64,
+    floor(sqrt(4N))), one metadata-cheap count job, same formula in the
+    oracle's subquery LIMIT. sqrt-scaled cells are the minimizer of
+    assignment (N*n_cells) + candidates (n_probe*N^2/n_cells) — the
+    same 2*N^1.5 argument that fixed llm_bitext_mine's quantizer in
+    r11 — and fixed cells measured 31.6 s vs 13.0 s for adaptive at 5x
+    vectors (sf0.5, r5). See operators/similarity.knn_graph_ivf for the
+    norm-staging rationale."""
     from randas_spark.operators.similarity import knn_graph_ivf
 
     emb = t(spark, sf_dir, "embeddings")
