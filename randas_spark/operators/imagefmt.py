@@ -93,6 +93,8 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
                 count, val = data[i], data[i + 1]
                 i += 2
                 if count > 0:  # encoded run: count copies of val
+                    if y >= height or x + count > width:
+                        raise ValueError("BMP RLE run overflows the bitmap")
                     idx[y * width + x : y * width + x + count] = bytes([val]) * count
                     x += count
                 elif val == 0:  # end of line
@@ -108,6 +110,8 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
                 else:  # absolute mode: val literal indices, word-aligned
                     if i + val > len(data):
                         raise ValueError("truncated BMP RLE absolute run")
+                    if y >= height or x + val > width:
+                        raise ValueError("BMP RLE run overflows the bitmap")
                     idx[y * width + x : y * width + x + val] = data[i : i + val]
                     x += val
                     i += val + (val & 1)

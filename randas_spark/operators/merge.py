@@ -297,5 +297,16 @@ def scd2_commit_stream_batch(
         json.dump({"generation": gen, "dim": gen_name, "applied": applied}, fh)
         fh.write("\n")
     os.replace(tmp, os.path.join(dim_dir, "_DIM_OK"))
-    shutil.rmtree(os.path.join(dim_dir, m["dim"]), ignore_errors=True)
+    # GC every generation below the committed pointer, not only the
+    # immediately superseded one (ADVICE r11: a crash between the flip
+    # and a single-dir rmtree would orphan the older dir forever — the
+    # glob-and-compare sweep re-GCs it on the next successful batch,
+    # mirroring the IVF compactor's consumed-list re-GC).
+    import glob as _glob
+    import re as _re
+
+    for stale in _glob.glob(os.path.join(dim_dir, "dim_g*.parquet")):
+        sm = _re.fullmatch(r"dim_g(\d+)\.parquet", os.path.basename(stale))
+        if sm and int(sm.group(1)) < gen:
+            shutil.rmtree(stale, ignore_errors=True)
     return True

@@ -1297,21 +1297,38 @@ def scd2_ingest_stream(
     dimension through operators/merge.scd2_commit_stream_batch — a new
     immutable generation per batch, flipped live by one atomic marker
     replace, idempotent under foreachBatch's at-least-once redelivery
-    via a per-epoch watermark (the epoch key is derived from the
-    checkpoint path, so a FRESH checkpoint restarting batch ids at 0 is
-    a new watermark, never silently swallowed). Closes the CDC loop:
+    via a per-epoch watermark. The epoch key is a NONCE persisted
+    INSIDE the checkpoint dir (not a hash of the checkpoint path —
+    ADVICE r11: a checkpoint deleted and recreated at the SAME path
+    restarts batch ids at 0, and a path-keyed epoch would silently
+    swallow them under the old watermark). The nonce lives and dies
+    with the checkpoint: normal restart reuses it (redelivered ids
+    still dedup), delete-and-restart regenerates it (fresh epoch, ids
+    0.. apply). Closes the CDC loop:
     cdc_apply_state resolves event-time conflicts upstream,
     scd2_apply versions a batch, and this keeps the versioned dimension
     continuously materialized — the Delta-MERGE-into-SCD2 streaming
     pattern without a table format."""
-    import hashlib
     import os
+    import uuid
 
     from randas_spark.operators.merge import scd2_commit_stream_batch
 
-    epoch = hashlib.sha256(
-        os.path.abspath(checkpoint).encode()
-    ).hexdigest()[:12]
+    # Epoch nonce co-located with the checkpoint state: recreated
+    # checkpoint dir => missing nonce => fresh epoch identity.
+    os.makedirs(checkpoint, exist_ok=True)
+    nonce_path = os.path.join(checkpoint, "_RANDAS_SCD2_EPOCH")
+    try:
+        with open(nonce_path) as fh:
+            epoch = fh.read().strip()
+        if not epoch:
+            raise ValueError
+    except (OSError, ValueError):
+        epoch = uuid.uuid4().hex[:12]
+        tmp = nonce_path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(epoch + "\n")
+        os.replace(tmp, nonce_path)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         scd2_commit_stream_batch(

@@ -92,6 +92,27 @@ def test_bmp8_rle8_runs_absolute_and_escapes():
     assert px == top + bot
 
 
+def test_bmp8_rle8_rejects_out_of_bounds_writes():
+    """ADVICE r11: bounds must be validated BEFORE each RLE8 write —
+    slice assignment on a bytearray silently GROWS it, so a post-write
+    check accepted streams whose run landed at y == height (after a
+    trailing EOL on the last row) or overran the row width."""
+    import pytest
+
+    # EOLs walk y to height (2), then an encoded run writes at y==2
+    rle_y = bytes([2, 0, 0, 0, 2, 0, 0, 0, 2, 1, 0, 1])
+    with pytest.raises(ValueError, match="overflows"):
+        decode_bmp(_bmp8(2, 2, None, GOLD, rle=rle_y))
+    # delta jump to y == height, then an absolute run writes there
+    rle_delta = bytes([0, 2, 0, 2, 2, 1, 2, 0, 1])
+    with pytest.raises(ValueError, match="overflows"):
+        decode_bmp(_bmp8(2, 2, None, GOLD, rle=rle_delta))
+    # encoded run overrunning the row width (x + count > width)
+    rle_x = bytes([3, 1, 0, 1])
+    with pytest.raises(ValueError, match="overflows"):
+        decode_bmp(_bmp8(2, 2, None, GOLD, rle=rle_x))
+
+
 class _LZWPacker:
     """Minimal GIF LZW encoder emitting only literal codes — tracks the
     decoder's exact table-growth/width schedule so fixtures stay valid."""

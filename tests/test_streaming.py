@@ -2018,3 +2018,97 @@ def test_scd2_stream_matches_batch_twin_and_survives_redelivery(spark, tmp_path)
     m2 = _scd2_read_marker(dim_dir)
     assert m2["generation"] == 4 and m2["applied"]["epoch2"] == 0
     assert _collect_sorted(scd2_read_dim(spark, dim_dir)) == want
+
+
+def test_scd2_checkpoint_recreate_fresh_epoch_and_gc_sweep(spark, tmp_path):
+    """ADVICE r11 regressions pinned. (1) Epoch identity: the epoch key
+    is a nonce persisted INSIDE the checkpoint dir, so deleting and
+    recreating the checkpoint at the SAME path (delete-and-restart, a
+    common ops action) yields a NEW epoch — the replayed batch ids
+    0..N apply instead of being silently swallowed by the old epoch's
+    watermark (the path-hash epoch bug). (2) GC sweep: a successful
+    commit reclaims EVERY generation dir below the committed pointer,
+    not only the immediately superseded one, so a crash between the
+    marker flip and a single-dir rmtree cannot orphan a dir forever."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from randas_spark.operators.merge import (
+        _scd2_read_marker,
+        scd2_commit_stream_batch,
+        scd2_init_dim,
+        scd2_read_dim,
+    )
+    from randas_spark.streaming.engine import scd2_ingest_stream
+
+    dim0 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k int, bal double"
+    ).select(
+        "k",
+        "bal",
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    dim_dir = str(tmp_path / "dim")
+    scd2_init_dim(dim0, dim_dir)
+
+    upd = spark.createDataFrame([(1, 11.0)], "k int, bal double").withColumn(
+        "ts", F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
+    stage = tmp_path / "cdc"
+    upd.coalesce(1).write.parquet(str(stage / "f0"))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(upd.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stage) + "/*")
+        )
+        scd2_ingest_stream(stream, "k", ["bal"], "ts", dim_dir, ckpt)
+
+    ckpt = str(tmp_path / "ckpt")
+    run(ckpt)
+    m1 = _scd2_read_marker(dim_dir)
+    assert m1["generation"] == 1
+    nonce_path = os.path.join(ckpt, "_RANDAS_SCD2_EPOCH")
+    epoch1 = open(nonce_path).read().strip()
+    assert m1["applied"] == {epoch1: 0}
+
+    # restart on the SAME checkpoint: nonce survives, offsets committed,
+    # nothing reruns — generation stays 1
+    run(ckpt)
+    assert _scd2_read_marker(dim_dir)["generation"] == 1
+    assert open(nonce_path).read().strip() == epoch1
+
+    # delete-and-recreate the checkpoint at the SAME path: the file is
+    # replayed with batch id 0 again — a fresh nonce means it APPLIES
+    # (idempotent content: the scd2_apply of an already-reflected update
+    # produces a new no-change generation, never a swallow)
+    shutil.rmtree(ckpt)
+    run(ckpt)
+    m2 = _scd2_read_marker(dim_dir)
+    epoch2 = open(nonce_path).read().strip()
+    assert epoch2 != epoch1
+    assert m2["generation"] == 2 and m2["applied"][epoch2] == 0
+    rows = {
+        (r["k"], r["bal"], r["valid_to"] is None)
+        for r in scd2_read_dim(spark, dim_dir).collect()
+    }
+    assert (1, 11.0, True) in rows and (2, 20.0, True) in rows
+
+    # GC sweep: plant an orphaned OLD generation (as if a prior crash
+    # skipped its rmtree); the next successful commit reclaims it along
+    # with the superseded current generation
+    orphan = os.path.join(dim_dir, "dim_g000000.parquet")
+    os.makedirs(orphan, exist_ok=True)
+    assert scd2_commit_stream_batch(
+        upd.limit(0), "k", ["bal"], "ts", dim_dir, 0, epoch="manual"
+    )
+    m3 = _scd2_read_marker(dim_dir)
+    assert m3["generation"] == 3
+    gens = sorted(
+        d for d in os.listdir(dim_dir) if d.startswith("dim_g")
+    )
+    assert gens == [m3["dim"]], gens
