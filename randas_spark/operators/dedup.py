@@ -817,6 +817,8 @@ def embedding_near_pairs(
     threshold: float = 0.9,
     n_planes: int = 0,
     dim: int | None = None,
+    bucket_cap: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Vector pairs with cosine >= threshold.
 
@@ -828,6 +830,23 @@ def embedding_near_pairs(
     partitioned by bucket and only same-bucket pairs are scored (approximate:
     recall follows the hyperplane collision probability (1 - θ/π)^n_planes).
     Scoring is the codegen'd cosine expression in both modes.
+
+    ``n_planes`` should come from similarity.adaptive_plane_count at
+    scale — a FIXED plane count makes the in-bucket candidate volume
+    quadratic in N (the r11 100x audit: 1.25e9 scored pairs at 200k
+    vectors with 4 planes).
+
+    ``bucket_cap`` (VERDICT r11 order #1b) is the skew safety rail on
+    top of the adaptive planes: a bucket holding more than cap vectors
+    (an adversarial near-identical embedding mass that no plane can
+    split) keeps only its ``cap`` smallest ids — a DETERMINISTIC,
+    engine-portable rule (rank by id within bucket), so the DuckDB
+    oracle replays the identical cap and the twin stays value-exact
+    even when the cap binds. Dropped rows are accounted, never silent:
+    pass ``stats`` to get {n_vectors, n_kept, n_dropped_rows,
+    n_capped_buckets} (capped + dropped = uncapped, the
+    stream_capped_drop_audit identity), and any binding cap logs a
+    warning with the same numbers.
     """
     from randas_spark.functions.vectors import dot, norm
 
@@ -840,26 +859,70 @@ def embedding_near_pairs(
     # rationale, applied to the pair join).
     # The all-pairs mode parallelizes over the LEFT side's partitions
     # (nested-loop join) — fan a single-split input out first.
-    a = fan_out(df).select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("v_a"),
-        norm(F.col(vec_col)).alias("n_a"),
-    )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("v_b"),
-        norm(F.col(vec_col)).alias("n_b"),
-    )
     cond = F.col("id_a") < F.col("id_b")
     if n_planes > 0:
         if dim is None:
             raise ValueError("dim is required when n_planes > 0")
+        from pyspark.sql import Window
+
         from randas_spark.operators.similarity import project_buckets
 
-        a = a.withColumn("bucket", project_buckets(F.col("v_a"), dim, n_planes))
-        b = b.withColumn("bucket", project_buckets(F.col("v_b"), dim, n_planes))
+        base = fan_out(df).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("nn"),
+            project_buckets(F.col(vec_col), dim, n_planes).alias("bucket"),
+        )
+        if bucket_cap is not None:
+            uncapped = base
+            wb = Window.partitionBy("bucket").orderBy("id")
+            base = (
+                base.withColumn("__brn__", F.row_number().over(wb))
+                .filter(F.col("__brn__") <= bucket_cap)
+                .drop("__brn__")
+            )
+            if stats is not None:
+                n_vec = uncapped.count()
+                n_kept = base.count()
+                sizes = uncapped.groupBy("bucket").agg(
+                    F.count(F.lit(1)).alias("n")
+                )
+                n_capped = sizes.filter(F.col("n") > bucket_cap).count()
+                stats.update(
+                    n_vectors=n_vec,
+                    n_kept=n_kept,
+                    n_dropped_rows=n_vec - n_kept,
+                    n_capped_buckets=n_capped,
+                    bucket_cap=bucket_cap,
+                    n_planes=n_planes,
+                )
+                if n_vec != n_kept:
+                    _LOG.warning(
+                        "embedding_near_pairs: bucket_cap=%d bound on %d "
+                        "bucket(s), dropped %d of %d vectors from the "
+                        "candidate generator",
+                        bucket_cap, n_capped, n_vec - n_kept, n_vec,
+                    )
+        a = base.select(
+            F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+            F.col("nn").alias("n_a"), "bucket",
+        )
+        b = base.select(
+            F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+            F.col("nn").alias("n_b"), "bucket",
+        )
         joined = a.join(b, "bucket").filter(cond)
     else:
+        a = fan_out(df).select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("v_a"),
+            norm(F.col(vec_col)).alias("n_a"),
+        )
+        b = df.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("v_b"),
+            norm(F.col(vec_col)).alias("n_b"),
+        )
         joined = a.join(b, cond)
     return (
         joined.withColumn(
@@ -1190,12 +1253,20 @@ def connected_components_star(
     # cost.
     rounds = 0
     done = False
+    round_edges: list[int] = []
+    if stats is not None:
+        # per-round profile (VERDICT r11 order #2): edge count entering
+        # the loop (post-contraction) then after each star round — cheap
+        # counts on already-materialized localCheckpoint RDDs, opt-in
+        round_edges.append(e.count())
     while rounds < max_iter:
         if (rounds % 2 == 0) and converged(e):
             done = True
             break
         rounds += 1
         e = one_round(e).localCheckpoint()
+        if stats is not None:
+            round_edges.append(e.count())
     if not done and not converged(e):
         _LOG.warning(
             "connected_components_star: max_iter=%d exhausted before the edge "
@@ -1209,6 +1280,7 @@ def connected_components_star(
     if stats is not None:
         stats["rounds"] = rounds
         stats["converged"] = done
+        stats["round_edges"] = round_edges
 
     comp = sym(e).groupBy("u").agg(F.min("v").alias("comp"))
     # isolated star roots label themselves

@@ -75,6 +75,30 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return [v / n for v in vals]
 
 
+def adaptive_plane_count(
+    n: int, target: int = 256, lo: int = 4, hi: int = 16
+) -> int:
+    """Hyperplane count whose 2^P buckets hold ~``target`` vectors each:
+    P = clamp(ceil(log2(n / target)), lo, hi).
+
+    The r11 100x audit (tools/hybrid_stages.py) showed WHY this must be
+    adaptive: a FIXED plane count makes the bucket population N/2^P, so
+    the in-bucket candidate volume sum C(n_b, 2) is quadratic in N by
+    construction — 12.8M scored pairs at 20k vectors, 1.25e9 at 200k.
+    With P tracking log2(N/target) the expected bucket stays ~target and
+    the candidate volume is ~N*target/2 — linear. Same discipline as the
+    isqrt(N) IVF cell count (operators/similarity.ivf_build_index).
+
+    Recall trade (documented, inherent to LSH): the per-pair collision
+    probability is (1-theta/pi)^P, so P growing with N lowers borderline
+    recall — production systems recover it with multiprobe or bands; the
+    ``hi`` clamp (65536 buckets) bounds the loss. The formula is
+    engine-portable: CEIL(LOG2()) matches Python's math.ceil(math.log2())
+    for every feasible N (exact at powers of two, >1 ulp from integers
+    elsewhere — parity-tested in tests/test_llm.py)."""
+    return max(lo, min(hi, math.ceil(math.log2(max(n, 1) / target))))
+
+
 def project_buckets(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """Random-hyperplane LSH bucket id: n_planes sign bits packed into a
     long. Same-bucket probability for angle θ is (1-θ/π)^n_planes.

@@ -2444,35 +2444,75 @@ def _sql_hyperplane_bucket(vec: str, dim: int, n_planes: int) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
+def _sql_adaptive_emb_buckets(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    target: int = 256,
+    lo: int = 4,
+    hi: int = 16,
+    cap: int = 4096,
+) -> str:
+    """CTE chain replaying operators/dedup.embedding_near_pairs' scale
+    path exactly: adaptive plane count (similarity.adaptive_plane_count
+    — CEIL(LOG2(N/target)) clamped to [lo, hi]; engine-parity-tested),
+    realized as the full ``hi``-plane bucket MASKED to the low P bits
+    (plane p contributes bit 1<<p, so ``bucket16 % 2^P`` IS the P-plane
+    bucket, bit-identical to Spark's project_buckets(vec, dim, P)), then
+    the deterministic hot-bucket cap (keep the ``cap`` smallest ids per
+    bucket — VERDICT r11 order #1b). Yields ``emb_b(id, vec, bucket)``."""
+    return f"""emb_cfg AS (
+        SELECT LEAST({hi}, GREATEST({lo},
+               CAST(CEIL(LOG2(CAST(COUNT(*) AS DOUBLE) / {target}.0)) AS INT))) AS p
+        FROM {table}
+    ), emb_b0 AS (
+        SELECT {id_col}, {vec},
+               ({_sql_hyperplane_bucket(vec, 64, hi)}
+                % CAST(POW(2.0, (SELECT p FROM emb_cfg)) AS BIGINT)) AS bucket
+        FROM {table}
+    ), emb_b AS (
+        SELECT {id_col}, {vec}, bucket FROM (
+            SELECT {id_col}, {vec}, bucket,
+                   row_number() OVER (PARTITION BY bucket ORDER BY {id_col}) AS brn
+            FROM emb_b0)
+        WHERE brn <= {cap}
+    )"""
+
+
 @register(
     "llm_dedup_embedding_lsh",
     oracle=f"""
-    WITH bucketed AS (
-        SELECT vec_id, embedding,
-               {_sql_hyperplane_bucket('embedding', 64, 4)} AS bucket
-        FROM embeddings
-    )
+    WITH {_sql_adaptive_emb_buckets()}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            {sql_cosine('a.embedding', 'b.embedding')} AS cos
-    FROM bucketed a JOIN bucketed b
+    FROM emb_b a JOIN emb_b b
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE ({sql_cosine('a.embedding', 'b.embedding')}) >= 0.35
     """,
 )
 def llm_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style bucketed embedding dedup — the SCALE path of
-    llm_dedup_embedding: both sides carry a 4-hyperplane sign bucket
-    (16 cells) and the pair join is an EQUI-join on the bucket, so the
-    shuffle partitions by bucket and only same-bucket pairs are scored
-    (no all-pairs stage). The hyperplanes are md5-derived constants, so
-    — uniquely for an LSH — the oracle replays the identical bucketing
-    from literal planes and the full approximate pipeline carries a
-    value-hash check."""
+    llm_dedup_embedding: both sides carry an ADAPTIVE hyperplane sign
+    bucket (2^P cells, P = clamp(ceil(log2(N/256)), 4, 16) — the r11
+    100x audit showed a FIXED plane count makes the in-bucket candidate
+    volume quadratic in N; adaptive P holds the expected bucket at ~256
+    so candidates stay ~128*N) and the pair join is an EQUI-join on the
+    bucket, so the shuffle partitions by bucket and only same-bucket
+    pairs are scored (no all-pairs stage). A deterministic hot-bucket
+    cap (4096 smallest ids per bucket, drop-accounted) rails the one
+    skew the planes cannot split: an adversarial near-identical
+    embedding mass. The hyperplanes are md5-derived constants, so —
+    uniquely for an LSH — the oracle replays the identical bucketing,
+    adaptive width, and cap from literal planes and the full
+    approximate pipeline carries a value-hash check."""
     from randas_spark.operators.dedup import embedding_near_pairs
+    from randas_spark.operators.similarity import adaptive_plane_count
 
+    emb = t(spark, sf_dir, "embeddings")
     return embedding_near_pairs(
-        t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        threshold=0.35, n_planes=4, dim=64,
+        emb, "vec_id", "embedding",
+        threshold=0.35, n_planes=adaptive_plane_count(emb.count()),
+        dim=64, bucket_cap=4096,
     )
 
 
@@ -3794,11 +3834,7 @@ def _hybrid_dedup_final(tail: str | None = None) -> str:
     twin of llm_dedup_clusters' oracle). Same final= convention as
     _sql_minhash_lsh/_kmeans_oracle — no post-hoc string surgery."""
     emb_pairs = f"""
-    , emb_b AS (
-        SELECT vec_id, embedding,
-               {_sql_hyperplane_bucket('embedding', 64, 4)} AS bucket
-        FROM embeddings
-    ), emb_pairs AS (
+    , {_sql_adaptive_emb_buckets()}, emb_pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM emb_b a JOIN emb_b b
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -3838,7 +3874,13 @@ def llm_dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     paraphrases and embedding dedup misses short verbatim overlaps; a
     doc caught by EITHER signal joins the same cluster graph, and
     keep-on-minimum yields one survivor per merged cluster. Both pair
-    generators are banded/bucketed equi-joins (no all-pairs stage), the
+    generators are banded/bucketed equi-joins (no all-pairs stage) with
+    SCALE-BOUNDED candidate volume: the text leg's band buckets stay
+    O(1)-sized by the minhash S-curve (r11 audit at sf1.0: 382k buckets,
+    max size 4), and the embedding leg uses the adaptive plane count +
+    deterministic hot-bucket cap (see llm_dedup_embedding_lsh — the
+    fixed 4-plane bucketing this replaced was the r11 263x-at-100x
+    superlinearity: 1.25e9 in-bucket cosine pairs at 200k vectors). The
     union feeds star-CC (local-contraction opening, O(log² n) rounds).
     Embeddings map 1:1 to documents by id (TESTDATA.md)."""
     from randas_spark.operators.dedup import (
@@ -3846,6 +3888,7 @@ def llm_dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_near_pairs,
         minhash_lsh_pairs_portable,
     )
+    from randas_spark.operators.similarity import adaptive_plane_count
 
     d = t(spark, sf_dir, "documents")
     e = t(spark, sf_dir, "embeddings")
@@ -3853,7 +3896,8 @@ def llm_dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", num_perm=32, bands=8, k=5, threshold=0.6
     ).select("id_a", "id_b")
     emb_pairs = embedding_near_pairs(
-        e, "vec_id", "embedding", threshold=0.35, n_planes=4, dim=64
+        e, "vec_id", "embedding", threshold=0.35,
+        n_planes=adaptive_plane_count(e.count()), dim=64, bucket_cap=4096,
     ).select("id_a", "id_b")
     pairs = text_pairs.union(emb_pairs).distinct()
     comp = connected_components_star(pairs)

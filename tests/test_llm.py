@@ -394,6 +394,93 @@ def test_embedding_near_pairs_planes_require_dim(emb):
         embedding_near_pairs(emb, "vec_id", "embedding", n_planes=2)
 
 
+def test_adaptive_plane_count_engine_parity_and_mask_equivalence(emb):
+    """The adaptive plane formula must agree with its DuckDB oracle twin
+    (CEIL(LOG2(N/target)) clamped) for every feasible corpus size, and
+    the oracle's realization — the full 16-plane bucket masked to the
+    low P bits — must equal Spark's direct P-plane projection (plane p
+    contributes bit 1<<p, so % 2^P IS the P-plane bucket)."""
+    import duckdb
+
+    from randas_spark.operators.similarity import (
+        adaptive_plane_count,
+        project_buckets,
+    )
+
+    ns = list(range(1, 3000, 17)) + [2**k for k in range(1, 25)] + [
+        500, 2000, 20000, 50000, 200000, 2_000_000
+    ]
+    got = duckdb.sql(
+        "SELECT n, LEAST(16, GREATEST(4, CAST(CEIL(LOG2(CAST(n AS DOUBLE)"
+        " / 256.0)) AS INT))) FROM (SELECT unnest($ns) AS n)",
+        params={"ns": ns},
+    ).fetchall()
+    for n, p_sql in got:
+        assert adaptive_plane_count(n) == p_sql, n
+    # clamps
+    assert adaptive_plane_count(1) == 4
+    assert adaptive_plane_count(10**9) == 16
+
+    for p in (4, 7, 10):
+        both = emb.select(
+            (project_buckets(F.col("embedding"), 64, 16) % (2**p)).alias("m"),
+            project_buckets(F.col("embedding"), 64, p).alias("d"),
+        )
+        assert both.filter(F.col("m") != F.col("d")).count() == 0
+
+
+def test_embedding_near_pairs_bucket_cap_deterministic_and_accounted(emb):
+    """The hot-bucket cap must (a) keep exactly the cap smallest ids per
+    bucket — so capped pairs are the pair set of the kept subset, (b)
+    fill the drop-accounting stats with the capped+dropped=uncapped
+    identity, and (c) be a no-op (bit-identical pairs, zero drops) when
+    no bucket exceeds the cap."""
+    from randas_spark.operators.dedup import embedding_near_pairs
+    from randas_spark.operators.similarity import project_buckets
+
+    # cap=2 with 2 planes (4 buckets) is guaranteed to bind on fixtures
+    stats: dict = {}
+    capped = embedding_near_pairs(
+        emb, "vec_id", "embedding", threshold=-1.0, n_planes=2, dim=64,
+        bucket_cap=2, stats=stats,
+    ).collect()
+    assert stats["n_kept"] + stats["n_dropped_rows"] == stats["n_vectors"]
+    assert stats["n_capped_buckets"] > 0 and stats["n_dropped_rows"] > 0
+    # expected kept set: 2 smallest vec_ids per bucket, computed directly
+    rows = emb.select(
+        "vec_id", project_buckets(F.col("embedding"), 64, 2).alias("b")
+    ).collect()
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault(r.b, []).append(r.vec_id)
+    kept = {i for ids in by_bucket.values() for i in sorted(ids)[:2]}
+    assert stats["n_kept"] == len(kept)
+    got_ids = {r.id_a for r in capped} | {r.id_b for r in capped}
+    assert got_ids <= kept
+    expect_pairs = {
+        (a, b)
+        for ids in by_bucket.values()
+        for a in sorted(ids)[:2]
+        for b in sorted(ids)[:2]
+        if a < b
+    }
+    assert {(r.id_a, r.id_b) for r in capped} == expect_pairs
+
+    # non-binding cap: identical to uncapped, zero drops
+    stats2: dict = {}
+    uncapped = embedding_near_pairs(
+        emb, "vec_id", "embedding", threshold=-1.0, n_planes=2, dim=64
+    ).collect()
+    nocap = embedding_near_pairs(
+        emb, "vec_id", "embedding", threshold=-1.0, n_planes=2, dim=64,
+        bucket_cap=10**6, stats=stats2,
+    ).collect()
+    assert stats2["n_dropped_rows"] == 0 and stats2["n_capped_buckets"] == 0
+    assert {(r.id_a, r.id_b) for r in nocap} == {
+        (r.id_a, r.id_b) for r in uncapped
+    }
+
+
 # -- kNN: LSH vs brute force ----------------------------------------------
 
 
