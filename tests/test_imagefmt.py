@@ -219,7 +219,337 @@ def test_decode_image_routes_bmp_gif_and_narrows_the_stub():
     want = pixel_features(2, 2, 3, GOLD_BYTES)
     assert decode_image(bmp) == want
     assert decode_image(gif) == want
-    # the NotImplementedError surface is now JPEG/WebP only
+    # the NotImplementedError surface is now WebP/video only (JPEG
+    # routes to the real baseline decoder — see
+    # test_decode_image_routes_jpeg_and_stub_narrows_to_webp)
+    webp = b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 16
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
-    assert len(decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32, fake=True)) == 8
+        decode_image(webp)
+    assert len(decode_image(webp, fake=True)) == 8
+
+
+# -- JPEG: baseline sequential fixtures -------------------------------------
+
+
+class _JpegWriter:
+    """Minimal baseline JFIF encoder for fixtures — canonical-Huffman
+    bit packing mirroring decode_jpeg's table construction (ITU T.81
+    Annex C), explicit QUANTIZED zigzag coefficients in, so expected
+    pixel values are computable by hand (DC-only blocks: exactly
+    128 + dc*q/8 per T.81's IDCT)."""
+
+    def __init__(self, width, height, comps, qts, dri=0):
+        # comps: list of (comp_id, h, v, tq); qts: {tq: [64 zigzag ints]}
+        self.width, self.height = width, height
+        self.comps, self.qts, self.dri = comps, qts, dri
+        self.bits = []  # entropy bit buffer
+        self.dc_syms, self.ac_syms = set(), set()
+        self.blocks = []  # (comp_index, [64 zigzag quantized ints])
+
+    def add_block(self, ci, zz):
+        self.blocks.append((ci, list(zz)))
+
+    @staticmethod
+    def _mag(v):
+        s, m = 0, abs(v)
+        while m:
+            s, m = s + 1, m >> 1
+        return s, (v if v >= 0 else v + (1 << s) - 1)
+
+    def _entropy(self):
+        # first pass: collect symbols; second: emit with canonical codes.
+        # Predictors reset at restart-interval boundaries, as T.81
+        # requires of encoders (the decoder resets its own at each RSTn).
+        plan, pred = [], {}
+        comps_per_mcu = sum(h * v for _, h, v, _ in self.comps)
+        for bi, (ci, zz) in enumerate(self.blocks):
+            mcu = bi // comps_per_mcu
+            if self.dri and mcu and mcu % self.dri == 0 and bi % comps_per_mcu == 0:
+                pred = {}
+            diff = zz[0] - pred.get(ci, 0)
+            pred[ci] = zz[0]
+            s, vbits = self._mag(diff)
+            self.dc_syms.add(s)
+            ops = [("dc", s, vbits)]
+            k, run = 1, 0
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    self.ac_syms.add(0xF0)
+                    ops.append(("ac", 0xF0, None))
+                    run -= 16
+                s2, v2 = self._mag(zz[k])
+                sym = (run << 4) | s2
+                self.ac_syms.add(sym)
+                ops.append(("ac", sym, (s2, v2)))
+                run = 0
+            if run:
+                self.ac_syms.add(0x00)
+                ops.append(("ac", 0x00, None))
+            plan.append(ops)
+        return plan
+
+    @staticmethod
+    def _canon(symbols):
+        # all codes at length 8 (canonical): counts[7] = n
+        symbols = sorted(symbols)
+        counts = [0] * 16
+        counts[7] = len(symbols)
+        enc = {sym: (8, code) for code, sym in enumerate(symbols)}
+        return counts, bytes(symbols), enc
+
+    def _emit(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.bits.append((code >> i) & 1)
+
+    def _flush(self):
+        while len(self.bits) % 8:
+            self.bits.append(1)  # pad with 1s per T.81
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            byte = 0
+            for b in self.bits[i : i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # byte stuffing
+        self.bits = []
+        return bytes(out)
+
+    def tobytes(self):
+        import struct as st
+
+        plan = self._entropy()
+        dc_counts, dc_symbols, dc_enc = self._canon(self.dc_syms)
+        ac_counts, ac_symbols, ac_enc = self._canon(self.ac_syms or {0x00})
+        out = bytearray(b"\xff\xd8")
+        for tq, q in self.qts.items():
+            out += b"\xff\xdb" + st.pack(">H", 2 + 1 + 64) + bytes([tq]) + bytes(q)
+        sof = bytes([8]) + st.pack(">HH", self.height, self.width) + bytes(
+            [len(self.comps)]
+        )
+        for cid, h, v, tq in self.comps:
+            sof += bytes([cid, (h << 4) | v, tq])
+        out += b"\xff\xc0" + st.pack(">H", 2 + len(sof)) + sof
+        for tc, counts, symbols in (
+            (0, dc_counts, dc_symbols), (1, ac_counts, ac_symbols)
+        ):
+            body = bytes([tc << 4]) + bytes(counts) + symbols
+            out += b"\xff\xc4" + st.pack(">H", 2 + len(body)) + body
+        if self.dri:
+            out += b"\xff\xdd" + st.pack(">H", 4) + st.pack(">H", self.dri)
+        sos = bytes([len(self.comps)])
+        for cid, _, _, _ in self.comps:
+            sos += bytes([cid, 0x00])  # dc table 0, ac table 0
+        sos += bytes([0, 63, 0])
+        out += b"\xff\xda" + st.pack(">H", 2 + len(sos)) + sos
+
+        # entropy-coded data, honoring the restart interval in MCU units
+        comps_per_mcu = sum(h * v for _, h, v, _ in self.comps)
+        n_mcu = len(self.blocks) // comps_per_mcu
+        rst, bi = 0, 0
+        for mcu in range(n_mcu):
+            if self.dri and mcu and mcu % self.dri == 0:
+                out += self._flush()
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                # predictors reset: re-plan remaining blocks fresh
+                # (handled by caller passing absolute DCs per segment)
+            for _ in range(comps_per_mcu):
+                for kind, sym, extra in plan[bi]:
+                    ln, code = (dc_enc if kind == "dc" else ac_enc)[sym]
+                    self._emit(code, ln)
+                    if kind == "dc":
+                        s, vbits = sym, extra
+                        if s:
+                            self._emit(extra, s)
+                    elif extra is not None:
+                        s2, v2 = extra
+                        self._emit(v2, s2)
+                bi += 1
+        out += self._flush()
+        out += b"\xff\xd9"
+        return bytes(out)
+
+
+def _q_flat(q00, rest=1):
+    return [q00] + [rest] * 63
+
+
+def test_jpeg_dc_only_gray_exact():
+    """DC-only block: every pixel is exactly 128 + dc*Q00/8 (the only
+    nonzero IDCT term is F00/8) — a hand-computable bit-exact golden."""
+    from randas_spark.operators.imagefmt import decode_jpeg
+
+    w = _JpegWriter(8, 8, [(1, 1, 1, 0)], {0: _q_flat(16)})
+    w.add_block(0, [4] + [0] * 63)
+    width, height, ch, px = decode_jpeg(w.tobytes())
+    assert (width, height, ch) == (8, 8, 1)
+    assert px == bytes([136] * 64)  # 128 + 4*16/8
+
+
+def test_jpeg_dc_prediction_across_blocks():
+    """Second block's DC is coded as a DIFF from the first: quantized
+    DCs [4, 2] arrive as diffs [4, -2]; the writer emits diffs, the
+    decoder must reconstruct absolute values via the predictor."""
+    from randas_spark.operators.imagefmt import decode_jpeg
+
+    w = _JpegWriter(16, 8, [(1, 1, 1, 0)], {0: _q_flat(16)})
+    w.add_block(0, [4] + [0] * 63)
+    w.add_block(0, [2] + [0] * 63)
+    width, height, ch, px = decode_jpeg(w.tobytes())
+    assert (width, height, ch) == (16, 8, 1)
+    for y in range(8):
+        row = px[y * 16 : (y + 1) * 16]
+        assert row == bytes([136] * 8 + [132] * 8)  # 128+8, 128+4
+
+
+def test_jpeg_flat_color_444_ycbcr_conversion():
+    """Flat 4:4:4 color: Y=128, Cb=200, Cr=100 — RGB expected values
+    computed by hand through the JFIF conversion + the decoder's
+    documented rounding (bit-exact)."""
+    from randas_spark.operators.imagefmt import decode_jpeg
+
+    w = _JpegWriter(
+        8, 8, [(1, 1, 1, 0), (2, 1, 1, 0), (3, 1, 1, 0)], {0: _q_flat(8)}
+    )
+    w.add_block(0, [0] + [0] * 63)    # Y = 128
+    w.add_block(1, [72] + [0] * 63)   # Cb = 128 + 72*8/8 = 200
+    w.add_block(2, [-28] + [0] * 63)  # Cr = 128 - 28 = 100
+    width, height, ch, px = decode_jpeg(w.tobytes())
+    assert (width, height, ch) == (8, 8, 3)
+    # R = 128 + 1.402*(-28) = 88.744 -> 89
+    # G = 128 - 0.344136*72 - 0.714136*(-28) = 123.21 -> 123
+    # B = 128 + 1.772*72 = 255.58 -> clamp 255
+    assert px == bytes([89, 123, 255] * 64)
+
+
+def test_jpeg_420_upsampling_quadrants():
+    """4:2:0 16x16 single MCU: four Y blocks with distinct flat DCs +
+    neutral chroma -> four gray quadrants; chroma upsampling must
+    replicate nearest-neighbor 2x2."""
+    from randas_spark.operators.imagefmt import decode_jpeg
+
+    w = _JpegWriter(
+        16, 16, [(1, 2, 2, 0), (2, 1, 1, 0), (3, 1, 1, 0)], {0: _q_flat(8)}
+    )
+    # Y blocks in MCU order (by=0: bx=0,1; by=1: bx=0,1), coded as diffs
+    # handled by the writer; absolute DCs 8, -8, 16, -16
+    for dc in (8, -8, 16, -16):
+        w.add_block(0, [dc] + [0] * 63)
+    w.add_block(1, [0] + [0] * 63)  # Cb = 128 (neutral)
+    w.add_block(2, [0] + [0] * 63)  # Cr = 128 (neutral)
+    width, height, ch, px = decode_jpeg(w.tobytes())
+    assert (width, height, ch) == (16, 16, 3)
+    quads = {(0, 0): 136, (0, 8): 120, (8, 0): 144, (8, 8): 112}
+    for (qy, qx), val in quads.items():
+        for y, x in ((qy, qx), (qy + 7, qx + 7)):
+            o = 3 * (y * 16 + x)
+            assert px[o : o + 3] == bytes([val] * 3), (y, x)
+
+
+def test_jpeg_restart_markers_reset_predictor():
+    """DRI=1 with two MCUs: the RST0 between them realigns the bit
+    reader and resets the DC predictor on BOTH sides. Both blocks carry
+    absolute DC 4 (the writer resets its predictor at the boundary and
+    codes 4, not diff 0): a decoder that failed to reset would
+    accumulate 4+4=8 and paint the second block 144, not 136."""
+    from randas_spark.operators.imagefmt import decode_jpeg
+
+    w = _JpegWriter(16, 8, [(1, 1, 1, 0)], {0: _q_flat(16)}, dri=1)
+    w.add_block(0, [4] + [0] * 63)
+    w.add_block(0, [4] + [0] * 63)
+    data = w.tobytes()
+    assert b"\xff\xd0" in data  # the RST0 marker is really in the stream
+    width, height, ch, px = decode_jpeg(data)
+    assert (width, height, ch) == (16, 8, 1)
+    for y in range(8):
+        assert px[y * 16 : (y + 1) * 16] == bytes([136] * 16)
+
+
+def test_jpeg_ac_coefficients_match_independent_idct():
+    """Blocks with AC energy: decoder output must match an INDEPENDENT
+    numpy IDCT (same T.81 formula, numpy's own cosines) within 1 count
+    (rounding boundary), and equal the pinned golden exactly."""
+    import numpy as np
+
+    from randas_spark.operators.imagefmt import decode_jpeg
+
+    zz = [0] * 64
+    zz[0], zz[1], zz[2], zz[5], zz[9], zz[20] = 13, -7, 5, 3, -2, 4
+    q = _q_flat(16, rest=3)
+    w = _JpegWriter(8, 8, [(1, 1, 1, 0)], {0: q})
+    w.add_block(0, zz)
+    width, height, ch, px = decode_jpeg(w.tobytes())
+
+    # independent reconstruction
+    from randas_spark.operators.imagefmt import _JPEG_ZIGZAG
+
+    F = np.zeros((8, 8))
+    for k in range(64):
+        nat = _JPEG_ZIGZAG[k]
+        F[nat // 8][nat % 8] = zz[k] * q[k]
+    C = np.array(
+        [
+            [
+                (np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+                * np.cos((2 * x + 1) * u * np.pi / 16.0)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    ref = C.T @ F @ C + 128.0
+    ref = np.clip(np.floor(ref + 0.5), 0, 255).astype(int)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(8, 8).astype(int)
+    assert np.abs(got - ref).max() <= 1
+    assert np.abs(got - ref).sum() <= 2
+
+
+def test_jpeg_odd_dimensions_cropped():
+    """10x6: the 16x8 block grid must crop to the declared frame size."""
+    from randas_spark.operators.imagefmt import decode_jpeg
+
+    w = _JpegWriter(10, 6, [(1, 1, 1, 0)], {0: _q_flat(16)})
+    w.add_block(0, [4] + [0] * 63)
+    w.add_block(0, [2] + [0] * 63)
+    width, height, ch, px = decode_jpeg(w.tobytes())
+    assert (width, height, ch, len(px)) == (10, 6, 1, 60)
+    assert px[:10] == bytes([136] * 8 + [132] * 2)
+
+
+def test_jpeg_progressive_and_malformed_rejected():
+    import pytest
+
+    from randas_spark.operators.imagefmt import decode_jpeg
+
+    w = _JpegWriter(8, 8, [(1, 1, 1, 0)], {0: _q_flat(16)})
+    w.add_block(0, [4] + [0] * 63)
+    data = bytearray(w.tobytes())
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # flip to progressive
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(data))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0" + b"\x00" * 8)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+
+
+def test_decode_image_routes_jpeg_and_stub_narrows_to_webp():
+    import pytest
+
+    from randas_spark.operators.multimodal import decode_image
+    from randas_spark.operators.png import pixel_features
+
+    w = _JpegWriter(8, 8, [(1, 1, 1, 0)], {0: _q_flat(16)})
+    w.add_block(0, [4] + [0] * 63)
+    assert decode_image(w.tobytes()) == pixel_features(
+        8, 8, 1, bytes([136] * 64)
+    )
+    webp = b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 16
+    with pytest.raises(NotImplementedError):
+        decode_image(webp)
+    assert len(decode_image(webp, fake=True)) == 8
