@@ -33,11 +33,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # last driver rows date to r8 and r5 respectively, plus the round's new
 # registration llm_knn_ivf_append; r11 = the TPC-H MID block q08/q13/
 # q17 (last driver rows r8), an aging ref_* row (ref_json_flatten), and
-# the round's new registrations llm_knn_ivfpq + stream_scd2_apply
-# (q10 + ref_query_int_literal_quirk queue for r12 — byte budget, see
-# the rotation-block comment). Budget discipline: the compact JSON
-# line must stay under ~2000 B (driver tail-capture window), which caps
-# the headline near ~62 slots — rotation REPLACES, never accumulates.
+# the round's new registrations llm_knn_ivfpq + stream_scd2_apply;
+# r12 = the never-benched TPC-H tail q10/q14/q15/q16/q19/q20/q22 +
+# ref_query_int_literal_quirk (VERDICT r11 order #5 — judge-verified
+# value-exact in r11, zero BENCH evidence ever). Budget discipline: the
+# compact JSON line must stay under ~2000 B (driver tail-capture
+# window), which caps the headline near ~62 slots — rotation REPLACES,
+# never accumulates.
 HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
@@ -96,9 +98,12 @@ HEADLINE = [
     # ordered triangle enumeration); BASELINE.md r6 rows + 10x slopes
     "rel_market_basket_lift",
     "rel_triangle_count",
-    # round-6 seventh pass: compressed-ANN representative (blocked PQ
-    # trainer + ADC; BASELINE.md r6 row, flat 1.1x slope at 10x)
-    "llm_knn_pq_adc",
+    # round-6 seventh pass slot RETIRED in r12 (VERDICT r11 order #4):
+    # llm_knn_pq_adc (9.53 s, the heaviest headline slot) measured the
+    # fused refit+full-scan plan the IVFPQ composite retired in design;
+    # the family's headline evidence is llm_knn_pq_persisted (the
+    # fit/scan split, permanent core below) — the fused form stays a
+    # green registry row with its BASELINE_ROWS yardstick retained.
     # round-6 continuation-2 representatives: closed-form model fitting
     # (Gram-sum OLS) and the token-pair PMI join; BASELINE.md rows + 10x
     # slopes in the continuation-2 table
@@ -136,23 +141,24 @@ HEADLINE = [
     # heaviest new text op (shingle-novelty join)
     "llm_knn_ivf_persisted",
     "llm_ngram_novelty",
-    # --- ROTATION block (r11; see policy comment above). The r10 slots
-    # q02/q04/q07 + rel_sessionize/rel_merge_upsert/rel_window_range_frame
-    # + llm_knn_ivf_append rotated out (rows retained in BASELINE_ROWS).
-    # In: the TPC-H mid block whose last driver rows date to r8 (q08,
-    # q13, q17 — q10/q14/q15/q16/q19/q20/q22 queue for r12), one aging
-    # ref_* row (last driver evidence r9's ref_describe rotation;
-    # ref_query_int_literal_quirk queues for r12), and the round's new
-    # registrations (the IVFPQ composite — this round's centerpiece —
-    # and the streaming-SCD2 batch twin). Slot count is byte-budgeted:
-    # 61 slots with realistic values measures ~1.93 KB, leaving room
-    # for floor_drift entries under the 2 KB tail-capture cap.
-    "q08_market_share",
-    "q13_customer_distribution",
-    "q17_small_quantity",
-    "ref_json_flatten",
-    "llm_knn_ivfpq",
-    "stream_scd2_apply",
+    # --- ROTATION block (r12; see policy comment above). The r11 slots
+    # q08/q13/q17 + ref_json_flatten + llm_knn_ivfpq + stream_scd2_apply
+    # rotated out (rows retained in BASELINE_ROWS; q13/q17's r11
+    # floor-drift flags were adjudicated by isolated re-witness —
+    # BASELINE.md r12). In: the complete never-benched correctness-green
+    # block (VERDICT r11 order #5) — the TPC-H tail whose rows were
+    # judge-verified value-exact in r11 but never held a BENCH slot,
+    # plus the reference-quirk row in the same state. Slot count is
+    # byte-budgeted: 62 slots with realistic values measures ~1.9 KB,
+    # leaving room for floor_drift entries under the 2 KB cap.
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q19_disjunctive_revenue",
+    "q20_excess_shippers",
+    "q22_idle_customers",
+    "ref_query_int_literal_quirk",
 ]
 
 # Most-recent ISOLATED sf0.1 row per headline query. PROTOCOL TAG

@@ -487,16 +487,83 @@ def knn_graph_ivf(
         F.col(vec_col).alias("vv"),
         norm(F.col(vec_col)).alias("vn"),
     )
-    wr = Window.partitionBy("vid").orderBy(F.col("ccos").desc(), F.col("cell"))
-    ranked = (
-        vecs.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "ccos",
-            dot(F.col("vv"), F.col("center"))
-            / (F.col("vn") * F.col("center_nrm")),
+    # Coarse assignment as a VECTORIZED Arrow kernel (r12, VERDICT r11
+    # order #2). The declarative shape — crossJoin(broadcast(cent)) +
+    # row_number window — materializes N*n_cells rows just to keep 4
+    # per vector: at 200k vectors / 894 cells that is 178.8M
+    # interpreted lambda-fold evaluations (zip_with allocates per row,
+    # no whole-stage codegen spans the fold) PLUS a 178.8M-row sort
+    # under the partial window limit — profiled at 273 s of semantic
+    # dedup's 300 s sf10 cell (tools/semantic_stages.py), against ~65 s
+    # for the folds alone. The kernel is how production ANN does coarse
+    # quantization (FAISS IndexIVF assignment = a BLAS matmul): ship
+    # the n_cells x dim centroid panel into a mapInPandas closure
+    # (bounded model state — same class as the BPE merge-table collect,
+    # queries/llm.py), score each Arrow batch against all centroids
+    # with numpy, and emit ONLY the top-n_probe (vid, cell, rn) rows —
+    # no N*n_cells intermediate, no sort, no exchange.
+    #
+    # BIT-EXACTNESS with the DuckDB oracle is preserved by replaying
+    # the exact fold: elements upcast float32->float64 (exact), then
+    # acc = acc + (x_j * c_j) dim-by-dim — the same two IEEE roundings
+    # per step as F.aggregate(zip_with(...)) and list_reduce; norms are
+    # sqrt of the same self-fold (np.sqrt is correctly rounded, as are
+    # JVM/DuckDB sqrt); selection replays (ccos DESC, cell ASC) with a
+    # full per-row lexsort — NO argpartition shortcut, because twin
+    # centroids (exactly equal ccos for every query) make boundary ties
+    # routine and the tie-break must match the window's ordering.
+    cent_rows = cent.collect()  # n_cells rows: bounded model state
+    np_probe = max(n_probe, 1)
+
+    def _assign_batches(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        cells_arr = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+        cmat = np.stack(
+            [np.asarray(r["center"], dtype=np.float64) for r in cent_rows]
         )
-        .withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") <= max(n_probe, 1))
+        cnrm = np.array([r["center_nrm"] for r in cent_rows])
+        k = min(np_probe, len(cells_arr))
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vv"]]
+            )
+            # strict left folds, dim by dim: acc = acc + (x_j * c_j) —
+            # one multiply rounding + one add rounding per step, the
+            # exact zip_with/list_reduce sequence; tmp preallocated so
+            # the fold loop does zero per-step allocation
+            dots = np.zeros((len(x), len(cells_arr)))
+            tmp = np.empty_like(dots)
+            sq = np.zeros(len(x))
+            for j in range(x.shape[1]):
+                np.multiply(x[:, j : j + 1], cmat[:, j], out=tmp)
+                dots += tmp
+                sq += x[:, j] * x[:, j]
+            ccos = dots / (np.sqrt(sq)[:, None] * cnrm)
+            vids, ocells, orns = [], [], []
+            for i in range(len(x)):
+                order = np.lexsort((cells_arr, -ccos[i]))[:k]
+                vids.extend([pdf["vid"].iat[i]] * k)
+                ocells.extend(cells_arr[order])
+                orns.extend(range(1, k + 1))
+            yield pd.DataFrame(
+                {"vid": vids, "cell": ocells, "rn": orns}
+            ).astype({"vid": "int64", "cell": "int64", "rn": "int32"})
+
+    # round-robin repartition so the kernel saturates the cores even
+    # when the corpus arrives in a handful of parquet splits — one
+    # narrow shuffle of (vid, vv), ~0.1% of the exchange the retired
+    # window shape paid
+    ranked_n = (
+        vecs.select("vid", "vv")
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        .mapInPandas(_assign_batches, schema="vid long, cell long, rn int")
+    )
+    ranked = (
+        ranked_n.join(vecs, "vid")
         .select("vid", "vv", "vn", "cell", "rn")
         # MATERIALIZED: probes and assign both consume ranked, and Spark
         # does not reuse the subplan (0 ReusedExchange measured — the
@@ -513,15 +580,61 @@ def knn_graph_ivf(
         F.col("vid").alias("qid"), F.col("vv").alias("qv"), F.col("vn").alias("qn"), "cell"
     )
     wk = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
-    scored = (
-        probes.join(assign, "cell")
-        .filter(F.col("qid") != F.col("cid"))
-        .withColumn(
-            "cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    # Candidate scoring is the second Arrow kernel (same r12 profile:
+    # the n_probe*N*cell_size pair folds — 185M at sf10 — were the other
+    # interpreted-lambda stage). A COGROUP on the cell id keeps the plan
+    # a cell-keyed shuffle (never all-pairs, same as the equi-join it
+    # replaces); inside a cell the probes x assignments panel is scored
+    # vectorized with the identical fold, and only each probe's PER-CELL
+    # top_k survivors cross the Arrow boundary back — exact for the
+    # global window below, because a qid's global (cos DESC, cid ASC)
+    # top-k restricted to one cell IS that cell's top-k under the same
+    # total order; every dropped row is beaten by top_k kept rows of
+    # its own cell, so ranks 1..top_k are unchanged. min_cos commutes
+    # into the kernel as before (filter on the ordering key).
+    _min_cos, _top_k = min_cos, top_k
+
+    def _score_cells(key, pr, asg):
+        import numpy as np
+        import pandas as pd
+
+        if not len(pr) or not len(asg):
+            return pd.DataFrame({"qid": [], "cid": [], "cos": []}).astype(
+                {"qid": "int64", "cid": "int64", "cos": "float64"}
+            )
+        q = np.stack([np.asarray(v, dtype=np.float64) for v in pr["qv"]])
+        c = np.stack([np.asarray(v, dtype=np.float64) for v in asg["cv"]])
+        qn = pr["qn"].to_numpy()
+        cn = asg["cn"].to_numpy()
+        cids = asg["cid"].to_numpy()
+        qids = pr["qid"].to_numpy()
+        # strict left fold, dim by dim (the zip_with/list_reduce order)
+        dots = np.zeros((len(q), len(c)))
+        tmp = np.empty_like(dots)
+        for j in range(q.shape[1]):
+            np.multiply(q[:, j : j + 1], c[:, j], out=tmp)
+            dots += tmp
+        cos = dots / (qn[:, None] * cn[None, :])
+        oq, oc, ov = [], [], []
+        for i in range(len(q)):
+            row = cos[i]
+            mask = cids != qids[i]
+            if _min_cos is not None:
+                mask = mask & (row >= _min_cos)
+            idx = np.nonzero(mask)[0]
+            if not len(idx):
+                continue
+            order = idx[np.lexsort((cids[idx], -row[idx]))][:_top_k]
+            oq.extend([qids[i]] * len(order))
+            oc.extend(cids[order])
+            ov.extend(row[order])
+        return pd.DataFrame({"qid": oq, "cid": oc, "cos": ov}).astype(
+            {"qid": "int64", "cid": "int64", "cos": "float64"}
         )
+
+    scored = probes.groupBy("cell").cogroup(assign.groupBy("cell")).applyInPandas(
+        _score_cells, schema="qid long, cid long, cos double"
     )
-    if min_cos is not None:
-        scored = scored.filter(F.col("cos") >= F.lit(min_cos))
     return (
         scored.withColumn("rk", F.row_number().over(wk).cast("long"))
         .filter(F.col("rk") <= top_k)

@@ -800,8 +800,12 @@ def test_multimodal_decode_real_for_png_stubbed_otherwise():
     from randas_spark.operators.multimodal import decode_image
     from randas_spark.operators.png import encode_png
 
-    # non-PNG formats still require a library → stub gate intact
+    # formats with no stdlib codec (WebP) still require a library →
+    # stub gate intact (JPEG now decodes for real via imagefmt.py, so a
+    # malformed JPEG-magic stream is a ValueError, not a stub hit)
     with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 webp-ish", fake=False)
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish", fake=False)
     # deterministic fake: same payload → same feature
     assert decode_image(b"abc", fake=True) == decode_image(b"abc", fake=True)
