@@ -209,16 +209,16 @@ BASELINE_ROWS = {
     "llm_quality_classifier": 0.41,
     "llm_text_normalize": 0.41,
     "rel_ts_similarity_paa": 0.92,
-    "llm_knn_graph": 2.57,
+    "llm_knn_graph": 1.84,  # r12 re-row: Arrow-kernel graph legs (plan changed)
     "rel_interval_join_binned": 0.47,
     "rel_quantile_sketch_mergeable": 1.7,
     "llm_dedup_containment": 0.95,
-    "llm_semantic_dedup": 3.59,
+    "llm_semantic_dedup": 2.78,  # r12 re-row: Arrow-kernel graph legs (plan changed)
     "llm_bpe_learn": 2.25,
     "llm_bpe_apply": 2.89,
     "llm_url_dedup": 0.4,
     "llm_kmeans_det": 3.35,
-    "llm_dedup_hybrid": 4.04,
+    "llm_dedup_hybrid": 6.05,  # r12 re-row: adaptive-plane emb LSH + cap window + count job (plan changed; buys the 1062->363 s sf10 cell)
     "rel_market_basket_lift": 1.66,
     "rel_triangle_count": 1.85,
     "llm_knn_pq_adc": 5.36,
@@ -255,10 +255,10 @@ BASELINE_ROWS = {
     "llm_sequence_pack_by_source": 0.84,
     "llm_knn_pq_append": 1.89,
     "llm_pack_efficiency": 0.88,
-    "llm_ann_recall_audit": 4.94,  # r11 re-row: two-method panel (was 1.84 single-method)
+    "llm_ann_recall_audit": 5.39,  # r12 re-row (median of 3 clean r12 passes; r11 4.94 confirmed in-family)
     "llm_knn_pq_rerank": 2.06,
     "stream_ivf_ingest": 1.22,
-    "llm_bitext_mine": 2.87,  # r11 re-row: sqrt-cells quantizer (see BASELINE.md r11; measured on a 1.5x-hot day)
+    "llm_bitext_mine": 1.93,  # r12 re-row on a calm box (r11's 2.87 was the hot measurement day)
     "rel_kanonymity": 0.43,
     # r10 late additions (median of 3 warm-position passes 2026-08-16)
     "stream_ann_enrich": 1.70,
@@ -280,6 +280,17 @@ BASELINE_ROWS = {
     "stream_scd2_apply": 1.61,
     "llm_knn_ivfpq": 3.01,
     "llm_knn_ivfpq_rerank": 3.60,
+    # r12 rotation slots (median of isolated pass medians across 4
+    # rotated-start passes, 2026-08-16; pass-3 contention burst on its
+    # first two slots discarded by the median — BASELINE.md r12)
+    "q10_returned_items": 0.83,
+    "q14_promo_revenue": 0.44,
+    "q15_top_supplier": 0.75,
+    "q16_supplier_count": 1.37,
+    "q19_disjunctive_revenue": 0.54,
+    "q20_excess_shippers": 0.88,
+    "q22_idle_customers": 0.52,
+    "ref_query_int_literal_quirk": 0.10,
 }
 
 # Floor witness per row (round-10 policy): the MIN of isolated medians
@@ -316,16 +327,16 @@ ROW_FLOORS = {
     "llm_quality_classifier": 0.31,
     "llm_text_normalize": 0.32,
     "rel_ts_similarity_paa": 0.88,
-    "llm_knn_graph": 2.54,
+    "llm_knn_graph": 1.50,  # r12 re-seed: plan changed (Arrow kernels)
     "rel_interval_join_binned": 0.4,
     "rel_quantile_sketch_mergeable": 1.45,
     "llm_dedup_containment": 0.89,
-    "llm_semantic_dedup": 3.46,
+    "llm_semantic_dedup": 2.32,  # r12 re-seed: plan changed (Arrow kernels)
     "llm_bpe_learn": 1.97,
     "llm_bpe_apply": 2.76,
     "llm_url_dedup": 0.35,
     "llm_kmeans_det": 3.19,
-    "llm_dedup_hybrid": 3.56,
+    "llm_dedup_hybrid": 5.42,  # r12 re-seed UP: plan changed (adaptive planes + cap) — the sf0.1 constant bought the linear sf10 slope
     "rel_market_basket_lift": 1.63,
     "rel_triangle_count": 1.84,
     "llm_knn_pq_adc": 5.05,
@@ -365,7 +376,7 @@ ROW_FLOORS = {
     "llm_ann_recall_audit": 4.81,  # r11 re-floor: two-method panel
     "llm_knn_pq_rerank": 1.99,
     "stream_ivf_ingest": 1.18,
-    "llm_bitext_mine": 2.26,  # r11 re-floor (plan changed with the quantizer formula)
+    "llm_bitext_mine": 1.44,  # r12: calm-box min (plan unchanged since r11)
     "rel_kanonymity": 0.41,
     "stream_ann_enrich": 1.61,
     "llm_corpus_scorecard": 0.74,
@@ -382,6 +393,15 @@ ROW_FLOORS = {
     "stream_scd2_apply": 1.21,
     "llm_knn_ivfpq": 2.70,
     "llm_knn_ivfpq_rerank": 3.38,
+    # r12 slots (min of the same rotated-start passes as the rows above)
+    "q10_returned_items": 0.62,
+    "q14_promo_revenue": 0.39,
+    "q15_top_supplier": 0.34,
+    "q16_supplier_count": 0.89,
+    "q19_disjunctive_revenue": 0.41,
+    "q20_excess_shippers": 0.76,
+    "q22_idle_customers": 0.42,
+    "ref_query_int_literal_quirk": 0.07,
 }
 
 

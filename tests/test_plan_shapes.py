@@ -145,3 +145,30 @@ def test_ivfpq_codes_scan_is_dynamically_partition_pruned(spark, registry):
     assert "code_0" in plan  # the pruned scan is the codes table
     assert plan.count("BroadcastNestedLoopJoin") == 2
     assert plan.count("CartesianProduct") == 0
+
+
+def test_knn_graph_candidate_scoring_is_cogrouped_kernel(spark, registry):
+    """r12 pin: knn_graph_ivf's candidate scoring must stay the
+    cell-keyed COGROUP kernel — exactly one FlatMapCoGroupsInPandas in
+    the served plan, zero BroadcastNestedLoopJoin/CartesianProduct (the
+    assignment kernel runs behind the ranked localCheckpoint at build
+    time, so it does not appear here). A BNLJ reappearing means the
+    declarative crossJoin + window shape — the 273-of-300 s sf10
+    bottleneck the r12 profile retired — leaked back."""
+    df = registry["llm_knn_graph"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapCoGroupsInPandas") == 1
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+    assert plan.count("CartesianProduct") == 0
+
+
+def test_embedding_lsh_cap_windows_and_no_cartesian(spark, registry):
+    """r12 pin: the adaptive-plane embedding LSH carries the
+    deterministic hot-bucket cap as a row_number window OVER THE BUCKET
+    on each join side (2 windowspecdefinitions keyed on bucket), and
+    the pair join stays a bucket equi-join — no CartesianProduct ever
+    (a cartesian here is the quadratic all-pairs regression)."""
+    df = registry["llm_dedup_embedding_lsh"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("windowspecdefinition(bucket") == 2
+    assert plan.count("CartesianProduct") == 0
