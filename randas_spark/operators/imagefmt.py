@@ -1,13 +1,13 @@
-"""Dependency-free BMP and GIF decoders (stdlib struct only) — png.py's
-siblings (VERDICT r10 order #5: shrink the multimodal stub surface with
-the formats that ARE stdlib-decodable).
+"""Dependency-free BMP, GIF and baseline-JPEG decoders (stdlib only) —
+png.py's siblings (VERDICT r10 order #5 and r11 order #6: shrink the
+multimodal stub surface with the formats that ARE stdlib-decodable).
 
-Both feed operators/multimodal.decode_image the same
+All feed operators/multimodal.decode_image the same
 (width, height, channels, pixels) contract as decode_png, so the
 mapInPandas plumbing above them is untouched; a production cluster
 swaps in PIL/opencv behind the same kernel signature. With these, the
-NotImplementedError fallback narrows to JPEG/WebP/video — the formats
-whose entropy coding genuinely needs a codec library.
+NotImplementedError fallback narrows to WebP/video — the formats whose
+entropy coding genuinely needs a codec library.
 
 Profiles:
 - BMP: BITMAPINFOHEADER (and the larger V4/V5 headers, which embed it),
@@ -18,10 +18,15 @@ Profiles:
   animation; a GCE transparent index is emitted as its palette color
   (single-frame feature extraction has no compositing stack to honor
   transparency against).
+- JPEG: baseline sequential JFIF (SOF0/SOF1) — canonical Huffman,
+  zigzag dequant, separable float IDCT, arbitrary 1-4 h/v sampling
+  with nearest-neighbor chroma upsampling, DRI/RSTn restart intervals,
+  0xFF00 unstuffing, JFIF YCbCr->RGB; progressive/arithmetic/12-bit
+  profiles raise ValueError.
 
-Format references: the public Windows BMP file-format documentation and
-the GIF89a specification (CompuServe, 1990) — both long-published open
-specs.
+Format references: the public Windows BMP file-format documentation,
+the GIF89a specification (CompuServe, 1990), and ITU-T T.81 + JFIF
+1.02 for JPEG — all long-published open specs.
 """
 
 from __future__ import annotations

@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched mapInPandas stages.
 
-The container has no decode libraries (PIL/ffmpeg/etc.). PNG, BMP, GIF
-and WAV decode FOR REAL through the dependency-free stdlib codecs in
-operators/png.py, operators/imagefmt.py and operators/wav.py; only the
-formats whose entropy coding genuinely needs a codec library
-(JPEG/WebP pixels, compressed audio, video) remain STUBBED —
+The container has no decode libraries (PIL/ffmpeg/etc.). PNG, BMP, GIF,
+baseline JPEG and WAV decode FOR REAL through the dependency-free
+stdlib codecs in operators/png.py, operators/imagefmt.py and
+operators/wav.py; only the formats whose entropy coding genuinely needs
+a codec library (WebP pixels, progressive/arithmetic JPEG, compressed
+audio, video) remain STUBBED —
 `decode_image` raises NotImplementedError for those unless `fake=True`,
 which substitutes a deterministic fake decoder. The Spark-side plumbing
 is real and tested either way: schema (binary + metadata struct),
