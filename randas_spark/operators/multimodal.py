@@ -111,6 +111,11 @@ def sniff_image_dims(payload: bytes) -> tuple[str, int, int] | None:
       [precision u8][height u16][width u16] big-endian.
     - GIF: logical screen descriptor right after the 6-byte signature,
       little-endian u16 pair.
+    - WebP: RIFF container, first chunk decides — VP8 (lossy: 14-bit
+      dims after the 0x9D012A sync), VP8L (lossless: packed 14-bit
+      minus-one dims after the 0x2F signature), VP8X (extended: 24-bit
+      minus-one canvas dims). Metadata only; pixel decode stays behind
+      the codec-library stub.
 
     Returns None for anything unrecognized or truncated (callers decide
     whether that's an error row) — never raises on malformed bytes.
@@ -155,6 +160,31 @@ def sniff_image_dims(payload: bytes) -> tuple[str, int, int] | None:
             int.from_bytes(b[6:8], "little"),
             int.from_bytes(b[8:10], "little"),
         )
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP" and len(b) >= 20:
+        # WebP (public container spec): dims live in the first chunk's
+        # header — sniffable even though PIXEL decode (VP8 entropy
+        # coding) stays behind the NotImplementedError stub.
+        fourcc = b[12:16]
+        if fourcc == b"VP8 " and len(b) >= 30 and b[23:26] == b"\x9d\x01\x2a":
+            return (
+                "image/webp",
+                int.from_bytes(b[26:28], "little") & 0x3FFF,
+                int.from_bytes(b[28:30], "little") & 0x3FFF,
+            )
+        if fourcc == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:
+            bits = int.from_bytes(b[21:25], "little")
+            return (
+                "image/webp",
+                (bits & 0x3FFF) + 1,
+                ((bits >> 14) & 0x3FFF) + 1,
+            )
+        if fourcc == b"VP8X" and len(b) >= 30:
+            return (
+                "image/webp",
+                int.from_bytes(b[24:27], "little") + 1,
+                int.from_bytes(b[27:30], "little") + 1,
+            )
+        return None
     return None
 
 

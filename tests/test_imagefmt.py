@@ -553,3 +553,59 @@ def test_decode_image_routes_jpeg_and_stub_narrows_to_webp():
     with pytest.raises(NotImplementedError):
         decode_image(webp)
     assert len(decode_image(webp, fake=True)) == 8
+
+
+def test_jpeg_random_blocks_match_independent_idct():
+    """Property test: random quantized coefficient blocks and quant
+    tables, round-tripped through the in-test encoder, must decode to
+    within 1 count of an independent numpy IDCT reconstruction (the
+    only divergence channel is the rounding boundary of the final
+    pixel, where two correct float pipelines may differ by 1 ulp)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from randas_spark.operators.imagefmt import _JPEG_ZIGZAG, decode_jpeg
+
+    coeff = st.integers(min_value=-40, max_value=40)
+    qval = st.integers(min_value=1, max_value=24)
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        dc=st.integers(min_value=-90, max_value=90),
+        ac=st.lists(
+            st.tuples(st.integers(min_value=1, max_value=63), coeff),
+            min_size=0, max_size=12,
+        ),
+        q00=st.integers(min_value=1, max_value=20),
+        qrest=qval,
+    )
+    def check(dc, ac, q00, qrest):
+        zz = [0] * 64
+        zz[0] = dc
+        for k, v in ac:
+            zz[k] = v
+        q = [q00] + [qrest] * 63
+        w = _JpegWriter(8, 8, [(1, 1, 1, 0)], {0: q})
+        w.add_block(0, zz)
+        width, height, ch, px = decode_jpeg(w.tobytes())
+        assert (width, height, ch) == (8, 8, 1)
+
+        F = np.zeros((8, 8))
+        for k in range(64):
+            nat = _JPEG_ZIGZAG[k]
+            F[nat // 8][nat % 8] = zz[k] * q[k]
+        C = np.array(
+            [
+                [
+                    (np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+                    * np.cos((2 * x + 1) * u * np.pi / 16.0)
+                    for x in range(8)
+                ]
+                for u in range(8)
+            ]
+        )
+        ref = np.clip(np.floor(C.T @ F @ C + 128.5), 0, 255).astype(int)
+        got = np.frombuffer(px, dtype=np.uint8).reshape(8, 8).astype(int)
+        assert np.abs(got - ref).max() <= 1
+
+    check()

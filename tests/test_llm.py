@@ -834,6 +834,28 @@ def test_sniff_image_dims_jpeg_png_gif_and_garbage():
     assert sniff_image_dims(png) == ("image/png", 5, 3)
     gif = b"GIF89a" + (12).to_bytes(2, "little") + (34).to_bytes(2, "little") + b"\x00\x00\x00"
     assert sniff_image_dims(gif) == ("image/gif", 12, 34)
+    # WebP (r12): all three first-chunk layouts, spec fixtures by hand
+    vp8 = (
+        b"RIFF" + (30).to_bytes(4, "little") + b"WEBP" + b"VP8 "
+        + (10).to_bytes(4, "little") + b"\x00\x00\x00" + b"\x9d\x01\x2a"
+        + (320).to_bytes(2, "little") + (240).to_bytes(2, "little")
+    )
+    assert sniff_image_dims(vp8) == ("image/webp", 320, 240)
+    vp8l = (
+        b"RIFF" + (20).to_bytes(4, "little") + b"WEBP" + b"VP8L"
+        + (9).to_bytes(4, "little") + b"\x2f"
+        + ((99) | (49 << 14)).to_bytes(4, "little")  # 100x50 minus-one
+    )
+    assert sniff_image_dims(vp8l) == ("image/webp", 100, 50)
+    vp8x = (
+        b"RIFF" + (26).to_bytes(4, "little") + b"WEBP" + b"VP8X"
+        + (10).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (1919).to_bytes(3, "little") + (1079).to_bytes(3, "little")
+    )
+    assert sniff_image_dims(vp8x) == ("image/webp", 1920, 1080)
+    # bad VP8 sync / truncated RIFF: None, no raise
+    assert sniff_image_dims(vp8[:22]) is None
+    assert sniff_image_dims(vp8.replace(b"\x9d\x01\x2a", b"\x00\x00\x00")) is None
     # truncation mid-chain, bare SOI, and non-image bytes: None, no raise
     assert sniff_image_dims(_jpeg_header(640, 480)[:6]) is None
     assert sniff_image_dims(b"\xff\xd8") is None
