@@ -487,81 +487,12 @@ def knn_graph_ivf(
         F.col(vec_col).alias("vv"),
         norm(F.col(vec_col)).alias("vn"),
     )
-    # Coarse assignment as a VECTORIZED Arrow kernel (r12, VERDICT r11
-    # order #2). The declarative shape — crossJoin(broadcast(cent)) +
-    # row_number window — materializes N*n_cells rows just to keep 4
-    # per vector: at 200k vectors / 894 cells that is 178.8M
-    # interpreted lambda-fold evaluations (zip_with allocates per row,
-    # no whole-stage codegen spans the fold) PLUS a 178.8M-row sort
-    # under the partial window limit — profiled at 273 s of semantic
-    # dedup's 300 s sf10 cell (tools/semantic_stages.py), against ~65 s
-    # for the folds alone. The kernel is how production ANN does coarse
-    # quantization (FAISS IndexIVF assignment = a BLAS matmul): ship
-    # the n_cells x dim centroid panel into a mapInPandas closure
-    # (bounded model state — same class as the BPE merge-table collect,
-    # queries/llm.py), score each Arrow batch against all centroids
-    # with numpy, and emit ONLY the top-n_probe (vid, cell, rn) rows —
-    # no N*n_cells intermediate, no sort, no exchange.
-    #
-    # BIT-EXACTNESS with the DuckDB oracle is preserved by replaying
-    # the exact fold: elements upcast float32->float64 (exact), then
-    # acc = acc + (x_j * c_j) dim-by-dim — the same two IEEE roundings
-    # per step as F.aggregate(zip_with(...)) and list_reduce; norms are
-    # sqrt of the same self-fold (np.sqrt is correctly rounded, as are
-    # JVM/DuckDB sqrt); selection replays (ccos DESC, cell ASC) with a
-    # full per-row lexsort — NO argpartition shortcut, because twin
-    # centroids (exactly equal ccos for every query) make boundary ties
-    # routine and the tie-break must match the window's ordering.
-    cent_rows = cent.collect()  # n_cells rows: bounded model state
-    np_probe = max(n_probe, 1)
-
-    def _assign_batches(pdfs):
-        import numpy as np
-        import pandas as pd
-
-        cells_arr = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
-        cmat = np.stack(
-            [np.asarray(r["center"], dtype=np.float64) for r in cent_rows]
-        )
-        cnrm = np.array([r["center_nrm"] for r in cent_rows])
-        k = min(np_probe, len(cells_arr))
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            x = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["vv"]]
-            )
-            # strict left folds, dim by dim: acc = acc + (x_j * c_j) —
-            # one multiply rounding + one add rounding per step, the
-            # exact zip_with/list_reduce sequence; tmp preallocated so
-            # the fold loop does zero per-step allocation
-            dots = np.zeros((len(x), len(cells_arr)))
-            tmp = np.empty_like(dots)
-            sq = np.zeros(len(x))
-            for j in range(x.shape[1]):
-                np.multiply(x[:, j : j + 1], cmat[:, j], out=tmp)
-                dots += tmp
-                sq += x[:, j] * x[:, j]
-            ccos = dots / (np.sqrt(sq)[:, None] * cnrm)
-            vids, ocells, orns = [], [], []
-            for i in range(len(x)):
-                order = np.lexsort((cells_arr, -ccos[i]))[:k]
-                vids.extend([pdf["vid"].iat[i]] * k)
-                ocells.extend(cells_arr[order])
-                orns.extend(range(1, k + 1))
-            yield pd.DataFrame(
-                {"vid": vids, "cell": ocells, "rn": orns}
-            ).astype({"vid": "int64", "cell": "int64", "rn": "int32"})
-
-    # round-robin repartition so the kernel saturates the cores even
-    # when the corpus arrives in a handful of parquet splits — one
-    # narrow shuffle of (vid, vv), ~0.1% of the exchange the retired
-    # window shape paid
-    ranked_n = (
-        vecs.select("vid", "vv")
-        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-        .mapInPandas(_assign_batches, schema="vid long, cell long, rn int")
-    )
+    # Coarse assignment via the shared assign_topk_cells Arrow kernel
+    # (r12, VERDICT r11 order #2 — see its docstring for the profile
+    # that retired the crossJoin + row_number shape and the
+    # bit-exactness contract); vectors/norms re-attached to the
+    # N*n_probe survivors by one narrow equi-join.
+    ranked_n = assign_topk_cells(corpus, id_col, vec_col, cent, n_probe)
     ranked = (
         ranked_n.join(vecs, "vid")
         .select("vid", "vv", "vn", "cell", "rn")
@@ -1126,30 +1057,111 @@ def knn_pq_query(
     return _pq_score(enc, q, cents, m, sub, top_k)
 
 
+def assign_topk_cells(
+    rows: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cent: DataFrame,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Top-``n_probe`` max-cosine cell assignment against a centroid
+    frame, as a VECTORIZED Arrow kernel — THE shared assignment of the
+    IVF family (graph build, index build, batch append, stream ingest,
+    bitext quantizer) since r12. Returns (vid, cell, rn), rn = 1-based
+    rank under (ccos DESC, cell ASC).
+
+    Why a kernel and not crossJoin + row_number (the pre-r12 shape):
+    the declarative form materializes |rows| x |cent| rows just to keep
+    n_probe per vector, and the zip_with/aggregate cosine folds break
+    whole-stage codegen (0 spans measured) so every row is interpreted
+    — profiled at 273 of 300 s on semantic dedup's sf10 cell against
+    ~65 s for the folds alone (SCALE.md r12). The kernel ships the
+    n_cells x dim centroid panel into the closure (bounded model state
+    — the BPE merge-table pattern) and scores each Arrow batch with
+    numpy, emitting only the top-n_probe rows: no wide intermediate,
+    no sort, no window exchange. FAISS IndexIVF does coarse assignment
+    exactly this way (a BLAS pass over the centroid panel).
+
+    BIT-EXACT with the declarative form and the DuckDB oracles:
+    elements upcast float32->float64 (exact), then acc = acc + (x_j *
+    c_j) dim-by-dim — the same two IEEE roundings per step as
+    F.aggregate(zip_with(...)) and list_reduce; norms are sqrt of the
+    same self-fold (np.sqrt correctly rounded, as are JVM/DuckDB
+    sqrt); selection replays (ccos DESC, cell ASC) with a full per-row
+    lexsort — NO argpartition shortcut, because twin centroids
+    (exactly equal ccos for every query) make boundary ties routine
+    and the tie-break must match the window ordering."""
+    cent_rows = cent.collect()  # n_cells rows: bounded model state
+    np_probe = max(n_probe, 1)
+
+    def _assign_batches(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        cells_arr = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+        cmat = np.stack(
+            [np.asarray(r["center"], dtype=np.float64) for r in cent_rows]
+        )
+        cnrm = np.array([r["center_nrm"] for r in cent_rows])
+        k = min(np_probe, len(cells_arr))
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vv"]]
+            )
+            # strict left folds, dim by dim: acc = acc + (x_j * c_j) —
+            # one multiply rounding + one add rounding per step, the
+            # exact zip_with/list_reduce sequence; tmp preallocated so
+            # the fold loop does zero per-step allocation
+            dots = np.zeros((len(x), len(cells_arr)))
+            tmp = np.empty_like(dots)
+            sq = np.zeros(len(x))
+            for j in range(x.shape[1]):
+                np.multiply(x[:, j : j + 1], cmat[:, j], out=tmp)
+                dots += tmp
+                sq += x[:, j] * x[:, j]
+            ccos = dots / (np.sqrt(sq)[:, None] * cnrm)
+            vids, ocells, orns = [], [], []
+            for i in range(len(x)):
+                order = np.lexsort((cells_arr, -ccos[i]))[:k]
+                vids.extend([pdf["vid"].iat[i]] * k)
+                ocells.extend(cells_arr[order])
+                orns.extend(range(1, k + 1))
+            yield pd.DataFrame(
+                {"vid": vids, "cell": ocells, "rn": orns}
+            ).astype({"vid": "int64", "cell": "int64", "rn": "int32"})
+
+    # round-robin repartition so the kernel saturates the cores even
+    # when the input arrives in a handful of parquet splits — one
+    # narrow shuffle of (vid, vv), ~0.1% of the exchange the retired
+    # window shape paid
+    return (
+        rows.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vv"))
+        .repartition(rows.sparkSession.sparkContext.defaultParallelism)
+        .mapInPandas(_assign_batches, schema="vid long, cell long, rn int")
+    )
+
+
 def _ivf_assign(
     rows: DataFrame, id_col: str, vec_col: str, cent: DataFrame
 ) -> DataFrame:
-    """Max-cosine cell assignment against a (tiny, broadcast) centroid
-    frame — THE shared expression of the IVF family (build, batch
-    append, stream ingest), factored so an appended or streamed row
-    lands in exactly the cell a full rebuild would put it in: one
-    shared definition, zero drift."""
+    """Max-cosine cell assignment — THE shared expression of the IVF
+    family (build, batch append, stream ingest), factored so an
+    appended or streamed row lands in exactly the cell a full rebuild
+    would put it in: one shared definition, zero drift. Since r12 the
+    ranking runs in the assign_topk_cells Arrow kernel (bit-exact with
+    the crossJoin + row_number form it replaced — see its docstring);
+    the vectors and norms are re-attached by one narrow equi-join."""
     r = rows.select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),
     )
-    wa = Window.partitionBy("cid").orderBy(F.col("ccos").desc(), F.col("cell"))
-    return (
-        r.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "ccos",
-            dot(F.col("cv"), F.col("center")) / (F.col("cn") * F.col("center_nrm")),
-        )
-        .withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select("cid", "cv", "cn", "cell")
+    top1 = assign_topk_cells(rows, id_col, vec_col, cent, n_probe=1).select(
+        F.col("vid").alias("cid"), "cell"
     )
+    return top1.join(r, "cid").select("cid", "cv", "cn", "cell")
 
 
 def ivf_build_index(

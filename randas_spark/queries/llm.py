@@ -6005,7 +6005,12 @@ def llm_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     BASELINE.md records the before/after.
     """
     from randas_spark.operators.sampling import _md5_hex
-    from randas_spark.operators.similarity import _ivf_assign, dot, norm
+    from randas_spark.operators.similarity import (
+        _ivf_assign,
+        assign_topk_cells,
+        dot,
+        norm,
+    )
 
     emb = t(spark, sf_dir, "embeddings")
     n_cells = max(16, math.isqrt(emb.count()))
@@ -6029,15 +6034,14 @@ def llm_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("lv"),
         norm(F.col("embedding")).alias("ln_"),
     )
-    wp = Window.partitionBy("lid").orderBy(F.col("ccos").desc(), F.col("cell"))
+    # top-2 probe via the shared Arrow assignment kernel (r12 — the
+    # crossJoin + row_number shape it replaces is the interpreted-fold
+    # N*n_cells leg the kernel retired family-wide; bit-exact, see
+    # assign_topk_cells), vectors re-attached by one narrow equi-join
     lp = (
-        l.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "ccos",
-            dot(F.col("lv"), F.col("center")) / (F.col("ln_") * F.col("center_nrm")),
-        )
-        .withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= 2)
+        assign_topk_cells(left, "vec_id", "embedding", cent, n_probe=2)
+        .select(F.col("vid").alias("lid"), "cell")
+        .join(l, "lid")
         .select("lid", "lv", "ln_", "cell")
     )
     # BOTH sides are corpus-sized, so the candidate join must shuffle on

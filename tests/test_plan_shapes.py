@@ -57,8 +57,13 @@ PINNED = {
     # probes, right assignments), so broadcasting either is wrong at
     # scale — SMJ on the cell key IS the plan a 100 TB run wants. (The
     # "SMJ is 0 everywhere" note above predates this query; it remains
-    # true for every dim-join.)
-    "llm_bitext_mine": (0, 1, 8),
+    # true for every dim-join.) r12 re-transcription (0,1,8)->(2,1,8):
+    # both quantizer legs moved into the assign_topk_cells Arrow kernel
+    # (BENCH justification: sf10 56.5 -> see BASELINE.md r12), which
+    # re-attaches vectors via narrow equi-joins — size-estimated BHJ at
+    # this scale, naturally SMJ at corpus scale; the candidate SMJ and
+    # total exchange count are unchanged.
+    "llm_bitext_mine": (2, 1, 8),
     # two-stage rerank: 4 LUT joins + 2 shortlist-side broadcasts (the
     # bounded candidate set onto the corpus raw-vector scan)
     "llm_knn_pq_rerank": (6, 0, 8),
