@@ -882,12 +882,24 @@ def embedding_near_pairs(
                 .drop("__brn__")
             )
             if stats is not None:
-                n_vec = uncapped.count()
-                n_kept = base.count()
-                sizes = uncapped.groupBy("bucket").agg(
-                    F.count(F.lit(1)).alias("n")
+                # One job: every stat is a function of the per-bucket
+                # size histogram — n_kept = Σ least(n, cap) is exactly
+                # what the row_number cap keeps, so re-running the
+                # capped projection (a second fan_out+project_buckets
+                # pass) just to count it was two redundant Spark jobs.
+                srow = (
+                    uncapped.groupBy("bucket")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .agg(
+                        F.sum("n").alias("nv"),
+                        F.sum(F.least(F.col("n"), F.lit(bucket_cap))).alias("nk"),
+                        F.count_if(F.col("n") > bucket_cap).alias("nc"),
+                    )
+                    .collect()[0]  # bounded: one 3-scalar row
                 )
-                n_capped = sizes.filter(F.col("n") > bucket_cap).count()
+                n_vec = srow["nv"] or 0
+                n_kept = srow["nk"] or 0
+                n_capped = srow["nc"]
                 stats.update(
                     n_vectors=n_vec,
                     n_kept=n_kept,

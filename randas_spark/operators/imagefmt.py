@@ -358,6 +358,11 @@ class _JpegBits:
         d = self.data
         while self.i + 1 < len(d):
             if d[self.i] == 0xFF and d[self.i + 1] != 0x00:
+                # T.81 B.1.1.2: any number of 0xFF fill bytes may
+                # precede a marker — skip the run so 0xFF is never
+                # misread as the marker code itself.
+                while self.i + 2 < len(d) and d[self.i + 1] == 0xFF:
+                    self.i += 1
                 m = d[self.i + 1]
                 self.i += 2
                 return m
@@ -501,6 +506,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             restart_interval = struct.unpack(">H", seg[0:2])[0]
         elif m == 0xDA:  # SOS
             ns = seg[0]
+            if ns != len(comps):
+                # Spec-legal but rare: baseline with non-interleaved
+                # scans (one SOS per component). The single-scan decoder
+                # below would leave dc/ac unset on unscanned components
+                # and die with KeyError — fail with a clear message.
+                raise ValueError(
+                    "multi-scan (non-interleaved) baseline JPEG is not supported"
+                )
             scan = []
             for s in range(ns):
                 cid, tt = seg[1 + 2 * s : 3 + 2 * s]

@@ -469,10 +469,20 @@ def knn_graph_ivf(
     SemDeDup composition — get the identical edge set while the rank
     shuffle carries only the near-dup band instead of every probed
     candidate (~n_probe·cell_size rows per vector → a handful).
+
+    Zero-norm vectors carry no cosine direction, so they are EXCLUDED
+    from the graph at the boundary (as nodes, candidates, and centroid
+    seeds). Without the filter their NaN cosines diverge between the
+    Arrow kernel (numpy comparisons are False for NaN → dropped;
+    lexsort ranks NaN last) and the declarative twin (Spark treats NaN
+    as greater than any double → survives ``cos >= min_cos`` and sorts
+    FIRST under cos DESC) — pinned by a zero-vector fixture in
+    tests/test_similarity.py.
     """
     from randas_spark.functions.vectors import norm
     from randas_spark.operators.sampling import _md5_hex
 
+    corpus = corpus.filter(norm(F.col(vec_col)) > F.lit(0.0))
     cent = (
         corpus.orderBy(_md5_hex(F.col(id_col)), F.col(id_col))
         .limit(n_cells)
@@ -1092,6 +1102,13 @@ def assign_topk_cells(
     (exactly equal ccos for every query) make boundary ties routine
     and the tie-break must match the window ordering."""
     cent_rows = cent.collect()  # n_cells rows: bounded model state
+    if not cent_rows:
+        # Empty centroid panel (empty corpus): degrade to an empty
+        # typed frame — as the retired crossJoin form did — instead of
+        # np.stack dying on "need at least one array" inside the kernel.
+        return rows.sparkSession.createDataFrame(
+            [], "vid long, cell long, rn int"
+        )
     np_probe = max(n_probe, 1)
 
     def _assign_batches(pdfs):

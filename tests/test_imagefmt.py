@@ -609,3 +609,46 @@ def test_jpeg_random_blocks_match_independent_idct():
         assert np.abs(got - ref).max() <= 1
 
     check()
+
+
+def test_jpeg_fill_bytes_before_restart_marker():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+    Two fill bytes inserted before the RST0 must decode identically —
+    align_to_marker used to misread the first fill 0xFF as the marker
+    code itself (ADVICE r12)."""
+    from randas_spark.operators.imagefmt import decode_jpeg
+
+    w = _JpegWriter(16, 8, [(1, 1, 1, 0)], {0: _q_flat(16)}, dri=1)
+    w.add_block(0, [4] + [0] * 63)
+    w.add_block(0, [4] + [0] * 63)
+    data = w.tobytes()
+    assert data.count(b"\xff\xd0") == 1
+    padded = data.replace(b"\xff\xd0", b"\xff\xff\xff\xd0")
+    assert decode_jpeg(padded) == decode_jpeg(data)
+
+
+def test_jpeg_multi_scan_baseline_rejected():
+    """Spec-legal baseline with non-interleaved scans (SOS ns != SOF
+    n_comp) must fail with a clear ValueError, not a KeyError from
+    unset dc/ac table ids on the unscanned components (ADVICE r12)."""
+    import struct as st
+
+    import pytest
+
+    from randas_spark.operators.imagefmt import decode_jpeg
+
+    w = _JpegWriter(
+        8, 8, [(1, 1, 1, 0), (2, 1, 1, 0), (3, 1, 1, 0)], {0: _q_flat(16)}
+    )
+    for ci in range(3):
+        w.add_block(ci, [4] + [0] * 63)
+    data = w.tobytes()
+    p = data.find(b"\xff\xda")
+    old_len = st.unpack(">H", data[p + 2 : p + 4])[0]
+    # rewrite the SOS to scan only component 1 (ns=1 of 3)
+    new_sos = b"\xff\xda" + st.pack(">H", 2 + 1 + 2 + 3) + bytes(
+        [1, 1, 0x00, 0, 63, 0]
+    )
+    patched = data[:p] + new_sos + data[p + 2 + old_len :]
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(patched)

@@ -3296,3 +3296,47 @@ def test_ivfpq_full_probe_equals_flat_pq_and_integrity_raises(spark, tmp_path):
         knn_ivfpq_query(queries, "vec_id", "embedding", comp, fingerprint="fp2")
     with pytest.raises(ValueError, match="no committed IVFPQ index"):
         knn_ivfpq_query(queries, "vec_id", "embedding", flat)
+
+
+def test_knn_graph_ivf_zero_norm_vectors_excluded(spark, emb):
+    """ADVICE r12 pin: a zero-norm vector has no cosine direction, and
+    its NaN cosines diverge between the Arrow kernel (numpy drops NaN)
+    and the declarative twin (Spark's NaN sorts FIRST under cos DESC) —
+    so knn_graph_ivf excludes zero vectors at the boundary. Adding one
+    to the corpus must change nothing, and it appears in no edge."""
+    from randas_spark.operators.similarity import knn_graph_ivf
+
+    small = emb.select("vec_id", "embedding").limit(40)
+    dim = len(small.select("embedding").first()[0])
+    zero = spark.createDataFrame([(10**9, [0.0] * dim)], schema=small.schema)
+    base = {
+        (r.qid, r.cid, r.rk)
+        for r in knn_graph_ivf(small, "vec_id", "embedding", n_cells=8, top_k=3).collect()
+    }
+    with_zero = {
+        (r.qid, r.cid, r.rk)
+        for r in knn_graph_ivf(
+            small.unionByName(zero), "vec_id", "embedding", n_cells=8, top_k=3
+        ).collect()
+    }
+    assert with_zero == base
+    assert not any(q == 10**9 or c == 10**9 for q, c, _ in with_zero)
+
+
+def test_assign_topk_cells_empty_centroid_frame(spark, emb):
+    """ADVICE r12 pin: an empty centroid panel (empty corpus) must
+    degrade to an empty typed frame, as the retired crossJoin form did,
+    not crash np.stack inside the kernel."""
+    from randas_spark.operators.similarity import assign_topk_cells
+
+    cent = (
+        emb.select(
+            F.col("vec_id").alias("cell"),
+            F.col("embedding").alias("center"),
+            F.lit(1.0).alias("center_nrm"),
+        )
+        .filter(F.lit(False))
+    )
+    out = assign_topk_cells(emb.limit(5), "vec_id", "embedding", cent, 2)
+    assert [f.name for f in out.schema.fields] == ["vid", "cell", "rn"]
+    assert out.count() == 0
