@@ -258,7 +258,7 @@ BASELINE_ROWS = {
     "llm_ann_recall_audit": 5.39,  # r12 re-row (median of 3 clean r12 passes; r11 4.94 confirmed in-family)
     "llm_knn_pq_rerank": 2.06,
     "stream_ivf_ingest": 1.22,
-    "llm_bitext_mine": 2.74,  # r12 re-row AFTER the assign_topk_cells kernel landed in its quantizer legs (plan changed; median of 3 post-kernel passes — the ~0.8 s Arrow-stage overhead at toy scale is the documented trade for kernel-family consistency and the calm-box sf10 floors)
+    "llm_bitext_mine": 2.50,  # r13 re-row AFTER the per-cell union-prune kernel replaced the candidate SMJ + full-set mutual-rank sorts (plan changed; median of 3 isolated pass medians {2.50, 2.49, 2.97}; sf10 decade cell 7.38 s vs r11's 56.5 — see BASELINE.md r13)
     "rel_kanonymity": 0.43,
     # r10 late additions (median of 3 warm-position passes 2026-08-16)
     "stream_ann_enrich": 1.70,
@@ -376,7 +376,7 @@ ROW_FLOORS = {
     "llm_ann_recall_audit": 4.81,  # r11 re-floor: two-method panel
     "llm_knn_pq_rerank": 1.99,
     "stream_ivf_ingest": 1.18,
-    "llm_bitext_mine": 2.51,  # r12 re-seed: plan changed (Arrow-kernel quantizer legs)
+    "llm_bitext_mine": 2.49,  # r13 re-floor: plan changed (union-prune kernel)
     "rel_kanonymity": 0.41,
     "stream_ann_enrich": 1.61,
     "llm_corpus_scorecard": 0.74,

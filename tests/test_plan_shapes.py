@@ -52,18 +52,19 @@ PINNED = {
     # streaming ingest twin: base + 2 committed batch dirs = 3 pruned
     # scan roots under the same single probe BHJ
     "stream_ivf_ingest": (1, 0, 10),
-    # bitext mining carries the repo's first INTENDED SortMergeJoin:
-    # the lp x ra candidate join has TWO corpus-sized sides (left
-    # probes, right assignments), so broadcasting either is wrong at
-    # scale — SMJ on the cell key IS the plan a 100 TB run wants. (The
-    # "SMJ is 0 everywhere" note above predates this query; it remains
-    # true for every dim-join.) r12 re-transcription (0,1,8)->(2,1,8):
-    # both quantizer legs moved into the assign_topk_cells Arrow kernel
-    # (BENCH justification: sf10 56.5 -> see BASELINE.md r12), which
-    # re-attaches vectors via narrow equi-joins — size-estimated BHJ at
-    # this scale, naturally SMJ at corpus scale; the candidate SMJ and
-    # total exchange count are unchanged.
-    "llm_bitext_mine": (2, 1, 8),
+    # bitext mining: r13 re-transcription (2,1,8)->(2,0,8) — the
+    # candidate SMJ (the repo's one intended SortMergeJoin, r11-r12)
+    # is REPLACED by the cell-keyed cogroup union-prune kernel (exactly
+    # one FlatMapCoGroupsInPandas, asserted separately below): the two
+    # corpus-sized sides still meet only on the cell key (cogroup IS a
+    # co-partitioned shuffle on cell, same exchange count), but only
+    # the rank-preserving (per-lid top-2) UNION (per-rid top-1) rows —
+    # ~3N, not ~N^2/cells — reach the two mutual-rank windows (BENCH
+    # justification: BASELINE.md r13, the windows' candidate sort was
+    # the dominant sf10 cost). The 2 BHJ stay the kernel's narrow
+    # vector re-joins (size-estimated broadcast at pin scale, naturally
+    # SMJ at corpus scale).
+    "llm_bitext_mine": (2, 0, 8),
     # two-stage rerank: 4 LUT joins + 2 shortlist-side broadcasts (the
     # bounded candidate set onto the corpus raw-vector scan)
     "llm_knn_pq_rerank": (6, 0, 8),
@@ -163,6 +164,20 @@ def test_knn_graph_candidate_scoring_is_cogrouped_kernel(spark, registry):
     df = registry["llm_knn_graph"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FlatMapCoGroupsInPandas") == 1
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+    assert plan.count("CartesianProduct") == 0
+
+
+def test_bitext_candidate_stage_is_cogrouped_union_prune(spark, registry):
+    """r13 pin (VERDICT r12 order #1): llm_bitext_mine's candidate
+    scoring must stay the cell-keyed COGROUP union-prune kernel —
+    exactly one FlatMapCoGroupsInPandas, zero SortMergeJoin (the old
+    candidate SMJ fed the full ~N^2/cells set to the mutual-rank
+    windows), zero BroadcastNestedLoopJoin/CartesianProduct."""
+    df = registry["llm_bitext_mine"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapCoGroupsInPandas") == 1
+    assert plan.count("SortMergeJoin") == 0
     assert plan.count("BroadcastNestedLoopJoin") == 0
     assert plan.count("CartesianProduct") == 0
 
