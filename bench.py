@@ -210,7 +210,7 @@ BASELINE_ROWS = {
     "llm_text_normalize": 0.41,
     "rel_ts_similarity_paa": 0.92,
     "llm_knn_graph": 1.84,  # r12 re-row: Arrow-kernel graph legs (plan changed)
-    "rel_interval_join_binned": 0.47,
+    "rel_interval_join_binned": 0.75,  # r13 re-witness (VERDICT r12 order #2): median of 4 rotated-start pass medians {0.82, 0.89, 0.67, 0.64}; reproducible across 8 sessions, no plan change found — the r10 row was a calmer-regime number
     "rel_quantile_sketch_mergeable": 1.7,
     "llm_dedup_containment": 0.95,
     "llm_semantic_dedup": 2.78,  # r12 re-row: Arrow-kernel graph legs (plan changed)
@@ -235,7 +235,7 @@ BASELINE_ROWS = {
     "llm_knn_pq_persisted": 1.95,
     "stream_capped_drop_audit": 0.44,
     "llm_sequence_pack": 0.89,
-    "rel_pagerank": 2.31,
+    "rel_pagerank": 3.18,  # r13 re-witness (VERDICT r12 order #2): median of 4 rotated-start pass medians {3.25, 2.85, 3.11, 3.25}; plan audited unchanged (one edge join + combinable agg per round, flat lineage)
     "llm_knn_ivf_persisted": 0.83,
     "llm_ngram_novelty": 0.82,
     "q02_min_acctbal_supplier": 0.77,
@@ -328,7 +328,7 @@ ROW_FLOORS = {
     "llm_text_normalize": 0.32,
     "rel_ts_similarity_paa": 0.88,
     "llm_knn_graph": 1.50,  # r12 re-seed: plan changed (Arrow kernels)
-    "rel_interval_join_binned": 0.4,
+    "rel_interval_join_binned": 0.64,  # r13 re-floor (order #2 re-witness)
     "rel_quantile_sketch_mergeable": 1.45,
     "llm_dedup_containment": 0.89,
     "llm_semantic_dedup": 2.32,  # r12 re-seed: plan changed (Arrow kernels)
@@ -353,7 +353,7 @@ ROW_FLOORS = {
     "llm_knn_pq_persisted": 1.68,
     "stream_capped_drop_audit": 0.43,
     "llm_sequence_pack": 0.83,
-    "rel_pagerank": 2.21,
+    "rel_pagerank": 2.85,  # r13 re-floor (order #2 re-witness)
     "llm_knn_ivf_persisted": 0.8,
     "llm_ngram_novelty": 0.79,
     "q02_min_acctbal_supplier": 0.7,
