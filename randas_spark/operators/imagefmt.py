@@ -21,8 +21,11 @@ Profiles:
 - JPEG: baseline sequential JFIF (SOF0/SOF1) — canonical Huffman,
   zigzag dequant, separable float IDCT, arbitrary 1-4 h/v sampling
   with nearest-neighbor chroma upsampling, DRI/RSTn restart intervals,
-  0xFF00 unstuffing, JFIF YCbCr->RGB; progressive/arithmetic/12-bit
-  profiles raise ValueError.
+  0xFF00 unstuffing, JFIF YCbCr->RGB — AND progressive JFIF (SOF2,
+  r13): spectral-selection / successive-approximation scans per T.81
+  Annex G, interleaved DC + non-interleaved AC, EOB runs, DC/AC
+  refinement passes. Arithmetic-coded/12-bit/hierarchical profiles
+  raise ValueError.
 
 Format references: the public Windows BMP file-format documentation,
 the GIF89a specification (CompuServe, 1990), and ITU-T T.81 + JFIF
@@ -433,9 +436,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     restart intervals, 0xFF00 byte unstuffing. Chroma upsampling is
     nearest-neighbor block replication (libjpeg's "fancy" triangular
     filter is an encoder-visible choice, not part of T.81; goldens pin
-    ours). Progressive (SOF2), arithmetic coding, 12-bit precision and
-    hierarchical profiles raise ValueError — and WebP/video stay behind
-    NotImplementedError in operators/multimodal.py.
+    ours). Progressive (SOF2) streams dispatch to
+    _decode_jpeg_progressive (r13); arithmetic coding, 12-bit precision
+    and hierarchical profiles raise ValueError — and lossy WebP/video
+    stay behind NotImplementedError in operators/multimodal.py.
 
     Format reference: ITU-T T.81 (the public JPEG specification) and
     the JFIF 1.02 spec; same public-spec discipline as the BMP/GIF
@@ -490,9 +494,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
         elif m == 0xC2:
-            raise ValueError("progressive JPEG is not supported (baseline only)")
+            # progressive DCT: decoded by the dedicated multi-scan path
+            return _decode_jpeg_progressive(data)
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("unsupported JPEG coding process (baseline only)")
+            raise ValueError(
+                "unsupported JPEG coding process (baseline sequential and "
+                "progressive only)"
+            )
         elif m == 0xC4:  # DHT
             j = 0
             while j < len(seg):
@@ -591,6 +599,15 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                         dst = (oy + r_) * pw + ox
                         c["plane"][dst : dst + 8] = px[r_ * 8 : r_ * 8 + 8]
 
+    return _jpeg_to_pixels(comps, width, height, hmax, vmax)
+
+
+def _jpeg_to_pixels(
+    comps: list[dict], width: int, height: int, hmax: int, vmax: int
+) -> tuple[int, int, int, bytes]:
+    """Shared tail of the baseline and progressive decoders: crop the
+    block-padded component planes, upsample chroma (nearest) and apply
+    the JFIF YCbCr->RGB conversion."""
     if len(comps) == 1:
         c = comps[0]
         pw = c["bw"] * 8
@@ -628,3 +645,300 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             out[o + 1] = 255 if g >= 254.5 else (0 if g < 0.5 else int(g + 0.5))
             out[o + 2] = 255 if b >= 254.5 else (0 if b < 0.5 else int(b + 0.5))
     return width, height, 3, bytes(out)
+
+
+def _prog_dc_block(bits, table, comp, blk, ah, al):
+    """One block's DC pass (T.81 G.1.2.1): first scan is DPCM over the
+    point-transformed values; a refinement appends bit ``al``."""
+    if ah == 0:
+        t = _jpeg_decode_huff(bits, table)
+        diff = 0
+        if t:
+            v = bits.bits(t)
+            if v is None:
+                raise ValueError("truncated JPEG entropy stream")
+            diff = _jpeg_extend(v, t)
+        comp["pred"] += diff
+        blk[0] = comp["pred"] << al
+    else:
+        b = bits.bit()
+        if b is None:
+            raise ValueError("truncated JPEG entropy stream")
+        if b:
+            # bits below `al` are zero in the stored two's-complement
+            # value, so |= appends the refinement bit for either sign
+            blk[0] |= 1 << al
+
+
+def _prog_ac_first(bits, table, blk, ss, se, al, eob_run):
+    """One block's first AC pass (T.81 G.1.2.2): zero-run/magnitude
+    coding with end-of-band runs. Returns the new EOB run."""
+    if eob_run > 0:
+        return eob_run - 1
+    k = ss
+    while k <= se:
+        rs = _jpeg_decode_huff(bits, table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:
+                er = (1 << r) - 1
+                if r:
+                    got = bits.bits(r)
+                    if got is None:
+                        raise ValueError("truncated JPEG entropy stream")
+                    er += got
+                return er
+            k += 16  # ZRL: sixteen zeros
+        else:
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC index out of spectral band")
+            v = bits.bits(s)
+            if v is None:
+                raise ValueError("truncated JPEG entropy stream")
+            blk[k] = _jpeg_extend(v, s) << al
+            k += 1
+    return 0
+
+
+def _prog_ac_refine(bits, table, blk, ss, se, al, eob_run):
+    """One block's AC refinement pass (T.81 G.1.2.3): correction bits
+    for history-nonzero coefficients, run/insert coding for the rest.
+    Returns the new EOB run."""
+    bit = 1 << al
+
+    def correct(k: int) -> None:
+        b = bits.bit()
+        if b is None:
+            raise ValueError("truncated JPEG entropy stream")
+        if b and (blk[k] & bit) == 0:
+            blk[k] += bit if blk[k] > 0 else -bit
+
+    if eob_run > 0:
+        for k in range(ss, se + 1):
+            if blk[k] != 0:
+                correct(k)
+        return eob_run - 1
+    k = ss
+    while k <= se:
+        rs = _jpeg_decode_huff(bits, table)
+        r, s = rs >> 4, rs & 0x0F
+        val = 0
+        if s == 0:
+            if r < 15:
+                eob_run = (1 << r) - 1
+                if r:
+                    got = bits.bits(r)
+                    if got is None:
+                        raise ValueError("truncated JPEG entropy stream")
+                    eob_run += got
+                r = 64  # flush: refine the rest of the band, insert nothing
+        else:
+            if s != 1:
+                raise ValueError("invalid JPEG AC refinement magnitude")
+            b = bits.bit()
+            if b is None:
+                raise ValueError("truncated JPEG entropy stream")
+            val = bit if b else -bit
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+                k += 1
+            else:
+                if r == 0:
+                    if val:
+                        blk[k] = val
+                    k += 1
+                    break
+                r -= 1
+                k += 1
+    return eob_run
+
+
+def _decode_jpeg_progressive(data: bytes) -> tuple[int, int, int, bytes]:
+    """Progressive JFIF decoder (SOF2, T.81 Annex G): accumulates
+    zigzag-ordered coefficients across spectral-selection / successive-
+    approximation scans, then dequantizes + IDCTs once. Shares the
+    Huffman/extend/IDCT/upsample machinery with the baseline decoder
+    above; interleaved (ns > 1) scans walk MCUs, non-interleaved scans
+    walk the component's own unpadded block raster. Restart intervals
+    reset both the DC predictors and the EOB run."""
+    if data[:2] != JPEG_MAGIC:
+        raise ValueError("not a JPEG stream")
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, _JpegHuff] = {}
+    huff_ac: dict[int, _JpegHuff] = {}
+    comps: list[dict] = []
+    width = height = 0
+    hmax = vmax = mcux = mcuy = 0
+    restart_interval = 0
+    i = 2
+    saw_scan = False
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            raise ValueError("desynced JPEG marker stream")
+        m = data[i + 1]
+        if m == 0xD8:
+            i += 2
+            continue
+        if m == 0xD9:
+            break
+        seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        seg = data[i + 4 : i + 2 + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        if m == 0xDB:
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                if pq == 0:
+                    qt[tq] = list(seg[j : j + 64])
+                    j += 64
+                else:
+                    qt[tq] = [
+                        struct.unpack(">H", seg[j + 2 * z : j + 2 * z + 2])[0]
+                        for z in range(64)
+                    ]
+                    j += 128
+        elif m == 0xC2:
+            if seg[0] != 8:
+                raise ValueError("only 8-bit JPEG precision is supported")
+            height, width = struct.unpack(">HH", seg[1:5])
+            n_comp = seg[5]
+            if n_comp not in (1, 3):
+                raise ValueError("only 1- or 3-component JPEG is supported")
+            for cix in range(n_comp):
+                cid, hv, tq = seg[6 + 3 * cix : 9 + 3 * cix]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                c["bw"] = mcux * c["h"]
+                c["bh"] = mcuy * c["v"]
+                c["coef"] = [[0] * 64 for _ in range(c["bw"] * c["bh"])]
+                c["pred"] = 0
+                # unpadded block raster for non-interleaved scans
+                c["nbx"] = (-(-width * c["h"] // hmax) + 7) // 8
+                c["nby"] = (-(-height * c["v"] // vmax) + 7) // 8
+        elif m == 0xC4:
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                counts = list(seg[j + 1 : j + 17])
+                n_sym = sum(counts)
+                symbols = seg[j + 17 : j + 17 + n_sym]
+                (huff_dc if tc == 0 else huff_ac)[th] = _JpegHuff(counts, symbols)
+                j += 17 + n_sym
+        elif m == 0xDD:
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
+        elif m == 0xDA:
+            if not comps:
+                raise ValueError("JPEG scan before frame header")
+            ns = seg[0]
+            scan = []
+            for s_ in range(ns):
+                cid, tt = seg[1 + 2 * s_ : 3 + 2 * s_]
+                comp = next(c for c in comps if c["id"] == cid)
+                comp["dc"] = tt >> 4
+                comp["ac"] = tt & 0x0F
+                scan.append(comp)
+            ss, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            if ss == 0 and se != 0:
+                raise ValueError(
+                    "invalid progressive scan: DC and AC share a scan"
+                )
+            if ss > 0 and ns != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            bits = _JpegBits(data, i + 2 + seg_len)
+            eob_run = 0
+            rst_n = 0
+            n_units = 0
+
+            def maybe_restart():
+                nonlocal eob_run, rst_n
+                mk = bits.align_to_marker()
+                if mk != 0xD0 + (rst_n & 7):
+                    raise ValueError("missing JPEG restart marker")
+                rst_n += 1
+                eob_run = 0
+                for c in comps:
+                    c["pred"] = 0
+
+            if ss == 0 and ns > 1:  # interleaved DC scan
+                for mcu in range(mcux * mcuy):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        maybe_restart()
+                    my, mx = divmod(mcu, mcux)
+                    for c in scan:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                bi = (my * c["v"] + by) * c["bw"] + (
+                                    mx * c["h"] + bx
+                                )
+                                _prog_dc_block(
+                                    bits, huff_dc[c["dc"]], c, c["coef"][bi],
+                                    ah, al,
+                                )
+            else:  # non-interleaved: the component's own block raster
+                c = scan[0]
+                for by in range(c["nby"]):
+                    for bx in range(c["nbx"]):
+                        if (
+                            restart_interval
+                            and n_units
+                            and n_units % restart_interval == 0
+                        ):
+                            maybe_restart()
+                        n_units += 1
+                        blk = c["coef"][by * c["bw"] + bx]
+                        if ss == 0:
+                            _prog_dc_block(
+                                bits, huff_dc[c["dc"]], c, blk, ah, al
+                            )
+                        elif ah == 0:
+                            eob_run = _prog_ac_first(
+                                bits, huff_ac[c["ac"]], blk, ss, se, al,
+                                eob_run,
+                            )
+                        else:
+                            eob_run = _prog_ac_refine(
+                                bits, huff_ac[c["ac"]], blk, ss, se, al,
+                                eob_run,
+                            )
+            saw_scan = True
+            # resume the marker walk after the entropy-coded data
+            i = bits.i
+            while i + 1 < len(data):
+                if data[i] == 0xFF and data[i + 1] != 0x00:
+                    if 0xD0 <= data[i + 1] <= 0xD7:  # stray restart
+                        i += 2
+                        continue
+                    break
+                i += 1
+            continue
+        i += 2 + seg_len
+    if not saw_scan or not comps or width == 0 or height == 0:
+        raise ValueError("progressive JPEG has no scan")
+
+    for c in comps:
+        q = qt[c["tq"]]
+        c["plane"] = bytearray(c["bw"] * 8 * c["bh"] * 8)
+        pw = c["bw"] * 8
+        for bi, blk in enumerate(c["coef"]):
+            coef = [0.0] * 64
+            for k in range(64):
+                if blk[k]:
+                    coef[_JPEG_ZIGZAG[k]] = float(blk[k] * q[k])
+            px = _jpeg_idct_block(coef)
+            by, bx = divmod(bi, c["bw"])
+            ox, oy = bx * 8, by * 8
+            for r_ in range(8):
+                dst = (oy + r_) * pw + ox
+                c["plane"][dst : dst + 8] = px[r_ * 8 : r_ * 8 + 8]
+    return _jpeg_to_pixels(comps, width, height, hmax, vmax)

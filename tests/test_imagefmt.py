@@ -520,7 +520,7 @@ def test_jpeg_odd_dimensions_cropped():
     assert px[:10] == bytes([136] * 8 + [132] * 2)
 
 
-def test_jpeg_progressive_and_malformed_rejected():
+def test_jpeg_invalid_scans_and_malformed_rejected():
     import pytest
 
     from randas_spark.operators.imagefmt import decode_jpeg
@@ -529,8 +529,11 @@ def test_jpeg_progressive_and_malformed_rejected():
     w.add_block(0, [4] + [0] * 63)
     data = bytearray(w.tobytes())
     sof = data.find(b"\xff\xc0")
-    data[sof + 1] = 0xC2  # flip to progressive
-    with pytest.raises(ValueError, match="progressive"):
+    # flip to SOF2: the baseline scan header (Ss=0, Se=63) is illegal in
+    # a progressive stream (DC and AC may not share a scan) — since r13
+    # SOF2 itself DECODES, so the rejection moves to the scan check
+    data[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive scan"):
         decode_jpeg(bytes(data))
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xe0" + b"\x00" * 8)
@@ -652,3 +655,272 @@ def test_jpeg_multi_scan_baseline_rejected():
     patched = data[:p] + new_sos + data[p + 2 + old_len :]
     with pytest.raises(ValueError, match="multi-scan"):
         decode_jpeg(patched)
+
+
+# -- JPEG: progressive (SOF2) fixtures --------------------------------------
+
+
+class _ProgJpegWriter:
+    """Minimal progressive JFIF encoder for fixtures: the TESTS compute
+    each scan's symbol/bit stream by hand per T.81 Annex G (so the
+    fixtures pin the spec's forward logic, not the decoder's), and this
+    writer only packs headers + canonical 8-bit Huffman codes, reusing
+    the baseline writer's conventions (1-padding, 0xFF00 stuffing)."""
+
+    def __init__(self, width, height, comps, qts, dri=0):
+        self.width, self.height = width, height
+        self.comps, self.qts, self.dri = comps, qts, dri
+        self.scans = []  # (comp_ids, ss, se, ah, al, ops)
+
+    def add_scan(self, comp_ids, ss, se, ah, al, ops):
+        """ops: ('dc'|'ac', symbol, value_bits, n_bits) or ('bit', b)."""
+        self.scans.append((comp_ids, ss, se, ah, al, ops))
+
+    def tobytes(self):
+        import struct as st
+
+        dc_syms, ac_syms = set(), set()
+        for _, _, _, _, _, ops in self.scans:
+            for op in ops:
+                if op[0] == "dc":
+                    dc_syms.add(op[1])
+                elif op[0] == "ac":
+                    ac_syms.add(op[1])
+        dc_counts, dc_symbols, dc_enc = _JpegWriter._canon(dc_syms or {0x00})
+        ac_counts, ac_symbols, ac_enc = _JpegWriter._canon(ac_syms or {0x00})
+        out = bytearray(b"\xff\xd8")
+        for tq, q in self.qts.items():
+            out += b"\xff\xdb" + st.pack(">H", 2 + 1 + 64) + bytes([tq]) + bytes(q)
+        sof = bytes([8]) + st.pack(">HH", self.height, self.width) + bytes(
+            [len(self.comps)]
+        )
+        for cid, h, v, tq in self.comps:
+            sof += bytes([cid, (h << 4) | v, tq])
+        out += b"\xff\xc2" + st.pack(">H", 2 + len(sof)) + sof
+        for tc, counts, symbols in (
+            (0, dc_counts, dc_symbols), (1, ac_counts, ac_symbols)
+        ):
+            body = bytes([tc << 4]) + bytes(counts) + symbols
+            out += b"\xff\xc4" + st.pack(">H", 2 + len(body)) + body
+        if self.dri:
+            out += b"\xff\xdd" + st.pack(">H", 4) + st.pack(">H", self.dri)
+        for comp_ids, ss, se, ah, al, ops in self.scans:
+            sos = bytes([len(comp_ids)])
+            for cid in comp_ids:
+                sos += bytes([cid, 0x00])
+            sos += bytes([ss, se, (ah << 4) | al])
+            out += b"\xff\xda" + st.pack(">H", 2 + len(sos)) + sos
+            bits = []
+
+            def emit(code, length):
+                for i in range(length - 1, -1, -1):
+                    bits.append((code >> i) & 1)
+
+            for op in ops:
+                if op[0] == "bit":
+                    bits.append(op[1])
+                else:
+                    enc = dc_enc if op[0] == "dc" else ac_enc
+                    ln, code = enc[op[1]]
+                    emit(code, ln)
+                    if op[3]:
+                        emit(op[2], op[3])
+            while len(bits) % 8:
+                bits.append(1)
+            for i in range(0, len(bits), 8):
+                byte = 0
+                for b in bits[i : i + 8]:
+                    byte = (byte << 1) | b
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)
+        out += b"\xff\xd9"
+        return bytes(out)
+
+
+def _mag(v):
+    return _JpegWriter._mag(v)
+
+
+def _zz(**kv):
+    """zigzag coefficient block from {k: value} (k = zigzag index)."""
+    blk = [0] * 64
+    for k, v in kv.items():
+        blk[int(k)] = v
+    return blk
+
+
+def test_progressive_dc_plus_ac_scans_equal_baseline():
+    """The canonical progressive split (one DC scan, one full-band AC
+    scan) of the same quantized coefficients must decode to the exact
+    baseline pixels."""
+    from randas_spark.operators.imagefmt import decode_jpeg
+
+    q = _q_flat(16, rest=3)
+    b0 = _zz(**{"0": 4, "1": 3})
+    b1 = _zz(**{"0": 2, "2": -2})
+    base = _JpegWriter(16, 8, [(1, 1, 1, 0)], {0: q})
+    base.add_block(0, b0)
+    base.add_block(0, b1)
+    want = decode_jpeg(base.tobytes())
+
+    w = _ProgJpegWriter(16, 8, [(1, 1, 1, 0)], {0: q})
+    s3, v3 = _mag(4)
+    s2, v2 = _mag(2 - 4)
+    w.add_scan([1], 0, 0, 0, 0, [("dc", s3, v3, s3), ("dc", s2, v2, s2)])
+    sa, va = _mag(3)
+    sb, vb = _mag(-2)
+    w.add_scan([1], 1, 63, 0, 0, [
+        ("ac", (0 << 4) | sa, va, sa), ("ac", 0x00, 0, 0),   # block 0
+        ("ac", (1 << 4) | sb, vb, sb), ("ac", 0x00, 0, 0),   # block 1
+    ])
+    data = w.tobytes()
+    assert b"\xff\xc2" in data
+    got = decode_jpeg(data)
+    assert got == want
+
+
+def test_progressive_dc_successive_approximation():
+    """DC first scan at Al=1 (DPCM of the arithmetic-shifted values)
+    plus an Ah=1 refinement appending bit 0 reconstructs dc 5 and -6
+    exactly — matching the baseline encoding of the same DCs."""
+    from randas_spark.operators.imagefmt import decode_jpeg
+
+    q = _q_flat(16)
+    base = _JpegWriter(16, 8, [(1, 1, 1, 0)], {0: q})
+    base.add_block(0, _zz(**{"0": 5}))
+    base.add_block(0, _zz(**{"0": -6}))
+    want = decode_jpeg(base.tobytes())
+
+    w = _ProgJpegWriter(16, 8, [(1, 1, 1, 0)], {0: q})
+    # 5 >> 1 = 2, -6 >> 1 = -3 (arithmetic); DPCM diffs: 2, -5
+    s1, v1 = _mag(2)
+    s2, v2 = _mag(-5)
+    w.add_scan([1], 0, 0, 0, 1, [("dc", s1, v1, s1), ("dc", s2, v2, s2)])
+    # refinement bits: 5 & 1 = 1; -6 & 1 = 0 (two's complement)
+    w.add_scan([1], 0, 0, 1, 0, [("bit", 1), ("bit", 0)])
+    w.add_scan([1], 1, 63, 0, 0, [("ac", 0x00, 0, 0), ("ac", 0x00, 0, 0)])
+    assert decode_jpeg(w.tobytes()) == want
+
+
+def test_progressive_eob_run_spans_blocks():
+    """An EOB run coded with r=1 (run = 1 + 1 extra bit = covers ONE
+    following block) must close block 0's band and absorb block 1."""
+    from randas_spark.operators.imagefmt import decode_jpeg
+
+    q = _q_flat(16, rest=3)
+    base = _JpegWriter(16, 8, [(1, 1, 1, 0)], {0: q})
+    base.add_block(0, _zz(**{"1": 3}))
+    base.add_block(0, _zz())
+    want = decode_jpeg(base.tobytes())
+
+    w = _ProgJpegWriter(16, 8, [(1, 1, 1, 0)], {0: q})
+    w.add_scan([1], 0, 0, 0, 0, [("dc", 0, 0, 0), ("dc", 0, 0, 0)])
+    sa, va = _mag(3)
+    w.add_scan([1], 1, 63, 0, 0, [
+        ("ac", sa, va, sa),            # block 0: coefficient at k=1
+        ("ac", (1 << 4) | 0, 0, 1),    # EOBRUN: (1<<1)-1 + extra 0 = 1
+    ])
+    assert decode_jpeg(w.tobytes()) == want
+
+
+def test_progressive_ac_refinement_insert_and_correction():
+    """AC successive approximation: first scan at Al=1 sends the
+    truncated-toward-zero high bits; the Ah=1 refinement emits a
+    correction bit for the history-nonzero k=1 and inserts the newly
+    nonzero k=2 = -1 — reconstructing {k1: 3, k2: -1} exactly."""
+    from randas_spark.operators.imagefmt import decode_jpeg
+
+    q = _q_flat(16, rest=3)
+    base = _JpegWriter(8, 8, [(1, 1, 1, 0)], {0: q})
+    base.add_block(0, _zz(**{"1": 3, "2": -1}))
+    want = decode_jpeg(base.tobytes())
+
+    w = _ProgJpegWriter(8, 8, [(1, 1, 1, 0)], {0: q})
+    w.add_scan([1], 0, 0, 0, 0, [("dc", 0, 0, 0)])
+    # first AC scan, Al=1: trunc(3/2)=1 at k=1; trunc(-1/2)=0 -> absent
+    s1, v1 = _mag(1)
+    w.add_scan([1], 1, 63, 0, 1, [("ac", s1, v1, s1), ("ac", 0x00, 0, 0)])
+    # refinement, Ah=1, Al=0: symbol (r=0, s=1) + sign bit 0 (negative),
+    # then the walk crosses k=1 (history nonzero -> correction bit
+    # (3>>0)&1 = 1), inserts -1 at k=2, then EOB flushes k=3..63
+    w.add_scan([1], 1, 63, 1, 0, [
+        ("ac", 0x01, 0, 1),   # insert, sign bit 0 -> -1
+        ("bit", 1),           # correction for k=1: 2 -> 3
+        ("ac", 0x00, 0, 0),   # EOB
+    ])
+    assert decode_jpeg(w.tobytes()) == want
+
+
+def test_progressive_three_component_interleaved_dc():
+    """3-component 4:4:4: one interleaved DC scan (per-component DPCM
+    predictors) + three single-component AC scans equals baseline."""
+    from randas_spark.operators.imagefmt import decode_jpeg
+
+    q = _q_flat(16, rest=3)
+    comps = [(1, 1, 1, 0), (2, 1, 1, 0), (3, 1, 1, 0)]
+    base = _JpegWriter(8, 8, comps, {0: q})
+    base.add_block(0, _zz(**{"0": 4, "1": 5}))
+    base.add_block(1, _zz(**{"0": 2}))
+    base.add_block(2, _zz(**{"0": -3}))
+    want = decode_jpeg(base.tobytes())
+
+    w = _ProgJpegWriter(8, 8, comps, {0: q})
+    ops = []
+    for dc in (4, 2, -3):  # separate predictors, all start at 0
+        s, v = _mag(dc)
+        ops.append(("dc", s, v, s))
+    w.add_scan([1, 2, 3], 0, 0, 0, 0, ops)
+    sa, va = _mag(5)
+    w.add_scan([1], 1, 63, 0, 0, [("ac", sa, va, sa), ("ac", 0x00, 0, 0)])
+    w.add_scan([2], 1, 63, 0, 0, [("ac", 0x00, 0, 0)])
+    w.add_scan([3], 1, 63, 0, 0, [("ac", 0x00, 0, 0)])
+    assert decode_jpeg(w.tobytes()) == want
+
+
+def test_progressive_matches_independent_numpy_idct_and_sniff():
+    """Progressive decode of an AC-rich block vs an INDEPENDENT numpy
+    IDCT (the baseline test's yardstick), and sniff/decode dims agree."""
+    import numpy as np
+
+    from randas_spark.operators.imagefmt import _JPEG_ZIGZAG, decode_jpeg
+    from randas_spark.operators.multimodal import sniff_image_dims
+
+    zz = _zz(**{"0": 13, "1": -7, "2": 5, "5": 3, "9": -2, "20": 4})
+    q = _q_flat(16, rest=3)
+    w = _ProgJpegWriter(8, 8, [(1, 1, 1, 0)], {0: q})
+    s, v = _mag(13)
+    w.add_scan([1], 0, 0, 0, 0, [("dc", s, v, s)])
+    ops = []
+    run = 0
+    for k in range(1, 64):
+        if zz[k] == 0:
+            run += 1
+            continue
+        s, v = _mag(zz[k])
+        ops.append(("ac", (run << 4) | s, v, s))
+        run = 0
+    ops.append(("ac", 0x00, 0, 0))
+    w.add_scan([1], 1, 63, 0, 0, ops)
+    data = w.tobytes()
+    assert sniff_image_dims(data) == ("image/jpeg", 8, 8)
+    width, height, ch, px = decode_jpeg(data)
+    assert (width, height, ch) == (8, 8, 1)
+
+    F = np.zeros((8, 8))
+    for k in range(64):
+        nat = _JPEG_ZIGZAG[k]
+        F[nat // 8][nat % 8] = zz[k] * q[k]
+    C = np.array(
+        [
+            [
+                (np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+                * np.cos((2 * x + 1) * u * np.pi / 16.0)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    ref = np.clip(np.floor(C.T @ F @ C + 128.5), 0, 255).astype(int)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(8, 8).astype(int)
+    assert np.abs(got - ref).max() <= 1
