@@ -318,6 +318,45 @@ def attach_png_payload(
     )
 
 
+def attach_webp_payload(
+    df: DataFrame, id_col: str, text_col: str, width: int = 8, height: int = 8
+) -> DataFrame:
+    """attach_png_payload's lossless-WebP sibling (r13): each document
+    gets a valid width×height RGBA VP8L whose pixels derive
+    deterministically from md5(text), so the decode stage downstream
+    exercises the real WebP codec in operators/vp8l.py — fake=False all
+    the way through."""
+    import pandas as pd  # noqa: F811 (module-level import exists)
+
+    from randas_spark.operators.vp8l import encode_vp8l_rgba
+
+    n_px = width * height * 4
+
+    @F.pandas_udf("binary")
+    def webp_of(texts: pd.Series) -> pd.Series:
+        def make(text: str) -> bytes:
+            seed = hashlib.md5(text.encode()).digest()
+            pixels = (seed * (n_px // len(seed) + 1))[:n_px]
+            return encode_vp8l_rgba(pixels, width, height)
+
+        return texts.map(make)
+
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"), webp_of(F.col(text_col)).alias("payload")
+        )
+        .withColumn(
+            "meta",
+            F.struct(
+                F.lit("image/webp").alias("mime"),
+                F.length(F.col("payload")).cast("long").alias("n_bytes"),
+                F.lit(width).cast("long").alias("width"),
+                F.lit(height).cast("long").alias("height"),
+            ),
+        )
+    )
+
+
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 

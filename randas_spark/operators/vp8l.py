@@ -512,3 +512,108 @@ def decode_webp_lossless(data: bytes) -> tuple[int, int, int, bytes]:
             )
         i += 8 + size + (size & 1)  # chunks are 2-byte aligned
     raise ValueError("WebP container has no VP8L or VP8 chunk")
+
+
+class _BitWriter:
+    """LSB-first bit packer (encoder twin of _Bits)."""
+
+    __slots__ = ("buf",)
+
+    def __init__(self):
+        self.buf: list[int] = []
+
+    def bits(self, v: int, n: int) -> None:
+        for k in range(n):
+            self.buf.append((v >> k) & 1)
+
+    def code(self, code: int, length: int) -> None:
+        # prefix codes go MSB-of-the-code first
+        for i in range(length - 1, -1, -1):
+            self.buf.append((code >> i) & 1)
+
+    def tobytes(self) -> bytes:
+        out = bytearray()
+        for i in range(0, len(self.buf), 8):
+            byte = 0
+            for j, b in enumerate(self.buf[i : i + 8]):
+                byte |= b << j
+            out.append(byte)
+        return bytes(out)
+
+
+def encode_vp8l_rgba(pixels: bytes, width: int, height: int) -> bytes:
+    """Encode RGBA bytes as a VALID lossless WebP (RIFF + VP8L) using
+    identity prefix codes — no transforms, no cache, no LZ77, so every
+    pixel costs 33 bits. Not a compressor: the fixture/round-trip twin
+    of decode_vp8l_payload (the test-suite payload generator and the
+    sink-side counterpart of the PNG encoder in operators/png.py).
+
+    Identity codes: green gets the complete code {256 literals at 9
+    bits, symbol 256 at 1 bit} — canonical assignment then maps literal
+    g to the 9-bit code 256+g — and red/blue/alpha get the complete
+    all-8-bit code (literal == its own code). Both code-length
+    transmissions are nearly free: a degenerate single-symbol
+    code-length code costs zero bits per symbol."""
+    if len(pixels) != width * height * 4:
+        raise ValueError("encode_vp8l_rgba: pixel buffer size mismatch")
+    w = _BitWriter()
+    w.bits(width - 1, 14)
+    w.bits(height - 1, 14)
+    w.bits(1, 1)  # alpha may be used
+    w.bits(0, 3)  # version
+    w.bits(0, 1)  # no transforms
+    w.bits(0, 1)  # no color cache
+    w.bits(0, 1)  # no meta prefix codes
+
+    def full(lengths: list[int], alphabet: int, k: int) -> None:
+        w.bits(0, 1)  # not the simple form
+        vals = sorted({l for l in lengths[:k]})
+        cll = [0] * 19
+        if len(vals) == 1:
+            cll[vals[0]] = 1
+        else:  # the two-value case is all this encoder emits
+            cll[vals[0]] = cll[vals[1]] = 1
+        ncl = max(i + 1 for i, sym in enumerate(_CLC_ORDER) if cll[sym])
+        ncl = max(ncl, 4)
+        w.bits(ncl - 4, 4)
+        for i in range(ncl):
+            w.bits(cll[_CLC_ORDER[i]], 3)
+        if k < alphabet:
+            w.bits(1, 1)
+            nb = 2
+            while (1 << nb) <= k - 2:
+                nb += 2
+            w.bits((nb - 2) // 2, 3)
+            w.bits(k - 2, nb)
+        else:
+            w.bits(0, 1)
+        if len(vals) > 1:
+            # canonical 1-bit code over the two used length values
+            for l in lengths[:k]:
+                w.bits(vals.index(l), 1)
+
+    full([9] * 256 + [1] + [0] * 23, 280, 257)  # green
+    for _ in range(3):  # red, blue, alpha: identity byte codes
+        full([8] * 256, 256, 256)
+    w.bits(1, 1)  # distance: simple, 1 symbol
+    w.bits(0, 1)
+    w.bits(0, 1)
+    w.bits(0, 1)  # symbol 0 in 1 bit
+
+    for i in range(0, len(pixels), 4):
+        r, g, b, a = pixels[i : i + 4]
+        w.code(256 + g, 9)
+        w.code(r, 8)
+        w.code(b, 8)
+        w.code(a, 8)
+    payload = b"\x2f" + w.tobytes()
+    if len(payload) % 2:
+        payload += b"\x00"
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(payload))
+        + b"WEBP"
+        + b"VP8L"
+        + struct.pack("<I", len(payload))
+        + payload
+    )

@@ -605,6 +605,74 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_multimodal_webp",
+    oracle=f"""
+    WITH dig AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 15),
+                   k -> CAST(('0x' || substr(md5(text), 2*k + 1, 2)) AS INT)) AS dg
+        FROM documents
+    ), px AS (
+        SELECT doc_id, dg,
+               flatten(list_transform(generate_series(1, 16), r -> dg)) AS pixels,
+               CAST(list_sum(dg) * 16 AS DOUBLE) / 256 AS mean_px
+        FROM dig
+    ), stats AS (
+        SELECT doc_id, mean_px,
+               list_reduce(list_transform(pixels,
+                               p -> (p - mean_px) * (p - mean_px)),
+                           (a, b) -> a + b) / 256 AS var_px,
+               CAST(list_min(dg) AS DOUBLE) AS minp,
+               CAST(list_max(dg) AS DOUBLE) AS maxp,
+               CAST(list_sum(list_transform(generate_series(0, 63),
+                                 k -> dg[((4*k) % 16) + 1])) AS DOUBLE) / 64 AS c0m
+        FROM px
+    )
+    SELECT doc_id, 'image' AS modality,
+           CAST(8 AS DOUBLE) AS f_width, CAST(8 AS DOUBLE) AS f_height,
+           CAST(4 AS DOUBLE) AS f_channels,
+           {sql_fround('mean_px / 255', 6)} AS f_mean,
+           {sql_fround('sqrt(var_px) / 255', 6)} AS f_std,
+           {sql_fround('minp / 255', 6)} AS f_min,
+           {sql_fround('maxp / 255', 6)} AS f_max,
+           {sql_fround('c0m / 255', 6)} AS f_c0
+    FROM stats
+    """,
+)
+def llm_multimodal_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_multimodal_features' lossless-WebP twin (r13, VERDICT r12
+    order #4 landed the codec): every document carries a valid 8×8 RGBA
+    VP8L WebP (attach_webp_payload — md5(text)-seeded pixels, encoded by
+    operators/vp8l.encode_vp8l_rgba) and extract_features decodes the
+    actual prefix-coded bitstream via operators/vp8l.decode_vp8l_payload
+    inside the mapInPandas stage — fake=False, no stub. The oracle
+    recomputes every feature FROM FIRST PRINCIPLES in DuckDB: RGBA
+    pixels are the 16-byte digest tiled 16× (8*8*4 = 256 bytes), so
+    digest arithmetic (the same IEEE op order as png.pixel_features)
+    must reproduce the decoded-pixel statistics exactly — a value-hash
+    proof that the WebP encode → decode round-trips bit-perfectly.
+    Scale shape: identical to the PNG twin — an embarrassingly parallel
+    mapInPandas scan, no shuffle."""
+    from randas_spark.operators.multimodal import attach_webp_payload, extract_features
+
+    d = t(spark, sf_dir, "documents")
+    out = extract_features(attach_webp_payload(d, "doc_id", "text"), fake=False)
+    f = F.col("feature")
+    return out.select(
+        "doc_id",
+        "modality",
+        f[0].alias("f_width"),
+        f[1].alias("f_height"),
+        f[2].alias("f_channels"),
+        fround(f[3], 6).alias("f_mean"),
+        fround(f[4], 6).alias("f_std"),
+        fround(f[5], 6).alias("f_min"),
+        fround(f[6], 6).alias("f_max"),
+        fround(f[7], 6).alias("f_c0"),
+    )
+
+
+@register(
     "llm_multimodal_pipeline",
     oracle="""
     SELECT doc_id,

@@ -584,3 +584,51 @@ def test_property_roundtrip_uncompressed_codes():
         assert out == _rgba(*pix)
 
     check()
+
+
+def test_encode_vp8l_rgba_roundtrip_and_contract():
+    """The package-side identity-code encoder (the payload generator
+    behind attach_webp_payload) must round-trip arbitrary RGBA buffers
+    through the real decoder and reject size mismatches."""
+    import random
+
+    from randas_spark.operators.vp8l import encode_vp8l_rgba
+
+    rng = random.Random(13)
+    for w_, h_ in ((1, 1), (8, 8), (5, 3)):
+        px = bytes(rng.randrange(256) for _ in range(w_ * h_ * 4))
+        data = encode_vp8l_rgba(px, w_, h_)
+        assert data[:4] == b"RIFF" and data[8:16] == b"WEBPVP8L"
+        assert decode_webp_lossless(data) == (w_, h_, 4, px)
+    with pytest.raises(ValueError, match="size mismatch"):
+        encode_vp8l_rgba(b"\x00" * 7, 2, 2)
+
+
+def test_attach_webp_payload_decodes_via_real_codec(spark):
+    """Spark-side plumbing: attach_webp_payload → extract_features with
+    fake=False decodes the VP8L bitstream on executors; features match
+    the digest arithmetic that seeded the pixels."""
+    import hashlib
+
+    from randas_spark.operators.multimodal import (
+        attach_webp_payload,
+        extract_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "randas")], ["doc_id", "text"]
+    )
+    rows = {
+        r.doc_id: r
+        for r in extract_features(
+            attach_webp_payload(df, "doc_id", "text"), fake=False
+        ).collect()
+    }
+    for doc_id, text in ((1, "hello world"), (2, "randas")):
+        dg = hashlib.md5(text.encode()).digest()
+        px = (dg * 16)[:256]
+        f = rows[doc_id].feature
+        assert f[0:3] == [8.0, 8.0, 4.0]
+        assert f[3] == sum(px) / 256 / 255
+        assert f[5] == min(px) / 255 and f[6] == max(px) / 255
+        assert f[7] == sum(px[0::4]) / 64 / 255
