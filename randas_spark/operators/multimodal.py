@@ -49,20 +49,20 @@ def attach_fake_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes, fake: bool = False) -> list[float]:
-    """Decode kernel → 8-dim pixel feature.
+def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Shared raster router → (width, height, channels, pixel bytes).
 
     PNG payloads are decoded FOR REAL by the dependency-free codec in
     operators/png.py (stdlib zlib + scanline unfiltering; 8-bit
-    gray/RGB/palette/alpha profiles); BMP, GIF and baseline JPEG by its
-    sibling operators/imagefmt.py (24-bit/8-bit/RLE8 BMP; LZW +
-    interlace GIF, first frame; baseline sequential JFIF — huffman +
-    dequant + IDCT + YCbCr->RGB, VERDICT r11 order #6), and lossless
-    WebP by operators/vp8l.py (prefix codes + LZ77 + color cache + all
-    four transforms, r13) — no imaging library needed for any of the
-    five. Only lossy WebP (VP8 intra-frame coding) and
-    progressive/arithmetic JPEG still raise unless fake=True, which
-    substitutes the deterministic md5-derived stub feature."""
+    gray/RGB/palette/alpha profiles); BMP, GIF and JPEG by its sibling
+    operators/imagefmt.py (24-bit/8-bit/RLE8 BMP; LZW + interlace GIF,
+    first frame; baseline sequential + progressive SOF2 JFIF — huffman
+    + dequant + IDCT + YCbCr->RGB), and lossless WebP by
+    operators/vp8l.py (prefix codes + LZ77 + color cache + all four
+    transforms, r13) — no imaging library needed for any of the five.
+    Only lossy WebP (VP8 intra-frame coding), arithmetic-coded JPEG and
+    non-image payloads raise NotImplementedError (the honest codec
+    boundary)."""
     from randas_spark.operators.imagefmt import (
         BMP_MAGIC,
         GIF_MAGICS,
@@ -71,39 +71,46 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
         decode_gif,
         decode_jpeg,
     )
-    from randas_spark.operators.png import PNG_MAGIC, decode_png, pixel_features
+    from randas_spark.operators.png import PNG_MAGIC, decode_png
 
     b = bytes(payload)
     if b[:8] == PNG_MAGIC:
-        return pixel_features(*decode_png(b))
+        return decode_png(b)
     if b[:2] == BMP_MAGIC:
-        return pixel_features(*decode_bmp(b))
+        return decode_bmp(b)
     if b[:6] in GIF_MAGICS:
-        return pixel_features(*decode_gif(b))
+        return decode_gif(b)
     if b[:2] == JPEG_MAGIC:
-        return pixel_features(*decode_jpeg(b))
+        return decode_jpeg(b)
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
         from randas_spark.operators.vp8l import decode_webp_lossless
 
-        try:
-            # lossless (VP8L) decodes FOR REAL (operators/vp8l.py, r13);
-            # lossy VP8 raises NotImplementedError inside
-            return pixel_features(*decode_webp_lossless(b))
-        except NotImplementedError:
-            if not fake:
-                raise
-            h = hashlib.md5(payload).digest()
-            return [b_ / 255.0 for b_ in h[:8]]
-    if not fake:
-        raise NotImplementedError(
-            "lossy-WebP (VP8) image decode requires a codec library not "
-            "present in this container (PNG/BMP/GIF/baseline-JPEG/"
-            "lossless-WebP decode for real via operators/png.py, "
-            "operators/imagefmt.py and operators/vp8l.py); run with "
-            "fake=True for the deterministic stub"
-        )
-    h = hashlib.md5(payload).digest()
-    return [b_ / 255.0 for b_ in h[:8]]
+        # lossless (VP8L) decodes FOR REAL (operators/vp8l.py, r13);
+        # lossy VP8 raises NotImplementedError inside
+        return decode_webp_lossless(b)
+    raise NotImplementedError(
+        "lossy-WebP (VP8) image decode requires a codec library not "
+        "present in this container (PNG/BMP/GIF/JPEG/lossless-WebP "
+        "decode for real via operators/png.py, operators/imagefmt.py "
+        "and operators/vp8l.py); run with fake=True for the "
+        "deterministic stub"
+    )
+
+
+def decode_image(payload: bytes, fake: bool = False) -> list[float]:
+    """Decode kernel → 8-dim pixel feature (decode_pixels router +
+    png.pixel_features). Formats past the codec boundary raise unless
+    fake=True, which substitutes the deterministic md5-derived stub
+    feature."""
+    from randas_spark.operators.png import pixel_features
+
+    try:
+        return pixel_features(*decode_pixels(payload))
+    except NotImplementedError:
+        if not fake:
+            raise
+        h = hashlib.md5(payload).digest()
+        return [b_ / 255.0 for b_ in h[:8]]
 
 
 #: SOF markers that carry frame dimensions. C4 (DHT), C8 (JPG ext) and
@@ -398,24 +405,36 @@ FRAME_SCHEMA = (
 
 
 def resize_kernel(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
-    """Resize decode→scale→encode kernel. STUB: real resize needs an
-    imaging library; fake=True produces a deterministic size-proportional
-    byte payload (md5-keyed) with the target dimensions' byte budget."""
-    if not fake:
-        raise NotImplementedError(
-            "image resize requires an imaging library not present in this "
-            "container; run with fake=True for the deterministic stub"
-        )
-    budget = max(1, (width * height) // 64)
-    seed = hashlib.md5(payload).digest()
-    return (seed * (budget // len(seed) + 1))[:budget]
+    """Resize decode→scale→encode kernel — REAL since r13 for every
+    decodable format: decode_pixels routes to the stdlib codecs
+    (PNG/BMP/GIF/JPEG/VP8L), operators/raster.py resamples (exact
+    integer box filter on integer factors, half-pixel bilinear
+    otherwise), and the result re-encodes as PNG (the one encoder the
+    repo ships). Formats past the codec boundary raise unless
+    fake=True, which keeps the old deterministic size-proportional
+    md5-keyed stub payload (used by the fixture-chain query whose
+    payloads are not images at all)."""
+    if fake:
+        budget = max(1, (width * height) // 64)
+        seed = hashlib.md5(payload).digest()
+        return (seed * (budget // len(seed) + 1))[:budget]
+    import numpy as np
+
+    from randas_spark.operators.png import encode_png
+    from randas_spark.operators.raster import resample
+
+    w, h, c, pix = decode_pixels(bytes(payload))
+    px = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, c)
+    out = resample(px, height, width)
+    return encode_png(out.tobytes(), width, height, c)
 
 
 def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
     """mapInPandas resize stage: payload → resized payload, metadata
-    rewritten to the target dimensions. 1:1 row mapping, no shuffle —
-    swap `resize_kernel` for a real PIL/opencv call and nothing else
-    changes (schema, batching, partitioning are the contract)."""
+    rewritten to the target dimensions (real path re-encodes PNG, so
+    mime follows suit). 1:1 row mapping, no shuffle — embarrassingly
+    parallel; at 100 TB this is a pure scan stage whose cost is the
+    codec, not the engine."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -426,7 +445,7 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> 
                     "payload": out,
                     "meta": [
                         {
-                            "mime": m["mime"],
+                            "mime": m["mime"] if fake else "image/png",
                             "n_bytes": len(p),
                             "width": width,
                             "height": height,
@@ -439,27 +458,65 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> 
     return df.mapInPandas(kernel, schema=RESIZED_SCHEMA)
 
 
+def _sample_gif_frames(payload: bytes, max_frames: int) -> list[tuple[bytes, int, int]]:
+    """Animated-GIF frame sampler: decode + composite every frame
+    (imagefmt.decode_gif_frames), pick `max_frames` evenly strided
+    (frame floor(i·n/k) for i < k = min(max_frames, n)), re-encode each
+    composited canvas as PNG. Returns [(png_bytes, width, height)]."""
+    from randas_spark.operators.imagefmt import decode_gif_frames
+    from randas_spark.operators.png import encode_png
+
+    sw, sh, frames = decode_gif_frames(bytes(payload))
+    n = len(frames)
+    k = min(max_frames, n)
+    out = []
+    for i in range(k):
+        rgb, _delay = frames[(i * n) // k]
+        out.append((encode_png(rgb, sw, sh, 3), sw, sh))
+    return out
+
+
 def sample_frames(
     df: DataFrame, frame_bytes: int = 256, max_frames: int = 8, fake: bool = True
 ) -> DataFrame:
-    """mapInPandas frame-sampling stage: one video payload → up to
-    `max_frames` frame rows (row-EXPANDING map, the shape a real
-    ffmpeg-backed sampler plugs into; fake slices the payload into
-    fixed-size chunks).
+    """mapInPandas frame-sampling stage: one motion payload → up to
+    `max_frames` frame rows (row-EXPANDING map).
+
+    REAL since r13 for animated GIF — the one motion format the stdlib
+    codecs decode: frames are composited per GIF89a (offsets,
+    transparency, disposal), sampled with an even stride, and emitted
+    as PNG rows. True video containers (mp4/webm — inter-frame
+    prediction needs a codec library) raise unless fake=True, which
+    keeps the deterministic payload-chunking stub.
 
     Scale: expansion happens inside the scan stage (no shuffle); output
     row count is bounded by max_frames so downstream batch sizes stay
     predictable."""
-    if not fake:
-        raise NotImplementedError(
-            "frame sampling requires a video library not present in this "
-            "container; run with fake=True for the deterministic stub"
-        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from randas_spark.operators.imagefmt import GIF_MAGICS
+
         for pdf in batches:
             ids, idxs, frames, metas = [], [], [], []
             for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                if not fake:
+                    if bytes(payload[:6]) not in GIF_MAGICS:
+                        raise NotImplementedError(
+                            "video frame sampling requires a codec library not "
+                            "present in this container (animated GIF samples "
+                            "for real via imagefmt.decode_gif_frames); run "
+                            "with fake=True for the deterministic stub"
+                        )
+                    for i, (png, w, h) in enumerate(
+                        _sample_gif_frames(payload, max_frames)
+                    ):
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        frames.append(png)
+                        metas.append(
+                            {"mime": "image/png", "n_bytes": len(png), "width": w, "height": h}
+                        )
+                    continue
                 n = min(max_frames, max(1, len(payload) // frame_bytes))
                 for i in range(n):
                     ids.append(doc_id)
@@ -473,6 +530,69 @@ def sample_frames(
     return df.mapInPandas(kernel, schema=FRAME_SCHEMA)
 
 
+def attach_gif_payload(
+    df: DataFrame, id_col: str, text_col: str, n_frames: int = 4
+) -> DataFrame:
+    """Simulate an animation corpus with REAL multi-frame GIF bytes
+    (r13): each document gets an 8×8 `n_frames`-frame GIF89a animation
+    — frame f's palette-index stream is md5(text) rotated by 5·f
+    (index j → digest[(j + 5f) mod 16]) over the fixed 256-color
+    palette (i, 255−i, (7i+3) mod 256), encoded by
+    imagefmt.encode_gif_animation — so the sampling stage downstream
+    exercises the actual LZW decode + GIF89a compositing path."""
+    from randas_spark.operators.imagefmt import encode_gif_animation
+
+    palette = [(i, 255 - i, (i * 7 + 3) % 256) for i in range(256)]
+
+    @F.pandas_udf("binary")
+    def gif_of(texts: pd.Series) -> pd.Series:
+        def make(text: str) -> bytes:
+            dg = hashlib.md5(text.encode()).digest()
+            frames = [
+                bytes(dg[(j + 5 * f) % 16] for j in range(64)) for f in range(n_frames)
+            ]
+            return encode_gif_animation(frames, palette, 8, 8, delay_cs=4)
+
+        return texts.map(make)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), gif_of(F.col(text_col)).alias("payload")
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/gif").alias("mime"),
+            F.length(F.col("payload")).cast("long").alias("n_bytes"),
+            F.lit(8).cast("long").alias("width"),
+            F.lit(8).cast("long").alias("height"),
+        ),
+    )
+
+
+FRAME_FEATURE_SCHEMA = (
+    "doc_id long, frame_idx long, modality string, feature array<double>"
+)
+
+
+def extract_frame_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Per-frame feature extraction over sample_frames output: decodes
+    each frame payload (PNG rows from the real sampler) through the
+    shared decode_image kernel, keyed (doc_id, frame_idx). Same
+    embarrassingly parallel mapInPandas shape as extract_features."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "modality": [m["mime"].split("/")[0] for m in pdf["meta"]],
+                    "feature": [decode_image(p, fake=fake) for p in pdf["frame"]],
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=FRAME_FEATURE_SCHEMA)
+
+
 # --------------------------------------------------------------------------
 # Audio modality (real dependency-free WAV path — operators/wav.py)
 # --------------------------------------------------------------------------
@@ -484,19 +604,23 @@ AUDIO_FEATURE_SCHEMA = (
 
 
 def decode_audio(payload: bytes, fake: bool = False) -> tuple[list[float], int]:
-    """Audio decode kernel: RIFF/PCM16 WAV payloads decode FOR REAL via
-    the dependency-free codec in operators/wav.py (struct parsing +
-    channel averaging). Compressed codecs (MP3/AAC/OGG) need a library
-    this container lacks: they raise unless fake=True, which substitutes
-    a deterministic md5-derived stub stream."""
+    """Audio decode kernel: RIFF WAV payloads decode FOR REAL via the
+    dependency-free codec in operators/wav.py — PCM16, G.711 A-law/μ-law
+    (telephony companding, r13) and IMA ADPCM (r13), with struct parsing
+    + channel averaging. Only perceptual codecs (MP3/AAC/OGG —
+    psychoacoustic transform coding) need a library this container
+    lacks: they raise unless fake=True, which substitutes a
+    deterministic md5-derived stub stream."""
     from randas_spark.operators.wav import WAV_MAGIC, decode_wav
 
     if bytes(payload[:4]) == WAV_MAGIC:
         return decode_wav(bytes(payload))
     if not fake:
         raise NotImplementedError(
-            "compressed audio decode requires a codec library not present in "
-            "this container; run with fake=True for the deterministic stub"
+            "perceptual audio codecs (MP3/AAC/OGG) require a codec library "
+            "not present in this container (PCM16/G.711/IMA-ADPCM WAV decode "
+            "for real via operators/wav.py); run with fake=True for the "
+            "deterministic stub"
         )
     h = hashlib.md5(payload).digest()
     return [b / 128.0 - 1.0 for b in h], 8000
@@ -536,6 +660,36 @@ def attach_wav_payload(
             F.lit("audio/wav").alias("mime"),
             F.lit(n_samples * 2 + 44).cast("long").alias("n_bytes"),
             F.lit(sample_rate).cast("long").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def attach_g711_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Simulate a telephony-audio corpus with REAL G.711 WAV bytes
+    (r13): each document's data chunk is its md5(text) digest tiled 8×
+    (128 companded bytes), wrapped in a format-7 (μ-law, even doc_id) or
+    format-6 (A-law, odd doc_id) RIFF container by operators/wav.
+    encode_wav_g711 — so the decode stage downstream exercises the real
+    G.711 expansion formulas on both laws. Container size is fixed:
+    12 (RIFF) + 26 (fmt) + 12 (fact) + 136 (data) = 186 bytes."""
+    from randas_spark.operators.wav import encode_wav_g711
+
+    @F.pandas_udf("binary")
+    def g711_of(doc_ids: pd.Series, texts: pd.Series) -> pd.Series:
+        def make(doc_id: int, text: str) -> bytes:
+            data = hashlib.md5(text.encode()).digest() * 8
+            law = "mulaw" if int(doc_id) % 2 == 0 else "alaw"
+            return encode_wav_g711(data, law=law, sample_rate=8000)
+
+        return pd.Series([make(i, t) for i, t in zip(doc_ids, texts)])
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        g711_of(F.col(id_col), F.col(text_col)).alias("payload"),
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.lit(186).cast("long").alias("n_bytes"),
+            F.lit(8000).cast("long").alias("sample_rate"),
         ).alias("meta"),
     )
 

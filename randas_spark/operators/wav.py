@@ -1,12 +1,20 @@
-"""Dependency-free WAV (RIFF/PCM16) codec — the audio twin of
+"""Dependency-free WAV (RIFF) codec — the audio twin of
 operators/png.py: real bytes in, real samples out, no audio library.
 
-Covers canonical PCM WAV: RIFF/WAVE container, fmt chunk with
-format=1 (PCM) 16-bit, mono or multi-channel (channels are averaged to
-mono on decode — feature extraction wants one stream). That is the
-payload shape a crawl's audio attachments overwhelmingly use; compressed
-codecs (MP3/AAC/OGG) still require a library this container lacks and
-stay behind the fake= gate in operators/multimodal.py.
+Covers the WAV payload shapes a crawl's audio attachments actually use:
+
+- format 1 (PCM) 16-bit, mono or multi-channel (channels averaged to
+  mono on decode — feature extraction wants one stream);
+- formats 6/7 (G.711 A-law / μ-law, ITU-T G.711): 8-bit companded
+  telephony bytes, expanded to 16-bit linear by the table-free
+  segment/mantissa formulas (r13 — the "compressed WAV" half of the old
+  stub, decoded FOR REAL);
+- format 0x11 (IMA/DVI ADPCM, the IMA ADPCM Reference spec): 4-bit
+  nibble stream with per-block predictor/step-index headers (r13).
+
+Truly perceptual codecs (MP3/AAC/OGG — psychoacoustic transforms) still
+require a library this container lacks and stay behind the fake= gate in
+operators/multimodal.py.
 
 Everything is integer/struct parsing plus float feature math —
 deterministic, so feature goldens are testable bit-for-bit.
@@ -18,6 +26,186 @@ import math
 import struct
 
 WAV_MAGIC = b"RIFF"
+
+WAVE_FMT_PCM = 1
+WAVE_FMT_ALAW = 6
+WAVE_FMT_MULAW = 7
+WAVE_FMT_IMA_ADPCM = 0x11
+
+
+def mulaw_to_linear(b: int) -> int:
+    """G.711 μ-law byte → 16-bit linear sample (table-free expansion:
+    invert, split sign/segment/mantissa, shift out the 0x84 bias)."""
+    b = ~b & 0xFF
+    seg = (b >> 4) & 0x07
+    val = (((b & 0x0F) << 3) + 0x84) << seg
+    val -= 0x84
+    return -val if b & 0x80 else val
+
+
+def alaw_to_linear(b: int) -> int:
+    """G.711 A-law byte → 16-bit linear sample (toggle even bits per the
+    spec, then segment/mantissa expansion)."""
+    b ^= 0x55
+    seg = (b >> 4) & 0x07
+    if seg == 0:
+        val = ((b & 0x0F) << 4) + 8
+    else:
+        val = (((b & 0x0F) << 4) + 0x108) << (seg - 1)
+    # A-law sign convention (G.711 / CCITT reference decoder): the sign
+    # bit SET after the 0x55 toggle means POSITIVE
+    return val if b & 0x80 else -val
+
+
+#: Exhaustive decode tables (256 entries each) — the encoders below are
+#: exact inverses of the spec decoders by construction: they pick the
+#: byte whose expansion is nearest the sample (first minimum wins, so
+#: the mapping is deterministic).
+_MULAW_TABLE = tuple(mulaw_to_linear(b) for b in range(256))
+_ALAW_TABLE = tuple(alaw_to_linear(b) for b in range(256))
+
+
+def linear_to_mulaw(s: int) -> int:
+    """16-bit linear sample → G.711 μ-law byte (nearest-expansion
+    inverse of mulaw_to_linear)."""
+    return min(range(256), key=lambda b: (abs(_MULAW_TABLE[b] - s), b))
+
+
+def linear_to_alaw(s: int) -> int:
+    """16-bit linear sample → G.711 A-law byte (nearest-expansion
+    inverse of alaw_to_linear)."""
+    return min(range(256), key=lambda b: (abs(_ALAW_TABLE[b] - s), b))
+
+
+#: IMA ADPCM step-size table (89 entries) and index-adjust table — from
+#: the public IMA Digital Audio Focus Group "Recommended Practices"
+#: reference algorithm (same tables every DVI/IMA decoder ships).
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_decode_nibble(nib: int, pred: int, index: int) -> tuple[int, int]:
+    """One IMA ADPCM step: (nibble, state) → (new predictor, new index).
+    The diff reconstruction uses the shift-accumulate form from the IMA
+    reference (exactly reproducible in integer math)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    if nib & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    index = max(0, min(88, index + _IMA_INDEX_ADJ[nib & 7]))
+    return pred, index
+
+
+def _ima_encode_sample(s: int, pred: int, index: int) -> tuple[int, int, int]:
+    """Encoder mirror of _ima_decode_nibble: quantize (s - pred) to a
+    nibble, then run the DECODER update so encoder state never drifts
+    from the decoder's."""
+    step = _IMA_STEPS[index]
+    diff = s - pred
+    nib = 8 if diff < 0 else 0
+    if diff < 0:
+        diff = -diff
+    if diff >= step:
+        nib |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nib |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nib |= 1
+    pred, index = _ima_decode_nibble(nib, pred, index)
+    return nib, pred, index
+
+
+def encode_wav_g711(data: bytes, law: str = "mulaw", sample_rate: int = 8000) -> bytes:
+    """RIFF/WAVE container around raw G.711 bytes (format 7 μ-law or 6
+    A-law, 8-bit mono). The fmt chunk carries the canonical G.711 shape:
+    block_align 1, byte_rate == sample_rate, plus the fact chunk
+    (sample count) that non-PCM WAV requires."""
+    tag = WAVE_FMT_MULAW if law == "mulaw" else WAVE_FMT_ALAW
+    fmt = struct.pack("<HHIIHHH", tag, 1, sample_rate, sample_rate, 1, 8, 0)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"fact" + struct.pack("<II", 4, len(data))
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        chunks += b"\x00"  # RIFF word alignment pad
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def encode_wav_ima_adpcm(
+    samples: list[int], sample_rate: int = 8000, block_frames: int = 505
+) -> bytes:
+    """IMA ADPCM (format 0x11) mono WAV from int16 samples. Each block:
+    4-byte header (predictor int16 = first sample verbatim, step index,
+    reserved) + low-nibble-first packed 4-bit codes for the remaining
+    `block_frames - 1` samples (505 frames → 256-byte blocks, the
+    canonical 8 kHz mono layout)."""
+    block_align = 4 + (block_frames - 1 + 1) // 2
+    blocks = bytearray()
+    index = 0
+    n = len(samples)
+    for start in range(0, n, block_frames):
+        chunk = samples[start : start + block_frames]
+        pred = max(-32768, min(32767, chunk[0]))
+        blocks += struct.pack("<hBB", pred, index, 0)
+        nibbles: list[int] = []
+        for s in chunk[1:]:
+            nib, pred, index = _ima_encode_sample(s, pred, index)
+            nibbles.append(nib)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            blocks.append(lo | (hi << 4))
+        # short final block still occupies block_align bytes (spec: the
+        # container's data chunk is a whole number of blocks)
+        pad = block_align - (4 + len(nibbles) // 2)
+        blocks += b"\x00" * pad
+    data = bytes(blocks)
+    byte_rate = (sample_rate * block_align + block_frames - 1) // block_frames
+    fmt = struct.pack(
+        "<HHIIHHHH", WAVE_FMT_IMA_ADPCM, 1, sample_rate, byte_rate, block_align, 4,
+        2, block_frames,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"fact" + struct.pack("<II", 4, n)
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _decode_ima_adpcm(data: bytes, block_align: int, n_samples: int | None) -> list[int]:
+    """Mono IMA ADPCM data chunk → int16 samples (per-block header state,
+    low nibble first). `n_samples` (from the fact chunk) trims the final
+    block's padding nibbles."""
+    out: list[int] = []
+    for base in range(0, len(data), block_align):
+        block = data[base : base + block_align]
+        if len(block) < 4:
+            break
+        pred, index, _ = struct.unpack_from("<hBB", block, 0)
+        index = max(0, min(88, index))
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                pred, index = _ima_decode_nibble(nib, pred, index)
+                out.append(pred)
+    if n_samples is not None:
+        out = out[:n_samples]
+    return out
 
 
 def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
@@ -31,12 +219,17 @@ def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[list[float], int]:
-    """(mono samples normalized to [-1, 1], sample_rate) from PCM WAV
-    bytes. Raises ValueError on non-RIFF/non-PCM/non-16-bit payloads."""
+    """(mono samples normalized to [-1, 1], sample_rate) from WAV bytes.
+
+    Formats decoded FOR REAL: PCM16 (1), G.711 A-law (6) / μ-law (7),
+    IMA ADPCM (0x11). Raises ValueError on anything else (perceptual
+    codecs need a library this container lacks) and on malformed
+    containers."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, n = 12, len(payload)
-    channels = sample_rate = bits = None
+    audio_fmt = channels = sample_rate = bits = block_align = None
+    fact_samples = None
     data = None
     while pos + 8 <= n:
         cid = payload[pos : pos + 4]
@@ -53,19 +246,39 @@ def decode_wav(payload: bytes) -> tuple[list[float], int]:
         if cid == b"fmt ":
             if size < 16:
                 raise ValueError(f"fmt chunk too small ({size} bytes)")
-            audio_fmt, channels, sample_rate, _, _, bits = struct.unpack_from(
+            audio_fmt, channels, sample_rate, _, block_align, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
-            if audio_fmt != 1:
-                raise ValueError(f"compressed WAV (format {audio_fmt}) needs a codec library")
-            if bits != 16:
-                raise ValueError(f"only PCM16 supported, got {bits}-bit")
+            if audio_fmt not in (
+                WAVE_FMT_PCM, WAVE_FMT_ALAW, WAVE_FMT_MULAW, WAVE_FMT_IMA_ADPCM,
+            ):
+                raise ValueError(
+                    f"perceptual-codec WAV (format {audio_fmt}) needs a codec library"
+                )
+        elif cid == b"fact" and size >= 4:
+            (fact_samples,) = struct.unpack_from("<I", body, 0)
         elif cid == b"data":
             data = body
         pos += 8 + size + (size % 2)  # chunks are word-aligned
     if data is None or channels is None:
         raise ValueError("missing fmt/data chunk")
-    raw = struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2])
+    if audio_fmt == WAVE_FMT_PCM:
+        if bits != 16:
+            raise ValueError(f"only PCM16 supported, got {bits}-bit")
+        raw = struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2])
+    elif audio_fmt in (WAVE_FMT_ALAW, WAVE_FMT_MULAW):
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8-bit, got {bits}-bit")
+        table = _ALAW_TABLE if audio_fmt == WAVE_FMT_ALAW else _MULAW_TABLE
+        raw = [table[b] for b in data]
+    else:  # IMA ADPCM
+        if bits != 4:
+            raise ValueError(f"IMA ADPCM WAV must be 4-bit, got {bits}-bit")
+        if channels != 1:
+            raise ValueError("only mono IMA ADPCM supported")
+        if not block_align:
+            raise ValueError("IMA ADPCM WAV missing block_align")
+        raw = _decode_ima_adpcm(data, block_align, fact_samples)
     if channels > 1:  # average interleaved channels to mono
         frames = len(raw) // channels
         raw = [

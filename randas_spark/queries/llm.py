@@ -673,6 +673,85 @@ def llm_multimodal_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_multimodal_resize",
+    oracle=f"""
+    WITH dig AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 15),
+                   k -> CAST(('0x' || substr(md5(text), 2*k + 1, 2)) AS INT)) AS dg
+        FROM documents
+    ), rz AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 47), j ->
+                   (  dg[((((j // 12) * 2    ) * 8 + ((j // 3) % 4) * 2    ) * 3 + (j % 3)) % 16 + 1]
+                    + dg[((((j // 12) * 2    ) * 8 + ((j // 3) % 4) * 2 + 1) * 3 + (j % 3)) % 16 + 1]
+                    + dg[((((j // 12) * 2 + 1) * 8 + ((j // 3) % 4) * 2    ) * 3 + (j % 3)) % 16 + 1]
+                    + dg[((((j // 12) * 2 + 1) * 8 + ((j // 3) % 4) * 2 + 1) * 3 + (j % 3)) % 16 + 1]
+                    + 2) // 4) AS px
+        FROM dig
+    ), st AS (
+        SELECT doc_id, px, CAST(list_sum(px) AS DOUBLE) / 48 AS mean_px FROM rz
+    ), stats AS (
+        SELECT doc_id, mean_px,
+               list_reduce(list_transform(px,
+                               p -> (p - mean_px) * (p - mean_px)),
+                           (a, b) -> a + b) / 48 AS var_px,
+               CAST(list_min(px) AS DOUBLE) AS minp,
+               CAST(list_max(px) AS DOUBLE) AS maxp,
+               CAST(list_sum(list_transform(generate_series(0, 15),
+                                 k -> px[3*k + 1])) AS DOUBLE) / 16 AS c0m
+        FROM st
+    )
+    SELECT doc_id, 'image' AS modality,
+           CAST(4 AS DOUBLE) AS f_width, CAST(4 AS DOUBLE) AS f_height,
+           CAST(3 AS DOUBLE) AS f_channels,
+           {sql_fround('mean_px / 255', 6)} AS f_mean,
+           {sql_fround('sqrt(var_px) / 255', 6)} AS f_std,
+           {sql_fround('minp / 255', 6)} AS f_min,
+           {sql_fround('maxp / 255', 6)} AS f_max,
+           {sql_fround('c0m / 255', 6)} AS f_c0
+    FROM stats
+    """,
+)
+def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end (r13 — this stage was a stub before):
+    every document's 8×8 RGB PNG (attach_png_payload, digest-tiled
+    pixels) goes through resize_images(4, 4, fake=False) — decode via
+    the stdlib PNG codec, operators/raster.box_downscale's exact
+    integer 2×2 box filter (round-half-up in int64, no float in the
+    path), re-encode as PNG — and extract_features then decodes the
+    RESIZED PNG and computes pixel features. The oracle re-derives the
+    box filter FROM FIRST PRINCIPLES in DuckDB: output byte (y,x,c) =
+    (Σ over the 2×2 block of digest[((2y+dy)·8 + 2x+dx)·3 + c mod 16]
+    + 2) // 4, then the same ordered IEEE feature math as the PNG twin
+    — so the value hash proves decode → box resample → PNG re-encode →
+    re-decode bit-exact on every document. Scale shape: two chained
+    mapInPandas scan stages, zero shuffles."""
+    from randas_spark.operators.multimodal import (
+        attach_png_payload,
+        extract_features,
+        resize_images,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    resized = resize_images(attach_png_payload(d, "doc_id", "text"), 4, 4, fake=False)
+    out = extract_features(resized, fake=False)
+    f = F.col("feature")
+    return out.select(
+        "doc_id",
+        "modality",
+        f[0].alias("f_width"),
+        f[1].alias("f_height"),
+        f[2].alias("f_channels"),
+        fround(f[3], 6).alias("f_mean"),
+        fround(f[4], 6).alias("f_std"),
+        fround(f[5], 6).alias("f_min"),
+        fround(f[6], 6).alias("f_max"),
+        fround(f[7], 6).alias("f_c0"),
+    )
+
+
+@register(
     "llm_multimodal_pipeline",
     oracle="""
     SELECT doc_id,
@@ -3169,6 +3248,109 @@ def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     out = extract_audio_features(attach_wav_payload(d, "doc_id", "text"), fake=False)
+    f = F.col("feature")
+    return out.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "sample_rate",
+        fround(f[0], 6).alias("f_dur"),
+        fround(f[1], 6).alias("f_rms"),
+        fround(f[2], 6).alias("f_peak"),
+        fround(f[3], 6).alias("f_zcr"),
+        fround(f[4], 6).alias("f_mean"),
+        fround(f[5], 6).alias("f_meanabs"),
+        fround(f[6], 6).alias("f_eratio"),
+        fround(f[7], 6).alias("f_centroid"),
+    )
+
+
+def _sql_g711_mu(b: str) -> str:
+    """DuckDB twin of wav.mulaw_to_linear: invert, segment/mantissa
+    expand, strip the 0x84 bias (validated byte-for-byte vs the Python
+    decoder over all 256 codes)."""
+    t_ = f"(((((255 - {b}) & 15) * 8) + 132) * (1 << (((255 - {b}) >> 4) & 7)))"
+    return f"(CASE WHEN (255 - {b}) >= 128 THEN 132 - {t_} ELSE {t_} - 132 END)"
+
+
+def _sql_g711_a(b: str) -> str:
+    """DuckDB twin of wav.alaw_to_linear (toggle 0x55, expand; sign bit
+    set means positive per the CCITT reference)."""
+    x = f"xor({b}, 85)"
+    seg0 = f"(({x} & 15) * 16 + 8)"
+    segn = f"((({x} & 15) * 16 + 264) * (1 << ((({x} >> 4) & 7) - 1)))"
+    return (
+        f"(CASE WHEN ({x} >> 4) & 7 = 0 "
+        f"THEN CASE WHEN ({x} & 128) != 0 THEN {seg0} ELSE -{seg0} END "
+        f"ELSE CASE WHEN ({x} & 128) != 0 THEN {segn} ELSE -{segn} END END)"
+    )
+
+
+@register(
+    "llm_multimodal_audio_g711",
+    oracle=f"""
+    WITH dig AS (
+        SELECT doc_id, doc_id % 2 = 0 AS is_mu,
+               list_transform(generate_series(0, 15),
+                   k -> CAST(('0x' || substr(md5(text), 2*k + 1, 2)) AS INT)) AS dg
+        FROM documents
+    ), smp AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 127),
+                   i -> (CASE WHEN is_mu
+                              THEN {_sql_g711_mu('dg[(i % 16) + 1]')}
+                              ELSE {_sql_g711_a('dg[(i % 16) + 1]')}
+                         END) / 32768.0) AS s
+        FROM dig
+    ), feat AS (
+        SELECT doc_id,
+               list_reduce(list_transform(s, x -> x * x), (a, b) -> a + b) AS ss,
+               list_reduce(s, (a, b) -> a + b) AS sm,
+               list_reduce(list_transform(s, x -> abs(x)), (a, b) -> a + b) AS sa,
+               list_max(list_transform(s, x -> abs(x))) AS peak,
+               CAST(len(list_filter(generate_series(2, 128),
+                        i -> (s[i-1] < 0) <> (s[i] < 0))) AS DOUBLE) / 127 AS zcr,
+               list_reduce(list_transform(s[1:64], x -> x * x), (a, b) -> a + b) AS e1r,
+               list_reduce(list_transform(s[65:128], x -> x * x), (a, b) -> a + b) AS e2r
+        FROM smp
+    )
+    SELECT doc_id, 'audio' AS modality,
+           CAST(186 AS BIGINT) AS n_bytes,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           {sql_fround('CAST(128 AS DOUBLE) / 8000', 6)} AS f_dur,
+           {sql_fround('sqrt(ss / 128)', 6)} AS f_rms,
+           {sql_fround('peak', 6)} AS f_peak,
+           {sql_fround('zcr', 6)} AS f_zcr,
+           {sql_fround('sm / 128', 6)} AS f_mean,
+           {sql_fround('sa / 128', 6)} AS f_meanabs,
+           {sql_fround('(CASE WHEN e1r = 0 THEN 1e-30 ELSE e1r END) / '
+                       '(CASE WHEN e2r = 0 THEN 1e-30 ELSE e2r END)', 6)} AS f_eratio,
+           {sql_fround('zcr * 8000 / 2.0', 6)} AS f_centroid
+    FROM feat
+    """,
+)
+def llm_multimodal_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_multimodal_audio's COMPRESSED-WAV twin (r13): every document
+    carries a real G.711 telephony WAV — md5(text) digest tiled 8× as
+    the 128-byte companded data chunk, format 7 (μ-law) for even doc_ids
+    and format 6 (A-law) for odd — and extract_audio_features expands
+    the actual companded bytes through operators/wav.decode_wav's
+    table-free G.711 formulas (fake=False, no stub; this codec class was
+    stubbed "compressed WAV" before r13). The oracle re-derives the
+    expansion FROM FIRST PRINCIPLES in DuckDB — the same invert/segment/
+    mantissa integer math per byte, validated byte-for-byte against the
+    Python decoder over all 256 codes of both laws — then the same
+    ordered IEEE feature sums as the PCM twin, so the value hash proves
+    container parse + G.711 expansion + feature chain bit-exact on every
+    document. Scale shape: embarrassingly parallel mapInPandas scan,
+    zero shuffles (same as the PNG/WebP twins)."""
+    from randas_spark.operators.multimodal import (
+        attach_g711_payload,
+        extract_audio_features,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    out = extract_audio_features(attach_g711_payload(d, "doc_id", "text"), fake=False)
     f = F.col("feature")
     return out.select(
         "doc_id",

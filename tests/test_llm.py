@@ -1780,6 +1780,144 @@ def test_decode_audio_rejects_compressed_without_fake(spark):
     assert r == 8000 and len(s) == 16
 
 
+def test_g711_spec_values_and_encoder_inverse():
+    """G.711 expansion must hit the CCITT reference decoder's values
+    (spot constants + sign symmetry) and the nearest-expansion encoders
+    must invert decode exactly on every reachable level."""
+    from randas_spark.operators.wav import (
+        alaw_to_linear,
+        linear_to_alaw,
+        linear_to_mulaw,
+        mulaw_to_linear,
+    )
+
+    # spec constants: 0xFF/0x7F are μ-law zero; A-law ±8 at 0x55/0xD5;
+    # overload points 32124 (μ) and 32256 (A)
+    assert mulaw_to_linear(0xFF) == 0 and mulaw_to_linear(0x7F) == 0
+    assert alaw_to_linear(0x55) == -8 and alaw_to_linear(0xD5) == 8
+    assert max(mulaw_to_linear(b) for b in range(256)) == 32124
+    assert max(alaw_to_linear(b) for b in range(256)) == 32256
+    for b in range(128):
+        assert mulaw_to_linear(b) == -mulaw_to_linear(b | 0x80) or mulaw_to_linear(b) == 0
+        assert alaw_to_linear(b ^ 0x80) == -alaw_to_linear(b) or alaw_to_linear(b) == 0
+    for b in range(256):
+        assert mulaw_to_linear(linear_to_mulaw(mulaw_to_linear(b))) == mulaw_to_linear(b)
+        assert alaw_to_linear(linear_to_alaw(alaw_to_linear(b))) == alaw_to_linear(b)
+
+
+def test_ima_adpcm_wav_roundtrip():
+    """IMA ADPCM encode→decode: exact sample count (including a partial
+    final block trimmed by the fact chunk), >20 dB SNR on a smooth tone,
+    and the first sample of every block carried verbatim."""
+    import math
+
+    from randas_spark.operators.wav import decode_wav, encode_wav_ima_adpcm
+
+    samples = [int(20000 * math.sin(2 * math.pi * 7 * i / 505)) for i in range(1010)]
+    dec, rate = decode_wav(encode_wav_ima_adpcm(samples, 8000))
+    assert rate == 8000 and len(dec) == 1010
+    sig = sum((s / 32768.0) ** 2 for s in samples)
+    err = sum((s / 32768.0 - d) ** 2 for s, d in zip(samples, dec))
+    assert 10 * math.log10(sig / (err + 1e-30)) > 20
+    # block-leading samples are stored verbatim in the block header
+    assert int(dec[0] * 32768) == samples[0]
+    assert int(dec[505] * 32768) == samples[505]
+    # partial final block: fact chunk trims the pad nibbles
+    dec2, _ = decode_wav(encode_wav_ima_adpcm(samples[:600], 8000))
+    assert len(dec2) == 600
+
+
+def test_g711_wav_container_and_spark_pipeline(spark):
+    """encode_wav_g711 containers decode back to the exact expansion
+    table on both laws, and the Spark G.711 pipeline's features equal a
+    driver-side decode of identical bytes (the llm_multimodal_audio_g711
+    fixture shape: digest tiled 8×, μ-law even / A-law odd doc_id)."""
+    import hashlib
+
+    from randas_spark.operators.multimodal import (
+        attach_g711_payload,
+        extract_audio_features,
+    )
+    from randas_spark.operators.wav import (
+        alaw_to_linear,
+        audio_features,
+        decode_wav,
+        encode_wav_g711,
+        mulaw_to_linear,
+    )
+
+    data = bytes(range(256))
+    for law, table in (("mulaw", mulaw_to_linear), ("alaw", alaw_to_linear)):
+        s, rate = decode_wav(encode_wav_g711(data, law=law, sample_rate=8000))
+        assert rate == 8000
+        assert s == [table(b) / 32768.0 for b in data]
+
+    df = spark.createDataFrame(
+        [(2, "hello world"), (3, "other text")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in extract_audio_features(
+        attach_g711_payload(df, "doc_id", "text"), fake=False
+    ).collect()}
+    assert set(out) == {2, 3}
+    for doc_id, text in [(2, "hello world"), (3, "other text")]:
+        codes = hashlib.md5(text.encode()).digest() * 8
+        table = mulaw_to_linear if doc_id % 2 == 0 else alaw_to_linear
+        exp = audio_features([table(b) / 32768.0 for b in codes], 8000)
+        got = out[doc_id]
+        assert got.modality == "audio" and got.sample_rate == 8000
+        assert got.n_bytes == 186
+        assert list(got.feature) == exp
+
+
+def test_sample_frames_real_gif_path_and_video_boundary(spark):
+    """sample_frames(fake=False) decodes REAL animated GIFs (composited
+    canvases as PNG rows, even stride) and extract_frame_features
+    reproduces a driver-side decode; non-GIF motion payloads still hit
+    the honest video-codec boundary."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from randas_spark.operators.multimodal import (
+        attach_gif_payload,
+        extract_frame_features,
+        sample_frames,
+    )
+    from randas_spark.operators.png import pixel_features
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "other text")], "doc_id long, text string"
+    )
+    frames = sample_frames(
+        attach_gif_payload(df, "doc_id", "text", n_frames=4), max_frames=2, fake=False
+    )
+    feats = {(r.doc_id, r.frame_idx): r for r in extract_frame_features(
+        frames, fake=False
+    ).collect()}
+    assert set(feats) == {(1, 0), (1, 1), (2, 0), (2, 1)}
+    pal = [(i, 255 - i, (i * 7 + 3) % 256) for i in range(256)]
+    for doc_id, text in [(1, "hello world"), (2, "other text")]:
+        dg = hashlib.md5(text.encode()).digest()
+        for i, src in [(0, 0), (1, 2)]:  # k=2 over n=4 → frames 0 and 2
+            rgb = b"".join(
+                bytes(pal[dg[(j + 5 * src) % 16]]) for j in range(64)
+            )
+            exp = pixel_features(8, 8, 3, rgb)
+            got = feats[(doc_id, i)]
+            assert got.modality == "image"
+            assert list(got.feature) == exp
+
+    # non-GIF payload with fake=False → honest boundary, in-kernel
+    from randas_spark.operators.multimodal import _sample_gif_frames  # noqa: F401
+
+    mp4ish = spark.createDataFrame(
+        [(9, bytearray(b"\x00\x00\x00 ftypmp42 not a gif"), {"mime": "video/mp4", "n_bytes": 24, "width": 0, "height": 0})],
+        "doc_id long, payload binary, meta struct<mime:string, n_bytes:bigint, width:bigint, height:bigint>",
+    )
+    with _pytest.raises(Exception, match="video frame sampling requires"):
+        sample_frames(mp4ish, max_frames=2, fake=False).collect()
+
+
 def test_length_buckets_padding_waste_recount(spark, docs):
     """Bucket populations and padding-waste must equal a driver-side
     recount of the BPE-ish token estimate."""
