@@ -5,19 +5,24 @@ multimodal stub surface with the formats that ARE stdlib-decodable).
 All feed operators/multimodal.decode_image the same
 (width, height, channels, pixels) contract as decode_png, so the
 mapInPandas plumbing above them is untouched; a production cluster
-swaps in PIL/opencv behind the same kernel signature. With these, the
-NotImplementedError fallback narrows to WebP/video — the formats whose
-entropy coding genuinely needs a codec library.
+swaps in PIL/opencv behind the same kernel signature. With these (plus
+vp8l.py and the r13 animated-GIF path below), the NotImplementedError
+fallback narrows to lossy-VP8 / arithmetic JPEG / true video
+containers — the formats whose entropy coding genuinely needs a codec
+library.
 
 Profiles:
 - BMP: BITMAPINFOHEADER (and the larger V4/V5 headers, which embed it),
   bottom-up or top-down rows, 24-bit BI_RGB, 8-bit palette BI_RGB, and
   8-bit BI_RLE8 (absolute + encoded runs, EOL/EOD/delta escapes).
 - GIF: 87a/89a, global and local color tables, variable-width LZW with
-  clear/end codes, interlaced and non-interlaced, first frame of an
-  animation; a GCE transparent index is emitted as its palette color
-  (single-frame feature extraction has no compositing stack to honor
-  transparency against).
+  clear/end codes, interlaced and non-interlaced. decode_gif returns
+  the first frame frame-local (a GCE transparent index is emitted as
+  its palette color — single-frame feature extraction has no
+  compositing stack); decode_gif_frames (r13) decodes the WHOLE
+  animation with GIF89a compositing — sub-frame offsets, transparency,
+  disposal 1/2/3 — and encode_gif_animation writes multi-frame
+  fixtures via a literal-code LZW writer.
 - JPEG: baseline sequential JFIF (SOF0/SOF1) — canonical Huffman,
   zigzag dequant, separable float IDCT, arbitrary 1-4 h/v sampling
   with nearest-neighbor chroma upsampling, DRI/RSTn restart intervals,

@@ -1,17 +1,21 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched mapInPandas stages.
 
-The container has no decode libraries (PIL/ffmpeg/etc.). PNG, BMP, GIF,
-baseline JPEG, lossless WebP (VP8L, r13) and WAV decode FOR REAL
-through the dependency-free stdlib codecs in operators/png.py,
-operators/imagefmt.py, operators/vp8l.py and operators/wav.py; only the
-formats whose entropy coding genuinely needs a codec library (lossy-
-WebP VP8, arithmetic JPEG, compressed audio, video) remain STUBBED —
-`decode_image` raises NotImplementedError for those unless `fake=True`,
-which substitutes a deterministic fake decoder. The Spark-side plumbing
-is real and tested either way: schema (binary + metadata struct),
-partition-sized Arrow batches, UDF signatures, and the feature-extract
-output shape are exactly what a full codec stack would plug into.
+The container has no decode libraries (PIL/ffmpeg/etc.). PNG, BMP, GIF
+(single-frame AND animated with GIF89a compositing, r13), baseline +
+progressive JPEG, lossless WebP (VP8L, r13), PCM/G.711/IMA-ADPCM WAV
+(r13) decode FOR REAL through the dependency-free stdlib codecs in
+operators/png.py, operators/imagefmt.py, operators/vp8l.py and
+operators/wav.py, and resize is a REAL raster kernel
+(operators/raster.py, r13); only the formats whose entropy coding
+genuinely needs a codec library (lossy-WebP VP8, arithmetic JPEG,
+perceptual audio MP3/AAC/OGG, true video containers mp4/webm) remain
+STUBBED — the decode kernels raise NotImplementedError for those unless
+`fake=True`, which substitutes a deterministic fake decoder. The
+Spark-side plumbing is real and tested either way: schema (binary +
+metadata struct), partition-sized Arrow batches, UDF signatures, and
+the feature-extract output shape are exactly what a full codec stack
+would plug into.
 """
 
 from __future__ import annotations
@@ -689,6 +693,41 @@ def attach_g711_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.struct(
             F.lit("audio/wav").alias("mime"),
             F.lit(186).cast("long").alias("n_bytes"),
+            F.lit(8000).cast("long").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def attach_adpcm_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Simulate an ADPCM-audio corpus with REAL IMA/DVI WAV bytes (r13):
+    each document gets a single-block format-0x11 container whose block
+    header (predictor = digest bytes 0-1 as int16, step index = byte 2
+    mod 89) and 128-nibble code stream (digest tiled 4×, low nibble
+    first) derive from md5(text) — so the decode stage downstream runs
+    the actual per-nibble predictor/step-index recurrence on a known
+    stream. Container size fixed: 12 + 28 (fmt) + 12 (fact) + 76 (data)
+    = 128 bytes, 129 samples."""
+    import struct as _struct
+
+    from randas_spark.operators.wav import wrap_ima_adpcm
+
+    @F.pandas_udf("binary")
+    def adpcm_of(texts: pd.Series) -> pd.Series:
+        def make(text: str) -> bytes:
+            dg = hashlib.md5(text.encode()).digest()
+            pred0 = _struct.unpack("<h", dg[:2])[0]
+            idx0 = dg[2] % 89
+            data = _struct.pack("<hBB", pred0, idx0, 0) + dg * 4
+            return wrap_ima_adpcm(data, 129, 8000, 68, 129)
+
+        return texts.map(make)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        adpcm_of(F.col(text_col)).alias("payload"),
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.lit(128).cast("long").alias("n_bytes"),
             F.lit(8000).cast("long").alias("sample_rate"),
         ).alias("meta"),
     )

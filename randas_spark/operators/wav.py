@@ -187,6 +187,26 @@ def encode_wav_ima_adpcm(
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def wrap_ima_adpcm(
+    data: bytes, n_samples: int, sample_rate: int, block_align: int, block_frames: int
+) -> bytes:
+    """RIFF/WAVE container around an already-coded mono IMA ADPCM data
+    chunk (fixture path: lets a test or oracle-backed query drive the
+    DECODER with a known nibble stream instead of round-tripping the
+    encoder)."""
+    byte_rate = (sample_rate * block_align + block_frames - 1) // block_frames
+    fmt = struct.pack(
+        "<HHIIHHHH", WAVE_FMT_IMA_ADPCM, 1, sample_rate, byte_rate, block_align, 4,
+        2, block_frames,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"fact" + struct.pack("<II", 4, n_samples)
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def _decode_ima_adpcm(data: bytes, block_align: int, n_samples: int | None) -> list[int]:
     """Mono IMA ADPCM data chunk → int16 samples (per-block header state,
     low nibble first). `n_samples` (from the fact chunk) trims the final

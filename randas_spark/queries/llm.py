@@ -673,6 +673,95 @@ def llm_multimodal_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_multimodal_gif_frames",
+    oracle=f"""
+    WITH dig AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 15),
+                   k -> CAST(('0x' || substr(md5(text), 2*k + 1, 2)) AS INT)) AS dg
+        FROM documents
+    ), fr AS (
+        SELECT doc_id, dg, unnest([0, 1]) AS frame_idx FROM dig
+    ), px AS (
+        SELECT doc_id, frame_idx,
+               list_transform(generate_series(0, 191), b ->
+                   CASE b % 3
+                        WHEN 0 THEN dg[((b // 3) + 5 * (2 * frame_idx)) % 16 + 1]
+                        WHEN 1 THEN 255 - dg[((b // 3) + 5 * (2 * frame_idx)) % 16 + 1]
+                        ELSE (dg[((b // 3) + 5 * (2 * frame_idx)) % 16 + 1] * 7 + 3) % 256
+                   END) AS p
+        FROM fr
+    ), st AS (
+        SELECT doc_id, frame_idx, p,
+               CAST(list_sum(p) AS DOUBLE) / 192 AS mean_px
+        FROM px
+    ), stats AS (
+        SELECT doc_id, frame_idx, mean_px,
+               list_reduce(list_transform(p,
+                               x -> (x - mean_px) * (x - mean_px)),
+                           (a, b) -> a + b) / 192 AS var_px,
+               CAST(list_min(p) AS DOUBLE) AS minp,
+               CAST(list_max(p) AS DOUBLE) AS maxp,
+               CAST(list_sum(list_transform(generate_series(0, 63),
+                                 j -> p[3*j + 1])) AS DOUBLE) / 64 AS c0m
+        FROM st
+    )
+    SELECT doc_id, frame_idx, 'image' AS modality,
+           CAST(8 AS DOUBLE) AS f_width, CAST(8 AS DOUBLE) AS f_height,
+           CAST(3 AS DOUBLE) AS f_channels,
+           {sql_fround('mean_px / 255', 6)} AS f_mean,
+           {sql_fround('sqrt(var_px) / 255', 6)} AS f_std,
+           {sql_fround('minp / 255', 6)} AS f_min,
+           {sql_fround('maxp / 255', 6)} AS f_max,
+           {sql_fround('c0m / 255', 6)} AS f_c0
+    FROM stats
+    """,
+)
+def llm_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-style frame sampling end-to-end (r13 — this stage was
+    a stub before): every document carries a 4-frame 8×8 animated GIF
+    (attach_gif_payload — frame f's palette indices are the digest
+    rotated by 5f over the fixed (i, 255−i, (7i+3) mod 256) palette,
+    encoded by imagefmt.encode_gif_animation's literal-code LZW) and
+    sample_frames(max_frames=2, fake=False) decodes + composites the
+    actual GIF89a stream, picks frames 0 and 2 by even stride, and
+    re-encodes each canvas as PNG; extract_frame_features then decodes
+    THOSE and emits per-(doc, frame) features. The oracle re-derives
+    frame pixels FROM FIRST PRINCIPLES in DuckDB — palette arithmetic
+    over the rotated digest, then the same ordered IEEE feature math —
+    so the value hash proves GIF encode → LZW decode → compositing →
+    stride sampling → PNG round-trip bit-exact on every document and
+    sampled frame. Scale shape: two chained mapInPandas scan stages
+    (row-expanding then 1:1), zero shuffles; output rows bounded by
+    max_frames per document."""
+    from randas_spark.operators.multimodal import (
+        attach_gif_payload,
+        extract_frame_features,
+        sample_frames,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    frames = sample_frames(
+        attach_gif_payload(d, "doc_id", "text", n_frames=4), max_frames=2, fake=False
+    )
+    out = extract_frame_features(frames, fake=False)
+    f = F.col("feature")
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "modality",
+        f[0].alias("f_width"),
+        f[1].alias("f_height"),
+        f[2].alias("f_channels"),
+        fround(f[3], 6).alias("f_mean"),
+        fround(f[4], 6).alias("f_std"),
+        fround(f[5], 6).alias("f_min"),
+        fround(f[6], 6).alias("f_max"),
+        fround(f[7], 6).alias("f_c0"),
+    )
+
+
+@register(
     "llm_multimodal_resize",
     oracle=f"""
     WITH dig AS (
@@ -764,12 +853,16 @@ def llm_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal chain: attach payload → resize → frame-sample →
     per-document frame stats (operators/multimodal). Three chained
     mapInPandas stages plus one aggregation — the canonical decode/
-    transform/sample pipeline shape; kernels are the deterministic fakes
-    (real ones are lib-gated). The fake resize emits a fixed 64-byte
-    budget (64×64//64) and the sampler slices min(4, 64//16) = 4 frames
-    of 16 bytes, so the oracle's per-doc constants (4 frames, 64 bytes)
-    verify the row-expansion multiplicity and byte accounting of the
-    whole chain end-to-end."""
+    transform/sample pipeline shape. This fixture chain runs the
+    fake=True kernels over NON-image payloads (raw utf-8 bytes), pinning
+    the row-expansion multiplicity and byte accounting of the plumbing
+    itself; the REAL kernels behind the same stages are proven by their
+    own queries (llm_multimodal_resize for the raster path,
+    llm_multimodal_gif_frames for GIF89a frame sampling). The fake
+    resize emits a fixed 64-byte budget (64×64//64) and the sampler
+    slices min(4, 64//16) = 4 frames of 16 bytes, so the oracle's
+    per-doc constants (4 frames, 64 bytes) verify the chain
+    end-to-end."""
     from randas_spark.operators.multimodal import (
         attach_fake_payload,
         resize_images,
@@ -3351,6 +3444,126 @@ def llm_multimodal_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     out = extract_audio_features(attach_g711_payload(d, "doc_id", "text"), fake=False)
+    f = F.col("feature")
+    return out.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "sample_rate",
+        fround(f[0], 6).alias("f_dur"),
+        fround(f[1], 6).alias("f_rms"),
+        fround(f[2], 6).alias("f_peak"),
+        fround(f[3], 6).alias("f_zcr"),
+        fround(f[4], 6).alias("f_mean"),
+        fround(f[5], 6).alias("f_meanabs"),
+        fround(f[6], 6).alias("f_eratio"),
+        fround(f[7], 6).alias("f_centroid"),
+    )
+
+
+#: IMA ADPCM tables inlined for the llm_multimodal_audio_adpcm oracle
+#: (kept in sync with operators/wav.py by test_oracle_constants-style
+#: membership in the SQL itself: the recurrence replays the decoder).
+def _ima_tables_sql() -> tuple[str, str]:
+    from randas_spark.operators.wav import _IMA_INDEX_ADJ, _IMA_STEPS
+
+    return (
+        "[" + ",".join(map(str, _IMA_STEPS)) + "]",
+        "[" + ",".join(map(str, _IMA_INDEX_ADJ)) + "]",
+    )
+
+
+_IMA_STEPS_SQL, _IMA_ADJ_SQL = _ima_tables_sql()
+
+_ADPCM_NEXT_PRED = """GREATEST(-32768, LEAST(32767, pred +
+             (CASE WHEN nib >= 8 THEN -1 ELSE 1 END) *
+             (st // 8 + CASE WHEN nib % 2 = 1 THEN st // 4 ELSE 0 END
+                      + CASE WHEN (nib // 2) % 2 = 1 THEN st // 2 ELSE 0 END
+                      + CASE WHEN (nib // 4) % 2 = 1 THEN st ELSE 0 END)))"""
+
+
+@register(
+    "llm_multimodal_audio_adpcm",
+    oracle=f"""
+    WITH RECURSIVE dig AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 15),
+                   k -> CAST(('0x' || substr(md5(text), 2*k + 1, 2)) AS INT)) AS dg
+        FROM documents
+    ), seed AS (
+        SELECT doc_id, dg,
+               CASE WHEN dg[1] + 256 * dg[2] >= 32768
+                    THEN dg[1] + 256 * dg[2] - 65536
+                    ELSE dg[1] + 256 * dg[2] END AS pred0,
+               dg[3] % 89 AS idx0
+        FROM dig
+    ), dec AS (
+        SELECT doc_id, dg, 0 AS i, pred0 AS pred, idx0 AS ix,
+               [CAST(pred0 AS DOUBLE) / 32768] AS s
+        FROM seed
+        UNION ALL
+        SELECT doc_id, dg, i + 1,
+               {_ADPCM_NEXT_PRED},
+               GREATEST(0, LEAST(88, ix + ({_IMA_ADJ_SQL})[(nib % 8) + 1])),
+               list_append(s, CAST({_ADPCM_NEXT_PRED} AS DOUBLE) / 32768)
+        FROM (
+            SELECT doc_id, dg, i, pred, ix, s,
+                   CASE WHEN i % 2 = 0 THEN dg[((i // 2) % 16) + 1] % 16
+                        ELSE dg[((i // 2) % 16) + 1] // 16 END AS nib,
+                   ({_IMA_STEPS_SQL})[ix + 1] AS st
+            FROM dec WHERE i < 128
+        )
+    ), smp AS (
+        SELECT doc_id, s FROM dec WHERE i = 128
+    ), feat AS (
+        SELECT doc_id,
+               list_reduce(list_transform(s, x -> x * x), (a, b) -> a + b) AS ss,
+               list_reduce(s, (a, b) -> a + b) AS sm,
+               list_reduce(list_transform(s, x -> abs(x)), (a, b) -> a + b) AS sa,
+               list_max(list_transform(s, x -> abs(x))) AS peak,
+               CAST(len(list_filter(generate_series(2, 129),
+                        i -> (s[i-1] < 0) <> (s[i] < 0))) AS DOUBLE) / 128 AS zcr,
+               list_reduce(list_transform(s[1:64], x -> x * x), (a, b) -> a + b) AS e1r,
+               list_reduce(list_transform(s[65:129], x -> x * x), (a, b) -> a + b) AS e2r
+        FROM smp
+    )
+    SELECT doc_id, 'audio' AS modality,
+           CAST(128 AS BIGINT) AS n_bytes,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           {sql_fround('CAST(129 AS DOUBLE) / 8000', 6)} AS f_dur,
+           {sql_fround('sqrt(ss / 129)', 6)} AS f_rms,
+           {sql_fround('peak', 6)} AS f_peak,
+           {sql_fround('zcr', 6)} AS f_zcr,
+           {sql_fround('sm / 129', 6)} AS f_mean,
+           {sql_fround('sa / 129', 6)} AS f_meanabs,
+           {sql_fround('(CASE WHEN e1r = 0 THEN 1e-30 ELSE e1r END) / '
+                       '(CASE WHEN e2r = 0 THEN 1e-30 ELSE e2r END)', 6)} AS f_eratio,
+           {sql_fround('zcr * 8000 / 2.0', 6)} AS f_centroid
+    FROM feat
+    """,
+)
+def llm_multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ADPCM leg of the audio-codec family (r13): every document
+    carries a real single-block IMA/DVI ADPCM WAV (attach_adpcm_payload
+    — digest-derived block header + 128-nibble code stream) and
+    extract_audio_features runs the actual per-nibble predictor/
+    step-index recurrence in operators/wav.decode_wav (fake=False, no
+    stub). The oracle replays the ENTIRE decoder state machine FROM
+    FIRST PRINCIPLES in DuckDB — a 128-step RECURSIVE CTE carrying
+    (pred, index, samples), the step/index-adjust tables inlined, the
+    shift-accumulate diff in integer math, validated bit-exact against
+    the Python decoder — then the same ordered IEEE feature sums as the
+    PCM/G.711 twins. This is the strongest oracle shape in the codec
+    family: a stateful sequential decode proven value-exact per
+    document by cross-engine replay. Scale shape: embarrassingly
+    parallel mapInPandas scan, zero shuffles."""
+    from randas_spark.operators.multimodal import (
+        attach_adpcm_payload,
+        extract_audio_features,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    out = extract_audio_features(attach_adpcm_payload(d, "doc_id", "text"), fake=False)
     f = F.col("feature")
     return out.select(
         "doc_id",

@@ -984,6 +984,16 @@ def test_resize_kernel_real_path_and_boundary():
     # bilinear path round-trips through the PNG encoder too
     out_up = resize_kernel(encode_png(src.tobytes(), 8, 8, 3), 5, 3, fake=False)
     assert decode_png(out_up)[:3] == (5, 3, 3)
+    # cross-codec: a lossless-WebP RGBA payload resizes through the same
+    # kernel (VP8L decode → 4-channel box filter → PNG re-encode)
+    from randas_spark.operators.vp8l import encode_vp8l_rgba
+
+    rgba = np.arange(8 * 8 * 4, dtype=np.uint8).reshape(8, 8, 4)
+    out_webp = resize_kernel(encode_vp8l_rgba(rgba.tobytes(), 8, 8), 4, 4, fake=False)
+    ww, wh, wc, wpx = decode_png(out_webp)
+    assert (ww, wh, wc) == (4, 4, 4)
+    wexp = ((rgba.astype(int).reshape(4, 2, 4, 2, 4).sum(axis=(1, 3)) + 2) // 4)
+    assert np.frombuffer(wpx, dtype=np.uint8).reshape(4, 4, 4).tolist() == wexp.tolist()
     # the honest boundary: non-image payloads raise unless fake=True
     with pytest.raises(NotImplementedError):
         resize_kernel(b"not an image", 4, 4, fake=False)

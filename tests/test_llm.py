@@ -781,7 +781,11 @@ def test_multimodal_frame_sampling_expands_rows(docs):
         assert bytes(r.frame) == src_bytes[start : start + 64]
 
 
-def test_multimodal_resize_and_frames_stubbed_without_fake(docs):
+def test_multimodal_resize_and_frames_honest_boundary_without_fake(docs):
+    """r13: resize and frame sampling are REAL for decodable formats
+    (raster kernel / animated GIF), so the fake=False gate now fires
+    in-kernel only for payloads past the codec boundary — here raw text
+    bytes, which are neither a decodable image nor a GIF animation."""
     from randas_spark.operators.multimodal import (
         attach_fake_payload,
         resize_images,
@@ -789,10 +793,10 @@ def test_multimodal_resize_and_frames_stubbed_without_fake(docs):
     )
 
     src = attach_fake_payload(docs.limit(1), "doc_id", "text")
-    with pytest.raises(NotImplementedError):
-        sample_frames(src, fake=False)
-    with pytest.raises(Exception):
+    with pytest.raises(Exception, match="video frame sampling requires"):
         # kernel raises on executors → surfaces as a Py4J/Python exception
+        sample_frames(src, fake=False).collect()
+    with pytest.raises(Exception):
         resize_images(src, 8, 8, fake=False).collect()
 
 
@@ -1867,6 +1871,36 @@ def test_g711_wav_container_and_spark_pipeline(spark):
         assert got.modality == "audio" and got.sample_rate == 8000
         assert got.n_bytes == 186
         assert list(got.feature) == exp
+
+
+def test_adpcm_spark_pipeline_golden(spark):
+    """The ADPCM fixture pipeline's features must equal a driver-side
+    decode of identical bytes (digest-derived block header + nibble
+    stream, the llm_multimodal_audio_adpcm shape)."""
+    import hashlib
+    import struct as _struct
+
+    from randas_spark.operators.multimodal import (
+        attach_adpcm_payload,
+        extract_audio_features,
+    )
+    from randas_spark.operators.wav import audio_features, decode_wav, wrap_ima_adpcm
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "other text")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in extract_audio_features(
+        attach_adpcm_payload(df, "doc_id", "text"), fake=False
+    ).collect()}
+    assert set(out) == {1, 2}
+    for doc_id, text in [(1, "hello world"), (2, "other text")]:
+        dg = hashlib.md5(text.encode()).digest()
+        data = _struct.pack("<hBB", _struct.unpack("<h", dg[:2])[0], dg[2] % 89, 0) + dg * 4
+        samples, rate = decode_wav(wrap_ima_adpcm(data, 129, 8000, 68, 129))
+        assert rate == 8000 and len(samples) == 129
+        got = out[doc_id]
+        assert got.modality == "audio" and got.n_bytes == 128
+        assert list(got.feature) == audio_features(samples, 8000)
 
 
 def test_sample_frames_real_gif_path_and_video_boundary(spark):

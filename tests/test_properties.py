@@ -444,3 +444,58 @@ def test_pagerank_matches_python_on_random_graphs(spark, und_edges):
                 nxt[v] += c
         r = nxt
     assert got == r
+
+
+# --------------------------------------------------------------------------
+# G.711 + IMA ADPCM codec properties (operators/wav.py, r13)
+# --------------------------------------------------------------------------
+
+
+@given(st.integers(min_value=-32768, max_value=32767))
+def test_g711_companding_error_bound(s):
+    """Nearest-expansion companding error is bounded by half the widest
+    quantization step (512 for both laws) plus the overload clamp
+    (μ-law tops out at ±32124, so −32768 projects with error 644)."""
+    from randas_spark.operators.wav import (
+        alaw_to_linear,
+        linear_to_alaw,
+        linear_to_mulaw,
+        mulaw_to_linear,
+    )
+
+    assert abs(mulaw_to_linear(linear_to_mulaw(s)) - s) <= 644
+    assert abs(alaw_to_linear(linear_to_alaw(s)) - s) <= 512
+
+
+@given(st.integers(min_value=-32768, max_value=32766))
+def test_g711_companding_is_monotone(s):
+    """dec∘enc is a nearest-point projection onto a fixed sorted level
+    set, hence monotone nondecreasing."""
+    from randas_spark.operators.wav import (
+        alaw_to_linear,
+        linear_to_alaw,
+        linear_to_mulaw,
+        mulaw_to_linear,
+    )
+
+    assert mulaw_to_linear(linear_to_mulaw(s)) <= mulaw_to_linear(linear_to_mulaw(s + 1))
+    assert alaw_to_linear(linear_to_alaw(s)) <= alaw_to_linear(linear_to_alaw(s + 1))
+
+
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=1200),
+    st.sampled_from([8000, 16000]),
+)
+@settings(max_examples=30, deadline=None)
+def test_ima_adpcm_total_and_state_invariants(samples, rate):
+    """Arbitrary signals: decode(encode(x)) preserves length and sample
+    rate, stays in int16 range, and carries every block-leading sample
+    verbatim (the per-block predictor header)."""
+    from randas_spark.operators.wav import decode_wav, encode_wav_ima_adpcm
+
+    dec, r = decode_wav(encode_wav_ima_adpcm(samples, rate))
+    assert r == rate and len(dec) == len(samples)
+    assert all(-1.0 <= d <= 32767 / 32768 for d in dec)
+    for base in range(0, len(samples), 505):
+        lead = max(-32768, min(32767, samples[base]))
+        assert int(round(dec[base] * 32768)) == lead
