@@ -13,8 +13,12 @@ library.
 
 Profiles:
 - BMP: BITMAPINFOHEADER (and the larger V4/V5 headers, which embed it),
-  bottom-up or top-down rows, 24-bit BI_RGB, 8-bit palette BI_RGB, and
-  8-bit BI_RLE8 (absolute + encoded runs, EOL/EOD/delta escapes).
+  bottom-up or top-down rows, 24-bit and 32-bit BGRA BI_RGB, 16-bit
+  (5-5-5 BI_RGB and arbitrary contiguous BI_BITFIELDS masks with exact
+  bit-replication expansion), 1/4/8-bit palette BI_RGB (MSB-first
+  packing), and BI_RLE8 + BI_RLE4 (absolute + encoded runs, EOL/EOD/
+  delta escapes) — the full profile matrix a crawl actually contains
+  (r13 completed 1/4/16/32-bit + RLE4).
 - GIF: 87a/89a, global and local color tables, variable-width LZW with
   clear/end codes, interlaced and non-interlaced. decode_gif returns
   the first frame frame-local (a GCE transparent index is emitted as
@@ -83,8 +87,65 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
                 out[dst + 3 * x + 2] = b
         return width, height, 3, bytes(out)
 
-    if bpp == 8 and compression in (0, 1):  # BI_RGB / BI_RLE8
-        n_colors = n_colors or 256
+    if bpp == 32 and compression in (0, 3):  # BGRA / BITFIELDS-BGRA (r13)
+        row_stride = width * 4  # already dword-aligned
+        if len(data) < pix_off + row_stride * height:
+            raise ValueError("truncated BMP pixel data")
+        out = bytearray(width * height * 3)
+        for r in range(height):
+            src_row = r if top_down else height - 1 - r
+            base = pix_off + src_row * row_stride
+            dst = r * width * 3
+            for x in range(width):
+                b, g, rr = data[base + 4 * x : base + 4 * x + 3]
+                out[dst + 3 * x] = rr
+                out[dst + 3 * x + 1] = g
+                out[dst + 3 * x + 2] = b
+        return width, height, 3, bytes(out)
+
+    if bpp == 16 and compression in (0, 3):  # 555 default / BITFIELDS (r13)
+        if compression == 3:
+            if len(data) < 66:
+                raise ValueError("truncated BMP bitfields masks")
+            # the three channel masks sit right after the 40-byte info
+            # header (V4/V5 embed them at the same offset)
+            rm, gm, bm = struct.unpack_from("<III", data, 54)
+        else:
+            rm, gm, bm = 0x7C00, 0x03E0, 0x001F  # BI_RGB 16-bit means 5-5-5
+        masks = []
+        for m in (rm, gm, bm):
+            if m == 0:
+                raise ValueError("BMP bitfields mask is zero")
+            shift = (m & -m).bit_length() - 1
+            bits = (m >> shift).bit_length()
+            if bits > 8 or (m >> shift) != (1 << bits) - 1:
+                raise ValueError(f"non-contiguous BMP channel mask 0x{m:x}")
+            masks.append((m, shift, bits))
+        row_stride = (width * 2 + 3) & ~3
+        if len(data) < pix_off + row_stride * height:
+            raise ValueError("truncated BMP pixel data")
+        out = bytearray(width * height * 3)
+        for r in range(height):
+            src_row = r if top_down else height - 1 - r
+            base = pix_off + src_row * row_stride
+            dst = r * width * 3
+            for x in range(width):
+                px = data[base + 2 * x] | (data[base + 2 * x + 1] << 8)
+                for c, (m, shift, bits) in enumerate(masks):
+                    v = (px & m) >> shift
+                    # bit replication: exact 0->0 / max->255 expansion
+                    v8 = (v << (8 - bits)) | (v >> max(0, 2 * bits - 8))
+                    out[dst + 3 * x + c] = v8
+        return width, height, 3, bytes(out)
+
+    if bpp in (1, 4, 8) and compression in (0, 1, 2):
+        # palette profiles: BI_RGB at 1/4/8 bits per index, BI_RLE8
+        # (bpp 8 + compression 1), BI_RLE4 (bpp 4 + compression 2, r13)
+        if compression == 1 and bpp != 8:
+            raise ValueError("BI_RLE8 requires 8-bit BMP")
+        if compression == 2 and bpp != 4:
+            raise ValueError("BI_RLE4 requires 4-bit BMP")
+        n_colors = n_colors or (1 << bpp)
         pal_off = 14 + hdr_size
         if len(data) < pal_off + 4 * n_colors:
             raise ValueError("truncated BMP palette")
@@ -94,21 +155,34 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
         ]
         idx = bytearray(width * height)  # bottom-up index plane
         if compression == 0:
-            row_stride = (width + 3) & ~3
+            row_stride = ((width * bpp + 31) // 32) * 4
             if len(data) < pix_off + row_stride * height:
                 raise ValueError("truncated BMP pixel data")
+            per_byte = 8 // bpp
+            mask = (1 << bpp) - 1
             for r in range(height):
                 base = pix_off + r * row_stride
-                idx[r * width : (r + 1) * width] = data[base : base + width]
-        else:  # RLE8: escapes 0=EOL 1=EOD 2=delta, else absolute run
+                row = r * width
+                if bpp == 8:
+                    idx[row : row + width] = data[base : base + width]
+                else:  # 1/4-bit: MSB-first packing
+                    for x in range(width):
+                        byte = data[base + x // per_byte]
+                        shift = 8 - bpp * (x % per_byte + 1)
+                        idx[row + x] = (byte >> shift) & mask
+        else:  # RLE8 / RLE4: escapes 0=EOL 1=EOD 2=delta, else runs
             i, x, y = pix_off, 0, 0
             while i + 1 < len(data):
                 count, val = data[i], data[i + 1]
                 i += 2
-                if count > 0:  # encoded run: count copies of val
+                if count > 0:  # encoded run
                     if y >= height or x + count > width:
                         raise ValueError("BMP RLE run overflows the bitmap")
-                    idx[y * width + x : y * width + x + count] = bytes([val]) * count
+                    if compression == 1:
+                        idx[y * width + x : y * width + x + count] = bytes([val]) * count
+                    else:  # RLE4 alternates the two nibbles of val
+                        for k in range(count):
+                            idx[y * width + x + k] = (val >> 4) if k % 2 == 0 else (val & 0x0F)
                     x += count
                 elif val == 0:  # end of line
                     x, y = 0, y + 1
@@ -121,13 +195,19 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
                     y += data[i + 1]
                     i += 2
                 else:  # absolute mode: val literal indices, word-aligned
-                    if i + val > len(data):
+                    n_bytes = val if compression == 1 else (val + 1) // 2
+                    if i + n_bytes > len(data):
                         raise ValueError("truncated BMP RLE absolute run")
                     if y >= height or x + val > width:
                         raise ValueError("BMP RLE run overflows the bitmap")
-                    idx[y * width + x : y * width + x + val] = data[i : i + val]
+                    if compression == 1:
+                        idx[y * width + x : y * width + x + val] = data[i : i + val]
+                    else:
+                        for k in range(val):
+                            byte = data[i + k // 2]
+                            idx[y * width + x + k] = (byte >> 4) if k % 2 == 0 else (byte & 0x0F)
                     x += val
-                    i += val + (val & 1)
+                    i += n_bytes + (n_bytes & 1)
                 if x > width or y > height:
                     raise ValueError("BMP RLE run overflows the bitmap")
         out = bytearray(width * height * 3)
@@ -135,11 +215,39 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
             src_row = r if top_down else height - 1 - r
             dst = r * width * 3
             for x in range(width):
-                c = palette[idx[src_row * width + x]]
-                out[dst + 3 * x : dst + 3 * x + 3] = bytes(c)
+                c = idx[src_row * width + x]
+                if c >= len(palette):
+                    raise ValueError("BMP index outside the color table")
+                out[dst + 3 * x : dst + 3 * x + 3] = bytes(palette[c])
         return width, height, 3, bytes(out)
 
     raise ValueError(f"unsupported BMP profile: bpp={bpp} compression={compression}")
+
+
+def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
+    """Row-major RGB bytes → 24-bit BI_RGB bottom-up BMP (r13). The
+    fixture-encoder sibling of png.encode_png: lets oracle-backed
+    queries and tests drive the BMP decode path with known pixels."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixel buffer size mismatch")
+    stride = (width * 3 + 3) & ~3
+    body = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up file order
+        row = bytearray()
+        for x in range(width):
+            p = (r * width + x) * 3
+            row += bytes((pixels[p + 2], pixels[p + 1], pixels[p]))  # BGR
+        row += b"\x00" * (stride - len(row))
+        body += row
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40)
+        + info
+        + bytes(body)
+    )
 
 
 def _gif_subblocks(data: bytes, i: int) -> tuple[bytes, int]:

@@ -668,6 +668,49 @@ def attach_wav_payload(
     )
 
 
+def sniff_audio_meta(payload: bytes) -> tuple[str, int, int, int] | None:
+    """Header-only (codec, sample_rate, channels, n_samples) probe for
+    RIFF/WAVE payloads — NO sample decode, the audio sibling of
+    sniff_image_dims: a 100 TB metadata scan reads fmt/fact/data chunk
+    HEADERS, never the sample stream. n_samples comes from the fact
+    chunk when present (mandatory for compressed formats), else from
+    the data size over the PCM frame width. Returns None for non-WAV
+    payloads — never raises on malformed bytes."""
+    import struct as _struct
+
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    names = {1: "pcm", 6: "alaw", 7: "mulaw", 0x11: "ima_adpcm"}
+    pos, n = 12, len(b)
+    codec = None
+    rate = channels = bits = 0
+    fact = None
+    data_size = None
+    while pos + 8 <= n:
+        cid = b[pos : pos + 4]
+        (size,) = _struct.unpack_from("<I", b, pos + 4)
+        if cid == b"fmt " and size >= 16 and pos + 8 + 16 <= n:
+            tag, channels, rate, _, _, bits = _struct.unpack_from("<HHIIHH", b, pos + 8)
+            codec = names.get(tag, f"unknown-{tag}")
+        elif cid == b"fact" and size >= 4 and pos + 12 <= n:
+            (fact,) = _struct.unpack_from("<I", b, pos + 8)
+        elif cid == b"data":
+            data_size = size  # header only — do NOT touch the samples
+        pos += 8 + size + (size % 2)
+    if codec is None or data_size is None:
+        return None
+    if fact is not None:
+        n_samples = fact
+    elif codec == "pcm" and bits and channels:
+        n_samples = data_size // (max(1, bits // 8) * channels)
+    elif codec in ("alaw", "mulaw") and channels:
+        n_samples = data_size // channels
+    else:
+        n_samples = -1  # compressed without a fact chunk: unknown
+    return codec, rate, channels, n_samples
+
+
 def attach_g711_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Simulate a telephony-audio corpus with REAL G.711 WAV bytes
     (r13): each document's data chunk is its md5(text) digest tiled 8×

@@ -2,18 +2,22 @@
 
 A real-but-minimal decoder so the multimodal pipeline's decode stage
 (operators/multimodal.decode_image) computes ACTUAL pixel features in
-this container, which has no imaging libraries. Supports the common
-still-image profile: 8-bit depth, color types 0 (gray), 2 (RGB),
-3 (palette), 4 (gray+alpha), 6 (RGBA), all five scanline filters,
-non-interlaced. Anything else raises ValueError — a production cluster
-swaps in PIL/opencv behind the same kernel signature and nothing else
-changes (the mapInPandas plumbing is the contract).
+this container, which has no imaging libraries. Supports the full
+still-image profile matrix of the spec (r13): bit depths 1/2/4
+(gray + palette), 8, and 16 (high-byte downsample to the 8-bit
+contract), color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+6 (RGBA), all five scanline filters, and BOTH interlace methods (none
+and Adam7 seven-pass). Only a malformed stream raises ValueError — a
+production cluster swaps in PIL/opencv behind the same kernel
+signature and nothing else changes (the mapInPandas plumbing is the
+contract).
 
 The encoder (8-bit gray/RGB/RGBA, filter 0) exists to build valid
 fixtures and deterministic synthetic payloads without any library.
 
 Format reference: the public PNG specification (RFC 2083 / W3C PNG) —
-chunk layout, filter algorithms (incl. the Paeth predictor), and CRC.
+chunk layout, filter algorithms (incl. the Paeth predictor), bit-depth
+sample packing (MSB-first), and the Adam7 pass grid.
 """
 
 from __future__ import annotations
@@ -25,6 +29,16 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # per color type, pre-palette
 
+#: spec-legal bit depths per color type (palette caps at 8; the
+#: multi-sample types require 8/16)
+_LEGAL_DEPTHS = {0: {1, 2, 4, 8, 16}, 2: {8, 16}, 3: {1, 2, 4, 8}, 4: {8, 16}, 6: {8, 16}}
+
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass, in pass order
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
 
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
@@ -32,6 +46,69 @@ def _paeth(a: int, b: int, c: int) -> int:
     if pa <= pb and pa <= pc:
         return a
     return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, off: int, height: int, stride: int, bpp: int) -> bytearray:
+    """Undo the five scanline filters over ``height`` rows of ``stride``
+    filtered bytes each (filter byte leads every row); ``bpp`` is the
+    whole-byte distance to the left neighbor (max(1, channels*depth//8)
+    per the spec). Returns the raw byte plane."""
+    out = bytearray(stride * height)
+    prev_start = -1
+    for y in range(height):
+        row = off + y * (stride + 1)
+        f = raw[row]
+        line_in = raw[row + 1 : row + 1 + stride]
+        base = y * stride
+        if f == 0:  # None
+            out[base : base + stride] = line_in
+        elif f == 1:  # Sub
+            for x in range(stride):
+                left = out[base + x - bpp] if x >= bpp else 0
+                out[base + x] = (line_in[x] + left) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                up = out[prev_start + x] if y > 0 else 0
+                out[base + x] = (line_in[x] + up) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = out[base + x - bpp] if x >= bpp else 0
+                up = out[prev_start + x] if y > 0 else 0
+                out[base + x] = (line_in[x] + (left + up) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                left = out[base + x - bpp] if x >= bpp else 0
+                up = out[prev_start + x] if y > 0 else 0
+                ul = out[prev_start + x - bpp] if (y > 0 and x >= bpp) else 0
+                out[base + x] = (line_in[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        prev_start = base
+    return out
+
+
+def _row_samples(
+    plane: bytearray, row_base: int, width: int, ch: int, depth: int, scale: bool
+) -> list[int]:
+    """One scanline of the unfiltered byte plane -> width*ch 8-bit
+    samples. Sub-byte depths unpack MSB-first; depth 16 keeps the high
+    byte (the spec's 8-bit downsample); ``scale`` stretches sub-byte
+    GRAY levels to 0..255 (exact: 255/(2^d-1) is an integer for
+    d in {1, 2, 4}) while palette INDICES stay raw."""
+    if depth == 8:
+        return list(plane[row_base : row_base + width * ch])
+    if depth == 16:
+        return list(plane[row_base : row_base + width * ch * 2 : 2])
+    # depths 1/2/4: single-channel only (gray or palette indices)
+    factor = 255 // ((1 << depth) - 1) if scale else 1
+    per_byte = 8 // depth
+    mask = (1 << depth) - 1
+    out = []
+    for x in range(width):
+        byte = plane[row_base + x // per_byte]
+        shift = 8 - depth * (x % per_byte + 1)
+        out.append(((byte >> shift) & mask) * factor)
+    return out
 
 
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
@@ -64,51 +141,58 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length  # len + type + body + crc
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8:
-        raise ValueError(f"unsupported PNG bit depth {bit_depth} (only 8)")
     if color_type not in _CHANNELS:
         raise ValueError(f"unsupported PNG color type {color_type}")
-    if interlace != 0:
-        raise ValueError("interlaced PNG unsupported")
+    if bit_depth not in _LEGAL_DEPTHS[color_type]:
+        raise ValueError(
+            f"illegal PNG bit depth {bit_depth} for color type {color_type}"
+        )
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if color_type == 3 and palette is None:
         raise ValueError("palette PNG missing PLTE")
 
     ch = _CHANNELS[color_type]
-    stride = width * ch
+    scale_gray = color_type == 0 and bit_depth < 8
+    bpp = max(1, ch * bit_depth // 8)
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("PNG pixel data length mismatch")
 
-    out = bytearray(stride * height)
-    prev_start = -1
-    for y in range(height):
-        f = raw[y * (stride + 1)]
-        line_in = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
-        base = y * stride
-        if f == 0:  # None
-            out[base : base + stride] = line_in
-        elif f == 1:  # Sub
-            for x in range(stride):
-                left = out[base + x - ch] if x >= ch else 0
-                out[base + x] = (line_in[x] + left) & 0xFF
-        elif f == 2:  # Up
-            for x in range(stride):
-                up = out[prev_start + x] if y > 0 else 0
-                out[base + x] = (line_in[x] + up) & 0xFF
-        elif f == 3:  # Average
-            for x in range(stride):
-                left = out[base + x - ch] if x >= ch else 0
-                up = out[prev_start + x] if y > 0 else 0
-                out[base + x] = (line_in[x] + (left + up) // 2) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                left = out[base + x - ch] if x >= ch else 0
-                up = out[prev_start + x] if y > 0 else 0
-                ul = out[prev_start + x - ch] if (y > 0 and x >= ch) else 0
-                out[base + x] = (line_in[x] + _paeth(left, up, ul)) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter byte {f}")
-        prev_start = base
+    def sub_stride(w: int) -> int:
+        return (w * ch * bit_depth + 7) // 8
+
+    samples = [0] * (width * height * ch)
+    if interlace == 0:
+        stride = sub_stride(width)
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("PNG pixel data length mismatch")
+        plane = _unfilter(raw, 0, height, stride, bpp)
+        for y in range(height):
+            samples[y * width * ch : (y + 1) * width * ch] = _row_samples(
+                plane, y * stride, width, ch, bit_depth, scale_gray
+            )
+    else:  # Adam7: seven independently filtered sub-images
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            if x0 >= width or y0 >= height:
+                continue
+            w_p = (width - x0 + dx - 1) // dx
+            h_p = (height - y0 + dy - 1) // dy
+            stride = sub_stride(w_p)
+            need = (stride + 1) * h_p
+            if off + need > len(raw):
+                raise ValueError("PNG pixel data length mismatch (Adam7 pass)")
+            plane = _unfilter(raw, off, h_p, stride, bpp)
+            off += need
+            for r in range(h_p):
+                row = _row_samples(plane, r * stride, w_p, ch, bit_depth, scale_gray)
+                y = y0 + r * dy
+                for cidx in range(w_p):
+                    x = x0 + cidx * dx
+                    dst = (y * width + x) * ch
+                    samples[dst : dst + ch] = row[cidx * ch : (cidx + 1) * ch]
+        if off != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(samples)
 
     if color_type == 3:
         n_entries = len(palette) // 3

@@ -1123,3 +1123,109 @@ def test_sample_gif_frames_even_stride_and_png_rows():
         assert px == bytes([src * 10] * 48)
     # more slots than frames → every frame once
     assert len(_sample_gif_frames(gif, 9)) == 5
+
+
+# --------------------------------------------------------------------------
+# BMP profile matrix completion (r13): 1/4-bit palette, RLE4, 16/32-bit
+# --------------------------------------------------------------------------
+
+
+def _bmp(width, height, bpp, compression, pixel_data, palette=b"", masks=b""):
+    hdr_size = 40
+    pix_off = 14 + hdr_size + len(masks) + len(palette)
+    info = struct.pack(
+        "<IiiHHIIiiII", hdr_size, width, height, 1, bpp, compression,
+        len(pixel_data), 2835, 2835, len(palette) // 4, 0,
+    )
+    filehdr = b"BM" + struct.pack("<IHHI", pix_off + len(pixel_data), 0, 0, pix_off)
+    return filehdr + info + masks + palette + pixel_data
+
+
+def test_bmp_sub_byte_palette_profiles():
+    from randas_spark.operators.imagefmt import decode_bmp
+
+    pal = bytes([10, 20, 30, 0]) + bytes([200, 150, 100, 0])  # BGRX entries
+    # 1-bit, 2x2 (bottom-up): rows "10", "01" → bytes 0x80, 0x40 padded to 4
+    data = bytes([0x80, 0, 0, 0, 0x40, 0, 0, 0])
+    w, h, c, px = decode_bmp(_bmp(2, 2, 1, 0, data, palette=pal))
+    assert (w, h, c) == (2, 2, 3)
+    # bottom-up: image top row ← file row 1 "01", bottom ← file row 0 "10"
+    assert list(px) == [30, 20, 10, 100, 150, 200,
+                        100, 150, 200, 30, 20, 10]
+    # 4-bit, 3x1: indices 1,0,1 → 0x10, 0x10 padded
+    data4 = bytes([0x10, 0x10, 0, 0])
+    w, h, c, px = decode_bmp(_bmp(3, 1, 4, 0, data4, palette=pal))
+    assert list(px) == [100, 150, 200, 30, 20, 10, 100, 150, 200]
+
+
+def test_bmp_rle4_runs_absolute_and_delta():
+    from randas_spark.operators.imagefmt import decode_bmp
+
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(16))
+    # 6x2 RLE4 (bottom-up rows): row0: encoded run 3 of val 0x12 (1,2,1) +
+    # absolute run of 3 indices [3,4,5] (spec: absolute needs val >= 3);
+    # EOL; row1: delta (2,0) then run 4 of 0x45; EOD
+    stream = bytes([
+        3, 0x12,            # 1,2,1
+        0, 3, 0x34, 0x50,   # absolute: 3 indices (3,4,5), 2 bytes, no pad
+        0, 0,               # EOL
+        0, 2, 2, 0,         # delta right 2
+        4, 0x45,            # 4,5,4,5
+        0, 1,               # EOD
+    ])
+    w, h, c, px = decode_bmp(_bmp(6, 2, 4, 2, stream, palette=pal))
+    assert (w, h, c) == (6, 2, 3)
+    grid = [px[i * 3] for i in range(12)]  # gray palette → value == index
+    # image row 0 = file row 1 (delta skipped x 0..1 stay index 0)
+    assert grid[:6] == [0, 0, 4, 5, 4, 5]
+    assert grid[6:] == [1, 2, 1, 3, 4, 5]
+
+
+def test_bmp_16bit_555_and_565_bitfields():
+    from randas_spark.operators.imagefmt import decode_bmp
+
+    # 555 BI_RGB: (31,0,0)=red max, (0,31,0), (0,0,31), mid gray (16,16,16)
+    def px555(r, g, b):
+        return struct.pack("<H", (r << 10) | (g << 5) | b)
+
+    data = px555(31, 0, 0) + px555(0, 31, 0) + px555(0, 0, 31) + px555(16, 16, 16)
+    w, h, c, px = decode_bmp(_bmp(4, 1, 16, 0, data))
+    assert (w, h, c) == (4, 1, 3)
+    assert list(px[:9]) == [255, 0, 0, 0, 255, 0, 0, 0, 255]
+    assert list(px[9:12]) == [132, 132, 132]  # 16<<3 | 16>>2 = 132 bit-replicated
+
+    # 565 BITFIELDS: green has 6 bits
+    masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+
+    def px565(r, g, b):
+        return struct.pack("<H", (r << 11) | (g << 5) | b)
+
+    data = px565(31, 63, 31) + px565(0, 32, 0) + bytes(0)
+    w, h, c, px = decode_bmp(_bmp(2, 1, 16, 3, data, masks=masks))
+    assert list(px[:3]) == [255, 255, 255]
+    assert list(px[3:6]) == [0, 130, 0]  # 32<<2 | 32>>4 = 130
+
+
+def test_bmp_32bit_bgra():
+    from randas_spark.operators.imagefmt import decode_bmp
+
+    # 2x1 top-down (negative height): BGRA pixels
+    data = bytes([10, 20, 30, 255, 40, 50, 60, 0])
+    bmp = _bmp(2, -1, 32, 0, data)
+    w, h, c, px = decode_bmp(bmp)
+    assert (w, h, c) == (2, 1, 3)
+    assert list(px) == [30, 20, 10, 60, 50, 40]
+
+
+def test_encode_bmp_roundtrip_and_padding():
+    from randas_spark.operators.imagefmt import decode_bmp, encode_bmp
+
+    src = bytes((i * 7 + 3) % 256 for i in range(8 * 8 * 3))
+    assert decode_bmp(encode_bmp(src, 8, 8)) == (8, 8, 3, src)
+    # odd width exercises the 4-byte row padding
+    src2 = bytes((i * 5 + 1) % 256 for i in range(3 * 2 * 3))
+    assert decode_bmp(encode_bmp(src2, 3, 2)) == (3, 2, 3, src2)
+    import pytest
+
+    with pytest.raises(ValueError, match="size mismatch"):
+        encode_bmp(b"\x00" * 5, 2, 2)

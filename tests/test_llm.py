@@ -3512,3 +3512,24 @@ def test_assign_topk_cells_empty_centroid_frame(spark, emb):
     out = assign_topk_cells(emb.limit(5), "vec_id", "embedding", cent, 2)
     assert [f.name for f in out.schema.fields] == ["vid", "cell", "rn"]
     assert out.count() == 0
+
+
+def test_sniff_audio_meta_headers_only():
+    """Header probe must read fmt/fact/data chunk HEADERS only and
+    report the right codec/rate/channels/sample count for every WAV
+    profile the codec family ships — and None on non-WAV bytes."""
+    from randas_spark.operators.multimodal import sniff_audio_meta
+    from randas_spark.operators.wav import (
+        encode_wav,
+        encode_wav_g711,
+        encode_wav_ima_adpcm,
+    )
+
+    assert sniff_audio_meta(encode_wav([0] * 512, 8000)) == ("pcm", 8000, 1, 512)
+    assert sniff_audio_meta(encode_wav_g711(b"\x01" * 128, "mulaw")) == ("mulaw", 8000, 1, 128)
+    assert sniff_audio_meta(encode_wav_g711(b"\x01" * 128, "alaw")) == ("alaw", 8000, 1, 128)
+    assert sniff_audio_meta(encode_wav_ima_adpcm([0] * 600, 16000)) == (
+        "ima_adpcm", 16000, 1, 600,
+    )
+    assert sniff_audio_meta(b"not riff at all") is None
+    assert sniff_audio_meta(b"RIFF\x00\x00\x00\x00WAVEtrunc") is None
