@@ -668,6 +668,112 @@ def attach_wav_payload(
     )
 
 
+def attach_bmp_payload(
+    df: DataFrame, id_col: str, text_col: str, width: int = 8, height: int = 8
+) -> DataFrame:
+    """Simulate a corpus of REAL BMP bytes (r13): each document gets a
+    24-bit BI_RGB bottom-up BMP whose row-major RGB pixels are the
+    REVERSED md5(text) digest tiled to width·height·3 bytes (reversed
+    so this fixture is distinguishable from the PNG twin's forward
+    tiling), encoded by imagefmt.encode_bmp — the decode stage
+    downstream exercises the actual BGR/bottom-up normalization path."""
+    from randas_spark.operators.imagefmt import encode_bmp
+
+    n_px = width * height * 3
+
+    @F.pandas_udf("binary")
+    def bmp_of(texts: pd.Series) -> pd.Series:
+        def make(text: str) -> bytes:
+            seed = hashlib.md5(text.encode()).digest()[::-1]
+            pixels = (seed * (n_px // len(seed) + 1))[:n_px]
+            return encode_bmp(pixels, width, height)
+
+        return texts.map(make)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), bmp_of(F.col(text_col)).alias("payload")
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/bmp").alias("mime"),
+            F.length(F.col("payload")).cast("long").alias("n_bytes"),
+            F.lit(width).cast("long").alias("width"),
+            F.lit(height).cast("long").alias("height"),
+        ),
+    )
+
+
+def attach_audio_mixed(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Simulate a MIXED-codec audio corpus (r13): by doc_id mod 4 the
+    payload is a PCM16 tone WAV (0), μ-law (1) / A-law (2) G.711
+    container, or a single-block IMA ADPCM container (3) — all real
+    bytes from the operators/wav encoders, all digest-deterministic.
+    The shape a crawl's audio column actually has: heterogeneous
+    codecs in one binary column, dispatched by header."""
+    import math
+    import struct as _struct
+
+    from randas_spark.operators.wav import (
+        encode_wav,
+        encode_wav_g711,
+        wrap_ima_adpcm,
+    )
+
+    @F.pandas_udf("binary")
+    def audio_of(doc_ids: pd.Series, texts: pd.Series) -> pd.Series:
+        def make(doc_id: int, text: str) -> bytes:
+            dg = hashlib.md5(text.encode()).digest()
+            kind = int(doc_id) % 4
+            if kind == 0:
+                freq = 100 + dg[0] * 8
+                phase = dg[1] / 255.0 * 2 * math.pi
+                samples = [
+                    int(30000 * math.sin(2 * math.pi * freq * i / 8000 + phase))
+                    for i in range(512)
+                ]
+                return encode_wav(samples, 8000)
+            if kind in (1, 2):
+                law = "mulaw" if kind == 1 else "alaw"
+                return encode_wav_g711(dg * 8, law=law, sample_rate=8000)
+            data = _struct.pack("<hBB", _struct.unpack("<h", dg[:2])[0], dg[2] % 89, 0)
+            return wrap_ima_adpcm(data + dg * 4, 129, 8000, 68, 129)
+
+        return pd.Series([make(i, t) for i, t in zip(doc_ids, texts)])
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        audio_of(F.col(id_col), F.col(text_col)).alias("payload"),
+    )
+
+
+AUDIO_META_SCHEMA = (
+    "doc_id long, codec string, sample_rate long, channels long, n_samples long"
+)
+
+
+def probe_audio_meta(df: DataFrame) -> DataFrame:
+    """mapInPandas header-only audio metadata scan (sniff_audio_meta per
+    payload): the 100 TB metadata-extraction shape — reads fmt/fact/data
+    chunk headers, never the sample stream, embarrassingly parallel,
+    zero shuffles. Unknown payloads emit NULL columns rather than
+    failing the scan."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [sniff_audio_meta(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "codec": [r[0] if r else None for r in rows],
+                    "sample_rate": [r[1] if r else None for r in rows],
+                    "channels": [r[2] if r else None for r in rows],
+                    "n_samples": [r[3] if r else None for r in rows],
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=AUDIO_META_SCHEMA)
+
+
 def sniff_audio_meta(payload: bytes) -> tuple[str, int, int, int] | None:
     """Header-only (codec, sample_rate, channels, n_samples) probe for
     RIFF/WAVE payloads — NO sample decode, the audio sibling of

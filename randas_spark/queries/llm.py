@@ -673,6 +673,108 @@ def llm_multimodal_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_multimodal_bmp",
+    oracle=f"""
+    WITH dig AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 15),
+                   k -> CAST(('0x' || substr(md5(text), 2*k + 1, 2)) AS INT)) AS dg
+        FROM documents
+    ), rev AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 15), k -> dg[16 - k]) AS dr
+        FROM dig
+    ), px AS (
+        SELECT doc_id, dr,
+               flatten(list_transform(generate_series(1, 12), r -> dr)) AS pixels,
+               CAST(list_sum(dr) * 12 AS DOUBLE) / 192 AS mean_px
+        FROM rev
+    ), stats AS (
+        SELECT doc_id, mean_px,
+               list_reduce(list_transform(pixels,
+                               p -> (p - mean_px) * (p - mean_px)),
+                           (a, b) -> a + b) / 192 AS var_px,
+               CAST(list_min(dr) AS DOUBLE) AS minp,
+               CAST(list_max(dr) AS DOUBLE) AS maxp,
+               CAST(list_sum(list_transform(generate_series(0, 63),
+                                 k -> dr[((3*k) % 16) + 1])) AS DOUBLE) / 64 AS c0m
+        FROM px
+    )
+    SELECT doc_id, 'image' AS modality,
+           CAST(8 AS DOUBLE) AS f_width, CAST(8 AS DOUBLE) AS f_height,
+           CAST(3 AS DOUBLE) AS f_channels,
+           {sql_fround('mean_px / 255', 6)} AS f_mean,
+           {sql_fround('sqrt(var_px) / 255', 6)} AS f_std,
+           {sql_fround('minp / 255', 6)} AS f_min,
+           {sql_fround('maxp / 255', 6)} AS f_max,
+           {sql_fround('c0m / 255', 6)} AS f_c0
+    FROM stats
+    """,
+)
+def llm_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_multimodal_features' BMP twin (r13): every document carries a
+    valid 8×8 24-bit BI_RGB bottom-up BMP (attach_bmp_payload — the
+    REVERSED digest tiled 12×, encoded by imagefmt.encode_bmp) and
+    extract_features decodes the actual BGR/bottom-up scanlines via
+    operators/imagefmt.decode_bmp inside the mapInPandas stage —
+    fake=False, no stub. The oracle recomputes every feature FROM FIRST
+    PRINCIPLES in DuckDB over the reversed digest bytes (the same IEEE
+    op order as png.pixel_features), so the value hash proves BMP
+    encode → BGR/bottom-up normalize → feature chain bit-exact on every
+    document — and the reversed tiling makes any accidental PNG/BMP
+    fixture cross-wiring hash-visible. Scale shape: embarrassingly
+    parallel mapInPandas scan, zero shuffles."""
+    from randas_spark.operators.multimodal import attach_bmp_payload, extract_features
+
+    d = t(spark, sf_dir, "documents")
+    out = extract_features(attach_bmp_payload(d, "doc_id", "text"), fake=False)
+    f = F.col("feature")
+    return out.select(
+        "doc_id",
+        "modality",
+        f[0].alias("f_width"),
+        f[1].alias("f_height"),
+        f[2].alias("f_channels"),
+        fround(f[3], 6).alias("f_mean"),
+        fround(f[4], 6).alias("f_std"),
+        fround(f[5], 6).alias("f_min"),
+        fround(f[6], 6).alias("f_max"),
+        fround(f[7], 6).alias("f_c0"),
+    )
+
+
+@register(
+    "llm_multimodal_audio_probe",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'pcm' WHEN 1 THEN 'mulaw'
+                           WHEN 2 THEN 'alaw' ELSE 'ima_adpcm' END AS codec,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 512 WHEN 3 THEN 129
+                                ELSE 128 END AS BIGINT) AS n_samples
+    FROM documents
+    """,
+)
+def llm_multimodal_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only metadata scan over a MIXED-codec audio corpus (r13):
+    attach_audio_mixed gives each document a real PCM16 / μ-law / A-law
+    / IMA-ADPCM WAV by doc_id mod 4, and probe_audio_meta reads ONLY the
+    fmt/fact/data chunk headers (sniff_audio_meta — never the sample
+    stream) to emit (codec, rate, channels, n_samples) per document.
+    This is the 100 TB metadata-extraction shape: heterogeneous binary
+    column, header-dispatch, zero decode cost, zero shuffles. The
+    oracle pins the full metadata row per parity class — PCM counts
+    derive from the data size, compressed counts from the mandatory
+    fact chunk, so the value hash proves the container writers and the
+    header parser agree on every field."""
+    from randas_spark.operators.multimodal import attach_audio_mixed, probe_audio_meta
+
+    d = t(spark, sf_dir, "documents")
+    return probe_audio_meta(attach_audio_mixed(d, "doc_id", "text"))
+
+
+@register(
     "llm_multimodal_gif_frames",
     oracle=f"""
     WITH dig AS (
@@ -749,6 +851,118 @@ def llm_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id",
         "frame_idx",
+        "modality",
+        f[0].alias("f_width"),
+        f[1].alias("f_height"),
+        f[2].alias("f_channels"),
+        fround(f[3], 6).alias("f_mean"),
+        fround(f[4], 6).alias("f_std"),
+        fround(f[5], 6).alias("f_min"),
+        fround(f[6], 6).alias("f_max"),
+        fround(f[7], 6).alias("f_c0"),
+    )
+
+
+def _gif_resize_block_sum_sql() -> str:
+    """The composed GIF-frame → 2×2-box-filter byte sum for the
+    llm_multimodal_pipeline_real oracle: four palette-mapped digest
+    lookups per output byte (channel map applied BEFORE summation —
+    (7u+3) mod 256 does not commute with the block sum)."""
+    ch = "k % 3"
+    terms = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            u = (
+                f"dg[(((2*(k // 12) + {dy}) * 8 + 2*((k // 3) % 4) + {dx})"
+                f" + 10 * frame_idx) % 16 + 1]"
+            )
+            terms.append(
+                f"(CASE {ch} WHEN 0 THEN {u} WHEN 1 THEN 255 - {u}"
+                f" ELSE ({u} * 7 + 3) % 256 END)"
+            )
+    return " + ".join(terms)
+
+
+@register(
+    "llm_multimodal_pipeline_real",
+    oracle=f"""
+    WITH dig AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 15),
+                   k -> CAST(('0x' || substr(md5(text), 2*k + 1, 2)) AS INT)) AS dg
+        FROM documents
+    ), fr AS (
+        SELECT doc_id, dg, unnest([0, 1]) AS frame_idx FROM dig
+    ), rz AS (
+        SELECT doc_id, frame_idx,
+               list_transform(generate_series(0, 47),
+                   k -> ({_gif_resize_block_sum_sql()} + 2) // 4) AS px
+        FROM fr
+    ), st AS (
+        SELECT doc_id, frame_idx, px,
+               CAST(list_sum(px) AS DOUBLE) / 48 AS mean_px
+        FROM rz
+    ), stats AS (
+        SELECT doc_id, frame_idx, mean_px,
+               list_reduce(list_transform(px,
+                               p -> (p - mean_px) * (p - mean_px)),
+                           (a, b) -> a + b) / 48 AS var_px,
+               CAST(list_min(px) AS DOUBLE) AS minp,
+               CAST(list_max(px) AS DOUBLE) AS maxp,
+               CAST(list_sum(list_transform(generate_series(0, 15),
+                                 j -> px[3*j + 1])) AS DOUBLE) / 16 AS c0m
+        FROM st
+    )
+    SELECT doc_id, frame_idx, 'image' AS modality,
+           CAST(4 AS DOUBLE) AS f_width, CAST(4 AS DOUBLE) AS f_height,
+           CAST(3 AS DOUBLE) AS f_channels,
+           {sql_fround('mean_px / 255', 6)} AS f_mean,
+           {sql_fround('sqrt(var_px) / 255', 6)} AS f_std,
+           {sql_fround('minp / 255', 6)} AS f_min,
+           {sql_fround('maxp / 255', 6)} AS f_max,
+           {sql_fround('c0m / 255', 6)} AS f_c0
+    FROM stats
+    """,
+)
+def llm_multimodal_pipeline_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL full multimodal chain (r13, the 300th registry query):
+    attach a 4-frame animated GIF per document → sample_frames
+    (fake=False: LZW decode + GIF89a compositing + even stride, frames
+    0 and 2 as PNG rows) → resize_images (fake=False: PNG decode +
+    exact 2×2 int64 box filter + PNG re-encode) → extract_features
+    (decode the RESIZED PNG). Every stage runs a real codec kernel —
+    the fake-fixture twin llm_multimodal_pipeline pins the plumbing,
+    this row proves the actual byte chain. frame_idx rides through the
+    1:1 resize stage folded into the key (doc_id·2 + frame_idx) and is
+    split back at the end. The oracle composes the two already-proven
+    formulas — palette arithmetic over the rotated digest, then the
+    round-half-up box filter (channel map applied BEFORE the block sum,
+    which does not commute) — so the value hash proves GIF encode →
+    decode → composite → sample → resample → PNG re-encode → re-decode
+    bit-exact per document and frame. Scale shape: three chained
+    mapInPandas scan stages, zero shuffles, output bounded at 2 rows
+    per document."""
+    from randas_spark.operators.multimodal import (
+        attach_gif_payload,
+        extract_features,
+        resize_images,
+        sample_frames,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    frames = sample_frames(
+        attach_gif_payload(d, "doc_id", "text", n_frames=4), max_frames=2, fake=False
+    )
+    keyed = frames.select(
+        (F.col("doc_id") * 2 + F.col("frame_idx")).alias("doc_id"),
+        F.col("frame").alias("payload"),
+        "meta",
+    )
+    out = extract_features(resize_images(keyed, 4, 4, fake=False), fake=False)
+    f = F.col("feature")
+    return out.select(
+        ((F.col("doc_id") - F.col("doc_id") % 2) / 2).cast("long").alias("doc_id"),
+        (F.col("doc_id") % 2).alias("frame_idx"),
         "modality",
         f[0].alias("f_width"),
         f[1].alias("f_height"),
