@@ -87,31 +87,17 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
                 out[dst + 3 * x + 2] = b
         return width, height, 3, bytes(out)
 
-    if bpp == 32 and compression in (0, 3):  # BGRA / BITFIELDS-BGRA (r13)
-        row_stride = width * 4  # already dword-aligned
-        if len(data) < pix_off + row_stride * height:
-            raise ValueError("truncated BMP pixel data")
-        out = bytearray(width * height * 3)
-        for r in range(height):
-            src_row = r if top_down else height - 1 - r
-            base = pix_off + src_row * row_stride
-            dst = r * width * 3
-            for x in range(width):
-                b, g, rr = data[base + 4 * x : base + 4 * x + 3]
-                out[dst + 3 * x] = rr
-                out[dst + 3 * x + 1] = g
-                out[dst + 3 * x + 2] = b
-        return width, height, 3, bytes(out)
-
-    if bpp == 16 and compression in (0, 3):  # 555 default / BITFIELDS (r13)
+    if bpp in (16, 32) and compression in (0, 3):  # 555/BGRA / BITFIELDS (r13)
         if compression == 3:
             if len(data) < 66:
                 raise ValueError("truncated BMP bitfields masks")
             # the three channel masks sit right after the 40-byte info
             # header (V4/V5 embed them at the same offset)
             rm, gm, bm = struct.unpack_from("<III", data, 54)
-        else:
+        elif bpp == 16:
             rm, gm, bm = 0x7C00, 0x03E0, 0x001F  # BI_RGB 16-bit means 5-5-5
+        else:
+            rm, gm, bm = 0x00FF0000, 0x0000FF00, 0x000000FF  # BI_RGB BGRA
         masks = []
         for m in (rm, gm, bm):
             if m == 0:
@@ -120,8 +106,19 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
             bits = (m >> shift).bit_length()
             if bits > 8 or (m >> shift) != (1 << bits) - 1:
                 raise ValueError(f"non-contiguous BMP channel mask 0x{m:x}")
-            masks.append((m, shift, bits))
-        row_stride = (width * 2 + 3) & ~3
+            # exact bit-replication expansion to 8 bits (0 -> 0 and
+            # channel max -> 255 for EVERY width 1..8, incl. 1-3 bits):
+            # repeat the bit pattern until >= 8 bits, keep the top 8
+            table = []
+            for v in range(1 << bits):
+                acc, nb = 0, 0
+                while nb < 8:
+                    acc = (acc << bits) | v
+                    nb += bits
+                table.append(acc >> (nb - 8))
+            masks.append((m, shift, table))
+        nbytes = bpp // 8
+        row_stride = (width * nbytes + 3) & ~3
         if len(data) < pix_off + row_stride * height:
             raise ValueError("truncated BMP pixel data")
         out = bytearray(width * height * 3)
@@ -130,12 +127,11 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
             base = pix_off + src_row * row_stride
             dst = r * width * 3
             for x in range(width):
-                px = data[base + 2 * x] | (data[base + 2 * x + 1] << 8)
-                for c, (m, shift, bits) in enumerate(masks):
-                    v = (px & m) >> shift
-                    # bit replication: exact 0->0 / max->255 expansion
-                    v8 = (v << (8 - bits)) | (v >> max(0, 2 * bits - 8))
-                    out[dst + 3 * x + c] = v8
+                px = int.from_bytes(
+                    data[base + nbytes * x : base + nbytes * x + nbytes], "little"
+                )
+                for c, (m, shift, table) in enumerate(masks):
+                    out[dst + 3 * x + c] = table[(px & m) >> shift]
         return width, height, 3, bytes(out)
 
     if bpp in (1, 4, 8) and compression in (0, 1, 2):
@@ -432,18 +428,24 @@ def decode_gif_frames(data: bytes) -> tuple[int, int, list[tuple[bytes, int]]]:
                 delay_cs = int.from_bytes(body[1:3], "little")
                 transparent = body[3] if packed & 0x01 else None
         elif block == 0x2C:  # image descriptor
+            if i + 11 > len(data):
+                raise ValueError("truncated GIF image descriptor")
             left, top, w, h = struct.unpack_from("<HHHH", data, i + 1)
             iflags = data[i + 9]
             i += 10
             pal = gct
             if iflags & 0x80:
                 n = 2 << (iflags & 0x07)
+                if i + 3 * n > len(data):
+                    raise ValueError("truncated GIF local color table")
                 pal = [tuple(data[i + 3 * k : i + 3 * k + 3]) for k in range(n)]
                 i += 3 * n
             if pal is None:
                 raise ValueError("GIF frame has no color table")
             if w == 0 or h == 0 or left + w > sw or top + h > sh:
                 raise ValueError("GIF frame outside the logical screen")
+            if i >= len(data):
+                raise ValueError("truncated GIF frame (missing code size)")
             min_code_size = data[i]
             payload, i = _gif_subblocks(data, i + 1)
             idx = _gif_frame_pixels(

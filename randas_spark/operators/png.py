@@ -210,10 +210,12 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
 
 
 def encode_png(pixels: bytes, width: int, height: int, channels: int) -> bytes:
-    """8-bit gray (1), RGB (3), or RGBA (4) → valid PNG, filter 0."""
-    color_type = {1: 0, 3: 2, 4: 6}.get(channels)
+    """8-bit gray (1), gray+alpha (2), RGB (3), or RGBA (4) → valid
+    PNG, filter 0. (GA added r13 so resize_kernel can round-trip
+    color-type-4 sources through the same encoder.)"""
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
     if color_type is None:
-        raise ValueError(f"channels must be 1, 3, or 4, got {channels}")
+        raise ValueError(f"channels must be 1, 2, 3, or 4, got {channels}")
     stride = width * channels
     if len(pixels) != stride * height:
         raise ValueError("pixel buffer size mismatch")

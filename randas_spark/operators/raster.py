@@ -53,8 +53,9 @@ def bilinear_resize(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     wy = (ys - np.floor(ys))[:, None, None]
     wx = (xs - np.floor(xs))[None, :, None]
     p = px.astype(np.float64)
-    top = p[y0][:, x0] * (1.0 - wx) + p[y0][:, x1] * wx
-    bot = p[y1][:, x0] * (1.0 - wx) + p[y1][:, x1] * wx
+    py0, py1 = p[y0], p[y1]  # hoisted: each row gather used twice below
+    top = py0[:, x0] * (1.0 - wx) + py0[:, x1] * wx
+    bot = py1[:, x0] * (1.0 - wx) + py1[:, x1] * wx
     out = top * (1.0 - wy) + bot * wy
     return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
 

@@ -207,10 +207,17 @@ def wrap_ima_adpcm(
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
-def _decode_ima_adpcm(data: bytes, block_align: int, n_samples: int | None) -> list[int]:
+def _decode_ima_adpcm(
+    data: bytes,
+    block_align: int,
+    n_samples: int | None,
+    samples_per_block: int | None = None,
+) -> list[int]:
     """Mono IMA ADPCM data chunk → int16 samples (per-block header state,
-    low nibble first). `n_samples` (from the fact chunk) trims the final
-    block's padding nibbles."""
+    low nibble first). The fact-chunk `n_samples` trims the final
+    block's padding nibbles; without a fact chunk (spec-mandatory but
+    missing in the wild), the fmt extension's wSamplesPerBlock caps
+    EVERY block so zero-pad nibbles never become phantom samples."""
     out: list[int] = []
     for base in range(0, len(data), block_align):
         block = data[base : base + block_align]
@@ -218,11 +225,14 @@ def _decode_ima_adpcm(data: bytes, block_align: int, n_samples: int | None) -> l
             break
         pred, index, _ = struct.unpack_from("<hBB", block, 0)
         index = max(0, min(88, index))
-        out.append(pred)
+        blk: list[int] = [pred]
         for byte in block[4:]:
             for nib in (byte & 0x0F, byte >> 4):
                 pred, index = _ima_decode_nibble(nib, pred, index)
-                out.append(pred)
+                blk.append(pred)
+        if samples_per_block is not None:
+            blk = blk[:samples_per_block]
+        out.extend(blk)
     if n_samples is not None:
         out = out[:n_samples]
     return out
@@ -249,7 +259,7 @@ def decode_wav(payload: bytes) -> tuple[list[float], int]:
         raise ValueError("not a RIFF/WAVE payload")
     pos, n = 12, len(payload)
     audio_fmt = channels = sample_rate = bits = block_align = None
-    fact_samples = None
+    fact_samples = samples_per_block = None
     data = None
     while pos + 8 <= n:
         cid = payload[pos : pos + 4]
@@ -269,6 +279,9 @@ def decode_wav(payload: bytes) -> tuple[list[float], int]:
             audio_fmt, channels, sample_rate, _, block_align, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
+            if size >= 20:  # 16 base + cbSize(2) + wSamplesPerBlock(2)
+                (ext,) = struct.unpack_from("<H", body, 18)
+                samples_per_block = ext or None
             if audio_fmt not in (
                 WAVE_FMT_PCM, WAVE_FMT_ALAW, WAVE_FMT_MULAW, WAVE_FMT_IMA_ADPCM,
             ):
@@ -298,7 +311,7 @@ def decode_wav(payload: bytes) -> tuple[list[float], int]:
             raise ValueError("only mono IMA ADPCM supported")
         if not block_align:
             raise ValueError("IMA ADPCM WAV missing block_align")
-        raw = _decode_ima_adpcm(data, block_align, fact_samples)
+        raw = _decode_ima_adpcm(data, block_align, fact_samples, samples_per_block)
     if channels > 1:  # average interleaved channels to mono
         frames = len(raw) // channels
         raw = [

@@ -997,8 +997,10 @@ def test_resize_kernel_real_path_and_boundary():
     # the honest boundary: non-image payloads raise unless fake=True
     with pytest.raises(NotImplementedError):
         resize_kernel(b"not an image", 4, 4, fake=False)
-    assert len(resize_kernel(b"not an image", 4, 4, fake=True)) == 16 // 64 * 64 or True
+    # fake budget: max(1, (w*h) // 64) bytes
+    assert len(resize_kernel(b"not an image", 4, 4, fake=True)) == 1
     assert len(resize_kernel(b"not an image", 8, 8, fake=True)) == 1
+    assert len(resize_kernel(b"not an image", 64, 64, fake=True)) == 64
 
 
 # --------------------------------------------------------------------------
@@ -1229,3 +1231,39 @@ def test_encode_bmp_roundtrip_and_padding():
 
     with pytest.raises(ValueError, match="size mismatch"):
         encode_bmp(b"\x00" * 5, 2, 2)
+
+
+def test_bmp_32bit_bitfields_honors_masks_and_narrow_masks_expand():
+    """r13 review fixes: 32-bit BITFIELDS must APPLY the channel masks
+    (an RGBA-byte-order mask set decodes unswapped), and sub-4-bit
+    masks must bit-replicate so channel max expands to exactly 255."""
+    from randas_spark.operators.imagefmt import decode_bmp
+
+    masks = struct.pack("<III", 0x000000FF, 0x0000FF00, 0x00FF0000)
+    w, h, c, px = decode_bmp(_bmp(1, 1, 32, 3, bytes([200, 100, 50, 255]), masks=masks))
+    assert list(px) == [200, 100, 50]
+    masks2 = struct.pack("<III", 0xE000, 0x1C00, 0x0300)  # 3/3/2-bit
+    w, h, c, px = decode_bmp(
+        _bmp(1, 1, 16, 3, struct.pack("<H", 0xFFFF) + b"\x00\x00", masks=masks2)
+    )
+    assert list(px) == [255, 255, 255]
+    # zero values still map to zero
+    w, h, c, px = decode_bmp(_bmp(1, 1, 16, 3, b"\x00\x00\x00\x00", masks=masks2))
+    assert list(px) == [0, 0, 0]
+
+
+def test_gif_frames_truncation_raises_valueerror():
+    """The codec-family contract: malformed containers raise ValueError,
+    never struct.error/IndexError."""
+    import pytest
+
+    from randas_spark.operators.imagefmt import decode_gif_frames
+
+    base = b"GIF89a" + struct.pack("<HH", 2, 2) + b"\x00\x00\x00"
+    with pytest.raises(ValueError):
+        decode_gif_frames(base + b"\x2c" + b"\x00\x00")  # truncated descriptor
+    with pytest.raises(ValueError):
+        # full descriptor + local-palette flag, then nothing
+        decode_gif_frames(
+            base + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + bytes([0x80])
+        )

@@ -3533,3 +3533,45 @@ def test_sniff_audio_meta_headers_only():
     )
     assert sniff_audio_meta(b"not riff at all") is None
     assert sniff_audio_meta(b"RIFF\x00\x00\x00\x00WAVEtrunc") is None
+
+
+def test_resize_kernel_gray_alpha_png():
+    """r13 review fix: color-type-4 (gray+alpha) PNGs must resize
+    through the same kernel — encode_png now accepts 2 channels."""
+    from randas_spark.operators.multimodal import resize_kernel
+    from randas_spark.operators.png import decode_png, encode_png
+
+    ga = bytes([10, 200, 30, 150, 50, 100, 70, 50])  # 2x2 GA
+    assert decode_png(encode_png(ga, 2, 2, 2)) == (2, 2, 2, ga)
+    out = resize_kernel(encode_png(ga, 2, 2, 2), 1, 1, fake=False)
+    w, h, c, px = decode_png(out)
+    assert (w, h, c) == (1, 1, 2)
+    assert list(px) == [(10 + 30 + 50 + 70 + 2) // 4, (200 + 150 + 100 + 50 + 2) // 4]
+
+
+def test_adpcm_without_fact_chunk_caps_at_samples_per_block():
+    """r13 review fix: a (spec-violating but real-world) IMA ADPCM WAV
+    with no fact chunk must cap every block at the fmt extension's
+    wSamplesPerBlock instead of decoding unbounded pad nibbles."""
+    import math
+    import struct as _struct
+
+    from randas_spark.operators.wav import decode_wav, encode_wav_ima_adpcm
+
+    wav = encode_wav_ima_adpcm(
+        [int(20000 * math.sin(i / 7)) for i in range(600)], 8000
+    )
+    i, out = 12, wav[:12]
+    while i + 8 <= len(wav):
+        cid = wav[i : i + 4]
+        (size,) = _struct.unpack_from("<I", wav, i + 4)
+        blob = wav[i : i + 8 + size + (size % 2)]
+        if cid != b"fact":
+            out += blob
+        i += 8 + size + (size % 2)
+    nofact = out[:4] + _struct.pack("<I", len(out) - 8) + out[8:]
+    dec, rate = decode_wav(nofact)
+    # 600 samples span 2 blocks (505 + 95); without fact the partial
+    # block zero-pads to wSamplesPerBlock — bounded at 2 * 505, never
+    # the raw nibble count of the padded container
+    assert rate == 8000 and len(dec) == 2 * 505

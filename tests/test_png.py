@@ -132,8 +132,9 @@ def test_unsupported_profiles_raise():
     data = PNG_MAGIC + _chunk(b"IHDR", ihdr_i) + _chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="interlace method"):
         decode_png(data)
+    # channels=2 (gray+alpha) became legal in r13 — 5 is still not
     with pytest.raises(ValueError, match="channels"):
-        encode_png(b"\x00\x00", 1, 1, 2)
+        encode_png(b"\x00" * 5, 1, 1, 5)
 
 
 def test_pixel_features_golden():
