@@ -82,9 +82,20 @@ def kmeans_lloyd_det(
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    v = df.select(
-        F.col(id_col).alias("vid"), _quantize(F.col(vec_col), scale).alias("qx")
+    from randas_spark.operators.dedup import fan_out
+
+    # fan_out BEFORE the checkpoint: a single-split local input would
+    # otherwise materialize as one partition and every per-iteration scan
+    # (assignment + update) of the checkpointed corpus would run on one
+    # core (measured: the whole 4-round fit was single-threaded at bench
+    # scale). The shuffle runs once, inside the materialization job; at
+    # cluster scale (many-split scans) it is a no-op.
+    v = fan_out(
+        df.select(
+            F.col(id_col).alias("vid"), _quantize(F.col(vec_col), scale).alias("qx")
+        )
     ).localCheckpoint()
+    id_type = df.schema[id_col].dataType.simpleString()
 
     seed_rows = (
         v.orderBy(_md5_hex(F.col("vid")), F.col("vid"))
@@ -98,43 +109,112 @@ def kmeans_lloyd_det(
     if not cents:
         raise ValueError("kmeans_lloyd_det: input DataFrame is empty")
 
-    def assign(cents: list[tuple[int, list[float]]]) -> DataFrame:
-        def dist_to(carr: list[float]) -> Column:
-            lit = F.array(*[F.lit(m) for m in carr])
-            return F.aggregate(
-                F.zip_with(
-                    F.col("qx"),
-                    lit,
-                    lambda x, m: (x.cast("double") - m) * (x.cast("double") - m),
-                ),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            )
+    def _dist_matrix(x_long, cmat):
+        """Strict per-dimension left fold, vectorized over (row, centroid):
+        acc = acc + (x_j - m_j) * (x_j - m_j) — one IEEE sub, one mul, one
+        add rounding per step, the exact sequence of the retired
+        F.aggregate(zip_with(...)) fold and of the DuckDB oracle's
+        list_reduce, so distances (and therefore argmin labels and
+        tie-breaks) are bit-identical cross-engine. NO np.sum / einsum —
+        pairwise summation would round differently."""
+        import numpy as np
 
-        # cluster labels keep the seed id's natural literal type (long
-        # ids stay long, string ids stay string — a cast-to-long here
-        # would null out non-numeric ids); F.least needs >= 2 args, so
-        # a single surviving centroid short-circuits to its struct.
-        structs = [
-            F.struct(dist_to(carr).alias("d"), F.lit(c).alias("c"))
-            for c, carr in cents
-        ]
-        best = structs[0] if len(structs) == 1 else F.least(*structs)
-        return v.withColumn("best", best).select(
-            "vid",
-            "qx",
-            F.col("best.c").alias("cluster"),
-            F.col("best.d").alias("dist"),
+        xd = x_long.astype(np.float64)  # |qx| << 2^53: exact
+        acc = np.zeros((xd.shape[0], cmat.shape[0]))
+        for j in range(xd.shape[1]):
+            diff = xd[:, j : j + 1] - cmat[:, j]
+            acc += diff * diff
+        return acc
+
+    def assign(cents: list[tuple[int, list[float]]]) -> DataFrame:
+        """(vid, cluster, dist) via a vectorized Arrow kernel — the
+        assign_topk_cells pattern (similarity.py) applied to the L2
+        argmin: the k x dim centroid panel ships in the closure (bounded
+        model state), each Arrow batch is scored with the strict fold
+        above, and argmin's first-occurrence rule IS the (dist, cluster)
+        lexicographic tie-break because ``cents`` is sorted ascending by
+        label (Python code-point order == Spark UTF8 binary order). The
+        retired F.least-of-structs projection computed the same argmin
+        but as an interpreted per-row HOF chain (zero codegen spans,
+        k x dim fold ops per row in the Catalyst interpreter). Cluster
+        labels keep the seed id's natural type (long ids stay long,
+        string ids stay string)."""
+        labels = [c for c, _ in cents]
+        panel = [list(carr) for _, carr in cents]
+
+        def _assign_batches(pdfs):
+            import numpy as np
+            import pandas as pd
+
+            cmat = np.array(panel, dtype=np.float64)
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                x = np.stack([np.asarray(a, dtype=np.int64) for a in pdf["qx"]])
+                d = _dist_matrix(x, cmat)
+                best = d.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vid": pdf["vid"].values,
+                        "cluster": [labels[j] for j in best],
+                        "dist": d[np.arange(len(best)), best],
+                    }
+                )
+
+        return v.mapInPandas(
+            _assign_batches, schema=f"vid {id_type}, cluster {id_type}, dist double"
         )
 
-    assigned = assign(cents)
-    for it in range(n_iter - 1):
-        sums = (
-            assigned.select("cluster", F.posexplode("qx").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt"))
+    def update_sums(cents: list[tuple[int, list[float]]]):
+        """Per-cluster coordinate sums/counts for the centroid update as
+        one kernel pass: each Arrow batch re-derives the argmin (same
+        strict fold) and emits its k x dim partial (cluster, pos, s, cnt)
+        grid — exact int64 partials, associative, so the downstream
+        groupBy sums are order-free. Replaces the posexplode of N x dim
+        rows (the old update shuffled every coordinate as its own row
+        through an interpreted Generate; partials shuffle ~n_tasks x k x
+        dim rows instead)."""
+        labels = [c for c, _ in cents]
+        panel = [list(carr) for _, carr in cents]
+
+        def _sum_batches(pdfs):
+            import numpy as np
+            import pandas as pd
+
+            cmat = np.array(panel, dtype=np.float64)
+            kk, dim = cmat.shape
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                x = np.stack([np.asarray(a, dtype=np.int64) for a in pdf["qx"]])
+                best = _dist_matrix(x, cmat).argmin(axis=1)
+                idx = np.flatnonzero(np.bincount(best, minlength=kk))
+                s = np.zeros((len(idx), dim), dtype=np.int64)
+                cnt = np.zeros(len(idx), dtype=np.int64)
+                for out_i, ci in enumerate(idx):
+                    m = best == ci
+                    s[out_i] = x[m].sum(axis=0)
+                    cnt[out_i] = int(m.sum())
+                yield pd.DataFrame(
+                    {
+                        "cluster": np.repeat([labels[j] for j in idx], dim),
+                        "pos": np.tile(np.arange(dim), len(idx)),
+                        "s": s.reshape(-1),
+                        "cnt": np.repeat(cnt, dim),
+                    }
+                )
+
+        part = v.mapInPandas(
+            _sum_batches, schema=f"cluster {id_type}, pos int, s long, cnt long"
+        )
+        return (
+            part.groupBy("cluster", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
             .collect()
         )
+
+    for it in range(n_iter - 1):
+        sums = update_sums(cents)
         acc: dict[int, dict[int, tuple[int, int]]] = {}
         for r in sums:
             acc.setdefault(r["cluster"], {})[r["pos"]] = (r["s"], r["cnt"])
@@ -147,8 +227,7 @@ def kmeans_lloyd_det(
             )
             for c, prev in cents
         ]
-        assigned = assign(cents)
 
     if stats is not None:
         stats["centroids"] = dict(cents)
-    return assigned.select(F.col("vid").alias(id_col), "cluster", "dist")
+    return assign(cents).select(F.col("vid").alias(id_col), "cluster", "dist")

@@ -2259,6 +2259,65 @@ def test_kmeans_assignment_is_shuffle_free(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_kmeans_kernel_dist_bit_exact_vs_catalyst_fold(spark):
+    """r13 optimization pin: the Arrow-kernel assignment's strict
+    per-dimension fold must be BIT-EXACT (== on doubles, not allclose)
+    against the retired F.aggregate(zip_with(...)) Catalyst fold it
+    replaced, on the same centroids — the property that keeps the
+    DuckDB oracle's list_reduce replay hash-exact. Also pins the plan:
+    assignment is ONE MapInPandas (the kernel), zero Python row UDFs,
+    and still zero Exchange."""
+    from randas_spark.operators.cluster import kmeans_lloyd_det
+    from randas_spark.queries import t
+
+    emb = t(spark, SF_DIR, "embeddings")
+    stats: dict = {}
+    out = kmeans_lloyd_det(
+        emb, "vec_id", "embedding", k=5, n_iter=3, scale=512.0, stats=stats
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+    got = {r["vec_id"]: (r["cluster"], r["dist"]) for r in out.collect()}
+
+    # Catalyst-fold replay of the FINAL assignment on the kernel's own
+    # final centroids (stats["centroids"]): identical (dist, cluster)
+    # per vector, dist compared with strict equality.
+    cents = sorted(stats["centroids"].items())
+    v = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(512.0) + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("qx"),
+    )
+
+    def dist_to(carr):
+        lit = F.array(*[F.lit(m) for m in carr])
+        return F.aggregate(
+            F.zip_with(
+                F.col("qx"),
+                lit,
+                lambda x, m: (x.cast("double") - m) * (x.cast("double") - m),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    structs = [
+        F.struct(dist_to(carr).alias("d"), F.lit(c).alias("c")) for c, carr in cents
+    ]
+    ref = v.withColumn("best", F.least(*structs)).select(
+        "vid", F.col("best.c").alias("cluster"), F.col("best.d").alias("dist")
+    )
+    want = {r["vid"]: (r["cluster"], r["dist"]) for r in ref.collect()}
+    assert got == want  # bit-exact: labels AND double dists
+
+
 def test_leakage_safe_split_never_straddles_clusters(spark, docs):
     """The defining property: no near-dup pair may straddle splits —
     every edge's endpoints carry the same split label — while doc-level
