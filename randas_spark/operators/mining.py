@@ -390,12 +390,22 @@ def pagerank_int(
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank_int: empty edge list")
+    # out-degree attached to the edge list ONCE (od is round-invariant):
+    # each round then joins the rank table onto ONE pre-joined relation
+    # instead of r ⋈ nodes ⋈ e — one exchange fewer per round, every
+    # round, at any scale (r13 optimization; same contribution integers,
+    # so the oracle replay is unchanged). Costs one cheap materialization
+    # of the already-checkpointed e ⋈ deg.
+    ej = (
+        e.join(deg, "s")
+        .select(F.col("s").alias("node"), "d", "od")
+        .localCheckpoint()
+    )
     base = (scale * (damp_den - damp_num)) // (damp_den * n)
     r = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
     for _ in range(rounds):
         contrib = (
-            r.join(nodes, "node")
-            .join(e, F.col("node") == F.col("s"))
+            r.join(ej, "node")
             .select(
                 F.col("d").alias("node"),
                 F.expr(f"(r * {damp_num}) div ({damp_den} * od)").alias("c"),

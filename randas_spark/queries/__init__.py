@@ -101,6 +101,31 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def parquet_num_rows(path: str) -> int:
+    """Exact row count of a parquet file/directory from the FOOTER
+    (pyarrow metadata), no Spark job. For sizing decisions that need N
+    of a base table — e.g. adaptive_plane_count(N), the isqrt(N) IVF
+    cell formulas — a full df.count() job is a scan + aggregate whose
+    only output is a number the file metadata already carries; the
+    footer read is the same number (parquet num_rows is exact) at
+    metadata cost, exactly like the events_ts_is_nanos footer branch
+    above. Not valid after filters or joins — unfiltered reads only."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def table_num_rows(sf_dir: str, name: str) -> int:
+    """:func:`parquet_num_rows` for one named testdata table."""
+    return parquet_num_rows(os.path.join(sf_dir, f"{name}.parquet"))
+
+
 def fround(col, digits: int):
     """Engine-portable rounding: floor(x*10^d + 0.5)/10^d.
 

@@ -32,7 +32,14 @@ from randas_spark.functions.text import (
     tokens,
 )
 from randas_spark.functions.vectors import cosine, sql_cosine
-from randas_spark.queries import fround, register, sql_fround, t
+from randas_spark.queries import (
+    fround,
+    parquet_num_rows,
+    register,
+    sql_fround,
+    t,
+    table_num_rows,
+)
 
 # --------------------------------------------------------------------------
 # Deduplication
@@ -1164,7 +1171,7 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents")
-    n_docs = float(d.count())
+    n_docs = float(table_num_rows(sf_dir, "documents"))
     tf = (
         d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .filter(F.col("term") != "")
@@ -2963,9 +2970,14 @@ def llm_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from randas_spark.operators.similarity import adaptive_plane_count
 
     emb = t(spark, sf_dir, "embeddings")
+    # N from the parquet footer (metadata read), not emb.count() — the
+    # count job was a full scan whose only output is the table size the
+    # footer already records; same N, so the oracle's COUNT(*) replay of
+    # the plane count is unchanged.
+    n_emb = table_num_rows(sf_dir, "embeddings")
     return embedding_near_pairs(
         emb, "vec_id", "embedding",
-        threshold=0.35, n_planes=adaptive_plane_count(emb.count()),
+        threshold=0.35, n_planes=adaptive_plane_count(n_emb),
         dim=64, bucket_cap=4096,
     )
 
@@ -3208,7 +3220,7 @@ def llm_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    n_cells = max(16, emb.count() // 32)
+    n_cells = max(16, table_num_rows(sf_dir, "embeddings") // 32)
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     index_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -3404,7 +3416,7 @@ def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from randas_spark.operators.similarity import knn_graph_ivf
 
     emb = t(spark, sf_dir, "embeddings")
-    n_cells = max(64, int(math.floor(math.sqrt(4 * emb.count()))))
+    n_cells = max(64, int(math.floor(math.sqrt(4 * table_num_rows(sf_dir, "embeddings")))))
     return knn_graph_ivf(emb, "vec_id", "embedding", n_cells=n_cells, n_probe=4, top_k=5)
 
 
@@ -3481,7 +3493,7 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from randas_spark.operators.similarity import knn_graph_ivf
 
     emb = t(spark, sf_dir, "embeddings")
-    n_cells = max(64, int(math.floor(math.sqrt(4 * emb.count()))))
+    n_cells = max(64, int(math.floor(math.sqrt(4 * table_num_rows(sf_dir, "embeddings")))))
     # min_cos pushes the 0.35 edge threshold BELOW the graph's rank
     # window (commutes exactly — the filter is on the ordering key), so
     # the rank shuffle and star-CC checkpoint carry only the near-dup
@@ -4574,7 +4586,11 @@ def llm_dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
     emb_pairs = embedding_near_pairs(
         e, "vec_id", "embedding", threshold=0.35,
-        n_planes=adaptive_plane_count(e.count()), dim=64, bucket_cap=4096,
+        # footer-metadata N (see llm_dedup_embedding_lsh): drops the
+        # count job from every hybrid invocation; identical N, oracle
+        # replay unchanged.
+        n_planes=adaptive_plane_count(table_num_rows(sf_dir, "embeddings")),
+        dim=64, bucket_cap=4096,
     ).select("id_a", "id_b")
     pairs = text_pairs.union(emb_pairs).distinct()
     comp = connected_components_star(pairs)
@@ -4717,7 +4733,7 @@ def llm_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), "cluster"
     )
     d = t(spark, sf_dir, "documents")
-    n_docs = float(d.count())
+    n_docs = float(table_num_rows(sf_dir, "documents"))
     tk = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term")).filter(
         F.col("term") != ""
     )
@@ -6693,7 +6709,7 @@ def llm_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    n_cells = max(16, math.isqrt(emb.count()))
+    n_cells = max(16, math.isqrt(table_num_rows(sf_dir, "embeddings")))
     cent = (
         emb.orderBy(_md5_hex(F.col("vec_id")), F.col("vec_id"))
         .limit(n_cells)
@@ -6923,7 +6939,7 @@ def llm_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 50)
-    n_cells = max(16, emb.count() // 32)
+    n_cells = max(16, table_num_rows(sf_dir, "embeddings") // 32)
     truth = knn_bruteforce(qs, emb, "vec_id", "vec_id", "embedding", top_k=10).select(
         "qid", "cid"
     )
@@ -7119,7 +7135,7 @@ def llm_corpus_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("n_chars") < 200, 1.0).otherwise(0.0)), 6
         ).alias("pct_short"),
     )
-    tot = d.count()
+    tot = table_num_rows(sf_dir, "documents")
     lc = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
     p = F.col("c") * 1.0 / F.lit(float(tot))
     ent = (
@@ -7312,7 +7328,7 @@ def llm_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    n_cells = max(16, emb.count() // 32)
+    n_cells = max(16, table_num_rows(sf_dir, "embeddings") // 32)
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     index_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -7393,7 +7409,7 @@ def llm_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    n_cells = max(16, emb.count() // 32)
+    n_cells = max(16, table_num_rows(sf_dir, "embeddings") // 32)
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     index_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -7413,9 +7429,7 @@ def llm_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # literal (ADVICE r10 #4): on a corpus smaller than the cell formula
     # the seeding LIMIT clamps, and the oracle counts the cent CTE —
     # the persisted table is the ground truth both sides agree on.
-    n_cells_actual = spark.read.parquet(
-        os.path.join(index_dir, "centroids.parquet")
-    ).count()
+    n_cells_actual = parquet_num_rows(os.path.join(index_dir, "centroids.parquet"))
     cc = ivf_assignment_counts(spark, index_dir)
     return cc.agg(
         F.lit(int(n_cells_actual)).cast("long").alias("n_cells"),
@@ -7518,7 +7532,7 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str) -> tuple:
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    n_cells = max(16, math.isqrt(emb.count()))
+    n_cells = max(16, math.isqrt(table_num_rows(sf_dir, "embeddings")))
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     index_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
