@@ -125,15 +125,18 @@ def triangle_enumerate(edges: DataFrame, src: str = "src", dst: str = "dst") -> 
     Out-degree is bounded by O(√m) even on power-law graphs, so wedge
     fan-out is worst-case O(m^1.5) instead of the hub-node Σ d² blowup.
 
-    The (deduplicated) edge list is localCheckpoint-ed: degrees,
-    orientation, wedges, and the closing join all reuse the materialized
-    graph instead of re-deriving the upstream lineage per reference —
-    AQE's ReusedExchange only recovers a fraction of that duplication
-    (measured on the co-purchase query: 38 planned scans → 0). The
-    degree joins carry NO broadcast hint: Catalyst/AQE auto-broadcasts
-    the node table when it fits (as here) and falls back to a shuffle
-    join on billion-node graphs, where a forced hint would collect a
-    multi-GB table to the driver.
+    The (deduplicated) edge list is localCheckpoint-ed, and so is the
+    ORIENTED edge list with the destination's degree carried on the row:
+    the wedge self-join and the closing join both reuse that one
+    materialized table instead of re-deriving the e0⋈deg⋈deg orientation
+    chain per reference (the un-carried form planned it three times and
+    re-joined degrees a fourth/fifth time inside the wedge stage — 36
+    Exchanges on the co-purchase query vs 13 with the carried degree;
+    AQE's ReusedExchange only recovered a fraction). The degree joins
+    carry NO broadcast hint: Catalyst/AQE auto-broadcasts the node table
+    when it fits (as here) and falls back to a shuffle join on
+    billion-node graphs, where a forced hint would collect a multi-GB
+    table to the driver.
     """
     e0 = edges.select(
         F.least(F.col(src), F.col(dst)).alias("pa"),
@@ -151,18 +154,23 @@ def triangle_enumerate(edges: DataFrame, src: str = "src", dst: str = "dst") -> 
     a_first = (F.col("dega") < F.col("degb")) | (
         (F.col("dega") == F.col("degb")) & (F.col("pa") < F.col("pb"))
     )
+    # (osrc, odst, ddeg): ddeg is odst's degree — the wedge stage orders
+    # out-neighbors by (degree, id), and both wedge legs are odst rows,
+    # so carrying the one degree here makes the downstream joins
+    # degree-free. Materialized once: edges + one long per row.
     oriented = ranked.select(
         F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("osrc"),
         F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("odst"),
+        F.when(a_first, F.col("degb")).otherwise(F.col("dega")).alias("ddeg"),
+    ).localCheckpoint()
+    e1 = oriented.select(
+        "osrc", F.col("odst").alias("v"), F.col("ddeg").alias("degv")
     )
-    e1 = oriented.select(F.col("osrc"), F.col("odst").alias("v"))
-    e2 = oriented.select(F.col("osrc"), F.col("odst").alias("w"))
-    vd = deg.select(F.col("node").alias("v"), F.col("deg").alias("degv"))
-    wd = deg.select(F.col("node").alias("w"), F.col("deg").alias("degw"))
+    e2 = oriented.select(
+        "osrc", F.col("odst").alias("w"), F.col("ddeg").alias("degw")
+    )
     wedges = (
         e1.join(e2, "osrc")
-        .join(vd, "v")
-        .join(wd, "w")
         .filter(
             (F.col("degv") < F.col("degw"))
             | ((F.col("degv") == F.col("degw")) & (F.col("v") < F.col("w")))
