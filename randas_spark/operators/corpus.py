@@ -264,7 +264,6 @@ def bpe_learn(
     df: DataFrame,
     text_col: str,
     n_merges: int = 16,
-    checkpoint_every: int = 6,
 ) -> DataFrame:
     """Distributed BPE merge-rule learning (Sennrich et al. 2016): the
     greedy merge sequence over a word-frequency table — the tokenizer-
@@ -272,39 +271,43 @@ def bpe_learn(
     (``vocab_build`` counts whole tokens; this LEARNS subword merges).
 
     Returns the merge table (merge_rank, lhs, rhs, merged, freq) — tiny
-    by construction (one row per merge), which is why it is a
-    driver-side result; the corpus-sized state stays distributed.
+    by construction (one row per merge); the corpus-sized work stays
+    distributed.
 
     Shape, Spark-first:
 
-    - ONE corpus pass builds the distinct-WORD table with counts (the
-      classic trick: pair statistics over words x frequency, never over
-      running text — the iteration state is |vocab| rows, not |corpus|).
-      Checkpointed once; the text plan is never rescanned.
-    - Each word's symbol state is a paren-coded string ``(h)(e)(y)``:
-      symbols are [a-z]+ runs so the delimiters cannot collide, and
-      applying a merge is ``replace('(a)(b)' -> '(ab)')`` — leftmost
-      non-overlapping, exactly BPE's greedy left-to-right application
-      (including the a==b self-overlap case), as a codegen string op
-      with no UDF.
-    - Per round: re-derive the symbol array (regexp_extract_all), explode
-      adjacent pairs weighted by word count, map-side-combinable groupBy,
-      and a LIMIT-1 top pair (TakeOrdered, no global sort) with a
-      deterministic (freq desc, lhs, rhs) tie-break. The driver sees ONE
-      row per round — the merge decision, which is inherently sequential
-      in BPE — and folds it into the next round's plan as literals.
-    - The merge chain is a narrow ``replace`` per round; state is
-      re-checkpointed every ``checkpoint_every`` rounds so plan depth
-      stays bounded while cheap rounds avoid materialization jobs.
+    - ONE distributed corpus pass builds the distinct-WORD table with
+      counts (the classic trick: pair statistics over words x frequency,
+      never over running text — the iteration state is |vocab| rows, not
+      |corpus|). This scan+agg is the only data-sized stage.
+    - The greedy merge loop itself runs as ONE Arrow kernel task
+      (repartition(1) + mapInPandas) over that Heaps-bounded table: per
+      round, count adjacent symbol pairs weighted by word count, pick
+      the max with the deterministic (freq desc, lhs, rhs) tie-break,
+      and apply the merge leftmost-non-overlapping (including the a==b
+      self-overlap case) — the exact sequence the retired per-round
+      Spark formulation produced, pinned by
+      test_bpe_learn_matches_python_reference.
+
+    Why a kernel and not n_merges Spark rounds: each round is a merge
+    DECISION over the |vocab| table — inherently sequential and tiny —
+    so the distributed form paid one full job (plan + schedule + a
+    LIMIT-1 collect) per round plus periodic localCheckpoint
+    materializations, ~12 driver round-trips for a 12-rule table
+    (optimization guide §1.2: fix the algorithm's pass structure first;
+    §4.2: hand the whole batch to native code). The kernel makes the
+    entire learn ONE job: scan -> agg -> 1-partition exchange of the
+    word table -> 12 rows out.
 
     Scale: at 100 TB the word table after the first agg is ~millions of
-    rows regardless of corpus size (Heaps' law), so every round is a
-    small-shuffle job; the expensive thing — the corpus scan — happens
-    exactly once.
+    rows regardless of corpus size (Heaps' law) — a few tens of MB of
+    (word, cnt) pairs, well inside one task — and the expensive thing,
+    the corpus scan, is distributed and happens exactly once. The loop
+    recounts only words still holding >= 2 symbols and updates state
+    only for words containing the merged pair.
     """
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
-    spark = df.sparkSession
     words = (
         df.select(
             F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("word")
@@ -312,47 +315,78 @@ def bpe_learn(
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "cnt",
-            F.regexp_replace(F.col("word"), "(.)", "($1)").alias("sym_str"),
-        )
-        .localCheckpoint()
     )
 
-    syms = F.expr(r"regexp_extract_all(sym_str, '\\(([a-z]+)\\)', 1)")
-    merges: list[tuple] = []
-    state = words
-    for k in range(1, n_merges + 1):
-        pairs = (
-            state.select("cnt", syms.alias("s"))
-            .filter(F.size("s") >= 2)
-            .select(
-                "cnt",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(0, size(s)-2),"
-                        " i -> struct(s[i] AS a, s[i+1] AS b))"
-                    )
-                ).alias("p"),
+    def _greedy_merges(pdfs):
+        import pandas as pd
+
+        cnts: list[int] = []
+        states: list[tuple] = []
+        for pdf in pdfs:
+            cnts.extend(int(c) for c in pdf["cnt"].tolist())
+            states.extend(tuple(w) for w in pdf["word"].tolist())
+        out_rank: list[int] = []
+        out_lhs: list[str] = []
+        out_rhs: list[str] = []
+        out_merged: list[str] = []
+        out_freq: list[int] = []
+        # only multi-symbol words can ever contribute a pair again
+        live = [i for i, s in enumerate(states) if len(s) >= 2]
+        for k in range(1, n_merges + 1):
+            pairs: dict = {}
+            for i in live:
+                s, c = states[i], cnts[i]
+                for j in range(len(s) - 1):
+                    p = (s[j], s[j + 1])
+                    pairs[p] = pairs.get(p, 0) + c
+            if not pairs:
+                break
+            (a, b), freq = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
             )
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("cnt").alias("freq"))
-        )
-        top = pairs.orderBy(F.desc("freq"), "a", "b").limit(1).collect()
-        if not top:
-            break
-        a, b, freq = top[0]["a"], top[0]["b"], int(top[0]["freq"])
-        merges.append((k, a, b, a + b, freq))
-        state = state.withColumn(
-            "sym_str",
-            F.replace(
-                F.col("sym_str"), F.lit(f"({a})({b})"), F.lit(f"({a}{b})")
-            ),
-        )
-        if k % checkpoint_every == 0:
-            state = state.localCheckpoint()
-    return spark.createDataFrame(
-        merges, "merge_rank long, lhs string, rhs string, merged string, freq long"
+            out_rank.append(k)
+            out_lhs.append(a)
+            out_rhs.append(b)
+            out_merged.append(a + b)
+            out_freq.append(freq)
+            nxt_live = []
+            for i in live:
+                s = states[i]
+                # leftmost non-overlapping application (a==b safe)
+                j, hit = 0, False
+                while j < len(s) - 1:
+                    if s[j] == a and s[j + 1] == b:
+                        hit = True
+                        break
+                    j += 1
+                if hit:
+                    merged, j = [], 0
+                    while j < len(s):
+                        if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
+                            merged.append(a + b)
+                            j += 2
+                        else:
+                            merged.append(s[j])
+                            j += 1
+                    s = tuple(merged)
+                    states[i] = s
+                if len(s) >= 2:
+                    nxt_live.append(i)
+            live = nxt_live
+        if out_rank:
+            yield pd.DataFrame(
+                {
+                    "merge_rank": pd.Series(out_rank, dtype="int64"),
+                    "lhs": out_lhs,
+                    "rhs": out_rhs,
+                    "merged": out_merged,
+                    "freq": pd.Series(out_freq, dtype="int64"),
+                }
+            )
+
+    return words.repartition(1).mapInPandas(
+        _greedy_merges,
+        schema="merge_rank long, lhs string, rhs string, merged string, freq long",
     )
 
 

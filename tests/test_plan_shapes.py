@@ -192,3 +192,18 @@ def test_embedding_lsh_cap_windows_and_no_cartesian(spark, registry):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("windowspecdefinition(bucket") == 2
     assert plan.count("CartesianProduct") == 0
+
+
+def test_bpe_learn_is_one_lazy_kernel_job(spark, registry):
+    """r13 optimization pin: bpe_learn's greedy merge loop runs as ONE
+    Arrow kernel over the Heaps-bounded word table INSIDE the query plan
+    (scan -> word agg -> SinglePartition exchange -> MapInPandas), not
+    as n_merges build-time Spark jobs whose result lands in a
+    LocalTableScan/ExistingRDD. An ExistingRDD reappearing here means
+    the learn collected at plan-construction time again — 13 jobs where
+    one suffices (OPTIMIZATION_r13.md, guide §1.2/§4.2)."""
+    df = registry["llm_bpe_learn"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "Scan parquet" in plan  # the corpus scan is in THIS plan
+    assert "ExistingRDD" not in plan
