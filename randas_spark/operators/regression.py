@@ -300,10 +300,19 @@ def logreg_newton(
 
     Scale: each step is ONE map-side-combined scan emitting 9 int
     cells; the solve is a constant-size codegen expression; n_iter
-    chained steps = n_iter scans, no driver-side data motion. Output:
-    one row (n, b0, b1, b2, accuracy) where accuracy is the training
-    0/1 score of the final boundary (sign of eta — no exp in the
-    finisher).
+    steps = n_iter scans. The step model (3 doubles + the row count) is
+    collected per step and folded into the next step's plan as
+    LITERALS — bounded model state, the kmeans/BPE discipline. The
+    previous shape chained each step's whole aggregate plan inside the
+    next step's broadcast instead: zero collects, but the nested
+    expression tree grew multiplicatively with n_iter and Catalyst
+    spent ~3 s PLANNING a 2-step fit whose jobs run in 0.8 s (guide
+    §7.3: planning time on large plans; profiled in
+    OPTIMIZATION_r13.md). Identical doubles either way — a value
+    carried as a literal computes bit-equal to the same value carried
+    as a broadcast column. Output: one row (n, b0, b1, b2, accuracy)
+    where accuracy is the training 0/1 score of the final boundary
+    (sign of eta — no exp in the finisher).
     """
     from randas_spark.queries import fround
 
@@ -314,26 +323,14 @@ def logreg_newton(
         sx1.alias("sx1"), sx2.alias("sx2"), label.cast("long").alias("y")
     )
     b = (0.0, 0.0, 0.0)  # literal state: folded into each step's plan
-    bdf = None
     for _ in range(n_iter):
-        if bdf is None:
-            eta = F.lit(b[0]) + F.lit(b[1]) * F.col("sx1") + F.lit(b[2]) * F.col("sx2")
-            step_in = data
-        else:
-            eta = (
-                F.col("b0")
-                + F.col("b1") * F.col("sx1")
-                + F.col("b2") * F.col("sx2")
-            )
-            step_in = data.crossJoin(F.broadcast(bdf))
+        eta = F.lit(b[0]) + F.lit(b[1]) * F.col("sx1") + F.lit(b[2]) * F.col("sx2")
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
         pq = F.floor(p * 1000000 + F.lit(0.5)).cast("long")
         wq = F.floor(p * (F.lit(1.0) - p) * 1000000 + F.lit(0.5)).cast("long")
         r = F.col("y") * F.lit(1000000).cast("long") - pq
-        cells = step_in.select(
-            F.col("sx1"), F.col("sx2"), r.alias("r"), wq.alias("w"),
-            *( [F.col("b0"), F.col("b1"), F.col("b2")] if bdf is not None else
-               [F.lit(b[0]).alias("b0"), F.lit(b[1]).alias("b1"), F.lit(b[2]).alias("b2")] ),
+        cells = data.select(
+            F.col("sx1"), F.col("sx2"), r.alias("r"), wq.alias("w")
         )
         gsl = _GuardedSums()
         for expr, name in [
@@ -348,9 +345,9 @@ def logreg_newton(
             (F.col("sx2") * F.col("sx2") * F.col("w"), "h22"),
         ]:
             gsl.sum(expr, name)
-        s = cells.groupBy("b0", "b1", "b2").agg(
-            F.count(F.lit(1)).cast("long").alias("__n__"), *gsl.aggs()
-        )
+        s = cells.groupBy(
+            F.lit(b[0]).alias("b0"), F.lit(b[1]).alias("b1"), F.lit(b[2]).alias("b2")
+        ).agg(F.count(F.lit(1)).cast("long").alias("__n__"), *gsl.aggs())
         # Cramer solve of H delta = g on the exact int sums (common 1e-6
         # scale cancels between H and g); same expression tree as the SQL
         a00, a01, a02 = (F.col("h00").cast("double"), F.col("h01").cast("double"), F.col("h02").cast("double"))
@@ -379,10 +376,11 @@ def logreg_newton(
         # Singular-Hessian guard (e.g. a constant feature): det == 0
         # would send NaN through every later step; hold the coefficients
         # instead. Mirrored as CASE det = 0 in the SQL twin.
-        bdf = s.select(
-            # guard on all three outputs — column pruning would drop a
-            # guard attached to b0 alone when only b1/b2 survive a later
-            # select (ADVICE r7); the max aggregates are shared.
+        step = s.select(
+            F.col("__n__"),
+            # guard on all three outputs — evaluating any of them trips
+            # the int64 overflow check for this step's cells (ADVICE r7);
+            # the max aggregates are shared.
             gsl.guard(
                 F.when(det == 0, F.col("b0")).otherwise(F.col("b0") + d0),
                 F.col("__n__"),
@@ -398,11 +396,26 @@ def logreg_newton(
                 F.col("__n__"),
                 "logreg_newton",
             ).alias("b2"),
-        )
-    scored = data.crossJoin(F.broadcast(bdf))
-    eta = F.col("b0") + F.col("b1") * F.col("sx1") + F.col("b2") * F.col("sx2")
+        ).collect()  # bounded model state: exactly one (n, b0, b1, b2) row
+        if not step:  # empty input: keep the old empty-output semantics
+            return data.groupBy(
+                F.lit(b[0]).alias("b0"), F.lit(b[1]).alias("b1"),
+                F.lit(b[2]).alias("b2"),
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+            ).select(
+                F.col("n"),
+                fround(F.col("b0"), digits).alias("b0"),
+                fround(F.col("b1"), digits).alias("b1"),
+                fround(F.col("b2"), digits).alias("b2"),
+                fround(F.lit(None).cast("double"), digits).alias("accuracy"),
+            )
+        b = (step[0]["b0"], step[0]["b1"], step[0]["b2"])
+    eta = F.lit(b[0]) + F.lit(b[1]) * F.col("sx1") + F.lit(b[2]) * F.col("sx2")
     correct = F.when((eta >= 0) == (F.col("y") == 1), 1).otherwise(0)
-    return scored.groupBy("b0", "b1", "b2").agg(
+    return data.groupBy(
+        F.lit(b[0]).alias("b0"), F.lit(b[1]).alias("b1"), F.lit(b[2]).alias("b2")
+    ).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(correct).cast("long").alias("n_correct"),
     ).select(
