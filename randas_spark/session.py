@@ -68,6 +68,15 @@ def get_spark(app_name: str = "randas_spark", cpus: int | None = None) -> SparkS
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # PySpark 4's DataFrame debugging captures the Python call site
+        # for error context on EVERY DataFrame/Column API call — 3-4 JVM
+        # round trips each (getActiveSession + conf.get + origin
+        # set/clear). Profiled on rel_logreg_newton: 9106 py4j
+        # send_commands per construction, ~1 s of a 2.8 s query
+        # (OPTIMIZATION_r13.md). Driver-side overhead, scale-independent
+        # — a production cluster driver pays it identically. Off here;
+        # flip on when chasing an error's call site.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
