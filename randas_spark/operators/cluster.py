@@ -82,18 +82,18 @@ def kmeans_lloyd_det(
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    from randas_spark.operators.dedup import fan_out
-
-    # fan_out BEFORE the checkpoint: a single-split local input would
-    # otherwise materialize as one partition and every per-iteration scan
-    # (assignment + update) of the checkpointed corpus would run on one
-    # core (measured: the whole 4-round fit was single-threaded at bench
-    # scale). The shuffle runs once, inside the materialization job; at
-    # cluster scale (many-split scans) it is a no-op.
-    v = fan_out(
-        df.select(
-            F.col(id_col).alias("vid"), _quantize(F.col(vec_col), scale).alias("qx")
-        )
+    # NO fan_out here (r13): the pre-kernel fit needed core-count
+    # parallelism because the interpreted HOF argmin burned CPU per row;
+    # the numpy kernel doesn't — and fan_out only ever fires on
+    # single-split inputs, which parquet splitting caps near
+    # maxPartitionBytes (~128 MB), trivially inside one vectorized task.
+    # Fanning the bench's 2000-row corpus to 32 partitions made every
+    # per-iteration kernel job pay 32 task+Arrow round trips: measured
+    # 0.79 s/job at 32 parts vs 0.37 s at 1 (OPTIMIZATION_r13.md). At
+    # cluster scale inputs arrive many-split and partitioning is
+    # untouched either way.
+    v = df.select(
+        F.col(id_col).alias("vid"), _quantize(F.col(vec_col), scale).alias("qx")
     ).localCheckpoint()
     id_type = df.schema[id_col].dataType.simpleString()
 
