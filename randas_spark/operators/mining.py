@@ -392,44 +392,45 @@ def pagerank_int(
     lesson). Driver state is a single scalar (N)."""
     if rounds < 1:
         raise ValueError(f"pagerank_int: rounds must be >= 1, got {rounds}")
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
-    nodes = deg.select(F.col("s").alias("node"), "od").localCheckpoint()
+    # out-degree attached to the edge list via a WINDOW over the source
+    # (ONE shuffle on s, shared with nothing downstream) and checkpointed
+    # ONCE — od is round-invariant. This replaces the r12 three-step
+    # opening (checkpoint e, groupBy deg + checkpoint nodes, join e ⋈ deg
+    # + checkpoint ej): one materialization job instead of three, and the
+    # possibly-expensive upstream edge derivation (e.g. the co-purchase
+    # basket pairs) executes exactly once, inside it. Same od integers,
+    # so the oracle replay is unchanged.
+    w = Window.partitionBy("node")
+    ej = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("d"))
+        .withColumn("od", F.count(F.lit(1)).over(w))
+        .localCheckpoint()
+    )
+    nodes = ej.select("node").distinct()
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank_int: empty edge list")
-    # out-degree attached to the edge list ONCE (od is round-invariant):
-    # each round then joins the rank table onto ONE pre-joined relation
-    # instead of r ⋈ nodes ⋈ e — one exchange fewer per round, every
-    # round, at any scale (r13 optimization; same contribution integers,
-    # so the oracle replay is unchanged). Costs one cheap materialization
-    # of the already-checkpointed e ⋈ deg.
-    ej = (
-        e.join(deg, "s")
-        .select(F.col("s").alias("node"), "d", "od")
-        .localCheckpoint()
-    )
     base = (scale * (damp_den - damp_num)) // (damp_den * n)
     r = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
     for _ in range(rounds):
+        # zero rows union INTO the contribution aggregate: every node
+        # gets one, so nodes with no in-edges survive with tot=0 — the
+        # same result as the retired nodes-left-join finisher, one join
+        # (and its exchanges) fewer per round. Derived from r (the
+        # checkpointed rank table carries exactly the node universe), so
+        # no round re-runs the nodes distinct.
         contrib = (
             r.join(ej, "node")
             .select(
                 F.col("d").alias("node"),
                 F.expr(f"(r * {damp_num}) div ({damp_den} * od)").alias("c"),
             )
+            .unionAll(r.select("node", F.lit(0).cast("long").alias("c")))
             .groupBy("node")
             .agg(F.sum("c").alias("tot"))
         )
-        r = (
-            nodes.select("node")
-            .join(contrib, "node", "left")
-            .select(
-                "node",
-                (F.lit(base) + F.coalesce(F.col("tot"), F.lit(0)))
-                .cast("long")
-                .alias("r"),
-            )
-            .localCheckpoint()
-        )
+        r = contrib.select(
+            "node",
+            (F.lit(base) + F.col("tot")).cast("long").alias("r"),
+        ).localCheckpoint()
     return r
