@@ -4581,18 +4581,41 @@ def llm_dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     e = t(spark, sf_dir, "embeddings")
-    text_pairs = minhash_lsh_pairs_portable(
-        d, "doc_id", "text", num_perm=32, bands=8, k=5, threshold=0.6
-    ).select("id_a", "id_b")
-    emb_pairs = embedding_near_pairs(
-        e, "vec_id", "embedding", threshold=0.35,
-        # footer-metadata N (see llm_dedup_embedding_lsh): drops the
-        # count job from every hybrid invocation; identical N, oracle
-        # replay unchanged.
-        n_planes=adaptive_plane_count(table_num_rows(sf_dir, "embeddings")),
-        dim=64, bucket_cap=4096,
-    ).select("id_a", "id_b")
-    pairs = text_pairs.union(emb_pairs).distinct()
+    # The two pair generators share NOTHING (different tables, different
+    # signals), but the text leg runs two eager materializations at
+    # construction time (its candidate + candidate-shingle checkpoints).
+    # Materialize the embedding leg on a second driver thread so its
+    # bucket window + cosine join executes WHILE the text leg's jobs run
+    # (guide §2.6 "overlap independent jobs" — Spark's FIFO scheduler
+    # back-fills the idle tail of each job with the other leg's tasks).
+    # Same jobs either way — the union previously computed the emb leg
+    # inside its own materialization anyway — just no longer serialized.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        emb_fut = pool.submit(
+            lambda: embedding_near_pairs(
+                e, "vec_id", "embedding", threshold=0.35,
+                # footer-metadata N (see llm_dedup_embedding_lsh): drops
+                # the count job from every hybrid invocation; identical
+                # N, oracle replay unchanged.
+                n_planes=adaptive_plane_count(
+                    table_num_rows(sf_dir, "embeddings")
+                ),
+                dim=64, bucket_cap=4096,
+            )
+            .select("id_a", "id_b")
+            .localCheckpoint()
+        )
+        text_pairs = minhash_lsh_pairs_portable(
+            d, "doc_id", "text", num_perm=32, bands=8, k=5, threshold=0.6
+        ).select("id_a", "id_b")
+        emb_pairs = emb_fut.result()
+    # No .distinct() on the union: connected_components_star orients and
+    # distincts its edge input anyway (and the node universe is a
+    # distinct of the raw endpoints), so the extra exchange+agg here was
+    # pure cost — identical component labeling on the same edge SET.
+    pairs = text_pairs.union(emb_pairs)
     comp = connected_components_star(pairs)
     ids = d.select(F.col("doc_id").alias("node"))
     full = ids.join(comp, "node", "left").select(

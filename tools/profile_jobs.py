@@ -46,6 +46,10 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # mirror the tuned session (randas_spark.session.get_spark): without
+        # this the profile session pays the per-DataFrame-call capture the
+        # bench session does not, inflating the plan/driver gap 2-3x
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .getOrCreate()
