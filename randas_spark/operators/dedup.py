@@ -1091,6 +1091,7 @@ def connected_components_star(
     dst: str = "id_b",
     max_iter: int = 30,
     stats: dict | None = None,
+    label_all_nodes: bool = True,
 ) -> DataFrame:
     """(node, component) via alternating large-star / small-star.
 
@@ -1115,17 +1116,39 @@ def connected_components_star(
     unknown or adversarial (web graphs, citation chains, transitive
     record-linkage). Property-tested equal to label propagation on random
     graphs; round-count advantage proven on a chain graph.
+
+    ``label_all_nodes=False`` (r13, guide §2.4 "remove shuffles
+    outright"): return labels ONLY for nodes the converged star forest
+    touches, skipping the node-universe derivation and its left join.
+    For any node the default mode labels, the label is identical; nodes
+    ABSENT from the result are exactly those the default mode labels to
+    themselves (singletons whose edges were all self-loops, or nodes
+    never in any edge). Every query-side caller left-joins these labels
+    onto the full id universe and coalesce(comp, node) — which
+    reconstructs precisely that self-label — so the operator-internal
+    all_nodes distinct (exchange+agg) and left join were pure cost in
+    those compositions. It also makes the raw edge list single-consumer,
+    so its materialization barrier disappears: the contraction
+    checkpoint materializes the upstream pair generators directly, one
+    sequential job fewer per CC query. Equality with the default mode
+    (after the coalesce) is pinned by a pytest.
     """
     def sym(e: DataFrame) -> DataFrame:
         return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
-    # Checkpoint the RAW edge list ONCE — it is the only thing that scans
-    # the (possibly expensive) upstream plan. Deriving both the oriented
-    # edge set and the node universe from it lazily costs one cheap
-    # rescan of the materialized edges each, where checkpointing each
-    # derivation separately re-ran the whole upstream (e.g. the kNN
-    # graph build under semantic dedup) once PER derivation.
-    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if label_all_nodes:
+        # Checkpoint the RAW edge list ONCE — it is the only thing that
+        # scans the (possibly expensive) upstream plan. Deriving both
+        # the oriented edge set and the node universe from it lazily
+        # costs one cheap rescan of the materialized edges each, where
+        # checkpointing each derivation separately re-ran the whole
+        # upstream (e.g. the kNN graph build under semantic dedup) once
+        # PER derivation. (With label_all_nodes=False the oriented edge
+        # set is the ONLY consumer, so the barrier would be pure cost —
+        # the contraction checkpoint below already materializes the
+        # upstream exactly once.)
+        raw = raw.localCheckpoint()
     # canonical orientation: every edge points downhill (larger → smaller)
     e = (
         raw.filter(F.col("u") != F.col("v"))
@@ -1137,7 +1160,11 @@ def connected_components_star(
     # node universe from the RAW endpoints (before self-loop removal): a
     # node appearing only in self-loop edges is still a node and must
     # label itself — matching connected_components' singleton semantics
-    all_nodes = raw.select("u").union(raw.select(F.col("v").alias("u"))).distinct()
+    all_nodes = (
+        raw.select("u").union(raw.select(F.col("v").alias("u"))).distinct()
+        if label_all_nodes
+        else None
+    )
 
     # LOCAL CONTRACTION pre-pass (the standard distributed-CC opening
     # move): each partition solves its own edges exactly with an
@@ -1295,6 +1322,14 @@ def connected_components_star(
         stats["round_edges"] = round_edges
 
     comp = sym(e).groupBy("u").agg(F.min("v").alias("comp"))
+    if not label_all_nodes:
+        # star ROOTS appear in sym(e) with min(children) > root, so the
+        # least() below is what labels them to themselves — the same
+        # expression the default mode applies after its left join
+        return comp.select(
+            F.col("u").alias("node"),
+            F.least(F.col("comp"), F.col("u")).alias("comp"),
+        )
     # isolated star roots label themselves
     return all_nodes.join(comp, "u", "left").select(
         F.col("u").alias("node"),

@@ -165,7 +165,7 @@ def leakage_safe_split(
     """
     from randas_spark.operators.dedup import connected_components_star
 
-    comp = connected_components_star(pairs)
+    comp = connected_components_star(pairs, label_all_nodes=False)
     full = (
         df.select(F.col(id_col).alias("node"))
         .join(comp, "node", "left")

@@ -1592,7 +1592,7 @@ def llm_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.3)
-    comp = connected_components_star(pairs)
+    comp = connected_components_star(pairs, label_all_nodes=False)
     ids = d.select(F.col("doc_id").alias("node"))
     full = ids.join(comp, "node", "left").select(
         F.col("node").alias("doc_id"),
@@ -3502,7 +3502,7 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", n_cells=n_cells, n_probe=4, top_k=5, min_cos=0.35
     )
     edges = graph.select(F.col("qid").alias("id_a"), F.col("cid").alias("id_b"))
-    comp = connected_components_star(edges)
+    comp = connected_components_star(edges, label_all_nodes=False)
     ids = emb.select(F.col("vec_id").alias("node"))
     full = ids.join(comp, "node", "left").select(
         F.col("node").alias("vec_id"),
@@ -4616,7 +4616,7 @@ def llm_dedup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct of the raw endpoints), so the extra exchange+agg here was
     # pure cost — identical component labeling on the same edge SET.
     pairs = text_pairs.union(emb_pairs)
-    comp = connected_components_star(pairs)
+    comp = connected_components_star(pairs, label_all_nodes=False)
     ids = d.select(F.col("doc_id").alias("node"))
     full = ids.join(comp, "node", "left").select(
         F.col("node").alias("doc_id"),
@@ -4663,7 +4663,7 @@ def llm_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs_portable(
         d, "doc_id", "text", num_perm=32, bands=8, k=5, threshold=0.6
     ).select("id_a", "id_b")
-    comp = connected_components_star(pairs)
+    comp = connected_components_star(pairs, label_all_nodes=False)
     ids = d.select(F.col("doc_id").alias("node"))
     full = ids.join(comp, "node", "left").select(
         F.col("node").alias("doc_id"),

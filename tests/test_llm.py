@@ -1136,6 +1136,44 @@ def test_star_cc_keeps_self_loop_only_nodes(spark):
     assert star == want
 
 
+def test_star_cc_label_all_nodes_false_equals_default_after_coalesce(spark):
+    """label_all_nodes=False must label every node it returns identically
+    to the default mode, and the nodes it omits must be exactly the ones
+    the default mode labels to themselves — so the query-side
+    left-join + coalesce(comp, node) reconstructs the default output
+    bit-for-bit. Covers self-loop-only nodes, isolated star roots, a
+    chain (multi-round convergence), and random graphs."""
+    import random
+
+    from randas_spark.operators.dedup import connected_components_star
+
+    cases = [
+        [(1, 2), (5, 5), (9, 9), (2, 3)],  # self-loop-only nodes
+        [(i, i + 1) for i in range(40)],  # chain
+    ]
+    for seed in (7, 1999):
+        rng = random.Random(seed)
+        cases.append(
+            [(rng.randrange(80), rng.randrange(80)) for _ in range(110)]
+        )
+    for edges in cases:
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        full = {
+            r.node: r.comp for r in connected_components_star(df).collect()
+        }
+        sparse = {
+            r.node: r.comp
+            for r in connected_components_star(
+                df, label_all_nodes=False
+            ).collect()
+        }
+        # coalesce(comp, node) over the full universe == default mode
+        rebuilt = {n: sparse.get(n, n) for n in full}
+        assert rebuilt == full
+        # and the sparse result never labels a node outside the universe
+        assert set(sparse) <= set(full)
+
+
 def test_duplicated_spans_no_truncated_grams_on_short_docs(spark):
     """Docs shorter than k tokens must emit no spans (regression: the
     truncated single gram of a short doc matched another short doc and
