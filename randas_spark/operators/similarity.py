@@ -596,31 +596,53 @@ def _pq_quantize(emb: DataFrame, id_col: str, vec_col: str, scale: float) -> Dat
     )
 
 
-def _pq_sub_dist(j: int, sub: int, carr: list[float]) -> Column:
-    """Squared L2 between the j-th subvector of F.col('qx') and a literal
-    sub-centroid, folded in fixed order from 0.0 (bit-deterministic)."""
-    lit = F.array(*[F.lit(x) for x in carr])
-    return F.aggregate(
-        F.zip_with(
-            F.slice(F.col("qx"), j * sub + 1, sub),
-            lit,
-            lambda x, mu: (x.cast("double") - mu) * (x.cast("double") - mu),
-        ),
-        F.lit(0.0),
-        lambda acc, z: acc + z,
+def _sql_double(x: float) -> str:
+    """A SQL literal reconstructing exactly the double ``F.lit(x)`` would:
+    repr() is the shortest round-trip decimal and Spark's parser is
+    correctly rounded, so `<repr>D` yields the same IEEE-754 bits."""
+    if not math.isfinite(x):
+        raise ValueError(f"non-finite PQ centroid coordinate: {x!r}")
+    return f"{x!r}D"
+
+
+def _sql_int(c: int) -> str:
+    """A SQL literal with the same type ``F.lit(c)`` would get via py4j:
+    IntegerType inside int32 range, LongType beyond it."""
+    return str(c) if -(2**31) <= c < 2**31 else f"{c}L"
+
+
+def _pq_sub_dist_sql(j: int, sub: int, carr: list[float]) -> str:
+    """SQL text for the squared L2 between the j-th subvector of column
+    `qx` and a literal sub-centroid, folded in fixed order from 0.0
+    (bit-deterministic). Emitted as ONE parseable string so callers pay
+    a single py4j round trip per expression instead of ~45 Column-DSL
+    calls (the m x k_sub fan-out of those dominated PQ query-plan
+    construction time, not execution)."""
+    arr = ",".join(_sql_double(x) for x in carr)
+    return (
+        f"aggregate(zip_with(slice(qx,{j * sub + 1},{sub}),array({arr}),"
+        "(x, mu) -> (CAST(x AS DOUBLE) - mu) * (CAST(x AS DOUBLE) - mu)),"
+        "0.0D,(acc, z) -> acc + z)"
     )
 
 
+def _pq_sub_dist(j: int, sub: int, carr: list[float]) -> Column:
+    """Squared L2 between the j-th subvector of F.col('qx') and a literal
+    sub-centroid, folded in fixed order from 0.0 (bit-deterministic)."""
+    return F.expr(_pq_sub_dist_sql(j, sub, carr))
+
+
 def _pq_code_col(j: int, sub: int, cents_j: list) -> Column:
-    """argmin sub-centroid for subspace j as a codegen'd F.least over
+    """argmin sub-centroid for subspace j as a codegen'd least() over
     (dist, cluster) structs — ties break to the lower cluster id because
-    the struct comparison is lexicographic."""
+    the struct comparison is lexicographic. Built as one SQL string
+    (see _pq_sub_dist_sql) parsing to the identical Catalyst tree."""
     structs = [
-        F.struct(_pq_sub_dist(j, sub, carr).alias("d"), F.lit(c).alias("c"))
+        f"named_struct('d',{_pq_sub_dist_sql(j, sub, carr)},'c',{_sql_int(c)})"
         for c, carr in cents_j
     ]
-    best = structs[0] if len(structs) == 1 else F.least(*structs)
-    return best.getField("c").alias(f"code_{j}")
+    best = structs[0] if len(structs) == 1 else f"least({','.join(structs)})"
+    return F.expr(f"({best}).c").alias(f"code_{j}")
 
 
 def _pq_train(
@@ -770,13 +792,16 @@ def _pq_score(
     has_qid = "qid" in enc.columns
     luts = []
     for j in range(m):
-        entries = F.array(
-            *[
-                F.struct(
-                    F.lit(c).alias("code"), _pq_sub_dist(j, sub, carr).alias("d")
-                )
+        # one SQL string per LUT leg (k_sub struct entries inline) — the
+        # identical array(named_struct(...)) tree the Column DSL built,
+        # at one py4j round trip instead of ~45 per entry
+        entries = F.expr(
+            "array("
+            + ",".join(
+                f"named_struct('code',{_sql_int(c)},'d',{_pq_sub_dist_sql(j, sub, carr)})"
                 for c, carr in cents[j]
-            ]
+            )
+            + ")"
         )
         lut = q.select("qid", F.explode(entries).alias("__e__")).select(
             "qid",
@@ -998,7 +1023,12 @@ def _pq_load_codebooks(spark, index_dir: str, m: int) -> list[list]:
     query/append paths)."""
     import os
 
-    cb = spark.read.parquet(os.path.join(index_dir, "codebooks.parquet")).collect()
+    import pyarrow.parquet as papq
+
+    # m x k_sub rows of driver model state: read with pyarrow instead of
+    # a spark.read+collect so loading the codebooks costs no Spark job
+    # (values identical — same parquet bytes, same long/double types)
+    cb = papq.read_table(os.path.join(index_dir, "codebooks.parquet")).to_pylist()
     cents: list[list] = [[] for _ in range(m)]
     for r in sorted(cb, key=lambda r: (r["j"], r["cluster"])):
         cents[r["j"]].append((r["cluster"], [float(x) for x in r["carr"]]))
