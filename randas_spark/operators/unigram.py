@@ -99,21 +99,6 @@ def _word_table(df: DataFrame, text_col: str, l_max: int) -> DataFrame:
     )
 
 
-def _candidate_freqs(words: DataFrame, k_max: int) -> DataFrame:
-    """(piece, f): every substring occurrence of length 1..k_max,
-    weighted by word count — codegen explode, one shuffle."""
-    subs = F.expr(
-        f"flatten(transform(sequence(1, length(w)), s -> "
-        f"transform(sequence(1, least({k_max}, length(w) - s + 1)), "
-        f"k -> substring(w, s, k))))"
-    )
-    return (
-        words.select(F.col("c"), F.explode(subs).alias("p"))
-        .groupBy("p")
-        .agg(F.sum("c").alias("f"))
-    )
-
-
 def _segment_col(cost: dict[str, int], k_max: int):
     bc = dict(cost)
 
@@ -122,6 +107,76 @@ def _segment_col(cost: dict[str, int], k_max: int):
         return ws.map(lambda w: _viterbi(w, bc, k_max))
 
     return seg
+
+
+def _learn_kernel(vocab_size: int, k_max: int, rounds: int):
+    """The whole EM learn as ONE Arrow kernel over the Heaps-bounded
+    word table (the bpe_learn pattern, optimization guide §1.2/§4.2):
+    candidate counting, top-k vocab pick, and every Viterbi E-step are
+    decisions over |distinct words| rows — inherently sequential and
+    tiny — so the per-round Spark formulation paid 1 checkpoint + 1
+    vocab collect + 2 collect jobs per EM round (~8 driver round trips
+    measured) for work one task finishes in milliseconds. All model
+    math is exact integers (_q_cost micro-nats, long sums), so the
+    kernel replays the retired distributed form bit-for-bit: the
+    candidate sums are order-free integer adds, the top-k tie-break
+    (f DESC, p ASC) matches Spark's binary UTF8 ordering (UTF-8 byte
+    order preserves code-point order), and _viterbi is the identical
+    function the pandas_udf ran."""
+
+    def _em(pdfs):
+        ws: list[str] = []
+        cs: list[int] = []
+        for pdf in pdfs:
+            ws.extend(pdf["w"].tolist())
+            cs.extend(int(c) for c in pdf["c"].tolist())
+        cand: dict[str, int] = {}
+        for w, c in zip(ws, cs):
+            lw = len(w)
+            for s in range(lw):
+                for k in range(1, min(k_max, lw - s) + 1):
+                    p = w[s : s + k]
+                    cand[p] = cand.get(p, 0) + c
+        vocab = dict(
+            sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+        )
+        for p, f in cand.items():
+            if len(p) == 1:
+                vocab[p] = f
+        total = sum(vocab.values())
+        cost = {p: _q_cost(f, total) for p, f in vocab.items()}
+        freqs: dict[str, int] = {}
+        for _ in range(rounds):
+            counted: dict[str, int] = {}
+            for w, c in zip(ws, cs):
+                for p in _viterbi(w, cost, k_max):
+                    counted[p] = counted.get(p, 0) + c
+            freqs = {p: counted.get(p, 0) for p in vocab}
+            t = sum(freqs.values())
+            v_n = len(vocab)
+            cost = {p: _q_cost(f + 1, t + v_n) for p, f in freqs.items()}
+        rows = sorted((p, freqs[p], cost[p]) for p in vocab)
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "piece": [r[0] for r in rows],
+                    "freq": pd.Series([r[1] for r in rows], dtype="int64"),
+                    "cost_micro": pd.Series([r[2] for r in rows], dtype="int64"),
+                }
+            )
+
+    return _em
+
+
+def _learn_frame(
+    words: DataFrame, vocab_size: int, k_max: int, rounds: int
+) -> DataFrame:
+    if rounds < 1:
+        raise ValueError(f"unigram_learn requires rounds >= 1, got {rounds}")
+    return words.repartition(1).mapInPandas(
+        _learn_kernel(vocab_size, k_max, rounds),
+        schema="piece string, freq long, cost_micro long",
+    )
 
 
 def unigram_learn(
@@ -134,35 +189,11 @@ def unigram_learn(
 ) -> DataFrame:
     """Learn the unigram-LM vocabulary; returns one row per piece:
     (piece, freq, cost_micro) where freq is the final E-step occurrence
-    recount and cost_micro the add-1-smoothed cost derived from it."""
-    if rounds < 1:
-        raise ValueError(f"unigram_learn requires rounds >= 1, got {rounds}")
-    spark = df.sparkSession
-    words = _word_table(df, text_col, l_max).localCheckpoint()
-    cands = _candidate_freqs(words, k_max)
-    top = cands.orderBy(F.col("f").desc(), "p").limit(vocab_size)
-    singles = cands.filter(F.length("p") == 1)
-    vocab = {r["p"]: int(r["f"]) for r in top.unionAll(singles).distinct().collect()}
-    total = sum(vocab.values())
-    cost = {p: _q_cost(f, total) for p, f in vocab.items()}
-
-    freqs: dict[str, int] = {}
-    for _ in range(rounds):
-        segged = words.select(
-            "c", F.explode(_segment_col(cost, k_max)(F.col("w"))).alias("p")
-        )
-        counted = {
-            r["p"]: int(r["n"])
-            for r in segged.groupBy("p").agg(F.sum("c").alias("n")).collect()
-        }
-        freqs = {p: counted.get(p, 0) for p in vocab}
-        t = sum(freqs.values())
-        v_n = len(vocab)
-        cost = {p: _q_cost(f + 1, t + v_n) for p, f in freqs.items()}
-
-    return spark.createDataFrame(
-        sorted((p, freqs[p], cost[p]) for p in vocab),
-        "piece string, freq long, cost_micro long",
+    recount and cost_micro the add-1-smoothed cost derived from it.
+    The plan is ONE lazy job: distributed word-table scan+agg ->
+    single-partition exchange -> EM kernel (see _learn_kernel)."""
+    return _learn_frame(
+        _word_table(df, text_col, l_max), vocab_size, k_max, rounds
     )
 
 
@@ -176,10 +207,13 @@ def unigram_segment(
 ) -> DataFrame:
     """Segment the distinct-word table with the learned model: one row
     per word (w, c, n_pieces, seg) with seg = '|'-joined pieces (string,
-    not array — the driver canon contract)."""
-    learned = unigram_learn(df, text_col, vocab_size, k_max, l_max, rounds)
+    not array — the driver canon contract). The word table is built
+    once (localCheckpoint) and feeds BOTH the learn kernel and the
+    segmentation scan — the learn-then-rebuild form paid the corpus
+    scan+agg twice."""
+    words = _word_table(df, text_col, l_max).localCheckpoint()
+    learned = _learn_frame(words, vocab_size, k_max, rounds)
     cost = {r["piece"]: int(r["cost_micro"]) for r in learned.collect()}
-    words = _word_table(df, text_col, l_max)
     pieces = _segment_col(cost, k_max)(F.col("w"))
     return words.select(
         "w",
