@@ -871,7 +871,7 @@ def embedding_near_pairs(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
             norm(F.col(vec_col)).alias("nn"),
-            project_buckets(F.col(vec_col), dim, n_planes).alias("bucket"),
+            project_buckets(vec_col, dim, n_planes).alias("bucket"),
         )
         if bucket_cap is not None:
             uncapped = base

@@ -99,18 +99,27 @@ def adaptive_plane_count(
     return max(lo, min(hi, math.ceil(math.log2(max(n, 1) / target))))
 
 
-def project_buckets(vec: Column, dim: int, n_planes: int = 8) -> Column:
+def project_buckets(vec_col: str, dim: int, n_planes: int = 8) -> Column:
     """Random-hyperplane LSH bucket id: n_planes sign bits packed into a
     long. Same-bucket probability for angle θ is (1-θ/π)^n_planes.
-    Pure expression: dot products against literal plane arrays."""
-    bucket = F.lit(0).cast("long")
+    Pure expression: dot products against literal plane arrays, built
+    as ONE SQL string (one py4j round trip) — the Column-DSL form paid
+    n_planes x dim F.lit calls (1024 for a P=16 panel) of pure driver
+    time per invocation (the _pq_sub_dist_sql lesson). The dot fold is
+    the exact functions.vectors.dot sequence (zip_with double-cast
+    multiply, left fold from 0.0D); the bit arithmetic is integer, so
+    the bucket values are identical to the retired Column form (pinned
+    by the modulo-nesting and sign-replay tests in tests/test_llm.py)."""
+    terms = []
     for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
-        bit = F.when(dot(vec, plane) >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        arr = ",".join(_sql_double(v) for v in _hyperplane(dim, p))
+        d = (
+            f"aggregate(zip_with(`{vec_col}`,array({arr}),"
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            "0.0D,(acc, x) -> acc + x)"
         )
-        bucket = bucket + bit * F.lit(1 << p).cast("long")
-    return bucket
+        terms.append(f"(CASE WHEN {d} >= 0 THEN {1 << p}L ELSE 0L END)")
+    return F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
 
 
 def knn_lsh(
@@ -135,13 +144,13 @@ def knn_lsh(
         F.col(query_id).alias("qid"),
         F.col(vec_col).alias("qv"),
         norm(F.col(vec_col)).alias("qn"),
-        project_buckets(F.col(vec_col), dim, n_planes).alias("bucket"),
+        project_buckets(vec_col, dim, n_planes).alias("bucket"),
     )
     c = corpus.select(
         F.col(corpus_id).alias("cid"),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),
-        project_buckets(F.col(vec_col), dim, n_planes).alias("bucket"),
+        project_buckets(vec_col, dim, n_planes).alias("bucket"),
     )
     # staged norms — see knn_bruteforce; bit-identical scores
     scored = (

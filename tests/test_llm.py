@@ -423,8 +423,8 @@ def test_adaptive_plane_count_engine_parity_and_mask_equivalence(emb):
 
     for p in (4, 7, 10):
         both = emb.select(
-            (project_buckets(F.col("embedding"), 64, 16) % (2**p)).alias("m"),
-            project_buckets(F.col("embedding"), 64, p).alias("d"),
+            (project_buckets("embedding", 64, 16) % (2**p)).alias("m"),
+            project_buckets("embedding", 64, p).alias("d"),
         )
         assert both.filter(F.col("m") != F.col("d")).count() == 0
 
@@ -448,7 +448,7 @@ def test_embedding_near_pairs_bucket_cap_deterministic_and_accounted(emb):
     assert stats["n_capped_buckets"] > 0 and stats["n_dropped_rows"] > 0
     # expected kept set: 2 smallest vec_ids per bucket, computed directly
     rows = emb.select(
-        "vec_id", project_buckets(F.col("embedding"), 64, 2).alias("b")
+        "vec_id", project_buckets("embedding", 64, 2).alias("b")
     ).collect()
     by_bucket: dict = {}
     for r in rows:
