@@ -2536,8 +2536,9 @@ def rel_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     division (Spark ``div`` / DuckDB ``//``) makes every round
     bit-identical across engines, so an iterative PageRank carries a
     full value-hash oracle. Each round is one edge join + one
-    map-side-combinable groupBy; ranks are checkpointed per round to
-    keep lineage flat."""
+    map-side-combinable groupBy; at 3 rounds the whole tail is one lazy
+    plan (pagerank_int's ckpt_every cadence truncates lineage only on
+    longer runs), so no per-round barrier job serializes the rounds."""
     from randas_spark.operators.mining import basket_pair_counts, pagerank_int
 
     li = t(spark, sf_dir, "lineitem")

@@ -1601,6 +1601,34 @@ def test_pagerank_rejects_bad_rounds(spark):
     edges = spark.createDataFrame([(1, 2), (2, 1)], "s long, d long")
     with _pytest.raises(ValueError, match="rounds"):
         pagerank_int(edges, "s", "d", rounds=0)
+    with _pytest.raises(ValueError, match="ckpt_every"):
+        pagerank_int(edges, "s", "d", rounds=3, ckpt_every=0)
+
+
+def test_pagerank_ckpt_cadence_is_value_invariant(spark):
+    """The r13 lazy-tail optimization: ranks are identical whether the
+    loop checkpoints every round (the retired per-round-barrier shape),
+    every other round, or never within the run (rounds=5 exercises a
+    MID-LOOP checkpoint at cadence 2/3, plus the no-checkpoint tail) —
+    localCheckpoint is a materialization boundary, never a value
+    change."""
+    from randas_spark.operators.mining import pagerank_int
+
+    und = [(1, 2), (2, 3), (2, 4), (3, 5), (4, 5)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], "s long, d long"
+    )
+
+    def run(ck):
+        return sorted(
+            (r.node, r.r)
+            for r in pagerank_int(edges, "s", "d", rounds=5, ckpt_every=ck).collect()
+        )
+
+    every_round = run(1)
+    assert run(2) == every_round
+    assert run(3) == every_round
+    assert run(100) == every_round
 
 
 def test_join_skew_report_consistency(spark):
