@@ -326,9 +326,16 @@ def bfs_hops(
     side — broadcast when it fits, shuffle on node id otherwise; the
     adjacency list is partitioned once and reused) plus one anti-join
     against visited; both shuffles are on the shrinking frontier, never
-    the full graph. visited and frontier are localCheckpoint-ed per
-    round so the lineage never re-expands prior rounds (the star-CC /
-    k-core discipline). Frontier size is bounded by the graph's
+    the full graph. Each round's FRONTIER is localCheckpoint-ed (it has
+    three consumers: the empty check, the next expansion, and the
+    visited set), but ``visited`` itself stays a LAZY unionAll of those
+    checkpointed frontiers — every leg is already a materialized RDD
+    scan, so lineage is flat without re-materializing the ever-growing
+    settled set each round (the retired per-round visited checkpoint
+    copied O(rounds × V) rows — corpus-scale waste at 100 TB; at the
+    sf0.1 bench scale visited is ~2.4k rows and the interleaved A/B is
+    noise-flat, median 3.96 → 3.80 s, values row-identical). Frontier
+    size is bounded by the graph's
     expansion, not by rounds², and rounds is a small constant (graph
     diameter budget)."""
     adj = (
@@ -358,7 +365,7 @@ def bfs_hops(
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionAll(nxt).localCheckpoint()
+        visited = visited.unionAll(nxt)
         frontier = nxt.select("node")
     return visited
 
