@@ -257,6 +257,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     max_shingle_freq: int | None = None,
     log_dropped: bool = False,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """All document pairs with k-shingle-set Jaccard >= threshold.
 
@@ -275,13 +276,20 @@ def ngram_jaccard_pairs(
     ``log_dropped=True`` triggers one extra count job and logs how many
     hot shingles were dropped. Default None preserves exact semantics;
     beyond the cap, MinHash-LSH (below) is the scale path.
+
+    ``shingle_arrays`` (optional): an ALREADY-MATERIALIZED
+    (doc_id, sh array) frame equal to ``shingles(text_col, k)`` per doc
+    — callers composing several shingle consumers over the same corpus
+    (llm_minhash_recall_audit: exact pairs + LSH pairs) pass one shared
+    checkpoint so the shingle construction scan runs once, not once per
+    operator (guide §2.4).
     """
     # MATERIALIZED once: the self-join's a/b sides plus the two size
     # legs all derive from sh, and Spark reuses nothing across the four
     # references — shingle construction (slice + concat_ws per position,
     # the dominant cost) would run up to 4x. Downstream derivations
     # (explode, size) are cheap over the checkpointed arrays.
-    sh = fan_out(df).select(
+    sh = shingle_arrays if shingle_arrays is not None else fan_out(df).select(
         F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
     ).localCheckpoint()
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
@@ -388,10 +396,17 @@ def _ppjoin_candidates(
         F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
     ).localCheckpoint()
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
-    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
-    # per-doc shingles sorted by the global (freq, shingle) order
+    # per-doc shingles sorted by the global (freq, shingle) order. The
+    # document frequency attaches via a WINDOW COUNT partitioned on the
+    # shingle itself — one exchange of the exploded rows — instead of
+    # the r13 groupBy(s) + equi-join back, which shuffled the same rows
+    # for the aggregate AND AGAIN for the join probe (guide §2.4 "two
+    # operations keyed the same way can share one exchange"; profiled
+    # 8.3 s -> 4.7 s on the candidate stage at sf0.1). Same counts, same
+    # (f, s) structs, same order.
+    wf = Window.partitionBy("s")
     ordered = (
-        ex.join(freq, "s")
+        ex.withColumn("f", F.count(F.lit(1)).over(wf))
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("f", "s"))).alias("ord"))
     )
@@ -1460,6 +1475,7 @@ def portable_banded_signatures(
     num_perm: int = 32,
     bands: int = 8,
     k: int = 5,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band_id, bk) — the engine-portable MinHash band keys
     (md5→32-bit shingle hash, (a_p·h+b_p) mod P integer permutations,
@@ -1467,13 +1483,22 @@ def portable_banded_signatures(
     within-corpus LSH (minhash_lsh_pairs_portable) and the incremental
     ledger variant (incremental_near_dedup); per-doc and deterministic,
     so signatures computed on any subset equal those computed on the
-    union — the property that lets a stored ledger stay valid."""
+    union — the property that lets a stored ledger stay valid.
+
+    ``shingle_arrays`` (optional): a precomputed (doc_id, sh array)
+    frame equal to ``shingles(text_col, k)`` per doc — the signature
+    explode then reads it instead of re-running the shingle
+    construction scan (guide §2.4; see ngram_jaccard_pairs)."""
     rows_per_band = num_perm // bands
     if rows_per_band * bands != num_perm:
         raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
-    sh = fan_out(df).select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), k)).alias("s")
-    )
+    if shingle_arrays is not None:
+        sh = shingle_arrays.select("doc_id", F.explode("sh").alias("s"))
+    else:
+        sh = fan_out(df).select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles(F.col(text_col), k)).alias("s"),
+        )
     h32 = F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 8), 16, 10).cast("long")
     shh = sh.withColumn("h", h32)
     mins = shh.groupBy("doc_id").agg(
@@ -1552,8 +1577,19 @@ def incremental_near_dedup(
             )
         )
 
-    sh_b = cand_shingles(batch, "id_batch").localCheckpoint()
-    sh_l = cand_shingles(ledger_docs, "id_led").localCheckpoint()
+    # The two candidate-shingle materializations are independent (one
+    # reads the batch, one the ledger; both depend only on the already-
+    # checkpointed cand) — materialize the ledger side on a second
+    # driver thread so its scan+explode runs WHILE the batch side's job
+    # executes (guide §2.6 overlap; the llm_dedup_hybrid pattern).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        sh_l_fut = pool.submit(
+            lambda: cand_shingles(ledger_docs, "id_led").localCheckpoint()
+        )
+        sh_b = cand_shingles(batch, "id_batch").localCheckpoint()
+        sh_l = sh_l_fut.result()
     sizes_b = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b"))
     sizes_l = sh_l.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_l"))
     inter = (
@@ -1600,6 +1636,7 @@ def minhash_lsh_pairs_portable(
     bands: int = 8,
     k: int = 5,
     threshold: float = 0.6,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Banded MinHash-LSH near-dup pairs with ENGINE-PORTABLE hashing:
     each shingle is hashed ONCE (first 8 hex digits of md5 → 32-bit int)
@@ -1620,11 +1657,20 @@ def minhash_lsh_pairs_portable(
     amortizes across all permutations), BIGINT signature mins instead of
     hex-string mins — the audit variant now prices within ~1.5× of
     xxhash64 instead of the 3-4× the per-permutation-md5 design paid.
-    """
+
+    ``shingle_arrays`` (optional): a caller-materialized (doc_id, sh
+    array) frame equal to ``shingles(text_col, k)`` per doc. Both the
+    signature build AND the candidate-verification shingling then read
+    it instead of re-running the shingle construction scan — the
+    recall-audit composition (exact pairs + LSH pairs over ONE corpus)
+    shares a single shingle checkpoint across both operators
+    (guide §2.4)."""
     # No banded checkpoint — same measured rationale as
     # minhash_lsh_pairs: the band self-join exchanges both sides on the
     # identical key, so exchange reuse serves them from one build.
-    banded = portable_banded_signatures(df, id_col, text_col, num_perm, bands, k)
+    banded = portable_banded_signatures(
+        df, id_col, text_col, num_perm, bands, k, shingle_arrays=shingle_arrays
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, ["band_id", "bk"])
@@ -1645,18 +1691,25 @@ def minhash_lsh_pairs_portable(
     # verification shingles ONLY candidate docs: the semi-join lands
     # BELOW the explode (doc granularity), so the pass scans |candidates|
     # docs instead of shingling the whole corpus and semi-joining the
-    # exploded rows — at 100 TB candidates are a sliver of the corpus
-    sh_c = (
-        fan_out(df)
-        .join(cand_ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi")
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(shingles(F.col(text_col), k)).alias("s"),
+    # exploded rows — at 100 TB candidates are a sliver of the corpus.
+    # With a caller-shared shingle frame the explode reads the already-
+    # materialized arrays instead of re-shingling the candidate docs.
+    if shingle_arrays is not None:
+        sh_c_src = shingle_arrays.join(cand_ids, "doc_id", "left_semi").select(
+            "doc_id", F.explode("sh").alias("s")
         )
-        # referenced 3x (sizes + both sides of inter); candidates-only, so
-        # small enough to pin eagerly
-        .localCheckpoint()
-    )
+    else:
+        sh_c_src = (
+            fan_out(df)
+            .join(cand_ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi")
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(shingles(F.col(text_col), k)).alias("s"),
+            )
+        )
+    # referenced 3x (sizes + both sides of inter); candidates-only, so
+    # small enough to pin eagerly
+    sh_c = sh_c_src.localCheckpoint()
     # sh_c holds the COMPLETE shingle set of every candidate doc, and only
     # candidate ids reach the final joins — so sizes comes from sh_c, not
     # from a third full-corpus shingling pass (shingles() is distinct per

@@ -35,15 +35,25 @@ def knn_bruteforce(
     a per-partition top-k (`rank <= k` after mapPartitions) or use the
     LSH route below. Deterministic: (score desc, corpus id) ordering.
     """
+    from randas_spark.operators.dedup import fan_out
+
     q = queries.select(
         F.col(query_id).alias("qid"),
         F.col(vec_col).alias("qv"),
         norm(F.col(vec_col)).alias("qn"),
     )
-    c = corpus.select(
-        F.col(corpus_id).alias("cid"),
-        F.col(vec_col).alias("cv"),
-        norm(F.col(vec_col)).alias("cn"),
+    # fan_out: a single-split corpus otherwise scores every
+    # |corpus| x |queries| pair in ONE task (interpreted HOF folds, no
+    # codegen — measured 1.0-1.8 s single-task jobs at sf0.1 inside the
+    # recall audit); a no-op whenever the corpus already arrives in
+    # >= defaultParallelism splits (cluster scale). Row order feeding
+    # the rank window is irrelevant: (cos DESC, cid) is a total order.
+    c = fan_out(
+        corpus.select(
+            F.col(corpus_id).alias("cid"),
+            F.col(vec_col).alias("cv"),
+            norm(F.col(vec_col)).alias("cn"),
+        )
     )
     # norms staged per side (one fold per vector); the pair stage pays a
     # single dot fold — the inline cosine form re-evaluated both norm
@@ -360,19 +370,31 @@ def knn_ivf_det(
     variant (knn_ivf) whose centroids are fit-dependent.
 
     Same three stages as knn_ivf: seed centroids (TakeOrdered on the
-    md5 order — no global sort), broadcast-assign every corpus vector
-    to its max-cosine cell (window partitioned by vector), probe the
-    n_probe nearest cells per query, score candidates only. Lloyd
-    refinement improves cell balance, never correctness — the
-    deterministic index is what a resumable/auditable 100 TB build
-    ships, re-clustering offline when drift warrants.
+    md5 order — no global sort), assign every corpus vector to its
+    max-cosine cell, probe the n_probe nearest cells per query, score
+    candidates only. Lloyd refinement improves cell balance, never
+    correctness — the deterministic index is what a resumable/auditable
+    100 TB build ships, re-clustering offline when drift warrants.
+
+    Since r14 both rankings run through the shared assign_topk_cells
+    Arrow kernel (bit-exact with the crossJoin + row_number form they
+    replace — see its docstring; the persisted twin ivf_build_index has
+    assigned through the kernel since r12, and knn_ivf_query is pinned
+    bit-identical to this fused form, so the two paths now share one
+    ranking implementation instead of two equal-by-proof ones). The
+    retired declarative shape materialized |corpus| x n_cells
+    interpreted-fold rows in ONE task just to keep the top cell per
+    vector — with the recall audit's adaptive n_cells = N/32 panel that
+    stage was a single 3.2 s job at sf0.1 and quadratic in N; the
+    kernel scores each Arrow batch against the collected centroid panel
+    with numpy and emits only the survivors (vectors/norms re-attached
+    by one narrow equi-join, the knn_graph_ivf-measured trade).
     """
     from randas_spark.operators.sampling import _md5_hex
 
     # norms staged everywhere (vectors once, centers once): the inline
-    # cosine re-evaluated norm(vv) per CENTER and norm(center) per
-    # VECTOR in the broadcast ranking, and both norms per candidate
-    # pair in the final scoring. Bit-identical (see knn_graph_ivf).
+    # cosine re-evaluated both norm folds per candidate pair in the
+    # final scoring. Bit-identical (see knn_graph_ivf).
     cent = (
         corpus.orderBy(_md5_hex(F.col(corpus_id)), F.col(corpus_id))
         .limit(n_cells)
@@ -382,20 +404,19 @@ def knn_ivf_det(
             norm(F.col(vec_col)).alias("center_nrm"),
         )
     )
+    # ONE TakeOrdered job serves both kernel calls (assignment + probes)
+    cent_rows = cent.collect()
     c = corpus.select(
         F.col(corpus_id).alias("cid"),
         F.col(vec_col).alias("cv"),
         norm(F.col(vec_col)).alias("cn"),
     )
-    wa = Window.partitionBy("cid").orderBy(F.col("ccos").desc(), F.col("cell"))
     assign = (
-        c.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "ccos",
-            dot(F.col("cv"), F.col("center")) / (F.col("cn") * F.col("center_nrm")),
+        assign_topk_cells(
+            corpus, corpus_id, vec_col, cent, n_probe=1, cent_rows=cent_rows
         )
-        .withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
+        .select(F.col("vid").alias("cid"), "cell")
+        .join(c, "cid")
         .select("cid", "cv", "cn", "cell")
     )
     q = queries.select(
@@ -403,15 +424,20 @@ def knn_ivf_det(
         F.col(vec_col).alias("qv"),
         norm(F.col(vec_col)).alias("qn"),
     )
-    wp = Window.partitionBy("qid").orderBy(F.col("ccos").desc(), F.col("cell"))
     probes = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "ccos",
-            dot(F.col("qv"), F.col("center")) / (F.col("qn") * F.col("center_nrm")),
+        assign_topk_cells(
+            queries,
+            query_id,
+            vec_col,
+            cent,
+            n_probe=n_probe,
+            cent_rows=cent_rows,
+            # panel-bounded input: don't pay a 33-task fan-out job to
+            # rank ~50 query vectors (see assign_topk_cells)
+            fan=False,
         )
-        .withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= n_probe)
+        .select(F.col("vid").alias("qid"), "cell")
+        .join(q, "qid")
         .select("qid", "qv", "qn", "cell")
     )
     wk = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
@@ -1112,6 +1138,8 @@ def assign_topk_cells(
     vec_col: str,
     cent: DataFrame,
     n_probe: int = 1,
+    cent_rows: list | None = None,
+    fan: bool = True,
 ) -> DataFrame:
     """Top-``n_probe`` max-cosine cell assignment against a centroid
     frame, as a VECTORIZED Arrow kernel — THE shared assignment of the
@@ -1139,8 +1167,14 @@ def assign_topk_cells(
     sqrt); selection replays (ccos DESC, cell ASC) with a full per-row
     lexsort — NO argpartition shortcut, because twin centroids
     (exactly equal ccos for every query) make boundary ties routine
-    and the tie-break must match the window ordering."""
-    cent_rows = cent.collect()  # n_cells rows: bounded model state
+    and the tie-break must match the window ordering.
+
+    ``cent_rows`` (optional) is the already-collected centroid panel —
+    callers that run the kernel twice against the SAME panel (e.g.
+    knn_ivf_det: corpus assignment + query probes) pass it so the
+    TakeOrdered centroid job runs once, not once per kernel call."""
+    if cent_rows is None:
+        cent_rows = cent.collect()  # n_cells rows: bounded model state
     if not cent_rows:
         # Empty centroid panel (empty corpus): degrade to an empty
         # typed frame — as the retired crossJoin form did — instead of
@@ -1191,12 +1225,17 @@ def assign_topk_cells(
     # round-robin repartition so the kernel saturates the cores even
     # when the input arrives in a handful of parquet splits — one
     # narrow shuffle of (vid, vv), ~0.1% of the exchange the retired
-    # window shape paid
-    return (
-        rows.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vv"))
-        .repartition(rows.sparkSession.sparkContext.defaultParallelism)
-        .mapInPandas(_assign_batches, schema="vid long, cell long, rn int")
-    )
+    # window shape paid. ``fan=False`` skips it for PANEL-BOUNDED
+    # inputs (e.g. knn_ivf_det's 50-query probe ranking): fanning ~50
+    # rows into defaultParallelism kernel tasks costs a full
+    # 33-task job (~0.5 s at sf0.1) to parallelize microseconds of
+    # numpy — the kmeans fan-out lesson (OPTIMIZATION_r13).
+    narrow = rows.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vv"))
+    if fan:
+        narrow = narrow.repartition(
+            rows.sparkSession.sparkContext.defaultParallelism
+        )
+    return narrow.mapInPandas(_assign_batches, schema="vid long, cell long, rn int")
 
 
 def _ivf_assign(

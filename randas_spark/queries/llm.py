@@ -4410,13 +4410,30 @@ def llm_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composition of two oracle-backed primitives: the exact pair set
     (ngram_jaccard_pairs' shingle equi-join) left-joined with the
     verified LSH pair set (minhash_lsh_pairs_portable), grouped by band;
-    both reuse ONE shingle scan on the engine side."""
-    from randas_spark.operators.dedup import minhash_lsh_pairs_portable, ngram_jaccard_pairs
+    both reuse ONE shingle scan on the engine side (r14: literally —
+    one shared shingle-array checkpoint feeds the exact self-join, the
+    signature build, AND the LSH verification shingling; the previous
+    form ran the shingle construction scan twice over the full corpus
+    plus once over the candidates, guide §2.4)."""
+    from randas_spark.operators.dedup import (
+        fan_out,
+        minhash_lsh_pairs_portable,
+        ngram_jaccard_pairs,
+        shingles,
+    )
 
     d = t(spark, sf_dir, "documents")
-    true_pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=5, threshold=0.6)
+    sh = (
+        fan_out(d)
+        .select(F.col("doc_id"), shingles(F.col("text"), 5).alias("sh"))
+        .localCheckpoint()
+    )
+    true_pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", k=5, threshold=0.6, shingle_arrays=sh
+    )
     found = minhash_lsh_pairs_portable(
-        d, "doc_id", "text", num_perm=32, bands=8, k=5, threshold=0.6
+        d, "doc_id", "text", num_perm=32, bands=8, k=5, threshold=0.6,
+        shingle_arrays=sh,
     ).select("id_a", "id_b", F.lit(1).alias("hit"))
     banded = true_pairs.select(
         "id_a",
@@ -6963,8 +6980,17 @@ def llm_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 50)
     n_cells = max(16, table_num_rows(sf_dir, "embeddings") // 32)
-    truth = knn_bruteforce(qs, emb, "vec_id", "vec_id", "embedding", top_k=10).select(
-        "qid", "cid"
+    truth = (
+        knn_bruteforce(qs, emb, "vec_id", "vec_id", "embedding", top_k=10)
+        .select("qid", "cid")
+        # MATERIALIZED once: truth is the left side of BOTH method legs,
+        # and Spark reuses nothing across the union — the corpus-sized
+        # brute-force crossJoin + its top-10 window ran TWICE (plan
+        # audit r14: the BroadcastNestedLoopJoin subtree appears once
+        # per leg; its single-task scoring job was 1.8 s of the 8.5 s
+        # profile). The checkpoint pins the |panel| x top_k = 500-row
+        # truth table instead (guide §2.4).
+        .localCheckpoint()
     )
     approx_ivf = knn_ivf_det(
         qs, emb, "vec_id", "vec_id", "embedding",

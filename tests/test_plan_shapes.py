@@ -88,10 +88,13 @@ PINNED = {
     # (the DPP expression itself is asserted separately below); SMJ=0 —
     # the corpus-sized artifact is scanned pruned, never shuffled
     "llm_knn_ivfpq": (5, 0, 10),
-    # recall panel (2 methods): brute-force truth x2, IVF det leg, IVFPQ
-    # leg, two broadcast stitch joins — panel-bounded sides all hinted,
-    # so SMJ stays 0 even at the 50-query panel width (r11 fix)
-    "llm_ann_recall_audit": (8, 0, 22),
+    # recall panel (2 methods): brute-force truth ONCE (r14: checkpointed
+    # — the r13 plan inlined the whole truth subtree per method leg),
+    # IVF det leg through the assign_topk_cells kernel (+2 narrow
+    # re-attach BHJs, -3 Exchange from the retired crossJoin+window
+    # assignment), IVFPQ leg, two broadcast stitch joins — panel-bounded
+    # sides all hinted, so SMJ stays 0 at the 50-query panel width
+    "llm_ann_recall_audit": (10, 0, 19),
     # IVFPQ + exact rerank (IndexIVFPQR shape): stage-1 composite (5 BHJ)
     # + bounded shortlist/query-vector broadcasts; the shortlist subplan
     # appears ONCE (a second occurrence means the stage-1 codes scan got

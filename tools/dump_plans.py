@@ -1,9 +1,9 @@
-"""Dump .explain("formatted") for named registry queries to plans/r13/.
+"""Dump .explain("formatted") for named registry queries to plans/rNN/.
 
 Usage: python tools/dump_plans.py <suffix> query [query ...]
-Writes plans/r13/<query>_<suffix>.txt for each query, at
-$SPARK_GRAFT_SF_DIR (default sf0.1) — the bench scale, so the committed
-plan matches the claims in OPTIMIZATION_r13.md.
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt (default r14)
+for each query, at $SPARK_GRAFT_SF_DIR (default sf0.1) — the bench
+scale, so the committed plan matches the claims in OPTIMIZATION_rNN.md.
 """
 
 from __future__ import annotations
@@ -19,7 +19,9 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
