@@ -147,29 +147,30 @@ HEADLINE = [
     # heaviest new text op (shingle-novelty join)
     "llm_knn_ivf_persisted",
     "llm_ngram_novelty",
-    # --- ROTATION block (r13; see policy comment above). The r12 block
-    # (q10/q14/q15/q16/q19/q20/q22 + ref_query_int_literal_quirk, fresh
-    # BENCH_r12 evidence) rotated out with rows retained. In (VERDICT
-    # r12 order #6 — the stalest green rows): the never-benched TPC-H
-    # heads q02/q04/q07/q11 (q11 gets its FIRST row+floor; q02/q04/q07
-    # re-rowed on 3 rotated-start passes, old rows were calmer-regime —
-    # the order-#2 adjudication class), the r11-rotated-out block
-    # (q08 re-rowed; q13/q17/ref_json_flatten/llm_knn_ivfpq/
-    # stream_scd2_apply re-witnessed within noise of their rows), and
-    # llm_bitext_mine re-entering with its r13 union-prune row (the
-    # round's headline plan change). Slot count stays 62 under the
-    # ~2000 B line cap.
-    "q02_min_acctbal_supplier",
-    "q04_order_priority",
-    "q07_nation_volume",
-    "q11_important_stock",
-    "q08_market_share",
-    "q13_customer_distribution",
-    "q17_small_quantity",
-    "ref_json_flatten",
-    "llm_knn_ivfpq",
-    "stream_scd2_apply",
-    "llm_bitext_mine",
+    # --- ROTATION block (r14; see policy comment above). The r13 block
+    # (q02/q04/q07/q11/q08/q13/q17/ref_json_flatten/llm_knn_ivfpq/
+    # stream_scd2_apply/llm_bitext_mine, fresh BENCH_r13 evidence)
+    # rotated out with rows retained. In (VERDICT r13 order #8 — the
+    # stalest green rows): the r9 rotation pair (ref_describe,
+    # rel_asof_join — last driver rows BENCH_r09), the r10 block
+    # (rel_sessionize, rel_merge_upsert, rel_window_range_frame,
+    # llm_knn_ivf_append — last rows BENCH_r10), three never-benched
+    # r10-era rows (llm_pca_power, stream_rollup_states, llm_zipf_fit),
+    # and the round's two optimization showcases: llm_ann_recall_audit
+    # (plan changed this round — kernel IVF ranking + single truth leg;
+    # re-rowed) and llm_dedup_ppjoin (window-count frequency attach;
+    # FIRST row+floor). Slot count stays 62 under the ~2000 B line cap.
+    "ref_describe",
+    "rel_asof_join",
+    "rel_sessionize",
+    "rel_merge_upsert",
+    "rel_window_range_frame",
+    "llm_knn_ivf_append",
+    "llm_pca_power",
+    "stream_rollup_states",
+    "llm_zipf_fit",
+    "llm_ann_recall_audit",
+    "llm_dedup_ppjoin",
 ]
 
 # Most-recent ISOLATED sf0.1 row per headline query. PROTOCOL TAG
@@ -279,7 +280,7 @@ BASELINE_ROWS = {
     "llm_sequence_pack_by_source": 0.84,
     "llm_knn_pq_append": 1.89,
     "llm_pack_efficiency": 0.88,
-    "llm_ann_recall_audit": 5.39,  # r12 re-row (median of 3 clean r12 passes; r11 4.94 confirmed in-family)
+    "llm_ann_recall_audit": 6.26,  # r14 re-row on rotation-in: PLAN CHANGED (kernel IVF ranking, single truth leg); 3 rotated-start passes {7.35, 35.79, 5.17}, the 35.79 pass discarded as a witnessed host-contention window (box witness log, OPTIMIZATION_r14.md) — row = median of the two clean passes. The r12 row 5.39 measured the retired plan on a calmer box; this box's clean-window profiles put the new plan's job walls at 4.4-6.9 s vs the old plan's 7.9-8.5 s in the SAME windows
     "llm_knn_pq_rerank": 2.06,
     "stream_ivf_ingest": 1.22,
     "llm_bitext_mine": 2.50,  # r13 re-row AFTER the per-cell union-prune kernel replaced the candidate SMJ + full-set mutual-rank sorts (plan changed; median of 3 isolated pass medians {2.50, 2.49, 2.97}; sf10 decade cell 7.38 s vs r11's 56.5 — see BASELINE.md r13)
@@ -307,6 +308,10 @@ BASELINE_ROWS = {
     # r12 rotation slots (median of isolated pass medians across 4
     # rotated-start passes, 2026-08-16; pass-3 contention burst on its
     # first two slots discarded by the median — BASELINE.md r12)
+    # r14 rotation slot (FIRST row: median of 3 rotated-start passes
+    # {3.40, 3.47, 3.54} — unusually stable across today's contention
+    # windows; measured AFTER the window-count frequency change)
+    "llm_dedup_ppjoin": 3.47,
     "q10_returned_items": 0.83,
     "q14_promo_revenue": 0.44,
     "q15_top_supplier": 0.75,
@@ -398,7 +403,7 @@ ROW_FLOORS = {
     "llm_sequence_pack_by_source": 0.81,
     "llm_knn_pq_append": 1.78,
     "llm_pack_efficiency": 0.86,
-    "llm_ann_recall_audit": 4.81,  # r11 re-floor: two-method panel
+    "llm_ann_recall_audit": 4.81,  # r11 floor retained (r14 rotated-pass min 5.17 on a contended box did not beat it; a lower clean floor re-seeds in r15)
     "llm_knn_pq_rerank": 1.99,
     "stream_ivf_ingest": 1.18,
     "llm_bitext_mine": 2.49,  # r13 re-floor: plan changed (union-prune kernel)
@@ -418,6 +423,8 @@ ROW_FLOORS = {
     "stream_scd2_apply": 1.21,
     "llm_knn_ivfpq": 2.70,
     "llm_knn_ivfpq_rerank": 3.38,
+    # r14 rotation slot (min of the same rotated-start passes)
+    "llm_dedup_ppjoin": 3.40,
     # r12 slots (min of the same rotated-start passes as the rows above)
     "q10_returned_items": 0.62,
     "q14_promo_revenue": 0.39,

@@ -299,12 +299,30 @@ def bpe_learn(
     entire learn ONE job: scan -> agg -> 1-partition exchange of the
     word table -> 12 rows out.
 
-    Scale: at 100 TB the word table after the first agg is ~millions of
-    rows regardless of corpus size (Heaps' law) — a few tens of MB of
-    (word, cnt) pairs, well inside one task — and the expensive thing,
-    the corpus scan, is distributed and happens exactly once. The loop
-    recounts only words still holding >= 2 symbols and updates state
-    only for words containing the merged pair.
+    Scale — the repartition(1) kernel's MEMORY BOUND (r14, VERDICT r13
+    order #3): the single Arrow task must hold the ENTIRE distinct-word
+    table as a pandas frame (mapInPandas cannot spill a materialized
+    batch). Measured cells (pure recount of this word-table definition,
+    BASELINE.md r14): sf0.1 = 31 rows / ~1.9 KB task bytes; sf1.0 = 32
+    rows / ~2.0 KB; sf10 = 32 rows / ~2.0 KB — flat because the scaled
+    fixtures' copy markers split away under [^a-z]+, so the synthetic
+    corpora do NOT exercise Heaps growth. The honest 100 TB bound is
+    analytic: V(n) ~ K·n^β (Heaps; K~30, β~0.5 for natural text) gives
+    ~1.1e8 distinct words at 1.4e13 tokens — ~60 B/row in a pandas
+    object frame => ~6-10 GB in ONE task, past any sane task budget.
+    Before running this kernel at 100 TB, prune the word table exactly:
+    a pair's total frequency is a sum over words containing it, so
+    dropping all count-1 words changes any pair count by at most the
+    number of count-1 words containing that pair — safe ONLY when the
+    selected merge's margin over the runner-up exceeds that mass, which
+    must be checked per round (no static proof exists: ties are decided
+    lexicographically). The shippable alternative is two-level: per-
+    shard partial pair counts (distributed agg) -> driver-side merge
+    DECISION per round — one distributed agg per merge instead of one
+    kernel, the pre-r13 shape, linear and spill-safe. The kernel is the
+    right shape while the word table fits a task (<~1 GB, i.e. up to
+    ~1e7 distinct words); swap to the two-level form past that.
+    The corpus scan is distributed and happens exactly once either way.
     """
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")

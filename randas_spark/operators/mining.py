@@ -403,9 +403,20 @@ def pagerank_int(
     rounds=3 the default cadence runs the whole tail as ONE lazy plan —
     measured 3.03 -> 2.90 s median (every interleaved pass faster,
     values bit-identical) on the co-purchase query. Driver state is a
-    single scalar (N)."""
+    single scalar (N). Cadence caveat (r13 ADVICE): each un-checkpointed
+    round references r TWICE (edge join + teleport unionAll), so a
+    segment's plan embeds ~2^ckpt_every copies of the segment-head
+    subtree — bounded but EXPONENTIAL in the cadence. The default 3
+    (8 copies) is fine; past ~6-8 Catalyst analysis time and driver
+    memory blow up, so keep ckpt_every small rather than "as large as
+    memory allows"."""
     if rounds < 1:
         raise ValueError(f"pagerank_int: rounds must be >= 1, got {rounds}")
+    # validate BEFORE any Spark action: a bad cadence must not first pay
+    # the (possibly expensive, e.g. co-purchase contraction) edge-list
+    # materialization below (r13 ADVICE item)
+    if ckpt_every < 1:
+        raise ValueError(f"pagerank_int: ckpt_every must be >= 1, got {ckpt_every}")
     # out-degree attached to the edge list via a WINDOW over the source
     # (ONE shuffle on s, shared with nothing downstream) and checkpointed
     # ONCE — od is round-invariant. This replaces the r12 three-step
@@ -425,16 +436,15 @@ def pagerank_int(
     if n == 0:
         raise ValueError("pagerank_int: empty edge list")
     base = (scale * (damp_den - damp_num)) // (damp_den * n)
-    if ckpt_every < 1:
-        raise ValueError(f"pagerank_int: ckpt_every must be >= 1, got {ckpt_every}")
     r = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
     for i in range(rounds):
         # zero rows union INTO the contribution aggregate: every node
         # gets one, so nodes with no in-edges survive with tot=0 — the
         # same result as the retired nodes-left-join finisher, one join
-        # (and its exchanges) fewer per round. Derived from r (the
-        # checkpointed rank table carries exactly the node universe), so
-        # no round re-runs the nodes distinct.
+        # (and its exchanges) fewer per round. Derived from r (the rank
+        # table carries exactly the node universe whether or not this
+        # segment has checkpointed it yet), so no round re-runs the
+        # nodes distinct.
         contrib = (
             r.join(ej, "node")
             .select(

@@ -122,7 +122,19 @@ def _learn_kernel(vocab_size: int, k_max: int, rounds: int):
     candidate sums are order-free integer adds, the top-k tie-break
     (f DESC, p ASC) matches Spark's binary UTF8 ordering (UTF-8 byte
     order preserves code-point order), and _viterbi is the identical
-    function the pandas_udf ran."""
+    function the pandas_udf ran.
+
+    MEMORY BOUND (r14, VERDICT r13 order #3 — same contract as
+    bpe_learn's kernel, see operators/corpus.py for the full note): the
+    repartition(1) task holds the whole distinct-word table in one
+    pandas frame. Measured cells (BASELINE.md r14): sf0.1 = 31 rows /
+    ~1.9 KB, sf1.0 = 340 rows / ~22 KB, sf10 = 3130 rows / ~201 KB
+    (the scaled fixtures' space-split copy markers DO grow this table,
+    unlike BPE's [^a-z]+ split — still KB-scale). Heaps extrapolation
+    for real text puts ~1e8 distinct words / ~6-10 GB in one task at
+    100 TB: past ~1e7 distinct words (~1 GB), swap to the two-level
+    form (distributed candidate-count agg per EM round + driver
+    decision — the pre-r13 shape)."""
 
     def _em(pdfs):
         ws: list[str] = []
